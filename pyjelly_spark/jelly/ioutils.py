@@ -1,0 +1,136 @@
+"""File-level framing: delimited sniffing, frame iteration, read/write.
+
+Replicates the reference's 3-byte delimitedness truth table
+(/root/reference/pyjelly/parse/ioutils.py:14-54) and varint
+length-prefixed frame walking (parse/ioutils.py:57-59).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import IO, Dict, Iterator, List, Optional, Tuple
+
+from pyjelly_spark.jelly import constants as c
+from pyjelly_spark.jelly.decoder import (
+    StreamDecoder,
+    parse_options_row,
+    split_frame,
+)
+from pyjelly_spark.jelly.encoder import delimit
+from pyjelly_spark.jelly.wire import iter_fields, read_uvarint
+
+
+def looks_delimited(head: bytes) -> bool:
+    """Sniff delimited vs single-frame from the first 3 bytes.
+
+    0x0A is both "varint 10" and the tag of RdfStreamFrame.rows — the
+    truth table disambiguates (parse/ioutils.py:14-54):
+
+      byte0 != 0A                    -> delimited
+      0A, byte1 != 0A                -> non-delimited
+      0A, 0A, byte2 != 0A            -> delimited (first frame is 10 bytes)
+      0A, 0A, 0A                     -> non-delimited
+    """
+    if len(head) < 3:
+        return False
+    return head[0] != 0x0A or (head[1] == 0x0A and head[2] != 0x0A)
+
+
+def iter_delimited_frames(data: bytes) -> Iterator[bytes]:
+    """Walk varint-length-prefixed frames in a byte buffer."""
+    pos = 0
+    end = len(data)
+    while pos < end:
+        length, pos = read_uvarint(data, pos)
+        frame = data[pos : pos + length]
+        if len(frame) != length:
+            raise c.JellyError("truncated frame")
+        pos += length
+        yield frame
+
+
+def frames_from_bytes(data: bytes) -> Iterator[bytes]:
+    """All frames of a Jelly byte buffer, delimited or not."""
+    if looks_delimited(data[:3]):
+        yield from iter_delimited_frames(data)
+    elif data:
+        yield data
+
+
+def read_stream_options(data: bytes) -> c.StreamOptions:
+    """Extract the options row from the first non-empty frame."""
+    delimited = looks_delimited(data[:3])
+    for frame in frames_from_bytes(data):
+        rows, _meta = split_frame(frame)
+        if rows:
+            fields = list(iter_fields(rows[0]))
+            if fields and fields[0][0] == c.ROW_OPTIONS:
+                return parse_options_row(bytes(fields[0][2]), delimited=delimited)
+            raise c.JellyError("first row of the stream is not an options row")
+    raise c.JellyError("no non-empty frames found in the stream")
+
+
+def decode_file(path: str) -> Iterator[tuple]:
+    """Decode a .jelly file into flat statement events."""
+    with open(path, "rb") as handle:
+        data = handle.read()
+    from pyjelly_spark.jelly.decoder import decode_flat
+
+    yield from decode_flat(frames_from_bytes(data))
+
+
+def decode_file_frames(
+    path: str,
+) -> Iterator[Tuple[List[tuple], Dict[str, bytes]]]:
+    """Decode a .jelly file frame-by-frame: (events, frame metadata)."""
+    with open(path, "rb") as handle:
+        data = handle.read()
+    decoder = StreamDecoder()
+    for frame in frames_from_bytes(data):
+        rows, metadata = split_frame(frame)
+        events = [e for e in (decoder.decode_row(r) for r in rows) if e is not None]
+        yield events, metadata
+
+
+def write_frames(
+    frames: Iterator[bytes],
+    out: IO[bytes],
+    *,
+    delimited: bool = True,
+) -> int:
+    """Write frames to a binary stream; returns bytes written."""
+    written = 0
+    if delimited:
+        for frame in frames:
+            chunk = delimit(frame)
+            out.write(chunk)
+            written += len(chunk)
+    else:
+        collected = list(frames)
+        if len(collected) > 1:
+            raise c.JellyError("non-delimited output must be a single frame")
+        for frame in collected:
+            out.write(frame)
+            written += len(frame)
+    return written
+
+
+def sniff_file(path: str, head_bytes: Optional[bytes] = None) -> bool:
+    """Delimitedness of a file on disk (reads only 3 bytes)."""
+    if head_bytes is None:
+        with open(path, "rb") as handle:
+            head_bytes = handle.read(3)
+    return looks_delimited(head_bytes)
+
+
+def buffered_options(inp: IO[bytes]) -> Tuple[c.StreamOptions, bytes]:
+    """Non-seekable-safe: buffer the input fully, return (options, data).
+
+    Mirrors the reference's BufferedReader peek fallback for network
+    streams (parse/ioutils.py:81-89), simplified for batch use.
+    """
+    if isinstance(inp, io.BufferedReader) or not inp.seekable():
+        data = inp.read()
+    else:
+        data = inp.read()
+    return read_stream_options(data), data
