@@ -1,0 +1,195 @@
+"""Triple extraction from source-code tables — all JVM-side Catalyst exprs.
+
+Turns the ``source_files`` table into RDF term-struct triples describing
+code entities: repo→file containment, file→lang, per-row content sha256
+lineage (the invariant from BASELINE.json.input_hint), and import / def /
+call mention edges.
+
+Everything here is ``pyspark.sql.functions`` (regexp_extract_all, explode,
+sha2, concat): whole-stage codegen end to end, no Python in the hot path.
+Filters and the 2-column projections push down to the parquet scan.
+
+IRI scheme (prefix-factoring friendly — shared prefixes split at the last
+'/' land in the Jelly prefix table):
+  http://kg.example/repo/{repo}
+  http://kg.example/file/{repo}/{path}
+  http://kg.example/module/{module}
+  http://kg.example/symbol/{symbol}
+  predicates in http://kg.example/ns#
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+NS = "http://kg.example/ns#"
+REPO_BASE = "http://kg.example/repo/"
+FILE_BASE = "http://kg.example/file/"
+MODULE_BASE = "http://kg.example/module/"
+SYMBOL_BASE = "http://kg.example/symbol/"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+P_CONTAINS = NS + "contains"
+P_LANG = NS + "lang"
+P_SHA256 = NS + "sha256"
+P_IMPORTS = NS + "imports"
+P_DEFINES = NS + "defines"
+P_CALLS = NS + "calls"
+P_CALLS_RESOLVED = NS + "callsResolved"
+P_CANONICAL = NS + "canonical"
+
+# Mention regexes — shared by all four generated languages. (?m) anchors
+# per line; both Java regex (Spark) and RE2 (DuckDB oracle) accept them.
+IMPORT_RE = r"(?m)^import\s+[\"']?([A-Za-z0-9_./]+)[\"']?;?\s*$"
+DEF_RE = r"(?m)^(?:def|function|void|func)\s+(\w+)\s*\("
+CALL_RE = r"(?m)^\s{2}(\w+)\(\)"
+
+TERM_SCHEMA = StructType(
+    [
+        StructField("kind", StringType(), False),
+        StructField("value", StringType(), False),
+        StructField("lang", StringType(), True),
+        StructField("datatype", StringType(), True),
+    ]
+)
+
+
+def iri(value: Column) -> Column:
+    return F.struct(
+        F.lit("iri").alias("kind"),
+        value.alias("value"),
+        F.lit("").alias("lang"),
+        F.lit("").alias("datatype"),
+    )
+
+
+def lit_term(value: Column, lang: str = "", datatype: str = "") -> Column:
+    return F.struct(
+        F.lit("lit").alias("kind"),
+        value.alias("value"),
+        F.lit(lang).alias("lang"),
+        F.lit(datatype).alias("datatype"),
+    )
+
+
+def file_iri(repo: Column, path: Column) -> Column:
+    return F.concat(F.lit(FILE_BASE), repo, F.lit("/"), path)
+
+
+def repo_iri(repo: Column) -> Column:
+    return F.concat(F.lit(REPO_BASE), repo)
+
+
+def _triple(
+    df: DataFrame, s: Column, p: str, o: Column, kind_rank: int
+) -> DataFrame:
+    """Project a mention frame into the uniform triples schema.
+
+    ``kind_rank`` gives the deterministic intra-file statement order used
+    by the encode stage (sortWithinPartitions key, SURVEY.md §4 note 2).
+    """
+    return df.select(
+        F.col("repo"),
+        F.col("path"),
+        F.lit(kind_rank).cast("int").alias("kind_rank"),
+        s.alias("s"),
+        iri(F.lit(p)).alias("p"),
+        o.alias("o"),
+    )
+
+
+def extract_imports(files: DataFrame) -> DataFrame:
+    """file --imports--> module  (slash paths normalized to dotted)."""
+    mentions = files.select(
+        "repo",
+        "path",
+        F.explode(F.regexp_extract_all("content", F.lit(IMPORT_RE), F.lit(1))).alias(
+            "raw_module"
+        ),
+    ).withColumn("module", F.replace(F.col("raw_module"), F.lit("/"), F.lit(".")))
+    return _triple(
+        mentions,
+        iri(file_iri(F.col("repo"), F.col("path"))),
+        P_IMPORTS,
+        iri(F.concat(F.lit(MODULE_BASE), F.col("module"))),
+        kind_rank=3,
+    )
+
+
+def extract_defs(files: DataFrame) -> DataFrame:
+    """file --defines--> symbol."""
+    mentions = files.select(
+        "repo",
+        "path",
+        F.explode(F.regexp_extract_all("content", F.lit(DEF_RE), F.lit(1))).alias(
+            "symbol"
+        ),
+    )
+    return _triple(
+        mentions,
+        iri(file_iri(F.col("repo"), F.col("path"))),
+        P_DEFINES,
+        iri(F.concat(F.lit(SYMBOL_BASE), F.col("symbol"))),
+        kind_rank=4,
+    )
+
+
+def extract_calls(files: DataFrame) -> DataFrame:
+    """file --calls--> symbol (unresolved mention; linking resolves it)."""
+    mentions = files.select(
+        "repo",
+        "path",
+        F.explode(F.regexp_extract_all("content", F.lit(CALL_RE), F.lit(1))).alias(
+            "symbol"
+        ),
+    )
+    return _triple(
+        mentions,
+        iri(file_iri(F.col("repo"), F.col("path"))),
+        P_CALLS,
+        iri(F.concat(F.lit(SYMBOL_BASE), F.col("symbol"))),
+        kind_rank=5,
+    )
+
+
+def structural_triples(files: DataFrame) -> DataFrame:
+    """repo→contains→file, file→lang, file→sha256 (lineage invariant)."""
+    contains = _triple(
+        files,
+        iri(repo_iri(F.col("repo"))),
+        P_CONTAINS,
+        iri(file_iri(F.col("repo"), F.col("path"))),
+        kind_rank=0,
+    )
+    lang = _triple(
+        files,
+        iri(file_iri(F.col("repo"), F.col("path"))),
+        P_LANG,
+        lit_term(F.col("lang")),
+        kind_rank=1,
+    )
+    sha = _triple(
+        files,
+        iri(file_iri(F.col("repo"), F.col("path"))),
+        P_SHA256,
+        lit_term(F.sha2(F.col("content"), 256)),
+        kind_rank=2,
+    )
+    return contains.unionByName(lang).unionByName(sha)
+
+
+def extract_all(files: DataFrame) -> DataFrame:
+    """Full mention extraction: one narrow pass over content per family.
+
+    Returns the uniform triples frame
+    ``(repo, path, kind_rank, s, p, o)``; deterministic statement order is
+    (repo, path, kind_rank, o.value).
+    """
+    return (
+        structural_triples(files)
+        .unionByName(extract_imports(files))
+        .unionByName(extract_defs(files))
+        .unionByName(extract_calls(files))
+    )

@@ -1,0 +1,78 @@
+"""SparkSession helpers with scale-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED_SESSIONS: set = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``pyjelly_spark`` importable inside executor Python workers.
+
+    On a real cluster this is the ``spark-submit --py-files`` path
+    (BASELINE.json north_rule); when the driver created its own session
+    without it, we ship the package as a zip via ``addPyFile`` —
+    idempotent per session.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import pyjelly_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(pyjelly_spark.__file__))
+    zip_path = os.path.join("/tmp", "pyjelly_spark_pyfiles.zip")
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
+        os.path.getmtime(os.path.join(root, name))
+        for root, _dirs, names in os.walk(pkg_dir)
+        for name in names
+        if name.endswith(".py")
+    ):
+        with zipfile.ZipFile(zip_path, "w") as bundle:
+            for root, _dirs, names in os.walk(pkg_dir):
+                for name in names:
+                    if name.endswith(".py"):
+                        full = os.path.join(root, name)
+                        rel = os.path.join(
+                            "pyjelly_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        bundle.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
+
+def build_session(
+    master: str | None = None,
+    app_name: str = "pyjelly_spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Session with the knobs a large shuffle-heavy job needs set.
+
+    On a real cluster most of these come from spark-submit conf; the
+    defaults here make local[k] behave like a small slice of one:
+    AQE on (runtime re-plan + skew-join splitting), Arrow on (all our
+    Python boundaries are vectorized), shuffle partitions sized to cores.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus * 2, 8)
+    session = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    ship_package(session)
+    return session

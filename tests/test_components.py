@@ -1,0 +1,81 @@
+"""Connected components vs a driver-side union-find oracle."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from pyjelly_spark.operators.components import connected_components
+
+
+def _union_find_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {node: find(node) for node in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    result = {
+        row["node"]: row["component"]
+        for row in connected_components(df).collect()
+    }
+    oracle = _union_find_oracle(edges)
+    # canonical representative = lexicographic min of each component
+    groups = {}
+    for node, root in oracle.items():
+        groups.setdefault(root, []).append(node)
+    expected = {
+        node: min(members) for members in groups.values() for node in members
+    }
+    assert result == expected
+
+
+def test_single_edge(spark):
+    _check(spark, [("b", "a")])
+
+
+def test_chain(spark):
+    _check(spark, [(f"n{i}", f"n{i+1}") for i in range(9)])
+
+
+def test_star(spark):
+    _check(spark, [("hub", f"leaf{i}") for i in range(8)])
+
+
+def test_two_components(spark):
+    _check(spark, [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z")])
+
+
+def test_self_loops_ignored(spark):
+    _check(spark, [("a", "a"), ("a", "b"), ("c", "c"), ("c", "d")])
+
+
+def test_random_graphs(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (f"v{rng.randrange(n):03d}", f"v{rng.randrange(n):03d}")
+            for _ in range(80)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        _check(spark, edges)
+
+
+def test_long_path_log_rounds(spark):
+    """A 64-node path needs multiple star rounds — exercises convergence."""
+    _check(spark, [(f"p{i:02d}", f"p{i+1:02d}") for i in range(63)])

@@ -1,0 +1,217 @@
+"""End-to-end pipeline tests: extraction ground truth, linking,
+materialization, lineage invariant, checkpoint resume."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyjelly_spark.operators import extract as X
+from pyjelly_spark.operators.linking import link_mentions
+from pyjelly_spark.pipeline import (
+    PipelineConfig,
+    build_triples,
+    run_pipeline,
+    verify_lineage,
+)
+from pyjelly_spark.sources.jelly_io import read_jelly, read_manifest_frames
+
+N = 500  # matches the source_files_500 fixture
+
+
+class TestGenerator:
+    def test_deterministic(self, spark):
+        from pyjelly_spark.sources.source_repos import generate_source_files
+
+        a = generate_source_files(spark, 100).orderBy("path").collect()
+        b = generate_source_files(spark, 100).orderBy("path").collect()
+        assert a == b
+
+    def test_schema_and_skew(self, spark, source_files_500):
+        assert source_files_500.columns == ["repo", "path", "commit", "lang", "content"]
+        share = (
+            source_files_500.where(F.col("repo") == "repo-0000").count() / N
+        )
+        assert 0.25 <= share <= 0.35  # mega-repo holds ~30%
+        assert source_files_500.select("path").distinct().count() == N
+
+    def test_commit_is_40_hex(self, source_files_500):
+        row = source_files_500.first()
+        assert len(row["commit"]) == 40
+        int(row["commit"], 16)
+
+
+class TestExtraction:
+    """Closed-form ground truth from the generator (FIXTURES.md §1)."""
+
+    def test_counts_match_closed_form(self, source_files_500):
+        tri = X.extract_all(source_files_500)
+        counts = {
+            row["value"]: row["count"]
+            for row in tri.groupBy("p.value").count().collect()
+        }
+        assert counts[X.P_CONTAINS] == N
+        assert counts[X.P_LANG] == N
+        assert counts[X.P_SHA256] == N
+        assert counts[X.P_IMPORTS] == sum(1 + i % 3 for i in range(N))
+        assert counts[X.P_DEFINES] == sum(1 + (i % 2 == 0) for i in range(N))
+        assert counts[X.P_CALLS] == sum(2 + i % 4 for i in range(N))
+
+    def test_import_edges_exact(self, source_files_500):
+        """Spot-check: file i imports pkg{j%13}.mod_{j}, j=(i*31+k*17+1)%N."""
+        imports = X.extract_imports(source_files_500)
+        got = {
+            (row["s"]["value"], row["o"]["value"])
+            for row in imports.collect()
+        }
+        expected = set()
+        for i in range(N):
+            lang_i = i % 4
+            ext = ["py", "js", "java", "go"][lang_i]
+            repo = "repo-0000" if i % 10 < 3 else None
+            for k in range(1, 2 + i % 3):
+                j = (i * 31 + k * 17 + 1) % N
+                module = f"pkg{j % 13}.mod_{j}"
+                path = f"src/pkg{i % 13}/mod_{i}.{ext}"
+                if repo is None:
+                    # repo idx for non-mega rows: 1 + (i*KNUTH) % (n_repos-1)
+                    from pyjelly_spark.sources.source_repos import (
+                        KNUTH,
+                        n_repos_for,
+                    )
+
+                    repo_i = 1 + (i * KNUTH) % (n_repos_for(N) - 1)
+                    repo_str = f"repo-{repo_i:04d}"
+                else:
+                    repo_str = repo
+                expected.add(
+                    (
+                        f"{X.FILE_BASE}{repo_str}/{path}",
+                        f"{X.MODULE_BASE}{module}",
+                    )
+                )
+            repo = None
+        assert got == expected
+
+    def test_scan_prunes_columns(self, spark, source_files_500, tmp_path):
+        """Against a parquet scan, import extraction must prune to
+        repo/path/content (ReadSchema excludes commit and lang)."""
+        src = str(tmp_path / "files.parquet")
+        source_files_500.write.parquet(src)
+        scan = spark.read.parquet(src)
+        plan = X.extract_imports(scan)._jdf.queryExecution().executedPlan().toString()
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert read_schema, plan
+        assert "commit" not in read_schema[0]
+        assert "lang" not in read_schema[0]
+        assert "content" in read_schema[0]
+
+
+class TestLinking:
+    def test_same_repo_wins(self, spark):
+        mentions = spark.createDataFrame(
+            [("r1", "src/pkg1/a.py", "f")], "repo: string, path: string, symbol: string"
+        )
+        defs = spark.createDataFrame(
+            [
+                ("r2", "src/pkg1/b.py", "f"),
+                ("r1", "src/pkg2/c.py", "f"),
+                ("r1", "src/pkg1/d.py", "f"),
+            ],
+            "def_repo: string, def_path: string, symbol: string",
+        )
+        got = link_mentions(mentions, defs, broadcast_dictionary=True).collect()
+        assert len(got) == 1
+        assert got[0]["def_repo"] == "r1"
+        assert got[0]["def_path"] == "src/pkg1/d.py"  # same repo + same pkg
+        assert got[0]["link_score"] == 110
+
+    def test_deterministic_tiebreak(self, spark):
+        mentions = spark.createDataFrame(
+            [("r1", "src/pkg1/a.py", "f")], "repo: string, path: string, symbol: string"
+        )
+        defs = spark.createDataFrame(
+            [("r2", "x", "f"), ("r3", "x", "f"), ("r2", "w", "f")],
+            "def_repo: string, def_path: string, symbol: string",
+        )
+        got = link_mentions(mentions, defs).collect()
+        assert (got[0]["def_repo"], got[0]["def_path"]) == ("r2", "w")
+
+
+class TestMaterialization:
+    @pytest.fixture(scope="class")
+    def run(self, spark, source_files_500, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("kg") / "out")
+        config = PipelineConfig(out_dir=out, rows_per_stream=2000, frame_rows=100)
+        manifest = run_pipeline(spark, source_files_500, config)
+        return out, config, manifest
+
+    def test_manifest_counts(self, spark, run):
+        out, _config, manifest = run
+        decoded = read_jelly(spark, out)
+        assert decoded.count() == int(manifest["n_statements"].sum())
+
+    def test_all_stages_present(self, spark, run):
+        out, _config, _manifest = run
+        preds = {
+            row["p_value"]
+            for row in read_jelly(spark, out).select("p_value").distinct().collect()
+        }
+        assert {
+            X.P_CONTAINS,
+            X.P_LANG,
+            X.P_SHA256,
+            X.P_IMPORTS,
+            X.P_DEFINES,
+            X.P_CALLS,
+            X.P_CALLS_RESOLVED,
+            X.P_CANONICAL,
+        } <= preds
+
+    def test_lineage_invariant(self, spark, source_files_500, run):
+        out, _config, _manifest = run
+        total, matched = verify_lineage(spark, source_files_500, out)
+        assert total == N
+        assert matched == N
+
+    def test_streams_independent_and_ordered(self, run):
+        """Each part file must be a self-contained Jelly stream whose
+        statement order follows (repo, path, kind_rank)."""
+        out, _config, manifest = run
+        for file in manifest["file"]:
+            frames = read_manifest_frames(file)
+            assert frames[0]["rows"] > 0
+
+    def test_resume_skips_completed(self, spark, source_files_500, run):
+        out, config, manifest = run
+        parts = sorted(f for f in os.listdir(out) if f.endswith(".jelly"))
+        victim = os.path.join(out, parts[0])
+        victim_id = int(parts[0].split("-")[1].split(".")[0])
+        original_bytes = open(victim, "rb").read()
+        os.remove(victim)
+        manifest2 = run_pipeline(spark, source_files_500, config)
+        rewritten = set(manifest2[manifest2["skipped"] == 0]["partition_id"])
+        skipped = set(manifest2[manifest2["skipped"] == 1]["partition_id"])
+        assert rewritten == {victim_id}
+        assert skipped == set(manifest["partition_id"]) - {victim_id}
+        # deterministic replan -> byte-identical partition content
+        assert open(victim, "rb").read() == original_bytes
+
+
+class TestCanonicalization:
+    def test_shared_symbols_get_canonical(self, spark, source_files_500):
+        config = PipelineConfig(out_dir="/tmp/unused", link_calls=False)
+        triples = build_triples(spark, source_files_500, config)
+        canon = triples.where(F.col("p.value") == X.P_CANONICAL)
+        rows = canon.select(
+            F.col("s.value").alias("site"), F.col("o.value").alias("target")
+        ).collect()
+        assert rows, "expected canonical triples for colliding shared_* symbols"
+        # every canonical target must itself be a def-site IRI
+        for row in rows:
+            assert row["target"].startswith("http://kg.example/def/")
+        # all def sites of one symbol agree on one canonical target
+        grouped = canon.groupBy(F.regexp_extract("s.value", r"#(\w+)$", 1)).agg(
+            F.countDistinct("o.value").alias("n")
+        )
+        assert grouped.where(F.col("n") != 1).count() == 0
