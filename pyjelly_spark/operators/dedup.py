@@ -1,0 +1,275 @@
+"""Deduplication operators for the training-data pipeline.
+
+Four families, each Spark-first and shuffle-conscious:
+
+- exact:       one hash-groupBy on sha256(normalized text). One shuffle,
+               map-side partial agg, no skew (sha keys are uniform).
+- n-gram Jaccard: shingle explode + equi-join on shingle + group count.
+               Exact but quadratic in duplicate-cluster size — the
+               *oracle* path; MinHash is the scale path.
+- MinHash+LSH: signature via portable 60-bit shingle hashes + affine
+               permutations; banding turns all-pairs into an equi-join on
+               (band, band_key); candidates are exact-verified so output
+               = true Jaccard pairs (recall governed by band shape).
+- SimHash:     62-bit signature; candidate generation by pigeonhole
+               banding (4 chunks — any pair within Hamming distance 3
+               MUST share a chunk), so banded output is provably equal to
+               the all-pairs result at 1/1000th the join cost.
+
+All hashes derive from sha256 prefixes (``text.hex_hash``) so DuckDB
+oracles compute identical values. No counterpart in the reference
+(SURVEY.md §2.9) — mandated by the driver brief.
+
+Scale notes (100 TB):
+- shingle join keys are near-uniform (hashes), so no salting needed;
+- LSH band join output is bounded by band-bucket sizes; a hot bucket
+  (boilerplate shingle sets) is handled by AQE skew-join splitting;
+- exact-verify joins candidates back to shingles — candidates are a tiny
+  fraction of the corpus, so this join broadcasts the candidate list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyjelly_spark.functions.text import hex_hash, normalized
+
+MERSENNE31 = (1 << 31) - 1  # modulus for affine MinHash permutations
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams of normalized text."""
+    w = F.split(normalized(F.col("text")), " ")
+    grams = F.expr(
+        f"transform(sequence(0, size(w) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'w[i+{j}]' for j in range(n))}))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+        .where(F.size("w") >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Group by normalized-content fingerprint; keep min doc_id as canon.
+
+    Returns (fingerprint, canonical_doc_id, n_copies).
+    """
+    return (
+        docs.select(
+            F.sha2(normalized(F.col("text")), 256).alias("fingerprint"),
+            F.col("doc_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _pair_jaccard(shingles: DataFrame) -> DataFrame:
+    """All (a, b, jaccard) pairs sharing >= 1 shingle, a < b."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    left = shingles.select(F.col("doc_id").alias("a"), "shingle")
+    right = shingles.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact near-duplicate pairs by word-n-gram Jaccard >= threshold.
+
+    (a, b, jaccard) with a < b, jaccard rounded to 4 decimals. This is the
+    exact/oracle path; use :func:`minhash_pairs` at scale.
+    """
+    pairs = _pair_jaccard(doc_shingles(docs, n=n))
+    return pairs.where(F.col("jaccard") >= threshold).select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, j, minhash) — affine-permutation MinHash over shingles.
+
+    h_j(s) = (a_j * H(s) + b_j) mod M with H the portable 60-bit sha hash
+    reduced mod M = 2^31-1; a_j odd, b_j from a fixed linear sequence.
+    Fully deterministic and oracle-computable.
+    """
+    sh = doc_shingles(docs, n=n).withColumn(
+        "h", hex_hash(F.col("shingle"), mod=MERSENNE31)
+    )
+    perms = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.lit(2 * j + 1).alias("pa"),
+                F.lit(j * 7919 + 1).alias("pb"),
+            )
+            for j in range(num_hashes)
+        ])
+    ).alias("perm")
+    return (
+        sh.select("doc_id", "h", perms)
+        .select(
+            "doc_id",
+            F.col("perm.j").alias("j"),
+            F.pmod(
+                F.col("perm.pa") * F.col("h") + F.col("perm.pb"), F.lit(MERSENNE31)
+            ).alias("hv"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def minhash_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, exact-verified: (a, b, jaccard).
+
+    Banding: ``bands`` bands of ``num_hashes/bands`` rows; docs colliding
+    in any band become candidates (one equi-join on the band key — never
+    all-pairs). Candidates are then verified with the exact shingle
+    Jaccard, so precision is 1.0 and output is comparable to
+    :func:`ngram_jaccard_pairs` (recall ~= 1 - (1-t^r)^b).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, n=n, num_hashes=num_hashes)
+    band_keys = (
+        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("j", "minhash"))).alias("sig"))
+        .withColumn(
+            "band_key",
+            F.sha2(F.to_json(F.struct("band", "sig")), 256),
+        )
+        .select("doc_id", "band_key")
+    )
+    cand = (
+        band_keys.alias("x")
+        .join(band_keys.alias("y"), "band_key")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    exact = _pair_jaccard(doc_shingles(docs, n=n))
+    return (
+        cand.join(exact, ["a", "b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+SIMHASH_BITS = 62  # keep the signature positive in a signed 64-bit long
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 62-bit SimHash over distinct normalized words.
+
+    bit_i(doc) = 1 iff sum over words w of (2*((H(w)>>i)&1) - 1) > 0.
+    Declarative: explode words x bit positions, two groupBys (both
+    partial-aggregated map-side). Deterministic, oracle-computable.
+    """
+    wordsdf = (
+        docs.select(
+            "doc_id", F.explode(F.split(normalized(F.col("text")), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .distinct()
+        .withColumn("h", hex_hash(F.col("word")))
+    )
+    bits = wordsdf.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        (F.expr("shiftright(h, i)").bitwiseAND(F.lit(1)) * 2 - 1).alias("sign"),
+    )
+    return (
+        bits.groupBy("doc_id", "i")
+        .agg(F.sum("sign").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), i)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_distance: int = 3) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming(simhash) <= max_distance.
+
+    Candidate generation by pigeonhole banding: split the 62 bits into
+    ``max_distance + 1`` chunks — any pair differing in <= max_distance
+    bits must agree on at least one full chunk, so an equi-join on
+    (chunk_idx, chunk_value) has PERFECT recall. Output therefore equals
+    the all-pairs cross join exactly, without ever materializing it.
+    """
+    n_chunks = max_distance + 1
+    chunk_bits = -(-SIMHASH_BITS // n_chunks)
+    mask = (1 << chunk_bits) - 1
+    sig = simhash_signatures(docs)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("c"),
+                    F.shiftright(F.col("simhash"), c * chunk_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("v"),
+                )
+                for c in range(n_chunks)
+            ])
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    left = chunks.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"), "c", "v"
+    )
+    right = chunks.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"), "c", "v"
+    )
+    return (
+        left.join(right, ["c", "v"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_distance)
+        .distinct()
+    )

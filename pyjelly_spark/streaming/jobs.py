@@ -1,0 +1,179 @@
+"""Structured Streaming jobs over the events stream.
+
+The reference's "streaming" is bounded-memory incremental iteration
+(SURVEY.md §2.8) — no event time, no watermarks. These jobs are the
+Spark-native generalization the driver brief asks for: event-time
+windowed aggregation with watermarks for late data, plus a custom
+stateful operator via ``applyInPandasWithState``.
+
+All jobs read the events parquet directory as a file stream
+(``readStream``) and can run incrementally (``availableNow`` drains the
+backlog and stops — used by tests and the batch-equivalence oracle).
+At scale the same code points at a Kafka/file firehose; state stores
+partition by the grouping key, so sizing = keys x window retention.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-stream over the events table.
+
+    ``events_path`` may be a directory or a single ``*.parquet`` file
+    (the file stream source requires a directory, so a file path becomes
+    parent-dir + glob filter).
+    """
+    import os
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 4)
+    if events_path.endswith(".parquet") and os.path.isfile(events_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        events_path = os.path.dirname(events_path)
+    return reader.parquet(events_path)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window per event_type with late-data watermark.
+
+    Batch-equivalent semantics: with availableNow + complete/append drain,
+    the result equals the batch groupBy on date_trunc(hour) — that
+    equivalence is the DuckDB oracle for this operator.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_windowed_counts_batchmode(
+    spark: SparkSession, events_dir: str, window: str = "1 hour"
+) -> DataFrame:
+    """Drain the event backlog with availableNow into a memory sink and
+    return the final result table (used by tests and the oracle gate)."""
+    result = windowed_counts(read_event_stream(spark, events_dir), window=window)
+    name = "windowed_counts_sink"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType(), False),
+        StructField("last_ts", DoubleType(), False),
+        StructField("session_id", LongType(), False),
+    ]
+)
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_id", LongType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+SESSION_GAP_S = 1800.0
+
+
+def _sessionize(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: per-user session assignment with a 30 min
+    inactivity gap, state carried across micro-batches."""
+    if state.exists:
+        n_events, last_ts, session_id = state.get
+    else:
+        n_events, last_ts, session_id = 0, float("-inf"), 0
+    out_rows = []
+    for pdf in batches:
+        for ts in sorted(pdf["ts"]):
+            t = ts.timestamp()
+            if t - last_ts > SESSION_GAP_S and n_events > 0:
+                out_rows.append((key[0], session_id, n_events))
+                session_id += 1
+                n_events = 0
+            n_events += 1
+            last_ts = t
+    state.update((n_events, last_ts, session_id))
+    if out_rows:
+        yield pd.DataFrame(out_rows, columns=["user_id", "session_id", "n_events"])
+
+
+def sessionized_counts(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState sessionization (custom stateful operator)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_sessionized_batchmode(
+    spark: SparkSession, events_dir: str, checkpoint_dir: Optional[str] = None
+) -> DataFrame:
+    events = read_event_stream(spark, events_dir)
+    name = "sessionized_sink"
+    writer = (
+        sessionized_counts(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return spark.table(name)

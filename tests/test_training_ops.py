@@ -1,0 +1,269 @@
+"""Tests for the training-data pipeline operators: text analysis, dedup,
+similarity, multimodal plumbing, streaming jobs.
+
+Correctness oracles here are local pandas/python recomputations; the
+driver-facing DuckDB oracles live in pyjelly_spark/queries.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100).cache()
+    df.count()
+    return df
+
+
+# --- text functions ---------------------------------------------------------
+
+
+def test_token_counts_match_python(docs):
+    from pyjelly_spark.functions.text import token_counts
+
+    got = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    for row in docs.limit(20).collect():
+        ws = len(re.sub(r"\s+", " ", row["text"]).strip().split(" "))
+        bpe = len(re.findall(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]", row["text"]))
+        assert got[row["doc_id"]]["n_ws_tokens"] == ws
+        assert got[row["doc_id"]]["n_bpe_tokens"] == bpe
+
+
+def test_quality_scores_bounded(docs):
+    from pyjelly_spark.functions.text import quality_scores
+
+    pdf = quality_scores(docs).toPandas()
+    assert (pdf["punct_ratio"].between(0, 1)).all()
+    assert (pdf["quality_score"].between(0, 1.01)).all()
+    assert len(pdf) == docs.count()
+
+
+def test_language_id_deterministic(docs):
+    from pyjelly_spark.functions.text import language_id
+
+    a = language_id(docs).orderBy("doc_id").collect()
+    b = language_id(docs).orderBy("doc_id").collect()
+    assert a == b
+    assert all(r["predicted_lang"] in {"en", "de", "fr", "es", "zh"} for r in a)
+
+
+def test_fingerprints_match_hashlib(docs):
+    from pyjelly_spark.functions.text import fingerprints
+
+    got = {r["doc_id"]: r for r in fingerprints(docs).collect()}
+    for row in docs.limit(10).collect():
+        norm = re.sub(r"\s+", " ", row["text"]).strip().lower()
+        h = hashlib.sha256(norm.encode()).hexdigest()
+        assert got[row["doc_id"]]["fingerprint"] == h
+        assert got[row["doc_id"]]["fp_hash"] == int(h[:15], 16)
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Original docs + near-dup copies (one word changed) + exact copies."""
+    base = docs.limit(30).select("doc_id", "text")
+    near = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.substring("text", 5, 100000)).alias("text"),
+    )
+    exact = base.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    out = base.unionByName(near).unionByName(exact).cache()
+    out.count()
+    return out
+
+
+def test_exact_duplicates(docs_with_dups):
+    from pyjelly_spark.operators.dedup import exact_duplicates
+
+    groups = exact_duplicates(docs_with_dups).collect()
+    two = [g for g in groups if g["n_copies"] == 2]
+    assert len(two) == 30  # each base doc + its exact copy
+    assert all(g["canonical_doc_id"] < 100000 for g in two)
+
+
+def test_jaccard_pairs_find_near_dups(docs_with_dups):
+    from pyjelly_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    exact_pairs = {(p["a"], p["b"]) for p in pairs if p["jaccard"] == 1.0}
+    # every (base, +200000) exact pair must appear with jaccard 1.0
+    base_ids = {p[0] for p in exact_pairs if p[1] == p[0] + 200000}
+    assert len(base_ids) == 30
+
+
+def test_minhash_equals_exact_on_high_threshold(docs_with_dups):
+    from pyjelly_spark.operators.dedup import minhash_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs_with_dups, threshold=0.7).collect()
+    }
+    lsh = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in minhash_pairs(docs_with_dups, threshold=0.7).collect()
+    }
+    # precision 1.0 by construction; recall should be 1.0 at j>=0.7 with
+    # 16 bands x 2 rows
+    assert lsh == exact
+
+
+def test_simhash_banding_equals_cross_join(spark, docs_with_dups):
+    from pyjelly_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    sig = simhash_signatures(docs_with_dups).cache()
+    banded = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_pairs(docs_with_dups, max_distance=3).collect()
+    }
+    left = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    right = sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["a"], r["b"], r["hamming"])
+        for r in left.crossJoin(right)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert all(s["simhash"] >= 0 for s in sig.collect())
+
+
+# --- similarity -------------------------------------------------------------
+
+
+def test_cosine_topk_matches_numpy(emb):
+    import numpy as np
+
+    from pyjelly_spark.operators.similarity import cosine_topk
+
+    got = cosine_topk(emb, k=3).collect()
+    pdf = emb.toPandas()
+    mat = np.array([np.array(v, dtype="float64") for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    by_vec = {}
+    for r in got:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    for i, vid in enumerate(ids):
+        order = sorted(
+            [(float(sims[i, j]), int(ids[j])) for j in range(len(ids)) if j != i],
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        rows = sorted(by_vec[int(vid)], key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in rows] == [t[1] for t in order]
+        for r, (score, _) in zip(rows, order):
+            assert abs(r["score"] - round(score, 4)) < 1e-9
+
+
+def test_ann_topk_recall(emb):
+    from pyjelly_spark.operators.similarity import ann_topk, cosine_topk
+
+    exact = {
+        (r["vec_id"], r["neighbor_id"]) for r in cosine_topk(emb, k=3).collect()
+    }
+    approx = {
+        (r["vec_id"], r["neighbor_id"]) for r in ann_topk(emb, k=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.6, f"ANN recall too low: {recall}"
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def test_multimodal_roundtrip(docs):
+    from pyjelly_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+        frame_sample,
+        resize_plan,
+    )
+
+    media = attach_media(docs.limit(60)).cache()
+    feats = decode_media(media, dim=8).collect()
+    assert len(feats) == 60
+    for r in feats[:5]:
+        assert len(r["features"]) == 8
+        assert all(-1.0 <= x <= 1.0 for x in r["features"])
+    one = media.where(F.col("media_id") == feats[0]["media_id"]).first()
+    assert (
+        hashlib.sha256(bytes(one["payload"])).hexdigest() == feats[0]["payload_sha"]
+    )
+    plans = resize_plan(media).collect()
+    for p in plans:
+        assert max(p["target_width"], p["target_height"]) <= 256
+    frames = frame_sample(media, every_ms=10_000).collect()
+    assert all(f["ts_ms"] % 10_000 == 0 for f in frames)
+
+
+def test_decode_media_real_codec_stubbed(docs):
+    from pyjelly_spark.operators.multimodal import attach_media, decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(attach_media(docs.limit(1)), codec="real")
+
+
+# --- streaming --------------------------------------------------------------
+
+
+def test_streaming_windowed_counts_equals_batch(spark):
+    from pyjelly_spark.streaming.jobs import run_windowed_counts_batchmode
+
+    stream = run_windowed_counts_batchmode(spark, f"{SF_DIR}/events.parquet")
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in stream.collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    from pyjelly_spark.streaming.jobs import run_sessionized_batchmode
+
+    out = run_sessionized_batchmode(
+        spark, f"{SF_DIR}/events.parquet", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    rows = out.collect()
+    assert rows, "expected closed sessions"
+    assert all(r["n_events"] > 0 for r in rows)
