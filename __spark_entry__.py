@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship: full KG triple construction (extraction +
+  linking + canonicalization) over the derived source-code table at
+  sf0.001; returns the flat (s, p, o) triples DataFrame.
+- ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+  family; see pyjelly_spark/queries.py for the definitions and the
+  closed-form DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -13,26 +14,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from pyjelly_spark import queries as Q
+
+    structural = Q.q_kg_structural(spark, SF0001)
+    imports = Q.q_kg_imports(spark, SF0001)
+    defs = Q.q_kg_defs(spark, SF0001)
+    calls = Q.q_kg_calls(spark, SF0001)
+    canonical = Q.q_kg_canonical(spark, SF0001)
+    return (
+        structural.unionByName(imports)
+        .unionByName(defs)
+        .unionByName(calls)
+        .unionByName(canonical)
+        .orderBy("s", "p", "o")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pyjelly_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pyjelly_spark.queries import ORACLES
+
+    return dict(ORACLES)

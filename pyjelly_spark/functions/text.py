@@ -95,13 +95,17 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + (F.lit(1.0) - punct_ratio) * F.lit(0.3)
         + stop_ratio * F.lit(0.3)
     )
+    # floor-scaling, not round(): rounding-mode-proof across engines
+    def r4(c):
+        return F.floor(c * 10000) / 10000
+
     return docs.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_words.cast("long").alias("n_words"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        r4(punct_ratio).alias("punct_ratio"),
+        r4(stop_ratio).alias("stop_ratio"),
+        r4(score).alias("quality_score"),
     )
 
 

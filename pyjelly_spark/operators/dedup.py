@@ -100,8 +100,10 @@ def ngram_jaccard_pairs(
     exact/oracle path; use :func:`minhash_pairs` at scale.
     """
     pairs = _pair_jaccard(doc_shingles(docs, n=n))
+    # floor-scaling, not round(): rounding-mode-proof across engines
+    # (DuckDB HALF_EVEN vs Spark HALF_UP differ at x.xxxx5 boundaries)
     return pairs.where(F.col("jaccard") >= threshold).select(
-        "a", "b", F.round("jaccard", 4).alias("jaccard")
+        "a", "b", (F.floor(F.col("jaccard") * 10000) / 10000).alias("jaccard")
     )
 
 
@@ -181,7 +183,7 @@ def minhash_pairs(
     return (
         cand.join(exact, ["a", "b"])
         .where(F.col("jaccard") >= threshold)
-        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+        .select("a", "b", (F.floor(F.col("jaccard") * 10000) / 10000).alias("jaccard"))
     )
 
 

@@ -74,7 +74,13 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "rank", F.round("score", 4).alias("score"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "rank",
+            # floor-scaling, not round(): rounding-mode-proof across engines
+            (F.floor(F.col("score") * 10000) / 10000).alias("score"),
+        )
     )
 
 
@@ -152,5 +158,11 @@ def ann_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "rank", F.round("score", 4).alias("score"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "rank",
+            # floor-scaling, not round(): rounding-mode-proof across engines
+            (F.floor(F.col("score") * 10000) / 10000).alias("score"),
+        )
     )

@@ -1,0 +1,897 @@
+"""Driver-facing query registry: Spark queries + DuckDB oracle SQL.
+
+Every implemented operator family (SURVEY.md §2 + the training-data ops)
+is exposed as a named query ``(spark, sf_dir) -> DataFrame`` together
+with an ANSI-SQL oracle that DuckDB runs on the same parquet tables
+(views: region nation customer supplier part orders lineitem events
+documents embeddings). Column names/aliases match exactly on both sides;
+value-bearing doubles use floor-scaling (``floor(x*10000)/10000``) so no
+rounding-mode divergence exists between engines.
+
+KG queries run over a *derived* source-code table built in closed form
+from ``documents.doc_id`` (same derivation in Spark and SQL), so the
+extraction/linking/canonicalization semantics are checked against
+independently-computed ground truth, not a re-run of the same regexes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyjelly_spark.functions import text as T
+from pyjelly_spark.operators import dedup as D
+from pyjelly_spark.operators import extract as X
+from pyjelly_spark.operators import multimodal as MM
+from pyjelly_spark.operators import similarity as SIM
+from pyjelly_spark.operators.components import connected_components
+from pyjelly_spark.operators.linking import def_site_iri, link_mentions
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _f4(c: Column) -> Column:
+    return F.floor(c * 10000) / 10000
+
+
+# ---------------------------------------------------------------------------
+# Derived source-code table (closed form from documents.doc_id)
+# ---------------------------------------------------------------------------
+
+
+def derived_source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg-shaped (repo, path, commit, lang, content) table derived
+    deterministically from doc_id — same closed form as SRC_SQL below."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id")
+    repo = F.concat(F.lit("repo-0"), (i % 7).cast("string"))
+    path = F.concat(
+        F.lit("src/pkg"), (i % 13).cast("string"), F.lit("/mod_"),
+        i.cast("string"), F.lit(".py"),
+    )
+    lines = []
+    for k in (1, 2, 3):  # k-th import present when doc_id % 3 >= k-1
+        t = (i * 31 + k * 17 + 1) % n
+        line = F.concat(
+            F.lit("import pkg"), (t % 13).cast("string"),
+            F.lit(".mod_"), t.cast("string"),
+        )
+        lines.append(F.when(i % 3 >= k - 1, line))
+    lines.append(F.concat(F.lit("def f_"), i.cast("string"), F.lit("_0():")))
+    lines.append(
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit("def shared_"), (i % 50).cast("string"), F.lit("():")),
+        )
+    )
+    for k in (1, 2, 3, 4):  # k-th call present when doc_id % 4 >= k-1
+        t = (i * 13 + k * 7 + 3) % n
+        lines.append(
+            F.when(
+                i % 4 >= k - 1,
+                F.concat(F.lit("  f_"), t.cast("string"), F.lit("_0()")),
+            )
+        )
+    lines.append(
+        F.concat(F.lit("  shared_"), ((i + 1) % 50).cast("string"), F.lit("()"))
+    )
+    content = F.concat_ws("\n", *lines)
+    return docs.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.substring(F.sha2(F.concat(repo, F.lit(":"), path), 256), 1, 40).alias(
+            "commit"
+        ),
+        F.lit("python").alias("lang"),
+        content.alias("content"),
+    )
+
+
+# The same derivation as a DuckDB CTE. Keeps doc_id + n so downstream
+# closed-form CTEs (imports/defs/calls ground truth) can reuse them.
+SRC_SQL = """
+src AS (
+  SELECT d.doc_id AS doc_id, nn.n AS n,
+    'repo-0' || (d.doc_id % 7) AS repo,
+    'src/pkg' || (d.doc_id % 13) || '/mod_' || d.doc_id || '.py' AS path,
+    concat_ws(chr(10),
+      'import pkg' || (((d.doc_id*31 + 18) % nn.n) % 13) || '.mod_' || ((d.doc_id*31 + 18) % nn.n),
+      CASE WHEN d.doc_id % 3 >= 1 THEN 'import pkg' || (((d.doc_id*31 + 35) % nn.n) % 13) || '.mod_' || ((d.doc_id*31 + 35) % nn.n) END,
+      CASE WHEN d.doc_id % 3 >= 2 THEN 'import pkg' || (((d.doc_id*31 + 52) % nn.n) % 13) || '.mod_' || ((d.doc_id*31 + 52) % nn.n) END,
+      'def f_' || d.doc_id || '_0():',
+      CASE WHEN d.doc_id % 2 = 0 THEN 'def shared_' || (d.doc_id % 50) || '():' END,
+      '  f_' || ((d.doc_id*13 + 10) % nn.n) || '_0()',
+      CASE WHEN d.doc_id % 4 >= 1 THEN '  f_' || ((d.doc_id*13 + 17) % nn.n) || '_0()' END,
+      CASE WHEN d.doc_id % 4 >= 2 THEN '  f_' || ((d.doc_id*13 + 24) % nn.n) || '_0()' END,
+      CASE WHEN d.doc_id % 4 >= 3 THEN '  f_' || ((d.doc_id*13 + 31) % nn.n) || '_0()' END,
+      '  shared_' || ((d.doc_id + 1) % 50) || '()'
+    ) AS content
+  FROM documents d, (SELECT count(*)::BIGINT AS n FROM documents) nn
+),
+files AS (
+  SELECT doc_id, n, repo, path,
+    'http://kg.example/file/' || repo || '/' || path AS file_iri,
+    content
+  FROM src
+)
+"""
+
+# closed-form ground-truth mention CTEs (independent of the regex path)
+MENTIONS_SQL = """
+imports_gt AS (
+  SELECT file_iri, t FROM (
+    SELECT file_iri, unnest([
+      (doc_id*31 + 18) % n,
+      CASE WHEN doc_id % 3 >= 1 THEN (doc_id*31 + 35) % n END,
+      CASE WHEN doc_id % 3 >= 2 THEN (doc_id*31 + 52) % n END
+    ]) AS t FROM files
+  ) WHERE t IS NOT NULL
+),
+defs_gt AS (
+  SELECT doc_id, repo, path, file_iri, 'f_' || doc_id || '_0' AS symbol FROM files
+  UNION ALL
+  SELECT doc_id, repo, path, file_iri, 'shared_' || (doc_id % 50) AS symbol
+  FROM files WHERE doc_id % 2 = 0
+),
+calls_gt AS (
+  SELECT doc_id, repo, path, file_iri, symbol FROM (
+    SELECT doc_id, repo, path, file_iri, unnest([
+      'f_' || ((doc_id*13 + 10) % n) || '_0',
+      CASE WHEN doc_id % 4 >= 1 THEN 'f_' || ((doc_id*13 + 17) % n) || '_0' END,
+      CASE WHEN doc_id % 4 >= 2 THEN 'f_' || ((doc_id*13 + 24) % n) || '_0' END,
+      CASE WHEN doc_id % 4 >= 3 THEN 'f_' || ((doc_id*13 + 31) % n) || '_0' END,
+      'shared_' || ((doc_id + 1) % 50)
+    ]) AS symbol FROM files
+  ) WHERE symbol IS NOT NULL
+)
+"""
+
+NS = X.NS
+
+
+def _spo(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("s.value").alias("s"),
+        F.col("p.value").alias("p"),
+        F.col("o.value").alias("o"),
+    )
+
+
+def q_kg_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spo(X.structural_triples(derived_source_files(spark, sf_dir)))
+
+
+SQL_KG_STRUCTURAL = f"""
+WITH {SRC_SQL}
+SELECT 'http://kg.example/repo/' || repo AS s, '{NS}contains' AS p, file_iri AS o FROM files
+UNION ALL
+SELECT file_iri AS s, '{NS}lang' AS p, 'python' AS o FROM files
+UNION ALL
+SELECT file_iri AS s, '{NS}sha256' AS p, sha256(content) AS o FROM files
+"""
+
+
+def q_kg_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spo(X.extract_imports(derived_source_files(spark, sf_dir)))
+
+
+SQL_KG_IMPORTS = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()}
+SELECT file_iri AS s, '{NS}imports' AS p,
+       'http://kg.example/module/pkg' || (t % 13) || '.mod_' || t AS o
+FROM imports_gt
+"""
+
+
+def q_kg_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spo(X.extract_defs(derived_source_files(spark, sf_dir)))
+
+
+SQL_KG_DEFS = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()}
+SELECT file_iri AS s, '{NS}defines' AS p,
+       'http://kg.example/symbol/' || symbol AS o
+FROM defs_gt
+"""
+
+
+def q_kg_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spo(X.extract_calls(derived_source_files(spark, sf_dir)))
+
+
+SQL_KG_CALLS = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()}
+SELECT file_iri AS s, '{NS}calls' AS p,
+       'http://kg.example/symbol/' || symbol AS o
+FROM calls_gt
+"""
+
+
+def _mention_frames(spark: SparkSession, sf_dir: str):
+    files = derived_source_files(spark, sf_dir)
+    calls = files.select(
+        "repo",
+        "path",
+        F.explode(
+            F.regexp_extract_all("content", F.lit(X.CALL_RE), F.lit(1))
+        ).alias("symbol"),
+    )
+    defs = files.select(
+        F.col("repo").alias("def_repo"),
+        F.col("path").alias("def_path"),
+        F.explode(
+            F.regexp_extract_all("content", F.lit(X.DEF_RE), F.lit(1))
+        ).alias("symbol"),
+    )
+    return calls, defs
+
+
+def q_kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    calls, defs = _mention_frames(spark, sf_dir)
+    linked = link_mentions(calls, defs, broadcast_dictionary=True)
+    return linked.select(
+        "repo", "path", "symbol", "def_repo", "def_path",
+        F.col("link_score").cast("long").alias("link_score"),
+    )
+
+
+SQL_KG_LINKED = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+cand AS (
+  SELECT c.repo, c.path, c.symbol,
+         d.repo AS def_repo, d.path AS def_path,
+         (CASE WHEN c.repo = d.repo THEN 100 ELSE 0 END
+          + CASE WHEN (c.doc_id % 13) = (d.doc_id % 13) THEN 10 ELSE 0 END)::BIGINT AS link_score
+  FROM calls_gt c JOIN defs_gt d ON c.symbol = d.symbol
+),
+win AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path, symbol
+    ORDER BY link_score DESC, def_repo ASC, def_path ASC
+  ) AS rn FROM cand
+)
+SELECT repo, path, symbol, def_repo, def_path, link_score FROM win WHERE rn = 1
+"""
+
+
+def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization stage: colliding def sites -> connected components
+    -> (def_site, canonical, component) triples."""
+    _, defs = _mention_frames(spark, sf_dir)
+    multi = defs.groupBy("symbol").agg(F.count(F.lit(1)).alias("n_sites"))
+    colliding = defs.join(
+        F.broadcast(multi.where(F.col("n_sites") > 1).select("symbol")), "symbol"
+    )
+    edges = colliding.select(
+        def_site_iri(F.col("def_repo"), F.col("def_path"), F.col("symbol")).alias(
+            "src"
+        ),
+        F.concat(F.lit(X.SYMBOL_BASE), F.col("symbol")).alias("dst"),
+    )
+    assignment = connected_components(edges)
+    return (
+        colliding.withColumn(
+            "node",
+            def_site_iri(F.col("def_repo"), F.col("def_path"), F.col("symbol")),
+        )
+        .join(assignment, "node")
+        .select(
+            F.col("node").alias("s"),
+            F.lit(X.P_CANONICAL).alias("p"),
+            F.col("component").alias("o"),
+        )
+    )
+
+
+SQL_KG_CANONICAL = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+multi AS (
+  SELECT symbol FROM defs_gt GROUP BY symbol HAVING count(*) > 1
+),
+nodes AS (
+  SELECT 'http://kg.example/def/' || d.repo || '/' || d.path || '#' || d.symbol AS node,
+         d.symbol AS symbol
+  FROM defs_gt d JOIN multi m ON d.symbol = m.symbol
+),
+comp AS (
+  SELECT symbol, min(node) AS component FROM nodes GROUP BY symbol
+)
+SELECT n.node AS s, '{NS}canonical' AS p, c.component AS o
+FROM nodes n JOIN comp c ON n.symbol = c.symbol
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics (TPC-H-style) — engine breadth on the star schema
+# ---------------------------------------------------------------------------
+
+
+def _dec(col: str) -> Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty", _f4(F.col("sum_qty") / F.col("count_order"))
+        )
+    )
+    return out
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
+  sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) * (1::DECIMAL(18,2) + l_tax::DECIMAL(18,2)))::DOUBLE AS sum_charge,
+  count(*) AS count_order,
+  floor(sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*) * 10000) / 10000 AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed aggregation, sessionization, top-N
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,2))::DOUBLE AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on 30-min inactivity gaps."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING
+    ) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM sessions
+GROUP BY user_id, session_idx
+"""
+
+
+def q_events_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(_dec("value")).cast("double").alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("event_type", "user_id", "rank", "total_value")
+    )
+
+
+SQL_EVENTS_TOPN = """
+WITH per_user AS (
+  SELECT event_type, user_id, sum(value::DECIMAL(18,2))::DOUBLE AS total_value
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY total_value DESC, user_id ASC
+  ) AS rank FROM per_user
+)
+SELECT event_type, user_id, rank, total_value FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+NORM_SQL = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_id(_t(spark, sf_dir, "documents"))
+
+
+def _lang_count_sql(lang: str) -> str:
+    pat = dict(T.LANG_STOPWORDS_RE2)[lang]
+    return f"len(regexp_extract_all(text, '{pat}'))"
+
+
+SQL_LANG_ID = f"""
+WITH counts AS (
+  SELECT doc_id, lang,
+    {_lang_count_sql('en')} AS c_en,
+    {_lang_count_sql('de')} AS c_de,
+    {_lang_count_sql('fr')} AS c_fr,
+    {_lang_count_sql('es')} AS c_es,
+    {_lang_count_sql('zh')} AS c_zh
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, lang,
+    CASE
+      WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+      WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+      WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+      WHEN c_es >= c_zh THEN 'es'
+      ELSE 'zh'
+    END AS predicted_lang
+  FROM counts
+)
+SELECT doc_id, lang, predicted_lang,
+       CASE WHEN lang = predicted_lang THEN 1 ELSE 0 END AS is_correct
+FROM pred
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = rf"""
+WITH base AS (
+  SELECT doc_id,
+    length(text)::DOUBLE AS n_chars,
+    len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))::DOUBLE AS n_words,
+    len(regexp_extract_all(text, '{T.PUNCT_RE}'))::DOUBLE AS n_punct,
+    len(regexp_extract_all(text, '{T.ALL_STOPWORDS_RE}'))::DOUBLE AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+  n_chars::BIGINT AS n_chars,
+  n_words::BIGINT AS n_words,
+  floor(n_punct / n_chars * 10000) / 10000 AS punct_ratio,
+  floor(n_stop / n_words * 10000) / 10000 AS stop_ratio,
+  floor((least(n_words / 100.0, 1.0) * 0.4
+         + (1.0 - n_punct / n_chars) * 0.3
+         + n_stop / n_words * 0.3) * 10000) / 10000 AS quality_score
+FROM base
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_counts(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = rf"""
+SELECT doc_id,
+  len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))::BIGINT AS n_ws_tokens,
+  len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH norm AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents)
+SELECT doc_id,
+  sha256(norm) AS fingerprint,
+  ('0x' || substring(sha256(norm), 1, 15))::BIGINT AS fp_hash,
+  ('0x' || substring(sha256(norm), 1, 15))::BIGINT % 1024 AS fp_bucket
+FROM norm
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT sha256({NORM_SQL}) AS fingerprint,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+SHINGLES_SQL = f"""
+w AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents),
+shingles AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         )) AS shingle
+  FROM w WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM shingles x JOIN shingles y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT a, b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+  FROM inter
+  JOIN sizes sa ON inter.a = sa.doc_id
+  JOIN sizes sb ON inter.b = sb.doc_id
+)
+"""
+
+JACCARD_THRESHOLD = 0.3
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {SHINGLES_SQL.strip()}
+SELECT a, b, floor(jaccard * 10000) / 10000 AS jaccard
+FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH path, exact-verified — with 16 bands x 2 rows recall at
+    j >= 0.3 is ~1-(1-0.09)^16 ~ 0.78 per *borderline* pair but ~1.0 for
+    true dups; the oracle equality below is the empirical recall gate."""
+    return D.minhash_pairs(
+        _t(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(_t(spark, sf_dir, "documents"), max_distance=3)
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH wd AS (
+  SELECT DISTINCT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS word
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substring(sha256(word), 1, 15))::BIGINT AS h
+  FROM wd WHERE word <> ''
+),
+bits AS (
+  SELECT doc_id, t.i AS i, sum(CASE WHEN (h >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, range(0, 62) t(i)
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS simhash
+  FROM bits GROUP BY 1
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+SQL_EMBEDDING_TOPK = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+n AS (
+  -- list_reduce = left fold, same summation order as Spark's aggregate()
+  -- (prepending acc=0.0 is exact), so doubles are bit-identical
+  SELECT vec_id, v,
+    sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) AS nrm
+  FROM v
+),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    list_reduce(
+      list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+      (acc, x) -> acc + x
+    ) / (a.nrm * b.nrm) AS score
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY score DESC, neighbor_id ASC
+  ) AS rank FROM scored
+)
+SELECT vec_id, neighbor_id, rank, floor(score * 10000) / 10000 AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate path (sign-LSH, multi-table) — no SQL oracle by design;
+    driver records the rows-only check. Recall vs q_embedding_topk is
+    asserted in tests/test_training_ops.py."""
+    return SIM.ann_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_media(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id", "kind", "n_bytes", "meta_width", "meta_height",
+        "meta_duration_ms",
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  octet_length(encode(text))::BIGINT AS n_bytes,
+  CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 8 + 1) * 64)::INT END AS meta_width,
+  CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 6 + 1) * 64)::INT END AS meta_height,
+  CASE WHEN doc_id % 3 <> 0 THEN ((doc_id % 120 + 1) * 1000)::BIGINT END AS meta_duration_ms
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing (deterministic fake codec) — rows-only
+    check (features are arrays; sha lineage asserted in tests)."""
+    media = MM.attach_media(_t(spark, sf_dir, "documents"))
+    feats = MM.decode_media(media, dim=8)
+    return feats.select("media_id", "kind", "n_bytes", "payload_sha")
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  octet_length(encode(text))::BIGINT AS n_bytes,
+  sha256(text) AS payload_sha
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming (batch-equivalent semantics -> same oracle as events_hourly)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyjelly_spark.streaming.jobs import run_windowed_counts_batchmode
+
+    return run_windowed_counts_batchmode(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_structural": q_kg_structural,
+    "kg_imports": q_kg_imports,
+    "kg_defs": q_kg_defs,
+    "kg_calls": q_kg_calls,
+    "kg_linked": q_kg_linked,
+    "kg_canonical": q_kg_canonical,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "events_topn": q_events_topn,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_ann": q_embedding_ann,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
+    "stream_hourly": q_stream_hourly,
+}
+
+ORACLES: dict[str, str] = {
+    "kg_structural": SQL_KG_STRUCTURAL,
+    "kg_imports": SQL_KG_IMPORTS,
+    "kg_defs": SQL_KG_DEFS,
+    "kg_calls": SQL_KG_CALLS,
+    "kg_linked": SQL_KG_LINKED,
+    "kg_canonical": SQL_KG_CANONICAL,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_topn": SQL_EVENTS_TOPN,
+    "lang_id": SQL_LANG_ID,
+    "text_quality": SQL_TEXT_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_minhash": SQL_DEDUP_JACCARD,  # LSH verified == exact pairs
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "stream_hourly": SQL_EVENTS_HOURLY,
+    # embedding_ann: intentionally no oracle (approximate by design)
+}

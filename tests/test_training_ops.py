@@ -174,7 +174,7 @@ def test_cosine_topk_matches_numpy(emb):
         rows = sorted(by_vec[int(vid)], key=lambda r: r["rank"])
         assert [r["neighbor_id"] for r in rows] == [t[1] for t in order]
         for r, (score, _) in zip(rows, order):
-            assert abs(r["score"] - round(score, 4)) < 1e-9
+            assert abs(r["score"] - math.floor(score * 10000) / 10000) < 1e-9
 
 
 def test_ann_topk_recall(emb):
