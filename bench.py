@@ -1,0 +1,114 @@
+"""Benchmark harness: headline queries + KG encode throughput.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "extra": {kg throughput + per-query rows}}
+
+The KG pipeline benchmark is the north metric (BASELINE.md row 6):
+synthetic source table -> extract -> link -> canonicalize -> materialize
+Jelly streams; reported as triples/sec end-to-end. Scaling evidence
+(local[8] vs local[32]) is produced by scripts/scaling_bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# source-table size for the KG-pipeline benchmark, scaled to the sf dir
+N_FILES = {"sf0.001": 2_000, "sf0.01": 10_000, "sf0.1": 50_000}.get(
+    os.path.basename(SF_DIR.rstrip("/")), 50_000
+)
+
+BENCH_QUERIES = [
+    "kg_structural",
+    "kg_imports",
+    "kg_linked",
+    "kg_canonical",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "events_hourly",
+    "events_sessions",
+    "dedup_minhash",
+    "dedup_simhash",
+    "embedding_topk",
+    "embedding_ann",
+    "token_count",
+]
+
+
+def main() -> None:
+    from pyjelly_spark.pipeline import PipelineConfig, run_pipeline
+    from pyjelly_spark.queries import QUERIES
+    from pyjelly_spark.session import build_session
+    from pyjelly_spark.sources.source_repos import generate_source_files
+
+    spark = build_session(
+        master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    # --- north metric: KG pipeline end-to-end encode throughput -----------
+    out_dir = tempfile.mkdtemp(prefix="kg_bench_")
+    try:
+        files = generate_source_files(spark, N_FILES).cache()
+        files.count()  # materialize input outside the timed window
+        t0 = time.time()
+        manifest = run_pipeline(
+            spark,
+            files,
+            PipelineConfig(out_dir=out_dir, rows_per_stream=25_000, resume=False),
+        )
+        kg_sec = time.time() - t0
+        n_triples = int(manifest["n_statements"].sum())
+        timings["kg_pipeline"] = round(kg_sec, 3)
+        extra["kg_n_files"] = N_FILES
+        extra["kg_triples"] = n_triples
+        extra["kg_triples_per_sec"] = round(n_triples / kg_sec)
+        extra["kg_streams"] = len(manifest)
+        files.unpersist()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- headline queries ---------------------------------------------------
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        # count() forces full execution without driver-side materialization
+        rows[name] = fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+    extra["rows"] = rows
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline+headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": os.path.basename(SF_DIR.rstrip("/")),
+                "cpus": CPUS,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

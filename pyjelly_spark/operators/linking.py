@@ -1,10 +1,27 @@
 """Entity linking: resolve call/import mentions to defining entities.
 
-Candidate generation is an equi-join on the normalized symbol; scoring is
-pure column arithmetic (JVM-side); winner selection is one shuffle on the
-mention key. The defs dictionary is usually orders of magnitude smaller
-than the mention stream — callers can force a broadcast join for it
-(``broadcast_dictionary=True``) or leave it to AQE.
+Winner rule (the spec, also encoded in the kg_linked oracle SQL): for a
+mention (repo, path, symbol), over candidate defs of the same symbol,
+maximize ``same_repo*100 + same_pkg*10`` and break ties by the smallest
+(def_repo, def_path).
+
+Scale design — dictionary aggregation, NOT candidate explosion. A naive
+equi-join on ``symbol`` multiplies hot symbols (mentions x def-sites:
+a symbol with 10^3 callers and 10^3 definers yields 10^6 candidate rows
+before scoring — the classic skew bomb at 10^12-file scale). Because the
+score depends only on (repo, pkg) equality, the argmax distributes over
+four pre-aggregated dictionaries:
+
+  d_rp: min def per (symbol, repo, pkg)   -> score 110 bucket
+  d_r:  min def per (symbol, repo)        -> score 100 bucket
+  d_p:  min def per (symbol, pkg)         -> score  10 bucket
+  d_g:  min def per (symbol)              -> score   0 bucket
+
+Each mention left-joins the four dictionaries on exact keys (1:1 after
+aggregation — join output never exceeds the mention count) and coalesces
+by priority. The dictionaries are def-site aggregates: tiny relative to
+the mention stream, broadcast when they fit. Identical output to the
+row_number() formulation, verified against the oracle.
 
 No counterpart in the reference (SURVEY.md §2.9); required by
 BASELINE.json north_star ("entity-link candidate generation ... link
@@ -13,15 +30,13 @@ scoring ... broadcast when dictionary small").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pyjelly_spark.operators.extract import (
-    P_CALLS_RESOLVED,
-    iri,
-)
+from pyjelly_spark.operators.extract import P_CALLS_RESOLVED, iri
 
 DEF_SITE_BASE = "http://kg.example/def/"
+PKG_RE = r"^src/(pkg\d+)/"
 
 
 def def_site_iri(repo, path, symbol):
@@ -30,17 +45,15 @@ def def_site_iri(repo, path, symbol):
     )
 
 
-def score_candidates(candidates: DataFrame) -> DataFrame:
-    """Deterministic link score: same repo >> same package >> anything.
+def _pkg(path: Column) -> Column:
+    return F.regexp_extract(path, PKG_RE, 1)
 
-    Vectorized column expressions; swap in a pandas-UDF model here if
-    scoring ever needs learned features.
-    """
-    same_repo = (F.col("repo") == F.col("def_repo")).cast("int")
-    caller_pkg = F.regexp_extract("path", r"^src/(pkg\d+)/", 1)
-    def_pkg = F.regexp_extract("def_path", r"^src/(pkg\d+)/", 1)
-    same_pkg = (caller_pkg == def_pkg).cast("int")
-    return candidates.withColumn("link_score", same_repo * 100 + same_pkg * 10)
+
+def _best(defs: DataFrame, keys: list) -> DataFrame:
+    """Smallest (def_repo, def_path) def site per key bucket."""
+    return defs.groupBy(*keys).agg(
+        F.min(F.struct("def_repo", "def_path")).alias("best")
+    )
 
 
 def link_mentions(
@@ -48,27 +61,67 @@ def link_mentions(
     definitions: DataFrame,
     broadcast_dictionary: bool = False,
 ) -> DataFrame:
-    """Resolve each (repo, path, symbol) mention to its best definition.
+    """Resolve each distinct (repo, path, symbol) mention to its best def.
 
-    mentions:     (repo, path, symbol)
+    mentions:     (repo, path, symbol) — duplicates collapse to one row
     definitions:  (def_repo, def_path, symbol)
-    returns:      mentions + (def_repo, def_path, link_score), one winner
-                  per mention — max score, ties to the smallest def site
-                  (fully deterministic).
+    returns:      (repo, path, symbol, def_repo, def_path, link_score)
     """
-    dictionary = definitions.select("def_repo", "def_path", "symbol")
+    defs = definitions.select(
+        "symbol", "def_repo", "def_path", _pkg(F.col("def_path")).alias("def_pkg")
+    )
+    d_rp = _best(defs, ["symbol", "def_repo", "def_pkg"])
+    d_r = _best(defs, ["symbol", "def_repo"])
+    d_p = _best(defs, ["symbol", "def_pkg"])
+    d_g = _best(defs, ["symbol"])
     if broadcast_dictionary:
-        dictionary = F.broadcast(dictionary)
-    candidates = mentions.join(dictionary, "symbol", "inner")
-    scored = score_candidates(candidates)
-    # one shuffle on the mention key; count(candidates per mention) is tiny
-    window = Window.partitionBy("repo", "path", "symbol").orderBy(
-        F.col("link_score").desc(), F.col("def_repo").asc(), F.col("def_path").asc()
+        d_rp, d_r, d_p, d_g = (F.broadcast(d) for d in (d_rp, d_r, d_p, d_g))
+
+    m = mentions.select("repo", "path", "symbol").distinct().withColumn(
+        "pkg", _pkg(F.col("path"))
+    )
+    out = (
+        m.alias("m")
+        .join(
+            d_rp.alias("rp"),
+            (F.col("m.symbol") == F.col("rp.symbol"))
+            & (F.col("m.repo") == F.col("rp.def_repo"))
+            & (F.col("m.pkg") == F.col("rp.def_pkg")),
+            "left",
+        )
+        .join(
+            d_r.alias("r"),
+            (F.col("m.symbol") == F.col("r.symbol"))
+            & (F.col("m.repo") == F.col("r.def_repo")),
+            "left",
+        )
+        .join(
+            d_p.alias("p"),
+            (F.col("m.symbol") == F.col("p.symbol"))
+            & (F.col("m.pkg") == F.col("p.def_pkg")),
+            "left",
+        )
+        .join(d_g.alias("g"), F.col("m.symbol") == F.col("g.symbol"), "left")
+    )
+    winner = F.coalesce(
+        F.col("rp.best"), F.col("r.best"), F.col("p.best"), F.col("g.best")
+    )
+    score = (
+        F.when(F.col("rp.best").isNotNull(), F.lit(110))
+        .when(F.col("r.best").isNotNull(), F.lit(100))
+        .when(F.col("p.best").isNotNull(), F.lit(10))
+        .otherwise(F.lit(0))
     )
     return (
-        scored.withColumn("rank", F.row_number().over(window))
-        .where(F.col("rank") == 1)
-        .drop("rank")
+        out.where(winner.isNotNull())  # inner-join semantics: unlinkable dropped
+        .select(
+            F.col("m.repo").alias("repo"),
+            F.col("m.path").alias("path"),
+            F.col("m.symbol").alias("symbol"),
+            winner.getField("def_repo").alias("def_repo"),
+            winner.getField("def_path").alias("def_path"),
+            score.alias("link_score"),
+        )
     )
 
 

@@ -2,96 +2,121 @@
 
 Two paths, per the driver brief:
 
-- brute-force cosine top-k — the exact baseline. All arithmetic is
-  JVM-side higher-order functions (``zip_with`` + ``aggregate`` fold), no
-  Python per row. O(n^2) dot products; right answer for re-ranking and
-  for oracle checks.
-- bucketed ANN (sign-LSH) — the scale path: deterministic hyperplanes
-  derived from hashed unit directions, docs bucketed by the sign pattern;
-  top-k is computed within (multi-probed) buckets. Recall < 1 by design;
-  at 100 TB this is the only tractable shape (the bucket join replaces
-  the n^2 cross join, and each bucket fits one task).
+- brute-force cosine top-k — the exact baseline. The corpus matrix is
+  broadcast to executors and each Arrow batch of query vectors does one
+  numpy matmul (``mapInPandas``): vectorized BLAS instead of per-element
+  interpreted expressions (~100x over higher-order-function folds).
+  Right shape while the index side fits in a broadcast (classic
+  broadcast-join regime); beyond that, use :func:`ann_topk`.
+- bucketed ANN (multi-table sign-LSH) — the 100 TB path: deterministic
+  hyperplanes hash every vector into ``n_tables`` sign-pattern buckets
+  (+1-bit multi-probe); scoring runs per bucket via ``applyInPandas``
+  (numpy within the bucket), then a global window merges per-query
+  top-k. The bucket shuffle replaces the n^2 cross join; no broadcast
+  of the corpus anywhere, so it scales out with executors.
 
 No counterpart in the reference (SURVEY.md §2.9).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+TOPK_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("neighbor_id", LongType(), False),
+        StructField("rank", IntegerType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+PAIR_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("neighbor_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
 
 
-def _as_double(col: Column) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
+def _floor4(x: np.ndarray) -> np.ndarray:
+    # floor-scaling, not round(): rounding-mode-proof across engines
+    return np.floor(x * 10000) / 10000
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Left-to-right fold of the pairwise products (deterministic order)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    v = _as_double(F.col(vec_col))
-    return emb.withColumn("v", v).withColumn(
-        "norm", F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
+def _matrix(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
+    return np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
 
 
 def cosine_topk(
     emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (vec_id, neighbor_id,
-    rank, score).
+    rank, score floor-scaled to 4 decimals).
 
-    Plan shape: broadcast one side of the self-join (the vector table is
-    assumed to be the small, index-able side at query time; for
-    corpus x corpus at scale use :func:`ann_topk`). Rank ties break on
-    neighbor_id ascending, so output is fully deterministic.
+    The corpus (id, vector) is collected once and broadcast; each query
+    partition multiplies its Arrow batch against the corpus matrix.
+    Deterministic: ties rank by neighbor_id ascending.
     """
-    base = with_norm(emb, vec_col).select(
-        F.col(id_col).alias("id"), "v", "norm"
-    )
-    left = base.select(
-        F.col("id").alias("vec_id"), F.col("v").alias("va"), F.col("norm").alias("na")
-    )
-    right = base.select(
-        F.col("id").alias("neighbor_id"),
-        F.col("v").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    scored = (
-        left.join(F.broadcast(right), left.vec_id != right.neighbor_id)
-        .withColumn("score", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-        .select("vec_id", "neighbor_id", "score")
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "vec_id",
-            "neighbor_id",
-            "rank",
-            # floor-scaling, not round(): rounding-mode-proof across engines
-            (F.floor(F.col("score") * 10000) / 10000).alias("score"),
-        )
-    )
+    corpus_pdf = emb.select(id_col, vec_col).toPandas()
+    ids = corpus_pdf[id_col].to_numpy(dtype="int64")
+    mat = _matrix(corpus_pdf, vec_col)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat, c_norms = bc.value
+        pos = {int(i): p for p, i in enumerate(c_ids)}
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype="int64")
+            q_mat = _matrix(pdf, vec_col)
+            q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+            scores = (q_mat @ c_mat.T) / np.outer(q_norms, c_norms)
+            out_vec, out_nbr, out_rank, out_score = [], [], [], []
+            for r, qid in enumerate(q_ids):
+                row = scores[r].copy()
+                if int(qid) in pos:
+                    row[pos[int(qid)]] = -np.inf
+                # top-k by (-score, neighbor_id): lexsort is stable+exact
+                order = np.lexsort((c_ids, -row))[:k]
+                out_vec.extend([int(qid)] * len(order))
+                out_nbr.extend(c_ids[order])
+                out_rank.extend(range(1, len(order) + 1))
+                out_score.extend(_floor4(row[order]))
+            yield pd.DataFrame(
+                {
+                    "vec_id": out_vec,
+                    "neighbor_id": out_nbr,
+                    "rank": out_rank,
+                    "score": out_score,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(run, schema=TOPK_SCHEMA)
 
 
-def _hyperplane(dim: int, p: int) -> list[float]:
-    """Deterministic pseudo-random unit-ish hyperplane p (no RNG state:
-    closed-form from (p, i) via a splitmix-style integer mix)."""
-    out = []
-    for i in range(dim):
-        z = (p * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
-        z = (z ^ (z >> 31)) * 0x94D049BB133111EB & ((1 << 64) - 1)
-        out.append(((z >> 11) / float(1 << 53)) * 2.0 - 1.0)
+def _hyperplanes(dim: int, count: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (splitmix-style mix of
+    (plane, coord) — closed form, no RNG state)."""
+    out = np.empty((count, dim))
+    for p in range(count):
+        for i in range(dim):
+            z = (p * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+            z = (z ^ (z >> 31)) * 0x94D049BB133111EB & ((1 << 64) - 1)
+            out[p, i] = ((z >> 11) / float(1 << 53)) * 2.0 - 1.0
     return out
 
 
@@ -103,66 +128,99 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k via multi-table sign-LSH bucketing (100 TB path).
+    """Approximate top-k via multi-table sign-LSH (the 100 TB path).
 
-    ``n_tables`` independent hash tables of ``n_planes`` sign bits each
-    (signs of dots with deterministic hyperplanes); candidates are pairs
-    colliding in any table's bucket, with 1-bit multi-probe on the query
-    side for recall. The per-bucket equi-join replaces the n^2 cross
-    join; recall follows the classic LSH 1-(1-p^r)^L curve.
+    Stage 1 (narrow map): signature bits per table from one matmul with
+    the deterministic plane matrix; emit anchor rows (own buckets) and
+    candidate rows (own + 1-bit-flipped buckets).
+    Stage 2 (bucket shuffle): per-bucket numpy scoring via applyInPandas.
+    Stage 3 (query shuffle): global top-k merge per query with a window.
+    Recall follows 1-(1-p^r)^L; scores of returned pairs are exact.
     """
     dim = len(emb.select(vec_col).first()[0])
-    base = with_norm(emb, vec_col).select(F.col(id_col).alias("id"), "v", "norm")
-    sig_cols = []
-    for t in range(n_tables):
-        sig = F.lit(0)
-        for p in range(n_planes):
-            plane = _hyperplane(dim, t * n_planes + p)
-            plane_col = F.array(*[F.lit(x) for x in plane])
-            sig = sig + F.when(
-                _dot(F.col("v"), plane_col) > 0, F.lit(1 << p)
-            ).otherwise(F.lit(0))
-        sig_cols.append((sig + F.lit(t << 16)).alias(f"sig{t}"))
-    signed = base.select("id", "v", "norm", *sig_cols).cache()
-    anchor_buckets = [F.col(f"sig{t}") for t in range(n_tables)]
-    probe_buckets = []
-    for t in range(n_tables):
-        probe_buckets.append(F.col(f"sig{t}"))
-        probe_buckets += [
-            F.col(f"sig{t}").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+    planes = _hyperplanes(dim, n_tables * n_planes)
+    bc = emb.sparkSession.sparkContext.broadcast(planes)
+    weights = np.array([1 << p for p in range(n_planes)], dtype="int64")
+
+    probe_schema = StructType(
+        [
+            StructField("bucket", LongType(), False),
+            StructField("role", IntegerType(), False),  # 0=anchor, 1=candidate
+            StructField("id", LongType(), False),
+            StructField("v", emb.schema[vec_col].dataType, False),
         ]
-    anchors = signed.select(
-        F.col("id").alias("vec_id"),
-        F.col("v").alias("va"),
-        F.col("norm").alias("na"),
-        F.explode(F.array(*anchor_buckets)).alias("bucket"),
     )
-    cands = signed.select(
-        F.col("id").alias("neighbor_id"),
-        F.col("v").alias("vb"),
-        F.col("norm").alias("nb"),
-        F.explode(F.array(*probe_buckets)).alias("bucket"),
+
+    def emit_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            mat = _matrix(pdf, vec_col)
+            bits = (mat @ pl.T) > 0  # (n, n_tables*n_planes)
+            rows = {"bucket": [], "role": [], "id": [], "v": []}
+            for t in range(n_tables):
+                sig = (
+                    bits[:, t * n_planes : (t + 1) * n_planes].astype("int64")
+                    @ weights
+                ) + (t << 16)
+                for r in range(len(ids)):
+                    vec = pdf[vec_col].iloc[r]
+                    base = int(sig[r])
+                    # anchor (scored in its own bucket) + candidate copies
+                    # in the bucket and every 1-bit-flipped probe bucket
+                    rows["bucket"].append(base)
+                    rows["role"].append(0)
+                    rows["id"].append(int(ids[r]))
+                    rows["v"].append(vec)
+                    rows["bucket"].append(base)
+                    rows["role"].append(1)
+                    rows["id"].append(int(ids[r]))
+                    rows["v"].append(vec)
+                    for p in range(n_planes):
+                        rows["bucket"].append(base ^ (1 << p))
+                        rows["role"].append(1)
+                        rows["id"].append(int(ids[r]))
+                        rows["v"].append(vec)
+            yield pd.DataFrame(rows)
+
+    probes = emb.select(id_col, vec_col).mapInPandas(
+        emit_probes, schema=probe_schema
     )
-    scored = (
-        anchors.join(cands, "bucket")
-        .where(F.col("vec_id") != F.col("neighbor_id"))
-        .withColumn(
-            "score", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-        )
-        .select("vec_id", "neighbor_id", "score")
-        .dropDuplicates(["vec_id", "neighbor_id"])
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        anchors = pdf[pdf["role"] == 0]
+        cands = pdf[pdf["role"] == 1]
+        if anchors.empty or len(cands) < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "score": []}
+            ).astype({"vec_id": "int64", "neighbor_id": "int64", "score": "float64"})
+        a_ids = anchors["id"].to_numpy(dtype="int64")
+        c_ids = cands["id"].to_numpy(dtype="int64")
+        a_mat = _matrix(anchors, "v")
+        c_mat = _matrix(cands, "v")
+        a_n = np.sqrt((a_mat * a_mat).sum(axis=1))
+        c_n = np.sqrt((c_mat * c_mat).sum(axis=1))
+        scores = (a_mat @ c_mat.T) / np.outer(a_n, c_n)
+        out = {"vec_id": [], "neighbor_id": [], "score": []}
+        for r, aid in enumerate(a_ids):
+            row = scores[r].copy()
+            row[c_ids == aid] = -np.inf
+            order = np.lexsort((c_ids, -row))[:k]
+            keep = np.isfinite(row[order])
+            out["vec_id"].extend([int(aid)] * int(keep.sum()))
+            out["neighbor_id"].extend(c_ids[order][keep])
+            out["score"].extend(_floor4(row[order][keep]))
+        return pd.DataFrame(out)
+
+    local = probes.groupBy("bucket").applyInPandas(bucket_topk, schema=PAIR_SCHEMA)
+    merged = local.groupBy("vec_id", "neighbor_id").agg(
+        F.max("score").alias("score")
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        merged.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(
-            "vec_id",
-            "neighbor_id",
-            "rank",
-            # floor-scaling, not round(): rounding-mode-proof across engines
-            (F.floor(F.col("score") * 10000) / 10000).alias("score"),
-        )
+        .select("vec_id", "neighbor_id", "rank", "score")
     )

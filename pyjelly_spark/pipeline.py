@@ -151,11 +151,21 @@ def run_pipeline(
     files: DataFrame,
     config: PipelineConfig,
 ) -> pd.DataFrame:
-    """Execute all stages; returns the partition manifest (pandas)."""
-    triples = build_triples(spark, files, config)
-    planned = plan_partitions(triples, config)
-    options = jc.StreamOptions(frame_rows=config.frame_rows, preset=config.preset)
-    return write_jelly(planned, config.out_dir, options, resume=config.resume)
+    """Execute all stages; returns the partition manifest (pandas).
+
+    The triples frame is persisted across the two actions (partition-plan
+    count + materialize) — without it the whole extract/link/CC DAG would
+    execute twice.
+    """
+    triples = build_triples(spark, files, config).persist()
+    try:
+        planned = plan_partitions(triples, config)
+        options = jc.StreamOptions(
+            frame_rows=config.frame_rows, preset=config.preset
+        )
+        return write_jelly(planned, config.out_dir, options, resume=config.resume)
+    finally:
+        triples.unpersist()
 
 
 def verify_lineage(
