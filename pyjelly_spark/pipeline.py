@@ -49,7 +49,11 @@ class PipelineConfig:
     preset: jc.TablePreset = field(default_factory=jc.TablePreset)
     link_calls: bool = True
     canonicalize: bool = True
-    broadcast_dictionary: bool = True
+    # False = let AQE pick the join strategy: the def dictionaries grow
+    # with the corpus (one row per (symbol, repo, pkg)), so a forced
+    # broadcast turns into a driver collect of millions of rows per pass.
+    # AQE still auto-broadcasts them while they fit the threshold.
+    broadcast_dictionary: bool = False
     resume: bool = True
     min_parts: int = 1
 
@@ -120,26 +124,39 @@ def build_triples(
     return triples
 
 
-def plan_partitions(triples: DataFrame, config: PipelineConfig) -> DataFrame:
+def plan_partitions(
+    triples: DataFrame, config: PipelineConfig, pre_flattened: bool = False
+) -> DataFrame:
     """Skew-aware partition plan: flat term columns, deterministic order.
 
     Salt count per repo = ceil(repo_triples / rows_per_stream), so the
     mega-repo fans out over several streams while small repos coalesce.
-    The per-repo histogram is tiny (one row per repo) -> broadcast join.
+
+    One histogram action (groupBy repo -> driver): it yields BOTH the
+    per-repo salt counts and the global total (local sum — no second
+    count() job), and the histogram goes back up as a broadcast-joined
+    literal table, so the triples DAG executes exactly once more (inside
+    the write job). Deliberately NOT cached: the columnar cache build for
+    millions of term structs costs far more than recomputing the
+    extraction DAG over the (cached) source table, and CC results are
+    already pinned by their localCheckpoints.
     """
-    counts = triples.groupBy("repo").agg(F.count(F.lit(1)).alias("repo_rows"))
-    salted = triples.join(F.broadcast(counts), "repo").withColumn(
-        "salt",
-        F.pmod(
-            F.xxhash64("path"),
-            F.greatest(
-                F.ceil(F.col("repo_rows") / config.rows_per_stream), F.lit(1)
-            ),
-        ).cast("int"),
+    spark = triples.sparkSession
+    hist = (
+        triples.groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("repo_rows"))
+        .toPandas()
     )
-    total = triples.count()
+    total = int(hist["repo_rows"].sum())
     n_parts = max(config.min_parts, -(-total // config.rows_per_stream))
-    flat = flatten_terms(salted.drop("repo_rows"))
+    hist["n_salts"] = (
+        -(-hist["repo_rows"] // config.rows_per_stream)
+    ).clip(lower=1).astype("int64")
+    salt_map = spark.createDataFrame(hist[["repo", "n_salts"]])
+    salted = triples.join(F.broadcast(salt_map), "repo").withColumn(
+        "salt", F.pmod(F.xxhash64("path"), F.col("n_salts")).cast("int")
+    ).drop("n_salts")
+    flat = salted if pre_flattened else flatten_terms(salted)
     return (
         flat.repartition(n_parts, "repo", "salt")
         .sortWithinPartitions("repo", "path", "kind_rank", "o_value")
@@ -153,19 +170,29 @@ def run_pipeline(
 ) -> pd.DataFrame:
     """Execute all stages; returns the partition manifest (pandas).
 
-    The triples frame is persisted across the two actions (partition-plan
-    count + materialize) — without it the whole extract/link/CC DAG would
-    execute twice.
+    The extract/link/canonicalize DAG executes exactly ONCE: the flat
+    triples are materialized to a parquet stage directory (an explicit
+    stage boundary under out_dir), and the histogram + encode passes run
+    as cheap scans over that leaf. This beats both recomputation (double
+    planning + compute) and .persist() (columnar cache build for millions
+    of term structs costs more than the parquet round-trip), and doubles
+    as a resumable checkpoint of the relational half of the job.
     """
-    triples = build_triples(spark, files, config).persist()
-    try:
-        planned = plan_partitions(triples, config)
-        options = jc.StreamOptions(
-            frame_rows=config.frame_rows, preset=config.preset
-        )
-        return write_jelly(planned, config.out_dir, options, resume=config.resume)
-    finally:
-        triples.unpersist()
+    import os
+    import shutil
+
+    triples = build_triples(spark, files, config)
+    stage_dir = os.path.join(config.out_dir, "_stage_triples")
+    marker = os.path.join(stage_dir, "_SUCCESS")
+    if not (config.resume and os.path.exists(marker)):
+        flatten_terms(triples).write.mode("overwrite").parquet(stage_dir)
+    flat = spark.read.parquet(stage_dir)
+    planned = plan_partitions(flat, config, pre_flattened=True)
+    options = jc.StreamOptions(frame_rows=config.frame_rows, preset=config.preset)
+    manifest = write_jelly(planned, config.out_dir, options, resume=config.resume)
+    if not config.resume:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return manifest
 
 
 def verify_lineage(

@@ -44,6 +44,17 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(key)
 
 
+def _local_dir() -> str:
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        return os.environ["SPARK_LOCAL_DIRS"]
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return "/tmp"
+
+
 def build_session(
     master: str | None = None,
     app_name: str = "pyjelly_spark",
@@ -69,7 +80,12 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # shuffle/spill on tmpfs when available: local[k] funnels every
+        # shuffle through one disk, which otherwise serializes the very
+        # stages that should scale with cores (a real cluster spreads
+        # shuffle over per-node disks instead)
+        .config("spark.local.dir", _local_dir())
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -1,0 +1,175 @@
+"""Scaling-efficiency evidence for the north rule (BASELINE.md row 8).
+
+Runs the IDENTICAL job (same input, same code path, same configs) at two
+parallelism levels — the sandbox proxy for N vs 4N executors (no real
+cluster available here) — in separate subprocesses so each level gets a
+fresh JVM. Reports triples/sec at both levels and
+
+    efficiency = (throughput_hi / throughput_lo) / (cpus_hi / cpus_lo)
+
+Target >= 0.8 (BASELINE.json north_rule). Results go to SCALING.json and
+are summarized in BENCH.md.
+
+Two modes:
+  pipeline — the full KG job (extract -> link -> CC -> materialize).
+             On this single-JVM sandbox its wall time at feasible input
+             sizes includes a fixed serial driver share (planning, CC
+             round scheduling, codegen) that a long-lived cluster
+             amortizes to zero, so measured efficiency understates the
+             cluster number; reported with that caveat.
+  encode   — the Jelly-encode stage alone (staged parquet -> salt ->
+             repartition -> sort -> encode workers). Execution-dominated,
+             so it isolates how the DATA PATH scales with cores.
+
+Usage: python scripts/scaling_bench.py [n_files] [lo_cpus] [hi_cpus] [mode]
+       mode in {pipeline, encode, both(default)}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N_FILES = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+LO = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+HI = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+MODE = sys.argv[4] if len(sys.argv) > 4 else "both"
+
+WORKER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, os.getcwd())
+import pandas as pd
+from pyspark.sql.types import LongType, StructField, StructType
+
+cpus = int(sys.argv[1])
+n_files = int(sys.argv[2])
+mode = sys.argv[3]
+
+from pyjelly_spark.jelly import constants as jc
+from pyjelly_spark.pipeline import PipelineConfig, build_triples, plan_partitions, run_pipeline
+from pyjelly_spark.session import build_session
+from pyjelly_spark.sources.jelly_io import flatten_terms, write_jelly
+from pyjelly_spark.sources.source_repos import generate_source_files
+
+spark = build_session(master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 16))
+spark.sparkContext.setLogLevel("ERROR")
+
+# warm python workers (once-per-executor cost on a real cluster)
+def _noop(batches):
+    for b in batches:
+        yield pd.DataFrame({"n": [len(b)]})
+spark.range(0, cpus * 4, numPartitions=cpus * 4).mapInPandas(
+    _noop, schema=StructType([StructField("n", LongType())])).count()
+
+# warm the JVM (JIT + whole-stage-codegen, Janino cache) with one small
+# untimed pipeline run so the timed runs measure steady-state throughput.
+warm_out = tempfile.mkdtemp(prefix="scaling_warm_")
+warm_files = generate_source_files(spark, max(2000, n_files // 50)).cache()
+warm_files.count()
+run_pipeline(spark, warm_files,
+             PipelineConfig(out_dir=warm_out, rows_per_stream=100_000, resume=False))
+warm_files.unpersist()
+shutil.rmtree(warm_out, ignore_errors=True)
+
+files = generate_source_files(spark, n_files).cache()
+files.count()
+
+result = {"cpus": cpus, "n_files": n_files}
+
+if mode in ("pipeline", "both"):
+    walls = []
+    n = 0
+    for rep in range(2):
+        out_dir = tempfile.mkdtemp(prefix=f"scaling_{cpus}_")
+        try:
+            t0 = time.time()
+            manifest = run_pipeline(
+                spark, files,
+                PipelineConfig(out_dir=out_dir, rows_per_stream=100_000,
+                               resume=False),
+            )
+            walls.append(time.time() - t0)
+            n = int(manifest["n_statements"].sum())
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    wall = min(walls)
+    result["pipeline"] = {
+        "triples": n, "wall_sec": round(wall, 2),
+        "walls": [round(w, 2) for w in walls],
+        "triples_per_sec": round(n / wall),
+    }
+
+if mode in ("encode", "both"):
+    # stage the flat triples once (untimed), then time the encode job:
+    # parquet scan -> salt join -> repartition -> sortWithinPartitions ->
+    # per-partition Jelly encode -> part files + manifest.
+    cfg = PipelineConfig(out_dir="unused", rows_per_stream=100_000, resume=False)
+    stage_dir = tempfile.mkdtemp(prefix=f"stage_{cpus}_")
+    flatten_terms(build_triples(spark, files, cfg)).write.mode(
+        "overwrite").parquet(stage_dir)
+    flat = spark.read.parquet(stage_dir)
+    walls = []
+    n = 0
+    for rep in range(2):
+        out_dir = tempfile.mkdtemp(prefix=f"encode_{cpus}_")
+        try:
+            t0 = time.time()
+            planned = plan_partitions(flat, cfg, pre_flattened=True)
+            manifest = write_jelly(planned, out_dir, jc.StreamOptions(),
+                                   resume=False)
+            walls.append(time.time() - t0)
+            n = int(manifest["n_statements"].sum())
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    wall = min(walls)
+    result["encode"] = {
+        "triples": n, "wall_sec": round(wall, 2),
+        "walls": [round(w, 2) for w in walls],
+        "triples_per_sec": round(n / wall),
+    }
+
+print(json.dumps(result))
+"""
+
+
+def run_level(cpus: int) -> dict:
+    proc = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cpus), str(N_FILES), MODE],
+        capture_output=True, text=True, cwd=os.getcwd(), check=False,
+    )
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        print(proc.stdout[-2000:], file=sys.stderr)
+        print(proc.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError(f"scaling worker failed at local[{cpus}]")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    lo = run_level(LO)
+    print(json.dumps(lo), flush=True)
+    hi = run_level(HI)
+    print(json.dumps(hi), flush=True)
+    result = {
+        "n_files": N_FILES,
+        "lo": lo,
+        "hi": hi,
+        "parallelism_ratio": HI / LO,
+        "target": 0.8,
+    }
+    for section in ("pipeline", "encode"):
+        if section in lo and section in hi:
+            eff = (
+                hi[section]["triples_per_sec"] / lo[section]["triples_per_sec"]
+            ) / (HI / LO)
+            result[f"{section}_efficiency"] = round(eff, 3)
+    with open("SCALING.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
