@@ -306,6 +306,62 @@ FROM nodes n JOIN comp c ON n.symbol = c.symbol
 """
 
 
+def q_kg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full materialization round-trip: derived source table -> pipeline
+    (extract + link + canonicalize) -> partitioned Jelly streams on disk
+    -> distributed decode -> per-predicate triple counts.
+
+    The oracle recomputes the same histogram in closed form, so this
+    checks the WHOLE write/read path (lookup tables, delta encoding,
+    repeated-term suppression, framing, manifests) end to end.
+    """
+    import shutil
+    import tempfile
+
+    from pyjelly_spark.pipeline import PipelineConfig, run_pipeline
+    from pyjelly_spark.sources.jelly_io import read_jelly
+
+    files = derived_source_files(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="kg_roundtrip_")
+    try:
+        run_pipeline(
+            spark,
+            files,
+            PipelineConfig(out_dir=out_dir, rows_per_stream=2000, resume=False),
+        )
+        decoded = read_jelly(spark, out_dir)
+        return (
+            decoded.groupBy(F.col("p_value").alias("p"))
+            .agg(F.count(F.lit(1)).alias("n_triples"))
+            .toPandas()
+            .pipe(spark.createDataFrame)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_KG_ROUNDTRIP = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+multi AS (SELECT symbol FROM defs_gt GROUP BY symbol HAVING count(*) > 1),
+linked AS (
+  SELECT DISTINCT c.repo, c.path, c.symbol
+  FROM calls_gt c JOIN (SELECT DISTINCT symbol FROM defs_gt) d ON c.symbol = d.symbol
+),
+counts AS (
+  SELECT '{NS}contains' AS p, count(*) AS n_triples FROM files
+  UNION ALL SELECT '{NS}lang', count(*) FROM files
+  UNION ALL SELECT '{NS}sha256', count(*) FROM files
+  UNION ALL SELECT '{NS}imports', count(*) FROM imports_gt
+  UNION ALL SELECT '{NS}defines', count(*) FROM defs_gt
+  UNION ALL SELECT '{NS}calls', count(*) FROM calls_gt
+  UNION ALL SELECT '{NS}callsResolved', count(*) FROM linked
+  UNION ALL SELECT '{NS}canonical',
+    (SELECT count(*) FROM defs_gt d JOIN multi m ON d.symbol = m.symbol)
+)
+SELECT p, n_triples FROM counts WHERE n_triples > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational analytics (TPC-H-style) — engine breadth on the star schema
 # ---------------------------------------------------------------------------
@@ -847,6 +903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_calls": q_kg_calls,
     "kg_linked": q_kg_linked,
     "kg_canonical": q_kg_canonical,
+    "kg_roundtrip": q_kg_roundtrip,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -875,6 +932,7 @@ ORACLES: dict[str, str] = {
     "kg_calls": SQL_KG_CALLS,
     "kg_linked": SQL_KG_LINKED,
     "kg_canonical": SQL_KG_CANONICAL,
+    "kg_roundtrip": SQL_KG_ROUNDTRIP,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
