@@ -106,7 +106,10 @@ def connected_components(
         for _ in range(max_rounds):
             current = _small_star(_large_star(current))
             if checkpoint:
-                current = current.localCheckpoint(eager=True)
+                # lazy checkpoint: the signature collect below is the
+                # materializing action, so each round costs ONE job
+                # (eager=True would run a second, redundant one)
+                current = current.localCheckpoint(eager=False)
             sig = _signature(current)
             if sig == previous_sig:
                 break

@@ -38,6 +38,7 @@ P_IMPORTS = NS + "imports"
 P_DEFINES = NS + "defines"
 P_CALLS = NS + "calls"
 P_CALLS_RESOLVED = NS + "callsResolved"
+P_IMPORTS_RESOLVED = NS + "importsResolved"
 P_CANONICAL = NS + "canonical"
 
 # Mention regexes — shared by all four generated languages. (?m) anchors

@@ -306,6 +306,42 @@ FROM nodes n JOIN comp c ON n.symbol = c.symbol
 """
 
 
+def q_kg_imports_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import-edge resolution: each imported module joined to the file
+    that defines it (module name derived from the defining file's path).
+    Equi-join on the module IRI; the dictionary side is one row per file,
+    so AQE broadcasts it while it fits."""
+    files = derived_source_files(spark, sf_dir)
+    imports = _spo(X.extract_imports(files))
+    module_iri = F.concat(
+        F.lit(X.MODULE_BASE),
+        F.regexp_extract("path", r"^src/(pkg\d+)/", 1),
+        F.lit("."),
+        F.regexp_extract("path", r"/(mod_\d+)\.py$", 1),
+    )
+    dictionary = files.select(
+        module_iri.alias("module"),
+        X.file_iri(F.col("repo"), F.col("path")).alias("def_file"),
+    )
+    return (
+        imports.join(dictionary, imports.o == dictionary.module)
+        .select(
+            "s",
+            F.lit(X.P_IMPORTS_RESOLVED).alias("p"),
+            F.col("def_file").alias("o"),
+        )
+    )
+
+
+SQL_KG_IMPORTS_RESOLVED = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()}
+SELECT file_iri AS s, '{NS}importsResolved' AS p,
+       'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+         || '/mod_' || t || '.py' AS o
+FROM imports_gt
+"""
+
+
 def q_kg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full materialization round-trip: derived source table -> pipeline
     (extract + link + canonicalize) -> partitioned Jelly streams on disk
@@ -903,6 +939,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_calls": q_kg_calls,
     "kg_linked": q_kg_linked,
     "kg_canonical": q_kg_canonical,
+    "kg_imports_resolved": q_kg_imports_resolved,
     "kg_roundtrip": q_kg_roundtrip,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -932,6 +969,7 @@ ORACLES: dict[str, str] = {
     "kg_calls": SQL_KG_CALLS,
     "kg_linked": SQL_KG_LINKED,
     "kg_canonical": SQL_KG_CANONICAL,
+    "kg_imports_resolved": SQL_KG_IMPORTS_RESOLVED,
     "kg_roundtrip": SQL_KG_ROUNDTRIP,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
