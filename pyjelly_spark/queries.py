@@ -641,6 +641,168 @@ SELECT event_type, user_id, rank, total_value FROM ranked WHERE rank <= 3
 """
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup over (event_type, hour-of-day): multi-dimensional agg."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hour", F.hour("ts").cast("long")
+    )
+    return (
+        ev.cube("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("hour", F.lit(-1)).alias("hour"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(hour, -1) AS hour,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,2))::DOUBLE AS total_value
+FROM (SELECT event_type, extract(hour FROM ts)::BIGINT AS hour, value FROM events)
+GROUP BY CUBE(event_type, hour)
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h window, 10 min slide) per type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT strftime(to_timestamp((floor(epoch(ts) / 600) - j) * 600),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM events, range(0, 6) t(j)
+GROUP BY 1, 2
+"""
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving average over the last 5 events (window frame)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        _f4(
+            F.sum(_dec("value")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    )
+
+
+SQL_EVENTS_MOVING_AVG = """
+SELECT user_id, event_id,
+  floor(sum(value::DECIMAL(18,2)) OVER w::DOUBLE
+        / count(*) OVER w * 10000) / 10000 AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_events_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per event_type (percentile, not approx)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _f4(F.percentile("value", F.lit(0.5))).alias("median_value"),
+        _f4(F.percentile("value", F.lit(0.9))).alias("p90_value"),
+    )
+
+
+SQL_EVENTS_MEDIAN = """
+SELECT event_type,
+       floor(quantile_cont(value, 0.5) * 10000) / 10000 AS median_value,
+       floor(quantile_cont(value, 0.9) * 10000) / 10000 AS p90_value
+FROM events GROUP BY 1
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props column + histogram."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT json_extract(props, '$.k')::BIGINT AS k, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never placed an order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_CUST_NO_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_part_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: brands in both / only one of two part populations."""
+    part = _t(spark, sf_dir, "part")
+    big = part.where(F.col("p_size") > 25).select("p_brand")
+    pricey = part.where(F.col("p_retailprice") > 1400).select("p_brand")
+    both = big.intersect(pricey).withColumn("tag", F.lit("both"))
+    # subtract == EXCEPT DISTINCT (exceptAll would leak brands whose
+    # multiset count differs between the two populations)
+    only_big = big.subtract(pricey).withColumn("tag", F.lit("only_big"))
+    return both.unionByName(only_big).select("tag", "p_brand")
+
+
+SQL_PART_SETOPS = """
+SELECT 'both' AS tag, p_brand FROM (
+  SELECT p_brand FROM part WHERE p_size > 25
+  INTERSECT
+  SELECT p_brand FROM part WHERE p_retailprice > 1400
+)
+UNION ALL
+SELECT 'only_big' AS tag, p_brand FROM (
+  SELECT DISTINCT p_brand FROM part WHERE p_size > 25
+    AND p_brand NOT IN (SELECT p_brand FROM part WHERE p_retailprice > 1400)
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -947,6 +1109,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_topn": q_events_topn,
+    "events_cube": q_events_cube,
+    "events_sliding": q_events_sliding,
+    "events_moving_avg": q_events_moving_avg,
+    "events_median": q_events_median,
+    "events_json": q_events_json,
+    "cust_no_orders": q_cust_no_orders,
+    "part_setops": q_part_setops,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
@@ -977,6 +1146,13 @@ ORACLES: dict[str, str] = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_topn": SQL_EVENTS_TOPN,
+    "events_cube": SQL_EVENTS_CUBE,
+    "events_sliding": SQL_EVENTS_SLIDING,
+    "events_moving_avg": SQL_EVENTS_MOVING_AVG,
+    "events_median": SQL_EVENTS_MEDIAN,
+    "events_json": SQL_EVENTS_JSON,
+    "cust_no_orders": SQL_CUST_NO_ORDERS,
+    "part_setops": SQL_PART_SETOPS,
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
