@@ -258,6 +258,91 @@ def test_streaming_windowed_counts_equals_batch(spark):
     assert got == want
 
 
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Late rows beyond the watermark are dropped in append mode.
+
+    Two parquet files processed as separate micro-batches
+    (maxFilesPerTrigger=1): file 1 advances event time to 12:00 with a
+    2h watermark -> the 06:00 window finalizes; file 2 replays an 06:30
+    event, which must NOT resurrect or update that window.
+    """
+    import pandas as pd
+
+    from pyjelly_spark.streaming.jobs import EVENTS_SCHEMA, windowed_counts
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+
+    def write_batch(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf, schema=EVENTS_SCHEMA)
+        sdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import glob
+        import os
+        import shutil
+
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        dst = str(events_dir / f"{name}.parquet")
+        shutil.copy(part, dst)
+        # the file source admits files in mtime order — make it explicit
+        os.utime(dst, (mtime, mtime))
+
+    write_batch(
+        "batch1",
+        [
+            (1, "2024-01-01 06:10:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 12:00:00", 1, "click", 1.0, "{}"),
+        ],
+        mtime=1_000_000,
+    )
+    # intermediate batch: watermark-passed windows evict at the END of the
+    # first batch that runs with the advanced watermark (Spark's delayed
+    # eviction), so the late arrival must come one batch later to hit the
+    # finalized-window drop path
+    write_batch(
+        "batch2",
+        [(4, "2024-01-01 12:10:00", 1, "view", 1.0, "{}")],
+        mtime=2_000_000,
+    )
+    write_batch(
+        "batch3",
+        [(3, "2024-01-01 06:30:00", 2, "click", 1.0, "{}")],
+        mtime=3_000_000,
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(events_dir))
+    )
+    result = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        result.writeStream.format("memory")
+        .queryName("late_data_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["window_start"]: r["n_events"]
+        for r in spark.table("late_data_sink").collect()
+    }
+    # the 06:00 window finalized with exactly 1 event; the late 06:30
+    # arrival (event time < 12:00 - 2h watermark) was dropped
+    assert rows.get("2024-01-01 06:00:00") == 1
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1
+
+
 def test_streaming_sessionize_stateful(spark, tmp_path):
     from pyjelly_spark.streaming.jobs import run_sessionized_batchmode
 
