@@ -178,14 +178,43 @@ def run_pipeline(
     of term structs costs more than the parquet round-trip), and doubles
     as a resumable checkpoint of the relational half of the job.
     """
+    import json
     import os
     import shutil
 
     triples = build_triples(spark, files, config)
     stage_dir = os.path.join(config.out_dir, "_stage_triples")
     marker = os.path.join(stage_dir, "_SUCCESS")
-    if not (config.resume and os.path.exists(marker)):
+    meta_path = os.path.join(config.out_dir, "_stage_meta.json")
+    # resume guard: the staged triples are only reusable if they were
+    # built from the same input shape and stage-affecting config (an
+    # input-row-count + knob fingerprint — catches the common footgun of
+    # pointing a resume at a changed input; a content-level check is the
+    # per-partition sha in the write manifest)
+    stage_meta = {
+        "n_input_rows": files.count(),
+        "link_calls": config.link_calls,
+        "canonicalize": config.canonicalize,
+    }
+    reusable = False
+    if config.resume and os.path.exists(marker) and os.path.exists(meta_path):
+        with open(meta_path) as handle:
+            reusable = json.load(handle) == stage_meta
+    if not reusable:
+        # the output partitions (if any) were built from a different
+        # input/config — invalidate them too, or resume would keep stale
+        # streams whose manifest shas still match their stale bytes
+        from pyjelly_spark.sources.jelly_io import manifest_path
+
+        if os.path.isdir(config.out_dir):
+            shutil.rmtree(manifest_path(config.out_dir), ignore_errors=True)
+            for name in os.listdir(config.out_dir):
+                if name.endswith(".jelly"):
+                    os.remove(os.path.join(config.out_dir, name))
         flatten_terms(triples).write.mode("overwrite").parquet(stage_dir)
+        os.makedirs(config.out_dir, exist_ok=True)
+        with open(meta_path, "w") as handle:
+            json.dump(stage_meta, handle)
     flat = spark.read.parquet(stage_dir)
     planned = plan_partitions(flat, config, pre_flattened=True)
     options = jc.StreamOptions(frame_rows=config.frame_rows, preset=config.preset)

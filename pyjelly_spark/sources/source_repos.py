@@ -157,6 +157,38 @@ def generate_source_files(
     )
 
 
+SOURCE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def read_source_table(
+    spark: SparkSession, location: str, table_format: str = "auto"
+) -> DataFrame:
+    """Load the (repo, path, commit, lang, content) source table.
+
+    ``table_format='auto'`` tries Iceberg first (the production shape per
+    BASELINE.json north_star — partition/column pruning come from the
+    Iceberg DataSourceV2) and falls back to plain parquet, which is all
+    this sandbox has. Schema is validated either way so the pipeline
+    fails fast on a mis-shaped input.
+    """
+    df = None
+    if table_format in ("auto", "iceberg"):
+        try:
+            df = spark.read.format("iceberg").load(location)
+        except Exception:  # noqa: BLE001  (no Iceberg runtime in sandbox)
+            if table_format == "iceberg":
+                raise
+    if df is None:
+        df = spark.read.parquet(location)
+    missing = [c for c in SOURCE_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"source table at {location} is missing columns {missing}; "
+            f"expected {SOURCE_COLUMNS}"
+        )
+    return df.select(*SOURCE_COLUMNS)
+
+
 def ensure_source_table(spark: SparkSession, path: str, n_files: int) -> str:
     """Write the table as parquet once; reuse on later calls."""
     import os

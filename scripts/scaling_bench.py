@@ -81,7 +81,7 @@ result = {"cpus": cpus, "n_files": n_files}
 if mode in ("pipeline", "both"):
     walls = []
     n = 0
-    for rep in range(2):
+    for rep in range(3):
         out_dir = tempfile.mkdtemp(prefix=f"scaling_{cpus}_")
         try:
             t0 = time.time()
@@ -112,7 +112,7 @@ if mode in ("encode", "both"):
     flat = spark.read.parquet(stage_dir)
     walls = []
     n = 0
-    for rep in range(2):
+    for rep in range(3):
         out_dir = tempfile.mkdtemp(prefix=f"encode_{cpus}_")
         try:
             t0 = time.time()

@@ -215,3 +215,46 @@ class TestCanonicalization:
             F.countDistinct("o.value").alias("n")
         )
         assert grouped.where(F.col("n") != 1).count() == 0
+
+
+class TestSourceReaderAndStageGuard:
+    def test_read_source_table_parquet_fallback(self, spark, source_files_500, tmp_path):
+        from pyjelly_spark.sources.source_repos import read_source_table
+
+        loc = str(tmp_path / "src_tbl")
+        source_files_500.write.parquet(loc)
+        df = read_source_table(spark, loc)
+        assert df.columns == ["repo", "path", "commit", "lang", "content"]
+        assert df.count() == 500
+
+    def test_read_source_table_schema_validation(self, spark, tmp_path):
+        from pyjelly_spark.sources.source_repos import read_source_table
+
+        loc = str(tmp_path / "bad_tbl")
+        spark.range(5).write.parquet(loc)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="missing columns"):
+            read_source_table(spark, loc)
+
+    def test_stage_rebuilds_when_input_changes(self, spark, tmp_path):
+        import os
+
+        from pyjelly_spark.pipeline import PipelineConfig, run_pipeline
+        from pyjelly_spark.sources.source_repos import generate_source_files
+
+        out = str(tmp_path / "kg_out")
+        cfg = PipelineConfig(out_dir=out, rows_per_stream=10_000, resume=True)
+        m1 = run_pipeline(spark, generate_source_files(spark, 200), cfg)
+        stage_mtime = os.path.getmtime(os.path.join(out, "_stage_triples", "_SUCCESS"))
+        # same input -> stage reused (mtime unchanged)
+        run_pipeline(spark, generate_source_files(spark, 200), cfg)
+        assert os.path.getmtime(
+            os.path.join(out, "_stage_triples", "_SUCCESS")
+        ) == stage_mtime
+        # different input -> fingerprint mismatch -> stage rebuilt
+        m3 = run_pipeline(spark, generate_source_files(spark, 300), cfg)
+        assert os.path.getmtime(
+            os.path.join(out, "_stage_triples", "_SUCCESS")
+        ) != stage_mtime
+        assert int(m3["n_statements"].sum()) > int(m1["n_statements"].sum())
