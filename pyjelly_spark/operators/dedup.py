@@ -270,7 +270,7 @@ def simhash_pairs(docs: DataFrame, max_distance: int = 3) -> DataFrame:
             "b",
             F.bit_count(
                 F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-            ).alias("hamming"),
+            ).cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= max_distance)
         .distinct()

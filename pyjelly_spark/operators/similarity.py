@@ -38,7 +38,7 @@ TOPK_SCHEMA = StructType(
     [
         StructField("vec_id", LongType(), False),
         StructField("neighbor_id", LongType(), False),
-        StructField("rank", IntegerType(), False),
+        StructField("rank", LongType(), False),
         StructField("score", DoubleType(), False),
     ]
 )
@@ -220,7 +220,7 @@ def ann_topk(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        merged.withColumn("rank", F.row_number().over(w))
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "rank", "score")
     )

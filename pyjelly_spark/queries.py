@@ -603,7 +603,7 @@ sessions AS (
     ) AS session_idx
   FROM flagged
 )
-SELECT user_id, session_idx,
+SELECT user_id, session_idx::BIGINT AS session_idx,
        count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
@@ -621,7 +621,7 @@ def q_events_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_value").desc(), F.col("user_id").asc()
     )
     return (
-        per_user.withColumn("rank", F.row_number().over(w))
+        per_user.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 3)
         .select("event_type", "user_id", "rank", "total_value")
     )
@@ -987,7 +987,7 @@ sig AS (
   FROM bits GROUP BY 1
 )
 SELECT x.doc_id AS a, y.doc_id AS b,
-       bit_count(xor(x.simhash, y.simhash)) AS hamming
+       bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
 FROM sig x JOIN sig y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 """
