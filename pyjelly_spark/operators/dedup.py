@@ -179,9 +179,23 @@ def minhash_pairs(
         )
         .distinct()
     )
-    exact = _pair_jaccard(doc_shingles(docs, n=n))
+    # exact-verify ONLY the candidates: intersections are counted by
+    # walking candidate pairs through the shingle table twice — never the
+    # full all-shared-shingle pair join (that would defeat LSH at scale)
+    shingles = doc_shingles(docs, n=n)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(shingles.select(F.col("doc_id").alias("a"), "shingle"), "a")
+        .join(shingles.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     return (
-        cand.join(exact, ["a", "b"])
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
+        )
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", (F.floor(F.col("jaccard") * 10000) / 10000).alias("jaccard"))
     )

@@ -181,6 +181,61 @@ def structural_triples(files: DataFrame) -> DataFrame:
     return contains.unionByName(lang).unionByName(sha)
 
 
+def extract_mentions_arrow(files: DataFrame) -> DataFrame:
+    """Batched mention detection as a vectorized pandas/Arrow pass.
+
+    Alternative to the per-family Catalyst extractors: one ``mapInPandas``
+    sweep emits every (kind, symbol) mention via ``Series.str.findall``
+    (vectorized C regex over Arrow batches — no per-row Python). Output
+    (repo, path, kind, symbol) matches the union of the regexp_extract_all
+    paths exactly (tested); the default pipeline keeps the Catalyst path
+    (JVM codegen, no Python transfer), this one exists for UDF-based
+    feature extraction that SQL regex can't express.
+    """
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    patterns = [
+        ("import", re.compile(IMPORT_RE[4:], re.M)),  # strip inline (?m)
+        ("def", re.compile(DEF_RE[4:], re.M)),
+        ("call", re.compile(CALL_RE[4:], re.M)),
+    ]
+    schema = StructType(
+        [
+            StructField("repo", StringType(), False),
+            StructField("path", StringType(), False),
+            StructField("kind", StringType(), False),
+            StructField("symbol", StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for kind, rx in patterns:
+                hits = pdf["content"].str.findall(rx)
+                counts = hits.map(len)
+                if counts.sum() == 0:
+                    continue
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "repo": pdf["repo"].repeat(counts).to_numpy(),
+                            "path": pdf["path"].repeat(counts).to_numpy(),
+                            "kind": kind,
+                            "symbol": [m for row in hits for m in row],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return files.select("repo", "path", "content").mapInPandas(run, schema=schema)
+
+
 def extract_all(files: DataFrame) -> DataFrame:
     """Full mention extraction: one narrow pass over content per family.
 

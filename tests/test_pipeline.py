@@ -258,3 +258,31 @@ class TestSourceReaderAndStageGuard:
             os.path.join(out, "_stage_triples", "_SUCCESS")
         ) != stage_mtime
         assert int(m3["n_statements"].sum()) > int(m1["n_statements"].sum())
+
+
+def test_arrow_extraction_matches_catalyst(spark, source_files_500):
+    """The pandas/Arrow mention sweep and the Catalyst regexp path agree."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from pyjelly_spark.operators import extract as X
+    from pyjelly_spark.operators.extract import extract_mentions_arrow
+
+    arrow = Counter(
+        (r["repo"], r["path"], r["kind"], r["symbol"])
+        for r in extract_mentions_arrow(source_files_500).collect()
+    )
+    catalyst = Counter()
+    for kind, pattern in (("import", X.IMPORT_RE), ("def", X.DEF_RE), ("call", X.CALL_RE)):
+        rows = source_files_500.select(
+            "repo",
+            "path",
+            F.explode(
+                F.regexp_extract_all("content", F.lit(pattern), F.lit(1))
+            ).alias("symbol"),
+        ).collect()
+        for r in rows:
+            catalyst[(r["repo"], r["path"], kind, r["symbol"])] += 1
+    assert arrow == catalyst
+    assert sum(arrow.values()) > 1000
