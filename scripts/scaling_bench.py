@@ -153,22 +153,28 @@ def main() -> None:
     print(json.dumps(lo), flush=True)
     hi = run_level(HI)
     print(json.dumps(hi), flush=True)
-    result = {
-        "n_files": N_FILES,
-        "lo": lo,
-        "hi": hi,
-        "parallelism_ratio": HI / LO,
-        "target": 0.8,
-    }
+    # merge into SCALING.json per mode, so an encode run and a pipeline
+    # run (possibly at different input sizes) coexist
+    merged = {}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as f:
+            merged = json.load(f)
+    merged.setdefault("parallelism_ratio", HI / LO)
+    merged["target"] = 0.8
     for section in ("pipeline", "encode"):
         if section in lo and section in hi:
             eff = (
                 hi[section]["triples_per_sec"] / lo[section]["triples_per_sec"]
             ) / (HI / LO)
-            result[f"{section}_efficiency"] = round(eff, 3)
+            merged[section] = {
+                "n_files": N_FILES,
+                "lo": {"cpus": LO, **lo[section]},
+                "hi": {"cpus": HI, **hi[section]},
+                "efficiency": round(eff, 3),
+            }
     with open("SCALING.json", "w") as f:
-        json.dump(result, f, indent=2)
-    print(json.dumps(result))
+        json.dump(merged, f, indent=2)
+    print(json.dumps(merged))
 
 
 if __name__ == "__main__":
