@@ -108,6 +108,52 @@ def cosine_topk(
     return emb.select(id_col, vec_col).mapInPandas(run, schema=TOPK_SCHEMA)
 
 
+def cosine_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, score) with a < b and
+    cosine >= threshold (floor-scaled). Same broadcast-matmul shape as
+    :func:`cosine_topk`; at corpus x corpus scale swap in the LSH
+    bucketing of :func:`ann_topk` for candidate generation."""
+    corpus_pdf = emb.select(id_col, vec_col).toPandas()
+    ids = corpus_pdf[id_col].to_numpy(dtype="int64")
+    mat = _matrix(corpus_pdf, vec_col)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype="int64")
+            q_mat = _matrix(pdf, vec_col)
+            q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+            scores = (q_mat @ c_mat.T) / np.outer(q_norms, c_norms)
+            keep_q, keep_c = np.where(
+                (scores >= threshold) & (q_ids[:, None] < c_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "a": q_ids[keep_q],
+                    "b": c_ids[keep_c],
+                    "score": _floor4(scores[keep_q, keep_c]),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField("a", LongType(), False),
+                StructField("b", LongType(), False),
+                StructField("score", DoubleType(), False),
+            ]
+        ),
+    )
+
+
 def _hyperplanes(dim: int, count: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (splitmix-style mix of
     (plane, coord) — closed form, no RNG state)."""

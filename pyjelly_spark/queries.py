@@ -1031,6 +1031,35 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the 5th dedup family)."""
+    return SIM.cosine_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+    sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) AS nrm
+  FROM v
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+  floor(
+    list_reduce(
+      list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+      (acc, x) -> acc + x
+    ) / (a.nrm * b.nrm) * 10000
+  ) / 10000 AS score
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_reduce(
+    list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+    (acc, x) -> acc + x
+  ) / (a.nrm * b.nrm) >= 0.4
+"""
+
+
 def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate path (sign-LSH, multi-table) — no SQL oracle by design;
     driver records the rows-only check. Recall vs q_embedding_topk is
@@ -1124,6 +1153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
     "multimodal_meta": q_multimodal_meta,
@@ -1161,6 +1191,7 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash": SQL_DEDUP_JACCARD,  # LSH verified == exact pairs
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
