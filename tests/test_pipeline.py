@@ -340,3 +340,40 @@ def test_extraction_precision_recall_vs_ground_truth(spark, source_files_500):
     recall = tp / len(truth)
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
     assert precision == 1.0 and recall == 1.0, (precision, recall)
+
+
+def test_distributed_nt_reader_matches_local(spark):
+    """spark.read.text + mapInPandas tokenizer == the local fixture reader,
+    over the reference's own e2e corpus files."""
+    from pyjelly_spark.jelly.nt import read_ntriples
+    from pyjelly_spark.sources.nt_source import read_nt
+
+    nt = "/root/reference/tests/e2e_test_cases/triples_rdf_1_1/weather.nt"
+    local = list(read_ntriples(nt))
+    dist = read_nt(spark, nt).collect()
+    assert len(dist) == len(local)
+    local_set = set(local)
+
+    def to_term(kind, value, lang, datatype):
+        if kind is None:
+            return None
+        if kind == "lit":
+            return ("lit", value, lang, datatype)
+        if kind == "dg":
+            return ("dg",)
+        return (kind, value)
+
+    dist_set = {
+        (
+            to_term(r["s_kind"], r["s_value"], r["s_lang"], r["s_datatype"]),
+            to_term(r["p_kind"], r["p_value"], r["p_lang"], r["p_datatype"]),
+            to_term(r["o_kind"], r["o_value"], r["o_lang"], r["o_datatype"]),
+        )
+        for r in dist
+    }
+    assert dist_set == local_set
+
+    nq = "/root/reference/tests/e2e_test_cases/quads_rdf_1_1/weather-quads.nq"
+    quads = read_nt(spark, nq).collect()
+    assert len(quads) == len(list(read_ntriples(nq)))
+    assert any(r["g_kind"] is not None for r in quads)
