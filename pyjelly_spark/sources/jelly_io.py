@@ -166,12 +166,14 @@ def write_jelly(
             stream_name=opts_dict["stream_name"],
         )
         encoder = StreamEncoder(stream_options)
+        quads = stream_options.physical_type == jc.PHYSICAL_QUADS
         path = os.path.join(out_dir, f"part-{pid:05d}.jelly")
         tmp_path = path + ".inprogress"
         digest = hashlib.sha256()
         n_statements = n_frames = n_bytes = 0
         repo_min = repo_max = None
         add_triple = encoder.add_triple
+        add_quad = encoder.add_quad
         with open(tmp_path, "wb") as sink:
 
             def emit(frame: bytes) -> None:
@@ -206,10 +208,22 @@ def write_jelly(
                     hi = batch["repo"].max()
                     repo_min = lo if repo_min is None else min(repo_min, lo)
                     repo_max = hi if repo_max is None else max(repo_max, hi)
-                for s, p, o in zip(subjects, predicates, objects):
-                    frame = add_triple(s, p, o)
-                    if frame is not None:
-                        emit(frame)
+                if quads:
+                    graphs = _terms_from_arrays(
+                        batch["g_kind"].values,
+                        batch["g_value"].values,
+                        batch["g_lang"].values,
+                        batch["g_datatype"].values,
+                    )
+                    for s, p, o, g in zip(subjects, predicates, objects, graphs):
+                        frame = add_quad(s, p, o, g)
+                        if frame is not None:
+                            emit(frame)
+                else:
+                    for s, p, o in zip(subjects, predicates, objects):
+                        frame = add_triple(s, p, o)
+                        if frame is not None:
+                            emit(frame)
                 n_statements += len(subjects)
             if n_statements:
                 tail = encoder.take_frame(

@@ -377,3 +377,44 @@ def test_distributed_nt_reader_matches_local(spark):
     quads = read_nt(spark, nq).collect()
     assert len(quads) == len(list(read_ntriples(nq)))
     assert any(r["g_kind"] is not None for r in quads)
+
+
+def test_distributed_quads_roundtrip(spark, tmp_path):
+    """NQ fixture -> Spark writer (QUADS physical type) -> distributed
+    decode: statement multiset identity across the full sink/source path."""
+    from collections import Counter
+
+    from pyjelly_spark.jelly import constants as jc
+    from pyjelly_spark.sources.jelly_io import read_jelly, write_jelly
+    from pyjelly_spark.sources.nt_source import read_nt
+
+    nq = "/root/reference/tests/e2e_test_cases/quads_rdf_1_1/weather-quads.nq"
+    stmts = read_nt(spark, nq).repartition(2)
+    out = str(tmp_path / "quads_out")
+    options = jc.StreamOptions(
+        physical_type=jc.PHYSICAL_QUADS, logical_type=jc.LOGICAL_FLAT_QUADS
+    )
+    manifest = write_jelly(stmts, out, options, resume=False)
+    assert int(manifest["n_statements"].sum()) == stmts.count()
+
+    def key(r, prefix_slots):
+        return tuple(
+            (r[f"{s}_kind"], r[f"{s}_value"], r[f"{s}_lang"], r[f"{s}_datatype"])
+            for s in prefix_slots
+        )
+
+    # null graph slots written as the default graph -> normalize on compare
+    def norm_g(k):
+        (gk, gv, gl, gd) = k[3]
+        if gk is None or gk == "dg":
+            return k[:3] + (("dg", None, None, None),)
+        return k
+
+    written = Counter(
+        norm_g(key(r, ("s", "p", "o", "g"))) for r in stmts.collect()
+    )
+    decoded = Counter(
+        norm_g(key(r, ("s", "p", "o", "g")))
+        for r in read_jelly(spark, out).collect()
+    )
+    assert decoded == written
