@@ -97,11 +97,19 @@ def connected_components(
     """
     spark = edges.sparkSession
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    parts_before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         current = _symmetrize(edges)
         if checkpoint:
             current = current.localCheckpoint(eager=True)
+        # right-size round shuffles to the (now materialized) edge count:
+        # with AQE off, a 2k-edge graph would otherwise run every round
+        # across the full session partition count, paying pure task-
+        # scheduling overhead; big graphs keep the session setting.
+        n_edges = current.count()
+        round_parts = max(4, min(int(parts_before), n_edges // 50_000 + 1))
+        spark.conf.set("spark.sql.shuffle.partitions", str(round_parts))
         previous_sig = None
         for _ in range(max_rounds):
             current = _small_star(_large_star(current))
@@ -116,6 +124,7 @@ def connected_components(
             previous_sig = sig
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", parts_before)
     # post-state: every edge points node -> component representative
     members = current.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = current.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
