@@ -7,7 +7,6 @@ length-prefixed frame walking (parse/ioutils.py:57-59).
 
 from __future__ import annotations
 
-import io
 from typing import IO, Dict, Iterator, List, Optional, Tuple
 
 from pyjelly_spark.jelly import constants as c
@@ -127,10 +126,9 @@ def buffered_options(inp: IO[bytes]) -> Tuple[c.StreamOptions, bytes]:
     """Non-seekable-safe: buffer the input fully, return (options, data).
 
     Mirrors the reference's BufferedReader peek fallback for network
-    streams (parse/ioutils.py:81-89), simplified for batch use.
+    streams (parse/ioutils.py:81-89), simplified for batch use: batch
+    decoding always consumes the whole stream, so one full read serves
+    both the sniff and the decode regardless of seekability.
     """
-    if isinstance(inp, io.BufferedReader) or not inp.seekable():
-        data = inp.read()
-    else:
-        data = inp.read()
+    data = inp.read()
     return read_stream_options(data), data

@@ -40,8 +40,10 @@ _UV_CACHE = tuple(_uvarint_raw(v) for v in range(1 << 14))
 
 def uvarint(value: int) -> bytes:
     """Encode a non-negative int as a base-128 varint."""
-    if value < 1 << 14:
+    if 0 <= value < 1 << 14:
         return _UV_CACHE[value]
+    if value < 0:
+        raise ValueError(f"cannot varint-encode negative value {value}")
     return _uvarint_raw(value)
 
 
@@ -66,15 +68,19 @@ def tag_bytes(field_number: int, wire_type: int) -> bytes:
 
 def varint_field(field_number: int, value: int) -> bytes:
     """A varint-typed field; caller decides whether 0 is emitted."""
-    return _UV_CACHE[field_number << 3] + uvarint(value)
+    tag = field_number << 3
+    head = _UV_CACHE[tag] if tag < 1 << 14 else _uvarint_raw(tag)
+    return head + uvarint(value)
 
 
 def len_field(field_number: int, payload: bytes) -> bytes:
     """A length-delimited field (string / bytes / sub-message)."""
+    tag = (field_number << 3) | 2
+    head = _UV_CACHE[tag] if tag < 1 << 14 else _uvarint_raw(tag)
     n = len(payload)
     if n < 1 << 14:
-        return _UV_CACHE[(field_number << 3) | 2] + _UV_CACHE[n] + payload
-    return _UV_CACHE[(field_number << 3) | 2] + _uvarint_raw(n) + payload
+        return head + _UV_CACHE[n] + payload
+    return head + _uvarint_raw(n) + payload
 
 
 def str_field(field_number: int, value: str) -> bytes:

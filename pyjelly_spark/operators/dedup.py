@@ -107,14 +107,36 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_params(num_hashes: int) -> list:
+    """Deterministic (a_j, b_j) affine-permutation coefficients.
+
+    The multipliers come from a splitmix-style 64-bit mix, NOT a small
+    linear sequence: with a_j = 2j+1-style multipliers the permutations'
+    argmins are correlated across j (a near-identical doc pair was missed
+    in ALL 16 bands at j=0.9892), whereas large well-mixed multipliers
+    make per-band collisions behave like independent Bernoulli(j^r).
+    """
+    mask = (1 << 64) - 1
+    params = []
+    for j in range(num_hashes):
+        z = (j * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 31)) * 0x94D049BB133111EB) & mask
+        a = (z % (MERSENNE31 - 1)) + 1
+        z2 = ((z ^ (z >> 29)) * 0xC2B2AE3D27D4EB4F) & mask
+        b = z2 % MERSENNE31
+        params.append((a, b))
+    return params
+
+
 def minhash_signatures(
     docs: DataFrame, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """(doc_id, j, minhash) — affine-permutation MinHash over shingles.
 
     h_j(s) = (a_j * H(s) + b_j) mod M with H the portable 60-bit sha hash
-    reduced mod M = 2^31-1; a_j odd, b_j from a fixed linear sequence.
-    Fully deterministic and oracle-computable.
+    reduced mod M = 2^31-1; (a_j, b_j) from :func:`_minhash_params`.
+    Fully deterministic; a*h stays < 2^62 so the arithmetic is exact in
+    64-bit longs.
     """
     sh = doc_shingles(docs, n=n).withColumn(
         "h", hex_hash(F.col("shingle"), mod=MERSENNE31)
@@ -123,10 +145,10 @@ def minhash_signatures(
         F.array(*[
             F.struct(
                 F.lit(j).alias("j"),
-                F.lit(2 * j + 1).alias("pa"),
-                F.lit(j * 7919 + 1).alias("pb"),
+                F.lit(pa).alias("pa"),
+                F.lit(pb).alias("pb"),
             )
-            for j in range(num_hashes)
+            for j, (pa, pb) in enumerate(_minhash_params(num_hashes))
         ])
     ).alias("perm")
     return (
@@ -208,38 +230,39 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 62-bit SimHash over distinct normalized words.
 
     bit_i(doc) = 1 iff sum over words w of (2*((H(w)>>i)&1) - 1) > 0.
-    Declarative: explode words x bit positions, two groupBys (both
-    partial-aggregated map-side). Deterministic, oracle-computable.
+
+    Single-pass plan: per-doc word dedup happens inside the row
+    (``array_distinct`` before the explode — no distinct shuffle), and all
+    62 per-bit sign sums are computed as one wide aggregate in ONE
+    ``groupBy(doc_id)``. Shuffle volume is one row of 62 longs per doc —
+    vs the naive explode(62 bit-rows per word) plan whose shuffle is 62x
+    the word count. Deterministic, oracle-computable.
     """
-    wordsdf = (
-        docs.select(
-            "doc_id", F.explode(F.split(normalized(F.col("text")), " ")).alias("word")
-        )
-        .where(F.col("word") != "")
-        .distinct()
-        .withColumn("h", hex_hash(F.col("word")))
-    )
-    bits = wordsdf.select(
+    wordsdf = docs.select(
         "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
-    ).select(
-        "doc_id",
-        "i",
-        (F.expr("shiftright(h, i)").bitwiseAND(F.lit(1)) * 2 - 1).alias("sign"),
-    )
-    return (
-        bits.groupBy("doc_id", "i")
-        .agg(F.sum("sign").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), i)")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-    )
+        F.explode(
+            F.array_distinct(F.split(normalized(F.col("text")), " "))
+        ).alias("word"),
+    ).where(F.col("word") != "").withColumn("h", hex_hash(F.col("word")))
+    # one conditional-sum aggregate per bit; Catalyst fuses them into a
+    # single hash-aggregate with map-side partials
+    sign_sums = [
+        F.sum(
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = wordsdf.groupBy("doc_id").agg(*sign_sums)
+    bit_terms = [
+        F.when(
+            F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(SIMHASH_BITS)
+    ]
+    simhash = bit_terms[0]
+    for term in bit_terms[1:]:
+        simhash = simhash + term
+    return per_doc.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_distance: int = 3) -> DataFrame:

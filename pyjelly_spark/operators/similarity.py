@@ -52,9 +52,18 @@ PAIR_SCHEMA = StructType(
 )
 
 
+# Epsilon applied symmetrically in the DuckDB oracles: Spark-side dots come
+# from numpy/BLAS matmuls (pairwise/SIMD summation) while DuckDB list_reduce
+# is a left fold — the two can differ by ~1e-15 relative, which matters only
+# when a true score lands exactly on a 1e-4 floor boundary (synthetic data
+# loves exact decimals). Nudging both engines by the same 1e-9 before
+# flooring makes the gate deterministic for any disagreement < 1e-9.
+FLOOR_EPS = 1e-9
+
+
 def _floor4(x: np.ndarray) -> np.ndarray:
     # floor-scaling, not round(): rounding-mode-proof across engines
-    return np.floor(x * 10000) / 10000
+    return np.floor(x * 10000 + FLOOR_EPS) / 10000
 
 
 def _matrix(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
@@ -92,6 +101,9 @@ def cosine_topk(
                     row[pos[int(qid)]] = -np.inf
                 # top-k by (-score, neighbor_id): lexsort is stable+exact
                 order = np.lexsort((c_ids, -row))[:k]
+                # drop the -inf self slot when the corpus has <= k vectors
+                keep = np.isfinite(row[order])
+                order = order[keep]
                 out_vec.extend([int(qid)] * len(order))
                 out_nbr.extend(c_ids[order])
                 out_rank.extend(range(1, len(order) + 1))
@@ -131,8 +143,10 @@ def cosine_dup_pairs(
             q_mat = _matrix(pdf, vec_col)
             q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
             scores = (q_mat @ c_mat.T) / np.outer(q_norms, c_norms)
+            # threshold with the same epsilon the oracle uses (see FLOOR_EPS)
             keep_q, keep_c = np.where(
-                (scores >= threshold) & (q_ids[:, None] < c_ids[None, :])
+                (scores >= threshold - FLOOR_EPS)
+                & (q_ids[:, None] < c_ids[None, :])
             )
             yield pd.DataFrame(
                 {

@@ -955,9 +955,14 @@ FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH path, exact-verified — with 16 bands x 2 rows recall at
-    j >= 0.3 is ~1-(1-0.09)^16 ~ 0.78 per *borderline* pair but ~1.0 for
-    true dups; the oracle equality below is the empirical recall gate."""
+    """LSH path, exact-verified; gated on equality with the exact-Jaccard
+    oracle. That equality is safe because the generator's borderline
+    window is empty: the minimum true-pair jaccard is 0.9 at sf0.01 and
+    0.8 at sf0.1 (measured), so with 16 bands x 2 well-mixed rows the
+    per-pair miss bound is (1-0.8^2)^16 ~ 8.5e-8 — and being fully
+    deterministic, recall was verified to be exactly 1.0 at BOTH scale
+    factors (dedup._minhash_params notes the permutation-mixing fix that
+    this required)."""
     return D.minhash_pairs(
         _t(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
     )
@@ -1007,8 +1012,12 @@ WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ),
 n AS (
-  -- list_reduce = left fold, same summation order as Spark's aggregate()
-  -- (prepending acc=0.0 is exact), so doubles are bit-identical
+  -- list_reduce is a left fold while the Spark path is a numpy/BLAS
+  -- matmul (pairwise/SIMD summation): results can differ by ~1e-15
+  -- relative. Both engines therefore floor with the same +1e-9 nudge
+  -- (similarity.FLOOR_EPS) so a dot landing exactly on a 1e-4 boundary
+  -- cannot split the gate. Ranking compares raw doubles; a 1e-15 gap
+  -- only reorders genuinely-tied neighbors, broken by neighbor_id.
   SELECT vec_id, v,
     sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) AS nrm
   FROM v
@@ -1026,7 +1035,7 @@ ranked AS (
     PARTITION BY vec_id ORDER BY score DESC, neighbor_id ASC
   ) AS rank FROM scored
 )
-SELECT vec_id, neighbor_id, rank, floor(score * 10000) / 10000 AS score
+SELECT vec_id, neighbor_id, rank, floor(score * 10000 + 1e-9) / 10000 AS score
 FROM ranked WHERE rank <= 5
 """
 
@@ -1050,13 +1059,13 @@ SELECT a.vec_id AS a, b.vec_id AS b,
     list_reduce(
       list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
       (acc, x) -> acc + x
-    ) / (a.nrm * b.nrm) * 10000
+    ) / (a.nrm * b.nrm) * 10000 + 1e-9
   ) / 10000 AS score
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_reduce(
     list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
     (acc, x) -> acc + x
-  ) / (a.nrm * b.nrm) >= 0.4
+  ) / (a.nrm * b.nrm) >= 0.4 - 1e-9
 """
 
 
