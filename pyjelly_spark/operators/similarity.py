@@ -70,17 +70,38 @@ def _matrix(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
     return np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
 
 
+# Broadcast-regime ceiling for the exact paths: the corpus matrix is
+# collected to the driver and broadcast, which is only the right plan while
+# it comfortably fits executor memory (classic broadcast-join regime).
+# Above this, the bucketed paths (ann_topk / lsh_dup_pairs) are the design.
+MAX_BROADCAST_VECTORS = 2_000_000
+
+
+def _guarded_corpus(emb: DataFrame, id_col: str, vec_col: str, caller: str):
+    """Collect the corpus for broadcast, refusing beyond the broadcast
+    regime instead of silently OOMing the driver."""
+    n = emb.count()
+    if n > MAX_BROADCAST_VECTORS:
+        raise ValueError(
+            f"{caller}: corpus has {n} vectors, beyond the broadcast regime "
+            f"(max {MAX_BROADCAST_VECTORS}); use the bucketed LSH path "
+            "(ann_topk / lsh_dup_pairs) instead"
+        )
+    return emb.select(id_col, vec_col).toPandas()
+
+
 def cosine_topk(
     emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (vec_id, neighbor_id,
     rank, score floor-scaled to 4 decimals).
 
-    The corpus (id, vector) is collected once and broadcast; each query
-    partition multiplies its Arrow batch against the corpus matrix.
-    Deterministic: ties rank by neighbor_id ascending.
+    The corpus (id, vector) is collected once (size-guarded — see
+    MAX_BROADCAST_VECTORS) and broadcast; each query partition multiplies
+    its Arrow batch against the corpus matrix. Deterministic: ties rank
+    by neighbor_id ascending.
     """
-    corpus_pdf = emb.select(id_col, vec_col).toPandas()
+    corpus_pdf = _guarded_corpus(emb, id_col, vec_col, "cosine_topk")
     ids = corpus_pdf[id_col].to_numpy(dtype="int64")
     mat = _matrix(corpus_pdf, vec_col)
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -128,9 +149,9 @@ def cosine_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, score) with a < b and
     cosine >= threshold (floor-scaled). Same broadcast-matmul shape as
-    :func:`cosine_topk`; at corpus x corpus scale swap in the LSH
-    bucketing of :func:`ann_topk` for candidate generation."""
-    corpus_pdf = emb.select(id_col, vec_col).toPandas()
+    :func:`cosine_topk` (size-guarded); at corpus x corpus scale use
+    :func:`lsh_dup_pairs`, the bucketed variant."""
+    corpus_pdf = _guarded_corpus(emb, id_col, vec_col, "cosine_dup_pairs")
     ids = corpus_pdf[id_col].to_numpy(dtype="int64")
     mat = _matrix(corpus_pdf, vec_col)
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -169,33 +190,41 @@ def cosine_dup_pairs(
 
 
 def _hyperplanes(dim: int, count: int) -> np.ndarray:
-    """Deterministic pseudo-random hyperplanes (splitmix-style mix of
-    (plane, coord) — closed form, no RNG state)."""
+    """Deterministic hyperplanes derived from sha256, so any engine with
+    sha256 + hex parsing recomputes the identical coefficients (DuckDB:
+    ``('0x'||substring(sha256('plane:'||p||':'||i),1,15))::BIGINT``).
+
+    coef(p, i) = hex60("plane:p:i") / 2^59 - 1  in [-1, 1). The division
+    by a power of two rounds the 60-bit integer to double identically in
+    every IEEE engine, which makes the LSH bucket assignment — and hence
+    the whole ANN result — oracle-computable in SQL.
+    """
+    import hashlib
+
     out = np.empty((count, dim))
     for p in range(count):
         for i in range(dim):
-            z = (p * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
-            z = (z ^ (z >> 31)) * 0x94D049BB133111EB & ((1 << 64) - 1)
-            out[p, i] = ((z >> 11) / float(1 << 53)) * 2.0 - 1.0
+            h = int(
+                hashlib.sha256(f"plane:{p}:{i}".encode()).hexdigest()[:15], 16
+            )
+            out[p, i] = h / float(1 << 59) - 1.0
     return out
 
 
-def ann_topk(
+def _lsh_probes(
     emb: DataFrame,
-    k: int = 5,
-    n_planes: int = 4,
-    n_tables: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    n_planes: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Approximate top-k via multi-table sign-LSH (the 100 TB path).
+    """Shared LSH stage 1: (bucket, role, id, v) probe rows.
 
-    Stage 1 (narrow map): signature bits per table from one matmul with
-    the deterministic plane matrix; emit anchor rows (own buckets) and
-    candidate rows (own + 1-bit-flipped buckets).
-    Stage 2 (bucket shuffle): per-bucket numpy scoring via applyInPandas.
-    Stage 3 (query shuffle): global top-k merge per query with a window.
-    Recall follows 1-(1-p^r)^L; scores of returned pairs are exact.
+    One narrow map: signature bits per table from one matmul with the
+    deterministic (sha-derived) plane matrix; each vector emits an anchor
+    row in its own bucket plus candidate rows in its own and every
+    1-bit-flipped probe bucket. Fully vectorized (tile/concat — no
+    per-row Python).
     """
     dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_tables * n_planes)
@@ -217,35 +246,60 @@ def ann_topk(
             ids = pdf[id_col].to_numpy(dtype="int64")
             mat = _matrix(pdf, vec_col)
             bits = (mat @ pl.T) > 0  # (n, n_tables*n_planes)
-            rows = {"bucket": [], "role": [], "id": [], "v": []}
+            vecs = pdf[vec_col].to_numpy()  # object array, tile-able
+            rep = 1 + n_planes  # candidate copies: own bucket + 1-bit flips
+            frames = []
             for t in range(n_tables):
                 sig = (
                     bits[:, t * n_planes : (t + 1) * n_planes].astype("int64")
                     @ weights
                 ) + (t << 16)
-                for r in range(len(ids)):
-                    vec = pdf[vec_col].iloc[r]
-                    base = int(sig[r])
-                    # anchor (scored in its own bucket) + candidate copies
-                    # in the bucket and every 1-bit-flipped probe bucket
-                    rows["bucket"].append(base)
-                    rows["role"].append(0)
-                    rows["id"].append(int(ids[r]))
-                    rows["v"].append(vec)
-                    rows["bucket"].append(base)
-                    rows["role"].append(1)
-                    rows["id"].append(int(ids[r]))
-                    rows["v"].append(vec)
-                    for p in range(n_planes):
-                        rows["bucket"].append(base ^ (1 << p))
-                        rows["role"].append(1)
-                        rows["id"].append(int(ids[r]))
-                        rows["v"].append(vec)
-            yield pd.DataFrame(rows)
+                # anchors: scored in their own bucket only
+                frames.append(
+                    pd.DataFrame(
+                        {"bucket": sig, "role": 0, "id": ids, "v": vecs}
+                    )
+                )
+                # candidates: base bucket + every 1-bit-flipped probe bucket,
+                # built with vectorized tile/concat (no per-row Python)
+                flip_buckets = np.concatenate(
+                    [sig] + [sig ^ (1 << p) for p in range(n_planes)]
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "bucket": flip_buckets,
+                            "role": 1,
+                            "id": np.tile(ids, rep),
+                            "v": np.tile(vecs, rep),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
-    probes = emb.select(id_col, vec_col).mapInPandas(
+    return emb.select(id_col, vec_col).mapInPandas(
         emit_probes, schema=probe_schema
     )
+
+
+def ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH (the 100 TB path).
+
+    Stage 1 (narrow map): :func:`_lsh_probes`.
+    Stage 2 (bucket shuffle): per-bucket numpy scoring via applyInPandas.
+    Stage 3 (query shuffle): global top-k merge per query with a window.
+    Recall follows 1-(1-p^r)^L; scores of returned pairs are exact, and
+    the whole pipeline is deterministic and SQL-replicable (see
+    queries.SQL_EMBEDDING_ANN).
+    """
+    probes = _lsh_probes(emb, n_planes, n_tables, id_col, vec_col)
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         anchors = pdf[pdf["role"] == 0]
@@ -284,3 +338,66 @@ def ann_topk(
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "rank", "score")
     )
+
+
+def lsh_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the 100 TB path for cosine
+    dedup: (a, b, score) with a < b, cosine >= threshold, candidates
+    generated by the same multi-table sign-LSH as :func:`ann_topk` (no
+    corpus broadcast, no driver collect, no all-pairs join).
+
+    Probe symmetry (xor is involutive: x_base ^ flip == y_base iff
+    y_base ^ flip == x_base) guarantees every colliding pair appears with
+    the smaller id as the anchor, so filtering anchor < candidate loses
+    nothing. Precision w.r.t. the threshold is 1.0 (scores are exact);
+    recall is the LSH collision probability — deterministic here, and
+    SQL-replicable (queries.SQL_DEDUP_EMBEDDING_LSH).
+    """
+    probes = _lsh_probes(emb, n_planes, n_tables, id_col, vec_col)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        anchors = pdf[pdf["role"] == 0]
+        cands = pdf[pdf["role"] == 1]
+        if anchors.empty or len(cands) < 2:
+            return pd.DataFrame({"a": [], "b": [], "score": []}).astype(
+                {"a": "int64", "b": "int64", "score": "float64"}
+            )
+        a_ids = anchors["id"].to_numpy(dtype="int64")
+        c_ids = cands["id"].to_numpy(dtype="int64")
+        a_mat = _matrix(anchors, "v")
+        c_mat = _matrix(cands, "v")
+        a_n = np.sqrt((a_mat * a_mat).sum(axis=1))
+        c_n = np.sqrt((c_mat * c_mat).sum(axis=1))
+        scores = (a_mat @ c_mat.T) / np.outer(a_n, c_n)
+        keep_a, keep_c = np.where(
+            (scores >= threshold - FLOOR_EPS)
+            & (a_ids[:, None] < c_ids[None, :])
+        )
+        return pd.DataFrame(
+            {
+                "a": a_ids[keep_a],
+                "b": c_ids[keep_c],
+                "score": _floor4(scores[keep_a, keep_c]),
+            }
+        )
+
+    pairs = probes.groupBy("bucket").applyInPandas(
+        bucket_pairs,
+        schema=StructType(
+            [
+                StructField("a", LongType(), False),
+                StructField("b", LongType(), False),
+                StructField("score", DoubleType(), False),
+            ]
+        ),
+    )
+    # a pair can collide in several buckets/tables; scores are identical
+    # (same vectors), so max() is pure dedup
+    return pairs.groupBy("a", "b").agg(F.max("score").alias("score"))

