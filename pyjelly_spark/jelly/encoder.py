@@ -365,6 +365,7 @@ class StreamEncoder:
 
     def declare_namespace(self, label: str, iri: str) -> None:
         """Namespace declaration row (protocol v2; encode.py:343-365)."""
+        self._begin()  # options row must precede any namespace row
         iri_body = self._iri_body(iri)
         body = b""
         if label:

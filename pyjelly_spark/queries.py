@@ -398,6 +398,59 @@ SELECT p, n_triples FROM counts WHERE n_triples > 0
 """
 
 
+def q_kg_grouped_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped (frame-per-graph) materialization round-trip: structural
+    triples get graph = repo IRI, are written as a GRAPHS physical stream
+    with one frame per consecutive graph run (distributed
+    ``split_to_graphs``), then decoded back with ``frame_id``.
+
+    The gate checks BOTH the statement content (per-graph triple counts)
+    and the FRAMING (each graph lands in exactly one frame — possible
+    because the partition plan keys on the graph, so no graph spans
+    partitions). The oracle knows both in closed form.
+    """
+    import shutil
+    import tempfile
+
+    from pyjelly_spark.sources.jelly_io import (
+        flatten_terms,
+        read_jelly,
+        write_jelly,
+    )
+
+    files = derived_source_files(spark, sf_dir)
+    triples = X.structural_triples(files).withColumn(
+        "g", X.iri(X.repo_iri(F.col("repo")))
+    )
+    flat = flatten_terms(triples, slots=("s", "p", "o", "g"))
+    planned = flat.repartition(8, "repo").sortWithinPartitions(
+        "repo", "kind_rank", "path", "o_value"
+    )
+    out_dir = tempfile.mkdtemp(prefix="kg_grouped_")
+    try:
+        write_jelly(planned, out_dir, grouped_by_graph=True, resume=False)
+        decoded = read_jelly(spark, out_dir)
+        agg = (
+            decoded.groupBy(F.col("g_value").alias("graph"))
+            .agg(
+                F.count(F.lit(1)).alias("n_triples"),
+                F.countDistinct("source_file", "frame_id").alias("n_frames"),
+            )
+        ).toPandas()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(agg)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_KG_GROUPED_ROUNDTRIP = f"""
+WITH {SRC_SQL}
+SELECT 'http://kg.example/repo/' || repo AS graph,
+       3 * count(*) AS n_triples,
+       1::BIGINT AS n_frames
+FROM files GROUP BY repo
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational analytics (TPC-H-style) — engine breadth on the star schema
 # ---------------------------------------------------------------------------
@@ -1271,6 +1324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonical": q_kg_canonical,
     "kg_imports_resolved": q_kg_imports_resolved,
     "kg_roundtrip": q_kg_roundtrip,
+    "kg_grouped_roundtrip": q_kg_grouped_roundtrip,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -1310,6 +1364,7 @@ ORACLES: dict[str, str] = {
     "kg_canonical": SQL_KG_CANONICAL,
     "kg_imports_resolved": SQL_KG_IMPORTS_RESOLVED,
     "kg_roundtrip": SQL_KG_ROUNDTRIP,
+    "kg_grouped_roundtrip": SQL_KG_GROUPED_ROUNDTRIP,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,

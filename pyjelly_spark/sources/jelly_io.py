@@ -8,20 +8,39 @@ encoder is inherently sequential per stream, so it lives inside a single
 upstream stays declarative. Frames are written incrementally (constant
 memory per partition, like the reference's bounded flows).
 
+Two framing modes:
+- flat (default): bounded frames of ``frame_rows`` stream rows;
+- ``grouped_by_graph``: one frame per consecutive same-graph run — the
+  distributed analogue of the reference's grouped serialization
+  (``split_to_graphs`` + frame-per-graph flows,
+  /root/reference/pyjelly/integrations/generic/serialize.py:234-330).
+  The caller owns ordering: sortWithinPartitions on the graph key makes
+  runs == graphs.
+
 Each partition also emits a manifest row (statement/frame/byte counts,
 stream sha256, repo range) — the per-partition lineage that makes the
 job checkpoint-resumable: a rerun skips partitions whose manifest entry
 exists and whose file sha still matches.
 
 Read side: a listing of .jelly files fans out over executors; each file
-decodes independently (streams are self-contained by construction).
+decodes independently (streams are self-contained by construction) and
+yields bounded Arrow chunks (constant worker memory for multi-GB
+streams). Every statement carries its ``frame_id``, so grouped streams
+are recovered by grouping on (source_file, frame_id) — the distributed
+analogue of ``parse_jelly_grouped`` (one group per frame,
+/root/reference/pyjelly/integrations/generic/parse.py:230-317).
+
+All file I/O goes through ``pyarrow.fs`` resolved from the path's URI
+scheme, so the same code runs against local disk (bare paths or
+``file://``), HDFS, or object stores on a real cluster — no executor
+assumes the driver's filesystem.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
-import os
+import posixpath
 from typing import Iterator, List, Optional, Tuple
 
 import pandas as pd
@@ -38,7 +57,61 @@ from pyspark.sql.types import (
 from pyjelly_spark.jelly import constants as jc
 from pyjelly_spark.jelly.decoder import StreamDecoder, split_frame
 from pyjelly_spark.jelly.encoder import StreamEncoder, delimit
+from pyjelly_spark.jelly.grouped import grouped_options
 from pyjelly_spark.jelly.ioutils import frames_from_bytes
+
+# ---------------------------------------------------------------------------
+# Filesystem abstraction (cluster-portable I/O)
+# ---------------------------------------------------------------------------
+
+
+def _fs_for(path: str):
+    """Resolve a path or URI to (pyarrow FileSystem, fs-local path).
+
+    Bare paths map to the local filesystem; ``file://``, ``hdfs://``,
+    ``s3://`` etc. resolve via ``pyarrow.fs.FileSystem.from_uri`` — the
+    executor-side code never touches ``open()``/``os`` directly, so it
+    works when executors do not share the driver's disk.
+    """
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _fs_exists(filesystem, path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    return filesystem.get_file_info(path).type != pafs.FileType.NotFound
+
+
+def _fs_isdir(filesystem, path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    return filesystem.get_file_info(path).type == pafs.FileType.Directory
+
+
+def _fs_listdir(filesystem, path: str) -> List[str]:
+    from pyarrow import fs as pafs
+
+    if not _fs_isdir(filesystem, path):
+        return []
+    return [
+        info.path
+        for info in filesystem.get_file_info(pafs.FileSelector(path))
+    ]
+
+
+def _fs_read(filesystem, path: str) -> bytes:
+    with filesystem.open_input_stream(path) as handle:
+        return handle.read()
+
+
+def _fs_write(filesystem, path: str, data: bytes) -> None:
+    with filesystem.open_output_stream(path) as handle:
+        handle.write(data)
+
 
 MANIFEST_SCHEMA = StructType(
     [
@@ -84,31 +157,30 @@ def _terms_from_arrays(kinds, values, langs, datatypes) -> List[tuple]:
 
 
 def manifest_path(out_dir: str) -> str:
-    return os.path.join(out_dir, "_manifest")
+    return posixpath.join(out_dir, "_manifest")
 
 
 def load_manifest(out_dir: str) -> dict:
     """partition_id -> manifest dict for all completed partitions."""
-    directory = manifest_path(out_dir)
+    filesystem, base = _fs_for(out_dir)
     entries = {}
-    if os.path.isdir(directory):
-        for name in os.listdir(directory):
-            if name.endswith(".json"):
-                with open(os.path.join(directory, name)) as handle:
-                    entry = json.load(handle)
-                entries[entry["partition_id"]] = entry
+    for path in _fs_listdir(filesystem, posixpath.join(base, "_manifest")):
+        if path.endswith(".json"):
+            entry = json.loads(_fs_read(filesystem, path))
+            entries[entry["partition_id"]] = entry
     return entries
 
 
 def _completed_partition_ids(out_dir: str) -> set:
     """Partitions safely resumable: manifest present and file sha matches."""
+    filesystem, _base = _fs_for(out_dir)
     done = set()
     for pid, entry in load_manifest(out_dir).items():
         path = entry["file"]
-        if not os.path.exists(path):
+        if not _fs_exists(filesystem, path):
             continue
         digest = hashlib.sha256()
-        with open(path, "rb") as handle:
+        with filesystem.open_input_stream(path) as handle:
             for chunk in iter(lambda: handle.read(1 << 20), b""):
                 digest.update(chunk)
         if digest.hexdigest() == entry["stream_sha256"]:
@@ -116,29 +188,8 @@ def _completed_partition_ids(out_dir: str) -> set:
     return done
 
 
-def write_jelly(
-    flat_triples: DataFrame,
-    out_dir: str,
-    options: Optional[jc.StreamOptions] = None,
-    resume: bool = True,
-) -> pd.DataFrame:
-    """Write pre-partitioned, pre-sorted flat triples as .jelly part files.
-
-    ``flat_triples`` must already carry s_/p_/o_ flattened term columns in
-    final statement order per partition (the caller owns partitioning —
-    see pipeline.plan_partitions). Returns the manifest as pandas.
-
-    This is an action: it runs the job and persists manifest entries.
-    """
-    from pyjelly_spark.session import ship_package
-
-    ship_package(flat_triples.sparkSession)
-    if options is None:
-        options = jc.StreamOptions()
-    os.makedirs(out_dir, exist_ok=True)
-    os.makedirs(manifest_path(out_dir), exist_ok=True)
-    skip_ids = _completed_partition_ids(out_dir) if resume else set()
-    opts_dict = {
+def _options_to_dict(options: jc.StreamOptions) -> dict:
+    return {
         "physical_type": options.physical_type,
         "logical_type": options.logical_type,
         "names": options.preset.names,
@@ -146,7 +197,86 @@ def write_jelly(
         "datatypes": options.preset.datatypes,
         "frame_rows": options.frame_rows,
         "stream_name": options.stream_name,
+        "generalized": options.generalized,
+        "rdf_star": options.rdf_star,
+        "namespace_declarations": options.namespace_declarations,
     }
+
+
+def _options_from_dict(d: dict) -> jc.StreamOptions:
+    return jc.StreamOptions(
+        physical_type=d["physical_type"],
+        logical_type=d["logical_type"],
+        preset=jc.TablePreset(d["names"], d["prefixes"], d["datatypes"]),
+        frame_rows=d["frame_rows"],
+        stream_name=d["stream_name"],
+        generalized=d["generalized"],
+        rdf_star=d["rdf_star"],
+        namespace_declarations=d["namespace_declarations"],
+    )
+
+
+_NO_GRAPH = ("\x00no-graph",)  # sentinel distinct from any real term
+
+
+def write_jelly(
+    flat_statements: DataFrame,
+    out_dir: str,
+    options: Optional[jc.StreamOptions] = None,
+    resume: bool = True,
+    grouped_by_graph: bool = False,
+    namespaces: Optional[dict] = None,
+) -> pd.DataFrame:
+    """Write pre-partitioned, pre-sorted flat statements as .jelly files.
+
+    ``flat_statements`` must already carry s_/p_/o_ (and g_ for quads /
+    grouped mode) flattened term columns in final statement order per
+    partition (the caller owns partitioning — see
+    pipeline.plan_partitions). Returns the manifest as pandas.
+
+    ``grouped_by_graph=True`` emits one frame per consecutive same-graph
+    run (the distributed `split_to_graphs`): physical GRAPHS brackets each
+    run with graph_start/end rows, physical QUADS re-attaches the graph
+    term per statement, physical TRIPLES drops it (logical grouping only).
+
+    ``namespaces`` (label -> IRI) are declared once at the head of every
+    partition stream (protocol v2 rows); requires options with
+    ``namespace_declarations=True`` (the default options get it
+    automatically when namespaces are passed).
+
+    This is an action: it runs the job and persists manifest entries.
+    """
+    from pyjelly_spark.session import ship_package
+
+    ship_package(flat_statements.sparkSession)
+    if options is None:
+        if grouped_by_graph:
+            options = grouped_options(jc.PHYSICAL_GRAPHS)
+        else:
+            options = jc.StreamOptions()
+        if namespaces:
+            import dataclasses
+
+            options = dataclasses.replace(options, namespace_declarations=True)
+    if namespaces and not options.namespace_declarations:
+        raise jc.JellyError(
+            "namespaces require options.namespace_declarations=True (v2)"
+        )
+    if grouped_by_graph and options.delimited and (
+        options.logical_type % 10
+        in (jc.LOGICAL_UNSPECIFIED, jc.LOGICAL_FLAT_TRIPLES, jc.LOGICAL_FLAT_QUADS)
+    ):
+        raise jc.JellyError(
+            "grouped_by_graph needs a grouped logical type (GRAPHS/DATASETS "
+            "family) — flat logical types use bounded framing, which would "
+            "split graphs across frames"
+        )
+    filesystem, base = _fs_for(out_dir)
+    filesystem.create_dir(base, recursive=True)
+    filesystem.create_dir(posixpath.join(base, "_manifest"), recursive=True)
+    skip_ids = _completed_partition_ids(out_dir) if resume else set()
+    opts_dict = _options_to_dict(options)
+    ns_items = sorted((namespaces or {}).items())
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -156,25 +286,20 @@ def write_jelly(
             for _ in batches:
                 pass
             return
-        stream_options = jc.StreamOptions(
-            physical_type=opts_dict["physical_type"],
-            logical_type=opts_dict["logical_type"],
-            preset=jc.TablePreset(
-                opts_dict["names"], opts_dict["prefixes"], opts_dict["datatypes"]
-            ),
-            frame_rows=opts_dict["frame_rows"],
-            stream_name=opts_dict["stream_name"],
-        )
+        stream_options = _options_from_dict(opts_dict)
+        part_fs, part_base = _fs_for(out_dir)
         encoder = StreamEncoder(stream_options)
-        quads = stream_options.physical_type == jc.PHYSICAL_QUADS
-        path = os.path.join(out_dir, f"part-{pid:05d}.jelly")
+        phys = stream_options.physical_type
+        path = posixpath.join(part_base, f"part-{pid:05d}.jelly")
         tmp_path = path + ".inprogress"
         digest = hashlib.sha256()
         n_statements = n_frames = n_bytes = 0
         repo_min = repo_max = None
+        open_graph: object = _NO_GRAPH
         add_triple = encoder.add_triple
         add_quad = encoder.add_quad
-        with open(tmp_path, "wb") as sink:
+        sink = part_fs.open_output_stream(tmp_path)
+        try:
 
             def emit(frame: bytes) -> None:
                 nonlocal n_frames, n_bytes
@@ -183,6 +308,20 @@ def write_jelly(
                 digest.update(chunk)
                 n_frames += 1
                 n_bytes += len(chunk)
+
+            def close_group() -> None:
+                nonlocal open_graph
+                if open_graph is _NO_GRAPH:
+                    return
+                if phys == jc.PHYSICAL_GRAPHS:
+                    encoder.end_graph()
+                frame = encoder.take_frame()
+                if frame is not None:
+                    emit(frame)
+                open_graph = _NO_GRAPH
+
+            for label, iri in ns_items:
+                encoder.declare_namespace(label, iri)
 
             for batch in batches:
                 subjects = _terms_from_arrays(
@@ -208,13 +347,26 @@ def write_jelly(
                     hi = batch["repo"].max()
                     repo_min = lo if repo_min is None else min(repo_min, lo)
                     repo_max = hi if repo_max is None else max(repo_max, hi)
-                if quads:
+                needs_graph = grouped_by_graph or phys == jc.PHYSICAL_QUADS
+                if needs_graph:
                     graphs = _terms_from_arrays(
                         batch["g_kind"].values,
                         batch["g_value"].values,
                         batch["g_lang"].values,
                         batch["g_datatype"].values,
                     )
+                if grouped_by_graph:
+                    for s, p, o, g in zip(subjects, predicates, objects, graphs):
+                        if g != open_graph:
+                            close_group()
+                            if phys == jc.PHYSICAL_GRAPHS:
+                                encoder.begin_graph(g)
+                            open_graph = g
+                        if phys == jc.PHYSICAL_QUADS:
+                            add_quad(s, p, o, g)
+                        else:
+                            add_triple(s, p, o)
+                elif phys == jc.PHYSICAL_QUADS:
                     for s, p, o, g in zip(subjects, predicates, objects, graphs):
                         frame = add_quad(s, p, o, g)
                         if frame is not None:
@@ -225,16 +377,19 @@ def write_jelly(
                         if frame is not None:
                             emit(frame)
                 n_statements += len(subjects)
+            close_group()
             if n_statements:
                 tail = encoder.take_frame(
                     metadata={"partition": str(pid).encode("ascii")}
                 )
                 if tail is not None:
                     emit(tail)
+        finally:
+            sink.close()
         if n_statements == 0:
-            os.remove(tmp_path)
+            part_fs.delete_file(tmp_path)
             return
-        os.replace(tmp_path, path)
+        part_fs.move(tmp_path, path)
         entry = {
             "partition_id": pid,
             "file": path,
@@ -246,11 +401,14 @@ def write_jelly(
             "repo_max": repo_max,
             "skipped": 0,
         }
-        with open(os.path.join(manifest_path(out_dir), f"part-{pid:05d}.json"), "w") as m:
-            json.dump(entry, m)
+        _fs_write(
+            part_fs,
+            posixpath.join(part_base, "_manifest", f"part-{pid:05d}.json"),
+            json.dumps(entry).encode("utf-8"),
+        )
         yield pd.DataFrame([entry])
 
-    manifest_df = flat_triples.mapInPandas(write_partition, schema=MANIFEST_SCHEMA)
+    manifest_df = flat_statements.mapInPandas(write_partition, schema=MANIFEST_SCHEMA)
     written = manifest_df.toPandas()
     # merge with previously-completed (skipped) partitions for a full view
     previous = [
@@ -266,6 +424,7 @@ def write_jelly(
 READ_SCHEMA = StructType(
     [
         StructField("source_file", StringType(), False),
+        StructField("frame_id", LongType(), False),
         StructField("stmt_idx", LongType(), False),
         StructField("s_kind", StringType(), False),
         StructField("s_value", StringType(), True),
@@ -286,6 +445,9 @@ READ_SCHEMA = StructType(
     ]
 )
 
+_READ_COLS = [f.name for f in READ_SCHEMA]
+_DECODE_CHUNK_ROWS = 65536  # bounded worker memory for multi-GB streams
+
 
 def _term_cols(term: Optional[tuple]) -> Tuple[Optional[str], ...]:
     if term is None:
@@ -298,59 +460,184 @@ def _term_cols(term: Optional[tuple]) -> Tuple[Optional[str], ...]:
     return (kind, term[1], None, None)
 
 
+def _jelly_files(path: str) -> List[str]:
+    """Expand a path/URI to the list of .jelly member paths (URIs kept)."""
+    filesystem, base = _fs_for(path)
+    prefix = path[: -len(base)] if path.endswith(base) and path != base else ""
+    if _fs_isdir(filesystem, base):
+        return sorted(
+            prefix + p
+            for p in _fs_listdir(filesystem, base)
+            if p.endswith(".jelly")
+        )
+    return [path]
+
+
+def _paths_df(spark: SparkSession, files: List[str]) -> DataFrame:
+    df = spark.createDataFrame([(f,) for f in files], "source_file: string")
+    return df.repartition(max(len(files), 1))
+
+
 def read_jelly(spark: SparkSession, path: str) -> DataFrame:
     """Read .jelly file(s) into a flat statements DataFrame.
 
     Parallelism = one task per file; each Jelly stream is self-contained
-    so files decode independently across executors.
+    so files decode independently across executors. Output carries
+    ``frame_id``: for grouped streams (one graph/dataset per frame) a
+    ``groupBy(source_file, frame_id)`` recovers the groups — the
+    distributed ``parse_jelly_grouped``. GRAPHS brackets are resolved to
+    quads with the bracketing graph term.
     """
     from pyjelly_spark.session import ship_package
 
     ship_package(spark)
-    if os.path.isdir(path):
-        files = sorted(
-            os.path.join(path, name)
-            for name in os.listdir(path)
-            if name.endswith(".jelly")
-        )
-    else:
-        files = [path]
-    paths_df = spark.createDataFrame([(f,) for f in files], "source_file: string")
-    paths_df = paths_df.repartition(max(len(files), 1))
+    paths_df = _paths_df(spark, _jelly_files(path))
 
     def decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyjelly_spark.jelly.decoder import decode_flat
-
         for batch in batches:
             for source in batch["source_file"]:
-                with open(source, "rb") as handle:
-                    data = handle.read()
-                rows = []
-                for idx, event in enumerate(decode_flat(frames_from_bytes(data))):
-                    if event[0] == "triple":
-                        graph: Optional[tuple] = None
-                        s, p, o = event[1], event[2], event[3]
-                    elif event[0] == "quad":
-                        s, p, o, graph = event[1], event[2], event[3], event[4]
-                    else:
-                        continue
-                    rows.append(
-                        (source, idx)
-                        + _term_cols(s)
-                        + _term_cols(p)
-                        + _term_cols(o)
-                        + _term_cols(graph)
-                    )
+                filesystem, fs_path = _fs_for(source)
+                data = _fs_read(filesystem, fs_path)
+                decoder = StreamDecoder()
+                current_graph: Optional[tuple] = None
+                rows: List[tuple] = []
+                stmt_idx = 0
+                for frame_id, frame in enumerate(frames_from_bytes(data)):
+                    frame_rows, _meta = split_frame(frame)
+                    for row in frame_rows:
+                        event = decoder.decode_row(row)
+                        if event is None:
+                            continue
+                        kind = event[0]
+                        if kind == "graph_start":
+                            current_graph = event[1]
+                            continue
+                        if kind == "graph_end":
+                            current_graph = None
+                            continue
+                        if kind == "namespace":
+                            continue  # surfaced by read_jelly_namespaces
+                        if kind == "triple":
+                            s, p, o = event[1], event[2], event[3]
+                            graph = current_graph
+                        elif kind == "quad":
+                            s, p, o, graph = event[1], event[2], event[3], event[4]
+                        else:
+                            continue
+                        rows.append(
+                            (source, frame_id, stmt_idx)
+                            + _term_cols(s)
+                            + _term_cols(p)
+                            + _term_cols(o)
+                            + _term_cols(graph)
+                        )
+                        stmt_idx += 1
+                        if len(rows) >= _DECODE_CHUNK_ROWS:
+                            yield pd.DataFrame(rows, columns=_READ_COLS)
+                            rows = []
                 if rows:
-                    yield pd.DataFrame(rows, columns=[f.name for f in READ_SCHEMA])
+                    yield pd.DataFrame(rows, columns=_READ_COLS)
 
     return paths_df.mapInPandas(decode_files, schema=READ_SCHEMA)
 
 
+FRAME_META_SCHEMA = StructType(
+    [
+        StructField("source_file", StringType(), False),
+        StructField("frame_id", LongType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("key", StringType(), True),
+        StructField("value", StringType(), True),
+    ]
+)
+
+
+def read_jelly_frame_meta(spark: SparkSession, path: str) -> DataFrame:
+    """Per-frame metadata of .jelly file(s), distributed.
+
+    One row per (frame, metadata key); frames without metadata yield one
+    row with null key/value so every frame is visible. This surfaces the
+    side channel the reference exposes via ContextVar
+    (/root/reference/pyjelly/integrations/generic/parse.py:186-190) as a
+    first-class DataFrame.
+    """
+    from pyjelly_spark.session import ship_package
+
+    ship_package(spark)
+    paths_df = _paths_df(spark, _jelly_files(path))
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            for source in batch["source_file"]:
+                filesystem, fs_path = _fs_for(source)
+                data = _fs_read(filesystem, fs_path)
+                rows = []
+                for frame_id, frame in enumerate(frames_from_bytes(data)):
+                    frame_rows, metadata = split_frame(frame)
+                    if metadata:
+                        for key in sorted(metadata):
+                            rows.append(
+                                (
+                                    source,
+                                    frame_id,
+                                    len(frame_rows),
+                                    key,
+                                    metadata[key].decode("latin1"),
+                                )
+                            )
+                    else:
+                        rows.append((source, frame_id, len(frame_rows), None, None))
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=[f.name for f in FRAME_META_SCHEMA]
+                    )
+
+    return paths_df.mapInPandas(walk, schema=FRAME_META_SCHEMA)
+
+
+NAMESPACE_SCHEMA = StructType(
+    [
+        StructField("source_file", StringType(), False),
+        StructField("label", StringType(), False),
+        StructField("iri", StringType(), False),
+    ]
+)
+
+
+def read_jelly_namespaces(spark: SparkSession, path: str) -> DataFrame:
+    """Namespace declarations of .jelly file(s) as (source_file, label,
+    iri), distributed (protocol v2 rows; reference surfaces these as
+    Prefix events, generic/parse.py:132-141)."""
+    from pyjelly_spark.session import ship_package
+
+    ship_package(spark)
+    paths_df = _paths_df(spark, _jelly_files(path))
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            for source in batch["source_file"]:
+                filesystem, fs_path = _fs_for(source)
+                data = _fs_read(filesystem, fs_path)
+                decoder = StreamDecoder()
+                rows = []
+                for frame in frames_from_bytes(data):
+                    frame_rows, _meta = split_frame(frame)
+                    for row in frame_rows:
+                        event = decoder.decode_row(row)
+                        if event is not None and event[0] == "namespace":
+                            rows.append((source, event[1], event[2][1]))
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=[f.name for f in NAMESPACE_SCHEMA]
+                    )
+
+    return paths_df.mapInPandas(walk, schema=NAMESPACE_SCHEMA)
+
+
 def read_manifest_frames(path: str) -> List[dict]:
     """Frame-level stats of one .jelly file (debug/lineage helper)."""
-    with open(path, "rb") as handle:
-        data = handle.read()
+    filesystem, fs_path = _fs_for(path)
+    data = _fs_read(filesystem, fs_path)
     decoder = StreamDecoder()
     out = []
     for i, frame in enumerate(frames_from_bytes(data)):
