@@ -132,28 +132,46 @@ def plan_partitions(
     Salt count per repo = ceil(repo_triples / rows_per_stream), so the
     mega-repo fans out over several streams while small repos coalesce.
 
-    One histogram action (groupBy repo -> driver): it yields BOTH the
-    per-repo salt counts and the global total (local sum — no second
-    count() job), and the histogram goes back up as a broadcast-joined
-    literal table, so the triples DAG executes exactly once more (inside
-    the write job). Deliberately NOT cached: the columnar cache build for
-    millions of term structs costs far more than recomputing the
-    extraction DAG over the (cached) source table, and CC results are
-    already pinned by their localCheckpoints.
+    One histogram action, driver-bounded: the aggregate returns the
+    global total plus ONLY the mega-repos (repo_rows > rows_per_stream)
+    — ``collect_list`` drops the nulls the ``when`` leaves for small
+    repos — so the driver holds at most total/rows_per_stream entries no
+    matter how many repos exist (a 10^6-repo corpus collects only its
+    oversized tail). Small repos default to salt count 1 via a broadcast
+    left join + coalesce, which is exactly their ceil() anyway.
     """
     spark = triples.sparkSession
-    hist = (
+    agg = (
         triples.groupBy("repo")
         .agg(F.count(F.lit(1)).alias("repo_rows"))
-        .toPandas()
+        .agg(
+            F.sum("repo_rows").alias("total"),
+            F.collect_list(
+                F.when(
+                    F.col("repo_rows") > config.rows_per_stream,
+                    F.struct("repo", "repo_rows"),
+                )
+            ).alias("big"),
+        )
+        .collect()[0]
     )
-    total = int(hist["repo_rows"].sum())
+    total = int(agg["total"] or 0)
     n_parts = max(config.min_parts, -(-total // config.rows_per_stream))
-    hist["n_salts"] = (
-        -(-hist["repo_rows"] // config.rows_per_stream)
-    ).clip(lower=1).astype("int64")
-    salt_map = spark.createDataFrame(hist[["repo", "n_salts"]])
-    salted = triples.join(F.broadcast(salt_map), "repo").withColumn(
+    big = agg["big"] or []
+    if big:
+        salt_map = spark.createDataFrame(
+            [
+                (r["repo"], -(-int(r["repo_rows"]) // config.rows_per_stream))
+                for r in big
+            ],
+            "repo: string, n_salts: long",
+        )
+        salted = triples.join(F.broadcast(salt_map), "repo", "left").withColumn(
+            "n_salts", F.coalesce(F.col("n_salts"), F.lit(1).cast("long"))
+        )
+    else:
+        salted = triples.withColumn("n_salts", F.lit(1).cast("long"))
+    salted = salted.withColumn(
         "salt", F.pmod(F.xxhash64("path"), F.col("n_salts")).cast("int")
     ).drop("n_salts")
     flat = salted if pre_flattened else flatten_terms(salted)
@@ -185,25 +203,53 @@ def run_pipeline(
     triples = build_triples(spark, files, config)
     stage_dir = os.path.join(config.out_dir, "_stage_triples")
     marker = os.path.join(stage_dir, "_SUCCESS")
-    meta_path = os.path.join(config.out_dir, "_stage_meta.json")
-    # resume guard: the staged triples are only reusable if they were
-    # built from the same input shape and stage-affecting config (an
-    # input-row-count + knob fingerprint — catches the common footgun of
-    # pointing a resume at a changed input; a content-level check is the
-    # per-partition sha in the write manifest)
+    stage_meta_path = os.path.join(config.out_dir, "_stage_meta.json")
+    out_meta_path = os.path.join(config.out_dir, "_out_meta.json")
+    # Two-level resume guard:
+    # - stage_meta fingerprints what the STAGED TRIPLES depend on: an
+    #   input content digest (count + min/max/xor of xxhash64 over
+    #   repo/path/commit/lang — one aggregate job, catches content
+    #   changes that keep the row count) plus the stage-shaping knobs;
+    # - out_meta fingerprints what the JELLY BYTES additionally depend on
+    #   (partitioning + framing + lookup presets), so changing e.g.
+    #   frame_rows invalidates the streams without rebuilding extraction.
+    digest = (
+        files.select(
+            F.xxhash64("repo", "path", "commit", "lang").alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("h").alias("mn"),
+            F.max("h").alias("mx"),
+            F.expr("bit_xor(h)").alias("xo"),
+        )
+        .collect()[0]
+    )
     stage_meta = {
-        "n_input_rows": files.count(),
+        "input_digest": f"{digest['n']}:{digest['mn']}:{digest['mx']}:{digest['xo']}",
         "link_calls": config.link_calls,
         "canonicalize": config.canonicalize,
     }
-    reusable = False
-    if config.resume and os.path.exists(marker) and os.path.exists(meta_path):
-        with open(meta_path) as handle:
-            reusable = json.load(handle) == stage_meta
-    if not reusable:
-        # the output partitions (if any) were built from a different
-        # input/config — invalidate them too, or resume would keep stale
-        # streams whose manifest shas still match their stale bytes
+    out_meta = {
+        "rows_per_stream": config.rows_per_stream,
+        "frame_rows": config.frame_rows,
+        "preset": [
+            config.preset.names,
+            config.preset.prefixes,
+            config.preset.datatypes,
+        ],
+        "min_parts": config.min_parts,
+    }
+
+    def _meta_matches(path: str, expected: dict) -> bool:
+        if not os.path.exists(path):
+            return False
+        with open(path) as handle:
+            return json.load(handle) == expected
+
+    def _wipe_outputs() -> None:
+        # stale streams' manifest shas still match their stale bytes, so
+        # they must go whenever their inputs or knobs changed
         from pyjelly_spark.sources.jelly_io import manifest_path
 
         if os.path.isdir(config.out_dir):
@@ -211,10 +257,24 @@ def run_pipeline(
             for name in os.listdir(config.out_dir):
                 if name.endswith(".jelly"):
                     os.remove(os.path.join(config.out_dir, name))
+
+    stage_ok = (
+        config.resume
+        and os.path.exists(marker)
+        and _meta_matches(stage_meta_path, stage_meta)
+    )
+    if not stage_ok:
+        _wipe_outputs()
         flatten_terms(triples).write.mode("overwrite").parquet(stage_dir)
         os.makedirs(config.out_dir, exist_ok=True)
-        with open(meta_path, "w") as handle:
+        with open(stage_meta_path, "w") as handle:
             json.dump(stage_meta, handle)
+        with open(out_meta_path, "w") as handle:
+            json.dump(out_meta, handle)
+    elif not _meta_matches(out_meta_path, out_meta):
+        _wipe_outputs()
+        with open(out_meta_path, "w") as handle:
+            json.dump(out_meta, handle)
     flat = spark.read.parquet(stage_dir)
     planned = plan_partitions(flat, config, pre_flattened=True)
     options = jc.StreamOptions(frame_rows=config.frame_rows, preset=config.preset)

@@ -418,3 +418,100 @@ def test_distributed_quads_roundtrip(spark, tmp_path):
         for r in read_jelly(spark, out).collect()
     )
     assert decoded == written
+
+
+class TestResumeFingerprint:
+    def test_content_change_same_rowcount_rebuilds(self, spark, tmp_path):
+        """The input digest catches content edits that keep the row count
+        (the stale-resume footgun the old count-only fingerprint missed)."""
+        import os
+
+        from pyjelly_spark.pipeline import PipelineConfig, run_pipeline
+        from pyjelly_spark.sources.source_repos import generate_source_files
+
+        out = str(tmp_path / "kg_out")
+        cfg = PipelineConfig(out_dir=out, rows_per_stream=10_000, resume=True)
+        base = generate_source_files(spark, 100)
+        run_pipeline(spark, base, cfg)
+        marker = os.path.join(out, "_stage_triples", "_SUCCESS")
+        mtime = os.path.getmtime(marker)
+        # same rows, one commit value flipped -> digest differs -> rebuild
+        edited = base.withColumn(
+            "commit",
+            F.when(F.col("path") == base.select("path").first()[0], F.lit("x" * 40))
+            .otherwise(F.col("commit")),
+        )
+        run_pipeline(spark, edited, cfg)
+        assert os.path.getmtime(marker) != mtime
+
+    def test_frame_rows_change_invalidates_outputs_not_stage(self, spark, tmp_path):
+        """Framing knobs re-encode the streams but reuse the staged
+        triples (two-level fingerprint)."""
+        import os
+
+        from pyjelly_spark.pipeline import PipelineConfig, run_pipeline
+        from pyjelly_spark.sources.source_repos import generate_source_files
+
+        out = str(tmp_path / "kg_out")
+        base = generate_source_files(spark, 100)
+        cfg1 = PipelineConfig(out_dir=out, rows_per_stream=10_000, resume=True)
+        m1 = run_pipeline(spark, base, cfg1)
+        marker = os.path.join(out, "_stage_triples", "_SUCCESS")
+        mtime = os.path.getmtime(marker)
+        first_file = sorted(
+            f for f in os.listdir(out) if f.endswith(".jelly")
+        )[0]
+        bytes1 = open(os.path.join(out, first_file), "rb").read()
+
+        cfg2 = PipelineConfig(
+            out_dir=out, rows_per_stream=10_000, resume=True, frame_rows=7
+        )
+        m2 = run_pipeline(spark, base, cfg2)
+        # stage untouched, outputs rewritten (nothing skipped) with new framing
+        assert os.path.getmtime(marker) == mtime
+        assert set(m2["skipped"]) == {0}
+        bytes2 = open(os.path.join(out, first_file), "rb").read()
+        assert bytes1 != bytes2
+        assert int(m2["n_statements"].sum()) == int(m1["n_statements"].sum())
+
+
+class TestPartitionPlanBounded:
+    def test_many_small_repos_collect_nothing(self, spark):
+        """plan_partitions' driver collect holds only mega-repos: with
+        every repo under rows_per_stream the big list is empty and the
+        plan still covers all rows with salt 0."""
+        from pyjelly_spark.pipeline import PipelineConfig, plan_partitions
+        from pyjelly_spark.operators import extract as X
+
+        files = spark.range(5000).select(
+            F.concat(F.lit("r"), (F.col("id") % 1000).cast("string")).alias("repo"),
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+            F.lit(0).cast("int").alias("kind_rank"),
+            X.iri(F.concat(F.lit("s"), F.col("id").cast("string"))).alias("s"),
+            X.iri(F.lit("p")).alias("p"),
+            X.iri(F.lit("o")).alias("o"),
+        )
+        cfg = PipelineConfig(out_dir="/tmp/unused", rows_per_stream=100)
+        planned = plan_partitions(files, cfg)
+        assert planned.count() == 5000
+        # 1000 repos x 5 rows, all below the threshold -> every salt is 0
+        assert planned.select("salt").distinct().collect() == [
+            __import__("pyspark").sql.Row(salt=0)
+        ]
+
+    def test_mega_repo_fans_out(self, spark):
+        from pyjelly_spark.pipeline import PipelineConfig, plan_partitions
+        from pyjelly_spark.operators import extract as X
+
+        files = spark.range(1000).select(
+            F.lit("mega").alias("repo"),
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+            F.lit(0).cast("int").alias("kind_rank"),
+            X.iri(F.concat(F.lit("s"), F.col("id").cast("string"))).alias("s"),
+            X.iri(F.lit("p")).alias("p"),
+            X.iri(F.lit("o")).alias("o"),
+        )
+        cfg = PipelineConfig(out_dir="/tmp/unused", rows_per_stream=100)
+        planned = plan_partitions(files, cfg)
+        n_salts = planned.select("salt").distinct().count()
+        assert n_salts == 10  # ceil(1000/100) streams for the mega repo
