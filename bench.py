@@ -24,6 +24,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# bench output on tmpfs: /tmp is one virtual disk with fixed bandwidth,
+# which would serialize the I/O a real cluster spreads over nodes
+BENCH_TMP = os.environ.get("SPARK_GRAFT_TMP") or (
+    "/dev/shm/spark_graft_bench" if os.path.isdir("/dev/shm") else None
+)
+if BENCH_TMP:
+    os.makedirs(BENCH_TMP, exist_ok=True)
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # source-table size for the KG-pipeline benchmark, scaled to the sf dir
 N_FILES = {"sf0.001": 2_000, "sf0.01": 10_000, "sf0.1": 50_000}.get(
@@ -79,7 +86,7 @@ def main() -> None:
     # --- north metric: KG pipeline end-to-end encode throughput -----------
     # small untimed pipeline run first: JIT + codegen + python workers are
     # once-per-cluster costs, so the timed run measures steady state
-    warm_dir = tempfile.mkdtemp(prefix="kg_warm_")
+    warm_dir = tempfile.mkdtemp(prefix="kg_warm_", dir=BENCH_TMP)
     try:
         warm = generate_source_files(spark, 2_000).cache()
         warm.count()
@@ -91,7 +98,7 @@ def main() -> None:
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
-    out_dir = tempfile.mkdtemp(prefix="kg_bench_")
+    out_dir = tempfile.mkdtemp(prefix="kg_bench_", dir=BENCH_TMP)
     try:
         files = generate_source_files(spark, N_FILES).cache()
         files.count()  # materialize input outside the timed window

@@ -25,10 +25,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _symmetrize(edges: DataFrame) -> DataFrame:
+def _symmetrize(edges: DataFrame, dedup: bool = False) -> DataFrame:
+    """Both directions of every edge. The union itself is narrow (no
+    shuffle); ``dedup`` adds a distinct and is only worth one shuffle at
+    stream entry — inside the rounds duplicate edges are harmless
+    (every aggregation here is a min, and min over a multiset equals min
+    over its set), so rounds skip it and save a full shuffle stage each.
+    """
     forward = edges.select(F.col("src"), F.col("dst"))
     backward = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return forward.unionByName(backward).where(F.col("src") != F.col("dst")).distinct()
+    both = forward.unionByName(backward).where(F.col("src") != F.col("dst"))
+    return both.distinct() if dedup else both
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -37,7 +44,9 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
     Symmetrizing inside each round matters: small-star emits a directed
     node->root forest, and large-star's neighborhood definition is
-    undirected (Kiveris et al. §3).
+    undirected (Kiveris et al. §3). No output distinct: duplicates feed
+    min-aggregations downstream and small-star ends with the one
+    distinct that bounds the per-round edge set.
     """
     both = _symmetrize(edges)
     mins = both.groupBy("src").agg(
@@ -48,7 +57,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -81,33 +89,30 @@ def _signature(edges: DataFrame):
     return row["n"], row["h"]
 
 
-def connected_components(
-    edges: DataFrame, max_rounds: int = 25, checkpoint: bool = True
+#: above this symmetrized-edge count the rounds run on hashed long ids:
+#: the per-round shuffle volume (strings are 100+ bytes vs 8-byte longs)
+#: starts to dominate the extra node-table/mapping stages the hashed path
+#: pays. Below it, small graphs are stage-latency-bound and the string
+#: path's fewer stages win (measured: 8.0 s vs 9.1 s at 800k edges).
+HASH_ID_MIN_EDGES = 5_000_000
+
+
+def _run_rounds(
+    current: DataFrame, n_edges: int, max_rounds: int, checkpoint: bool
 ) -> DataFrame:
-    """Edge list (src, dst strings) -> (node, component) assignment.
-
-    ``component`` is the lexicographically smallest node id reachable.
-    Isolated nodes don't appear (they are their own components trivially);
-    callers union them in if needed.
-
-    AQE is suspended for the iterative rounds: each round is many tiny
-    shuffles, and AQE's per-query-stage jobs multiply the scheduling
-    overhead (~2x wall on graphs that converge in 2-3 rounds) without
-    helping — partition counts here are already small and uniform.
+    """Alternating large-star/small-star rounds over a pre-symmetrized,
+    deduped (and, if requested, checkpointed) edge set with an orderable
+    node id type. Returns the converged node -> component-minimum forest.
     """
-    spark = edges.sparkSession
+    spark = current.sparkSession
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     parts_before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        current = _symmetrize(edges)
-        if checkpoint:
-            current = current.localCheckpoint(eager=True)
-        # right-size round shuffles to the (now materialized) edge count:
-        # with AQE off, a 2k-edge graph would otherwise run every round
-        # across the full session partition count, paying pure task-
-        # scheduling overhead; big graphs keep the session setting.
-        n_edges = current.count()
+        # right-size round shuffles to the materialized edge count: with
+        # AQE off, a 2k-edge graph would otherwise run every round across
+        # the full session partition count, paying pure task-scheduling
+        # overhead; big graphs keep the session setting.
         round_parts = max(4, min(int(parts_before), n_edges // 50_000 + 1))
         spark.conf.set("spark.sql.shuffle.partitions", str(round_parts))
         previous_sig = None
@@ -125,11 +130,83 @@ def connected_components(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         spark.conf.set("spark.sql.shuffle.partitions", parts_before)
-    # post-state: every edge points node -> component representative
-    members = current.select(F.col("src").alias("node"), F.col("dst").alias("component"))
-    roots = current.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
-    return (
-        members.unionByName(roots)
-        .groupBy("node")
-        .agg(F.min("component").alias("component"))
+    return current
+
+
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = 25,
+    checkpoint: bool = True,
+    hash_ids: bool | None = None,
+) -> DataFrame:
+    """Edge list (src, dst strings) -> (node, component) assignment.
+
+    ``component`` is the lexicographically smallest node id reachable.
+    Isolated nodes don't appear (they are their own components trivially);
+    callers union them in if needed.
+
+    Size-adaptive key representation: beyond HASH_ID_MIN_EDGES the rounds
+    run on ``xxhash64`` node ids — every round shuffles the edge set
+    several times, and 8-byte keys cut that volume ~10x vs 100+-byte IRIs
+    (the difference between shuffle-bound and latency-bound CC at
+    10^9-edge scale). A one-job guard verifies the hashing is
+    collision-free on THIS graph (count(iri) == count(distinct hash))
+    and falls back to string-keyed rounds otherwise, so results are
+    always exact; the lexicographic representative is restored by a
+    post-pass (min IRI per hash-component). ``hash_ids`` forces either
+    path. AQE is suspended for the rounds — its per-query-stage jobs
+    multiply scheduling overhead on tiny iterative shuffles.
+    """
+    sym = _symmetrize(edges, dedup=True)
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
+    n_edges = sym.count()
+    use_hash = hash_ids if hash_ids is not None else n_edges >= HASH_ID_MIN_EDGES
+
+    if use_hash:
+        nodes = (
+            sym.select(F.col("src").alias("iri"))  # sym is symmetric: src covers all
+            .distinct()
+            .withColumn("id", F.xxhash64("iri"))
+        )
+        if checkpoint:
+            nodes = nodes.localCheckpoint(eager=False)
+        guard = nodes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("id").alias("nh"),
+        ).collect()[0]
+        use_hash = guard["n"] == guard["nh"]  # collision => exact fallback
+
+    if not use_hash:
+        current = _run_rounds(sym, n_edges, max_rounds, checkpoint)
+        members = current.select(
+            F.col("src").alias("node"), F.col("dst").alias("component")
+        )
+        roots = current.select(
+            F.col("dst").alias("node"), F.col("dst").alias("component")
+        )
+        return (
+            members.unionByName(roots)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+
+    hashed = sym.select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+    )
+    current = _run_rounds(hashed, n_edges, max_rounds, checkpoint)
+    # post-state: every edge points node_id -> hash-min component id
+    assignment = (
+        current.select(F.col("src").alias("id"), F.col("dst").alias("comp_id"))
+        .unionByName(
+            current.select(F.col("dst").alias("id"), F.col("dst").alias("comp_id"))
+        )
+        .groupBy("id")
+        .agg(F.min("comp_id").alias("comp_id"))
+    )
+    # back to IRIs; component representative = lexicographic min IRI
+    members = assignment.join(nodes, "id").select("iri", "comp_id")
+    reps = members.groupBy("comp_id").agg(F.min("iri").alias("component"))
+    return members.join(reps, "comp_id").select(
+        F.col("iri").alias("node"), "component"
     )

@@ -80,6 +80,14 @@ def build_triples(
         F.col("path").alias("def_path"),
         "symbol",
     )
+    if config.link_calls or config.canonicalize:
+        # defs feed the link dictionary, the CC edge build, AND the
+        # canonical join — without a checkpoint each consumer re-runs the
+        # regexp sweep over the whole corpus (3x extraction). The frame is
+        # narrow (3 string columns, ~rows ≈ files), so pinning it is cheap
+        # — unlike the wide struct triples frame, which is deliberately
+        # staged to parquet instead (see run_pipeline).
+        defs = defs.localCheckpoint(eager=False)
 
     if config.link_calls:
         calls = _mentions(files, X.CALL_RE)

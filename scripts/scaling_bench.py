@@ -47,6 +47,19 @@ cpus = int(sys.argv[1])
 n_files = int(sys.argv[2])
 mode = sys.argv[3]
 
+# Stage/output dirs on tmpfs: the sandbox's /tmp is one virtual block
+# device whose write bandwidth is FIXED, so putting job output there
+# serializes exactly the I/O that a real cluster spreads over per-node
+# disks / object-store shards. tmpfs is the faithful local proxy (same
+# reasoning as shuffle on /dev/shm in session.py).
+BENCH_TMP = os.environ.get("SPARK_GRAFT_TMP") or (
+    "/dev/shm/spark_graft_bench" if os.path.isdir("/dev/shm") else None
+)
+if BENCH_TMP:
+    os.makedirs(BENCH_TMP, exist_ok=True)
+def bench_dir(prefix):
+    return tempfile.mkdtemp(prefix=prefix, dir=BENCH_TMP)
+
 from pyjelly_spark.jelly import constants as jc
 from pyjelly_spark.pipeline import PipelineConfig, build_triples, plan_partitions, run_pipeline
 from pyjelly_spark.session import build_session
@@ -65,7 +78,7 @@ spark.range(0, cpus * 4, numPartitions=cpus * 4).mapInPandas(
 
 # warm the JVM (JIT + whole-stage-codegen, Janino cache) with one small
 # untimed pipeline run so the timed runs measure steady-state throughput.
-warm_out = tempfile.mkdtemp(prefix="scaling_warm_")
+warm_out = bench_dir("scaling_warm_")
 warm_files = generate_source_files(spark, max(2000, n_files // 50)).cache()
 warm_files.count()
 run_pipeline(spark, warm_files,
@@ -82,7 +95,7 @@ if mode in ("pipeline", "both"):
     walls = []
     n = 0
     for rep in range(3):
-        out_dir = tempfile.mkdtemp(prefix=f"scaling_{cpus}_")
+        out_dir = bench_dir(f"scaling_{cpus}_")
         try:
             t0 = time.time()
             manifest = run_pipeline(
@@ -106,14 +119,14 @@ if mode in ("encode", "both"):
     # parquet scan -> salt join -> repartition -> sortWithinPartitions ->
     # per-partition Jelly encode -> part files + manifest.
     cfg = PipelineConfig(out_dir="unused", rows_per_stream=100_000, resume=False)
-    stage_dir = tempfile.mkdtemp(prefix=f"stage_{cpus}_")
+    stage_dir = bench_dir(f"stage_{cpus}_")
     flatten_terms(build_triples(spark, files, cfg)).write.mode(
         "overwrite").parquet(stage_dir)
     flat = spark.read.parquet(stage_dir)
     walls = []
     n = 0
     for rep in range(3):
-        out_dir = tempfile.mkdtemp(prefix=f"encode_{cpus}_")
+        out_dir = bench_dir(f"encode_{cpus}_")
         try:
             t0 = time.time()
             planned = plan_partitions(flat, cfg, pre_flattened=True)

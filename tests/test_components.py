@@ -79,3 +79,25 @@ def test_random_graphs(spark):
 def test_long_path_log_rounds(spark):
     """A 64-node path needs multiple star rounds — exercises convergence."""
     _check(spark, [(f"p{i:02d}", f"p{i+1:02d}") for i in range(63)])
+
+
+def test_hashed_path_matches_string_path(spark):
+    """The hashed-id rounds (forced via hash_ids=True) must return exactly
+    the string-keyed result, including the lexicographic representative."""
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"http://kg.example/def/r{i}/p{i}#s{i % 17}" for i in range(300)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(500)
+    ]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    via_strings = {
+        (r["node"], r["component"])
+        for r in connected_components(df, hash_ids=False).collect()
+    }
+    via_hashes = {
+        (r["node"], r["component"])
+        for r in connected_components(df, hash_ids=True).collect()
+    }
+    assert via_hashes == via_strings
