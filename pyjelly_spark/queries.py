@@ -369,6 +369,9 @@ def q_kg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             decoded.groupBy(F.col("p_value").alias("p"))
             .agg(F.count(F.lit(1)).alias("n_triples"))
+            # materialized on purpose: the finally below deletes the
+            # .jelly files this plan reads, so a lazy DataFrame would
+            # fail when the driver later collects it
             .toPandas()
             .pipe(spark.createDataFrame)
         )

@@ -216,6 +216,30 @@ def _options_from_dict(d: dict) -> jc.StreamOptions:
     )
 
 
+def guess_options(
+    flat_statements: DataFrame, grouped_by_graph: bool = False
+) -> jc.StreamOptions:
+    """Arity-based option guessing, mirroring the reference's
+    ``guess_options`` (/root/reference/pyjelly/integrations/generic/serialize.py:266-277):
+    the SINK SHAPE decides — a statements frame carrying graph-slot
+    columns gets a quads stream (flat: PHYSICAL_QUADS/FLAT_QUADS; grouped:
+    PHYSICAL_GRAPHS/NAMED_GRAPHS), one without gets a triples stream.
+    Content is not inspected (same as the reference, which keys on the
+    sink type, not the data)."""
+    has_graph_slot = "g_kind" in flat_statements.columns
+    if grouped_by_graph:
+        if not has_graph_slot:
+            raise jc.JellyError(
+                "grouped_by_graph guessing needs g_* graph-slot columns"
+            )
+        return grouped_options(jc.PHYSICAL_GRAPHS)
+    if has_graph_slot:
+        return jc.StreamOptions(
+            physical_type=jc.PHYSICAL_QUADS, logical_type=jc.LOGICAL_FLAT_QUADS
+        )
+    return jc.StreamOptions()
+
+
 _NO_GRAPH = ("\x00no-graph",)  # sentinel distinct from any real term
 
 
@@ -250,10 +274,7 @@ def write_jelly(
 
     ship_package(flat_statements.sparkSession)
     if options is None:
-        if grouped_by_graph:
-            options = grouped_options(jc.PHYSICAL_GRAPHS)
-        else:
-            options = jc.StreamOptions()
+        options = guess_options(flat_statements, grouped_by_graph)
         if namespaces:
             import dataclasses
 

@@ -126,24 +126,50 @@ def _sessionize(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Custom stateful operator: per-user session assignment with a 30 min
-    inactivity gap, state carried across micro-batches."""
+    inactivity gap, state carried across micro-batches.
+
+    Vectorized: session breaks come from one diff-against-previous over
+    the sorted timestamp array; closed-session sizes are diffs of the
+    break positions. No per-event Python."""
+    import numpy as np
+
     if state.exists:
         n_events, last_ts, session_id = state.get
     else:
         n_events, last_ts, session_id = 0, float("-inf"), 0
-    out_rows = []
+    out_sessions = []
+    out_counts = []
     for pdf in batches:
-        for ts in sorted(pdf["ts"]):
-            t = ts.timestamp()
-            if t - last_ts > SESSION_GAP_S and n_events > 0:
-                out_rows.append((key[0], session_id, n_events))
-                session_id += 1
-                n_events = 0
-            n_events += 1
-            last_ts = t
+        if not len(pdf):
+            continue
+        t = np.sort(
+            pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        ) / 1e9
+        prev = np.concatenate(([last_ts], t[:-1]))
+        is_break = (t - prev) > SESSION_GAP_S
+        if n_events == 0:
+            is_break[0] = False  # nothing accumulated -> nothing to close
+        breaks = np.nonzero(is_break)[0]
+        if len(breaks):
+            counts = np.diff(np.concatenate(([0], breaks)))
+            counts[0] += n_events  # carried events close with session 0
+            out_sessions.append(session_id + np.arange(len(breaks)))
+            out_counts.append(counts)
+            session_id += len(breaks)
+            n_events = int(len(t) - breaks[-1])
+        else:
+            n_events += len(t)
+        last_ts = float(t[-1])
     state.update((n_events, last_ts, session_id))
-    if out_rows:
-        yield pd.DataFrame(out_rows, columns=["user_id", "session_id", "n_events"])
+    if out_sessions:
+        sessions = np.concatenate(out_sessions)
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(sessions), key[0], dtype="int64"),
+                "session_id": sessions,
+                "n_events": np.concatenate(out_counts),
+            }
+        )
 
 
 def sessionized_counts(events: DataFrame) -> DataFrame:

@@ -217,3 +217,36 @@ class TestDistributedGrouped:
         assert int(manifest["n_statements"].sum()) == 15
         assert (out_local / "_manifest").is_dir()  # landed on local disk
         assert read_jelly(spark, out_uri).count() == 15
+
+
+class TestGuessOptions:
+    def test_guess_by_arity(self, spark):
+        from pyjelly_spark.sources.jelly_io import guess_options
+
+        quads_df = _grouped_statements_df(spark)
+        triples_df = quads_df.drop("g_kind", "g_value", "g_lang", "g_datatype")
+        t = guess_options(triples_df)
+        assert (t.physical_type, t.logical_type) == (
+            jc.PHYSICAL_TRIPLES, jc.LOGICAL_FLAT_TRIPLES
+        )
+        q = guess_options(quads_df)
+        assert (q.physical_type, q.logical_type) == (
+            jc.PHYSICAL_QUADS, jc.LOGICAL_FLAT_QUADS
+        )
+        g = guess_options(quads_df, grouped_by_graph=True)
+        assert (g.physical_type, g.logical_type) == (
+            jc.PHYSICAL_GRAPHS, jc.LOGICAL_NAMED_GRAPHS
+        )
+        with pytest.raises(jc.JellyError, match="g_"):
+            guess_options(triples_df, grouped_by_graph=True)
+
+    def test_optionless_write_preserves_graphs(self, spark, tmp_path):
+        """write_jelly with no options guesses a quads stream from the
+        g_* columns, so graph terms round-trip by default."""
+        from pyjelly_spark.sources.jelly_io import read_jelly, write_jelly
+
+        df = _grouped_statements_df(spark)
+        out = str(tmp_path / "guessed")
+        write_jelly(df, out, resume=False)
+        back = read_jelly(spark, out)
+        assert back.where(back.g_value.isNotNull()).count() == 15
