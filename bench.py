@@ -49,9 +49,11 @@ BENCH_QUERIES = [
     "events_sessions",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "embedding_topk",
     "embedding_ann",
     "token_count",
+    "kg_grouped_roundtrip",
 ]
 
 

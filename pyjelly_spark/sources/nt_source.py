@@ -18,7 +18,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 NT_SCHEMA = StructType(
@@ -63,3 +64,51 @@ def read_nt(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(rows, columns=[f.name for f in NT_SCHEMA])
 
     return lines.mapInPandas(tokenize, schema=NT_SCHEMA)
+
+
+def _nt_escape(col: Column) -> Column:
+    """N-Triples literal escaping (the dual of jelly.nt._unescape's core
+    set), as pure Catalyst string replaces — no Python in the sink path."""
+    col = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    col = F.replace(col, F.lit('"'), F.lit('\\"'))
+    col = F.replace(col, F.lit("\n"), F.lit("\\n"))
+    return F.replace(col, F.lit("\r"), F.lit("\\r"))
+
+
+def _nt_term(slot: str) -> Column:
+    kind = F.col(f"{slot}_kind")
+    value = F.col(f"{slot}_value")
+    lit_body = F.concat(F.lit('"'), _nt_escape(value), F.lit('"'))
+    lit_tail = F.when(
+        F.col(f"{slot}_lang").isNotNull() & (F.col(f"{slot}_lang") != ""),
+        F.concat(F.lit("@"), F.col(f"{slot}_lang")),
+    ).when(
+        F.col(f"{slot}_datatype").isNotNull()
+        & (F.col(f"{slot}_datatype") != ""),
+        F.concat(F.lit("^^<"), F.col(f"{slot}_datatype"), F.lit(">")),
+    ).otherwise(F.lit(""))
+    return (
+        F.when(kind == "iri", F.concat(F.lit("<"), value, F.lit(">")))
+        .when(kind == "bnode", F.concat(F.lit("_:"), value))
+        .when(kind == "lit", F.concat(lit_body, lit_tail))
+        .otherwise(F.lit(None))  # dg / absent graph -> omitted
+    )
+
+
+def write_nt(flat_statements: DataFrame, out_path: str) -> None:
+    """Distributed N-Triples / N-Quads sink: the dual of :func:`read_nt`.
+
+    Statements with a graph slot (non-null, non-default) emit N-Quads
+    lines; triples and default-graph quads emit N-Triples lines. Line
+    formatting is pure Catalyst (concat/replace — whole-stage codegen),
+    written via ``spark.write.text``, so the sink parallelizes like any
+    file write. Line order across part files is the partition order —
+    N-Triples documents are order-insensitive statement multisets.
+    """
+    cols = [_nt_term("s"), _nt_term("p"), _nt_term("o")]
+    if "g_kind" in flat_statements.columns:
+        cols.append(_nt_term("g"))
+    line = F.concat(F.concat_ws(" ", *cols), F.lit(" ."))
+    flat_statements.select(line.alias("value")).write.mode("overwrite").text(
+        out_path
+    )

@@ -515,3 +515,26 @@ class TestPartitionPlanBounded:
         planned = plan_partitions(files, cfg)
         n_salts = planned.select("salt").distinct().count()
         assert n_salts == 10  # ceil(1000/100) streams for the mega repo
+
+
+def test_write_nt_roundtrip(spark, tmp_path):
+    """Distributed NT writer is the exact dual of the distributed reader:
+    fixture -> read_nt -> write_nt -> read_nt gives the same statement
+    multiset (triples and quads, escapes included)."""
+    from collections import Counter
+
+    from pyjelly_spark.sources.nt_source import read_nt, write_nt
+
+    for fixture in (
+        "/root/reference/tests/e2e_test_cases/triples_rdf_1_1/weather.nt",
+        "/root/reference/tests/e2e_test_cases/quads_rdf_1_1/weather-quads.nq",
+    ):
+        stmts = read_nt(spark, fixture)
+        out = str(tmp_path / ("nt_out_" + fixture.split("/")[-1]))
+        write_nt(stmts, out)
+        back = read_nt(spark, out)
+
+        def key(rows):
+            return Counter(tuple(r) for r in rows.collect())
+
+        assert key(back) == key(stmts)
