@@ -499,6 +499,50 @@ def _paths_df(spark: SparkSession, files: List[str]) -> DataFrame:
     return df.repartition(max(len(files), 1))
 
 
+def _decode_bytes_chunked(source: str, data: bytes) -> Iterator[pd.DataFrame]:
+    """Decode one self-contained Jelly stream into bounded Arrow chunks of
+    flat statement rows (with frame_id / stmt_idx)."""
+    decoder = StreamDecoder()
+    current_graph: Optional[tuple] = None
+    rows: List[tuple] = []
+    stmt_idx = 0
+    for frame_id, frame in enumerate(frames_from_bytes(data)):
+        frame_rows, _meta = split_frame(frame)
+        for row in frame_rows:
+            event = decoder.decode_row(row)
+            if event is None:
+                continue
+            kind = event[0]
+            if kind == "graph_start":
+                current_graph = event[1]
+                continue
+            if kind == "graph_end":
+                current_graph = None
+                continue
+            if kind == "namespace":
+                continue  # surfaced by read_jelly_namespaces
+            if kind == "triple":
+                s, p, o = event[1], event[2], event[3]
+                graph = current_graph
+            elif kind == "quad":
+                s, p, o, graph = event[1], event[2], event[3], event[4]
+            else:
+                continue
+            rows.append(
+                (source, frame_id, stmt_idx)
+                + _term_cols(s)
+                + _term_cols(p)
+                + _term_cols(o)
+                + _term_cols(graph)
+            )
+            stmt_idx += 1
+            if len(rows) >= _DECODE_CHUNK_ROWS:
+                yield pd.DataFrame(rows, columns=_READ_COLS)
+                rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=_READ_COLS)
+
+
 def read_jelly(spark: SparkSession, path: str) -> DataFrame:
     """Read .jelly file(s) into a flat statements DataFrame.
 
@@ -518,48 +562,44 @@ def read_jelly(spark: SparkSession, path: str) -> DataFrame:
         for batch in batches:
             for source in batch["source_file"]:
                 filesystem, fs_path = _fs_for(source)
-                data = _fs_read(filesystem, fs_path)
-                decoder = StreamDecoder()
-                current_graph: Optional[tuple] = None
-                rows: List[tuple] = []
-                stmt_idx = 0
-                for frame_id, frame in enumerate(frames_from_bytes(data)):
-                    frame_rows, _meta = split_frame(frame)
-                    for row in frame_rows:
-                        event = decoder.decode_row(row)
-                        if event is None:
-                            continue
-                        kind = event[0]
-                        if kind == "graph_start":
-                            current_graph = event[1]
-                            continue
-                        if kind == "graph_end":
-                            current_graph = None
-                            continue
-                        if kind == "namespace":
-                            continue  # surfaced by read_jelly_namespaces
-                        if kind == "triple":
-                            s, p, o = event[1], event[2], event[3]
-                            graph = current_graph
-                        elif kind == "quad":
-                            s, p, o, graph = event[1], event[2], event[3], event[4]
-                        else:
-                            continue
-                        rows.append(
-                            (source, frame_id, stmt_idx)
-                            + _term_cols(s)
-                            + _term_cols(p)
-                            + _term_cols(o)
-                            + _term_cols(graph)
-                        )
-                        stmt_idx += 1
-                        if len(rows) >= _DECODE_CHUNK_ROWS:
-                            yield pd.DataFrame(rows, columns=_READ_COLS)
-                            rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=_READ_COLS)
+                yield from _decode_bytes_chunked(
+                    source, _fs_read(filesystem, fs_path)
+                )
 
     return paths_df.mapInPandas(decode_files, schema=READ_SCHEMA)
+
+
+def read_jelly_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Structured Streaming source over a directory of .jelly files.
+
+    Files arriving in ``path`` are discovered by the ``binaryFile``
+    stream source and each decodes (statelessly — Jelly streams are
+    self-contained per file) into the same flat statements schema as
+    :func:`read_jelly`. Compose with watermarks/windows downstream;
+    drain with ``trigger(availableNow=True)`` for batch parity. This is
+    the engine's native analogue of the reference's "streaming" framing:
+    frames arrive incrementally, decode state lives inside one file.
+    """
+    from pyjelly_spark.session import ship_package
+
+    ship_package(spark)
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path STRING, modificationTime TIMESTAMP, "
+            "length BIGINT, content BINARY"
+        )
+        .option("pathGlobFilter", "*.jelly")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            for source, data in zip(batch["path"], batch["content"]):
+                yield from _decode_bytes_chunked(source, bytes(data))
+
+    return stream.mapInPandas(decode_files, schema=READ_SCHEMA)
 
 
 FRAME_META_SCHEMA = StructType(

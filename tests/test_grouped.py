@@ -250,3 +250,34 @@ class TestGuessOptions:
         write_jelly(df, out, resume=False)
         back = read_jelly(spark, out)
         assert back.where(back.g_value.isNotNull()).count() == 15
+
+
+def test_read_jelly_stream_matches_batch(spark, tmp_path):
+    """Structured Streaming .jelly source (availableNow drain) returns the
+    same statements as the batch reader."""
+    from pyjelly_spark.sources.jelly_io import (
+        read_jelly,
+        read_jelly_stream,
+        write_jelly,
+    )
+
+    df = _grouped_statements_df(spark)
+    out = str(tmp_path / "stream_src")
+    write_jelly(df, out, resume=False)
+
+    q = (
+        read_jelly_stream(spark, out)
+        .writeStream.format("memory")
+        .queryName("jelly_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("jelly_stream_sink")
+    batch = read_jelly(spark, out)
+    assert streamed.count() == batch.count() == 15
+    key_cols = ["s_value", "p_value", "o_value", "g_value"]
+    assert sorted(map(tuple, streamed.select(*key_cols).collect())) == sorted(
+        map(tuple, batch.select(*key_cols).collect())
+    )
