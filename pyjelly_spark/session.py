@@ -59,6 +59,7 @@ def build_session(
     master: str | None = None,
     app_name: str = "pyjelly_spark",
     shuffle_partitions: int | None = None,
+    executor_memory: str | None = None,
 ) -> SparkSession:
     """Session with the knobs a large shuffle-heavy job needs set.
 
@@ -72,8 +73,14 @@ def build_session(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus * 2, 8)
+    builder = SparkSession.builder.master(master)
+    if executor_memory is not None:
+        # multi-executor masters (local-cluster[n,c,m] / standalone):
+        # per-executor heap — the knob that exists per JVM on a real
+        # cluster; irrelevant in local[k] where driver == executor
+        builder = builder.config("spark.executor.memory", executor_memory)
     session = (
-        SparkSession.builder.master(master)
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -21,8 +21,11 @@ Two modes:
              repartition -> sort -> encode workers). Execution-dominated,
              so it isolates how the DATA PATH scales with cores.
 
-Usage: python scripts/scaling_bench.py [n_files] [lo_cpus] [hi_cpus] [mode]
+Usage: python scripts/scaling_bench.py [n_files] [lo_cpus] [hi_cpus] [mode] [cluster]
        mode in {pipeline, encode, both(default)}
+       cluster in {threads(default): local[k] one-JVM proxy,
+                   executors: local-cluster[k/4,4,m] multi-JVM proxy —
+                   the faithful "N vs 4N executors" analogue}
 """
 
 from __future__ import annotations
@@ -36,6 +39,12 @@ N_FILES = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
 LO = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 HI = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 MODE = sys.argv[4] if len(sys.argv) > 4 else "both"
+# cluster proxy: "threads" = local[k] (one JVM, k threads); "executors" =
+# local-cluster[k/4, 4, m] (k/4 SEPARATE executor JVMs x 4 cores — the
+# faithful analogue of the north rule's "N vs 4N executors": per-executor
+# heap/GC/codegen are isolated exactly as on a real cluster, only the
+# host is shared). Per-executor memory is held constant across levels.
+CLUSTER = sys.argv[5] if len(sys.argv) > 5 else "threads"
 
 WORKER = r"""
 import json, os, shutil, sys, tempfile, time
@@ -46,6 +55,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 cpus = int(sys.argv[1])
 n_files = int(sys.argv[2])
 mode = sys.argv[3]
+cluster = sys.argv[4]
 
 # Stage/output dirs on tmpfs: the sandbox's /tmp is one virtual block
 # device whose write bandwidth is FIXED, so putting job output there
@@ -66,7 +76,15 @@ from pyjelly_spark.session import build_session
 from pyjelly_spark.sources.jelly_io import flatten_terms, write_jelly
 from pyjelly_spark.sources.source_repos import generate_source_files
 
-spark = build_session(master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 16))
+if cluster == "executors":
+    n_exec = max(cpus // 4, 1)
+    spark = build_session(
+        master=f"local-cluster[{n_exec},4,13312]",
+        shuffle_partitions=max(cpus * 2, 16),
+        executor_memory="12g",
+    )
+else:
+    spark = build_session(master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 16))
 spark.sparkContext.setLogLevel("ERROR")
 
 # warm python workers (once-per-executor cost on a real cluster)
@@ -150,7 +168,7 @@ print(json.dumps(result))
 
 def run_level(cpus: int) -> dict:
     proc = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), str(N_FILES), MODE],
+        [sys.executable, "-c", WORKER, str(cpus), str(N_FILES), MODE, CLUSTER],
         capture_output=True, text=True, cwd=os.getcwd(), check=False,
     )
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
@@ -174,13 +192,15 @@ def main() -> None:
             merged = json.load(f)
     merged.setdefault("parallelism_ratio", HI / LO)
     merged["target"] = 0.8
+    suffix = "" if CLUSTER == "threads" else f"_{CLUSTER}"
     for section in ("pipeline", "encode"):
         if section in lo and section in hi:
             eff = (
                 hi[section]["triples_per_sec"] / lo[section]["triples_per_sec"]
             ) / (HI / LO)
-            merged[section] = {
+            merged[section + suffix] = {
                 "n_files": N_FILES,
+                "cluster": CLUSTER,
                 "lo": {"cpus": LO, **lo[section]},
                 "hi": {"cpus": HI, **hi[section]},
                 "efficiency": round(eff, 3),
