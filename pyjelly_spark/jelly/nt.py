@@ -15,7 +15,9 @@ Term = tuple
 
 _TOKEN = re.compile(
     r"""\s*(?:
-        <(?P<iri>[^>]*)>
+        (?P<qtopen><<)
+      | (?P<qtclose>>>)
+      | <(?P<iri>[^>]*)>
       | (?P<bnode>_:[^\s]+)
       | "(?P<lex>(?:[^"\\]|\\.)*)"
          (?:@(?P<lang>[A-Za-z0-9\-]+)|\^\^<(?P<dt>[^>]*)>)?
@@ -70,26 +72,31 @@ def _escape(text: str) -> str:
     )
 
 
-def parse_line(line: str) -> Optional[Tuple[Term, ...]]:
-    """One N-Triples/N-Quads line -> tuple of 3 or 4 term tuples."""
-    stripped = line.strip()
-    if not stripped or stripped.startswith("#"):
-        return None
-    terms: List[Term] = []
+def _parse_terms(text: str) -> List[Term]:
+    """Tokenize a term sequence (RDF-star ``<< s p o >>`` included) up to
+    an optional trailing dot."""
+    stack: List[List[Term]] = [[]]
     pos = 0
-    while pos < len(stripped):
-        match = _TOKEN.match(stripped, pos)
+    while pos < len(text):
+        match = _TOKEN.match(text, pos)
         if match is None:
-            raise ValueError(f"cannot tokenize N-Triples line at {pos}: {line!r}")
+            raise ValueError(f"cannot tokenize N-Triples text at {pos}: {text!r}")
         pos = match.end()
         if match.group("dot") is not None:
             break
-        if match.group("iri") is not None:
-            terms.append(("iri", _unescape(match.group("iri"))))
+        if match.group("qtopen") is not None:
+            stack.append([])
+        elif match.group("qtclose") is not None:
+            inner = stack.pop()
+            if len(inner) != 3 or not stack:
+                raise ValueError(f"malformed quoted triple in {text!r}")
+            stack[-1].append(("qt", inner[0], inner[1], inner[2]))
+        elif match.group("iri") is not None:
+            stack[-1].append(("iri", _unescape(match.group("iri"))))
         elif match.group("bnode") is not None:
-            terms.append(("bnode", match.group("bnode")[2:]))
+            stack[-1].append(("bnode", match.group("bnode")[2:]))
         else:
-            terms.append(
+            stack[-1].append(
                 (
                     "lit",
                     _unescape(match.group("lex")),
@@ -97,6 +104,27 @@ def parse_line(line: str) -> Optional[Tuple[Term, ...]]:
                     _unescape(match.group("dt")) if match.group("dt") else "",
                 )
             )
+    if len(stack) != 1:
+        raise ValueError(f"unterminated quoted triple in {text!r}")
+    return stack[0]
+
+
+def parse_term(text: str) -> Term:
+    """One serialized term (the dual of :func:`term_to_nt`) — used by the
+    flat-column convention where an RDF-star quoted triple travels as its
+    N-Triples serialization in the value column."""
+    terms = _parse_terms(text)
+    if len(terms) != 1:
+        raise ValueError(f"expected one term, got {len(terms)}: {text!r}")
+    return terms[0]
+
+
+def parse_line(line: str) -> Optional[Tuple[Term, ...]]:
+    """One N-Triples/N-Quads line -> tuple of 3 or 4 term tuples."""
+    stripped = line.strip()
+    if not stripped or stripped.startswith("#"):
+        return None
+    terms = _parse_terms(stripped)
     if len(terms) not in (3, 4):
         raise ValueError(f"expected 3 or 4 terms, got {len(terms)}: {line!r}")
     return tuple(terms)

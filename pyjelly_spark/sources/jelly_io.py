@@ -141,7 +141,14 @@ def flatten_terms(df: DataFrame, slots: Tuple[str, ...] = ("s", "p", "o")) -> Da
 
 
 def _terms_from_arrays(kinds, values, langs, datatypes) -> List[tuple]:
-    """Vector-ish tuple construction for one slot of one Arrow batch."""
+    """Vector-ish tuple construction for one slot of one Arrow batch.
+
+    RDF-star convention: kind ``qt`` carries the quoted triple as its
+    N-Triples serialization (``<< <s> <p> <o> >>``, nesting allowed) in
+    the value column — parsed back to a term tuple here.
+    """
+    from pyjelly_spark.jelly.nt import parse_term
+
     out = []
     append = out.append
     for kind, value, lang, datatype in zip(kinds, values, langs, datatypes):
@@ -151,6 +158,8 @@ def _terms_from_arrays(kinds, values, langs, datatypes) -> List[tuple]:
             append(("lit", value, lang or "", datatype or ""))
         elif kind == "bnode":
             append(("bnode", value))
+        elif kind == "qt":
+            append(parse_term(value))
         else:
             append(("dg",))
     return out
@@ -478,6 +487,10 @@ def _term_cols(term: Optional[tuple]) -> Tuple[Optional[str], ...]:
         return ("lit", term[1], term[2], term[3])
     if kind == "dg":
         return ("dg", None, None, None)
+    if kind == "qt":
+        from pyjelly_spark.jelly.nt import term_to_nt
+
+        return ("qt", term_to_nt(term), None, None)
     return (kind, term[1], None, None)
 
 

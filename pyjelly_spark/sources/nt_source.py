@@ -37,6 +37,10 @@ def _term_cols(term) -> tuple:
         return ("lit", term[1], term[2], term[3])
     if kind == "dg":
         return ("dg", None, None, None)
+    if kind == "qt":
+        from pyjelly_spark.jelly.nt import term_to_nt
+
+        return ("qt", term_to_nt(term), None, None)
     return (kind, term[1], None, None)
 
 
@@ -91,6 +95,7 @@ def _nt_term(slot: str) -> Column:
         F.when(kind == "iri", F.concat(F.lit("<"), value, F.lit(">")))
         .when(kind == "bnode", F.concat(F.lit("_:"), value))
         .when(kind == "lit", F.concat(lit_body, lit_tail))
+        .when(kind == "qt", value)  # already the << ... >> serialization
         .otherwise(F.lit(None))  # dg / absent graph -> omitted
     )
 
