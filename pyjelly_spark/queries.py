@@ -1303,6 +1303,50 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sample plan (pure Catalyst sequence+posexplode)."""
+    media = MM.attach_media(_t(spark, sf_dir, "documents"))
+    return MM.frame_sample(media, every_ms=10_000).select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT media_id, frame_idx::BIGINT AS frame_idx,
+       (frame_idx * 10000)::BIGINT AS ts_ms
+FROM (
+  -- list-valued range() correlates fine (unlike the table function)
+  SELECT doc_id AS media_id,
+         unnest(range(0, (doc_id % 120 + 1) // 10 + 1)) AS frame_idx
+  FROM documents WHERE doc_id % 3 = 2
+)
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan for images (pure Catalyst)."""
+    media = MM.attach_media(_t(spark, sf_dir, "documents"))
+    return MM.resize_plan(media, max_side=256)
+
+
+SQL_MULTIMODAL_RESIZE = """
+SELECT doc_id AS media_id,
+  ((doc_id % 8 + 1) * 64)::INT AS meta_width,
+  ((doc_id % 6 + 1) * 64)::INT AS meta_height,
+  ceil(((doc_id % 8 + 1) * 64)
+    * least(1.0, 256 / greatest((doc_id % 8 + 1) * 64,
+                                (doc_id % 6 + 1) * 64)::DOUBLE))::INT
+    AS target_width,
+  ceil(((doc_id % 6 + 1) * 64)
+    * least(1.0, 256 / greatest((doc_id % 8 + 1) * 64,
+                                (doc_id % 6 + 1) * 64)::DOUBLE))::INT
+    AS target_height
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Streaming (batch-equivalent semantics -> same oracle as events_hourly)
 # ---------------------------------------------------------------------------
@@ -1355,6 +1399,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ann": q_embedding_ann,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
     "stream_hourly": q_stream_hourly,
 }
 
@@ -1394,6 +1440,8 @@ ORACLES: dict[str, str] = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "stream_hourly": SQL_EVENTS_HOURLY,
     # approximate-but-deterministic: the sha-derived hyperplanes make the
     # whole LSH pipeline (buckets, per-bucket topk, merge) SQL-replicable
