@@ -209,6 +209,7 @@ def _options_to_dict(options: jc.StreamOptions) -> dict:
         "generalized": options.generalized,
         "rdf_star": options.rdf_star,
         "namespace_declarations": options.namespace_declarations,
+        "delimited": options.delimited,
     }
 
 
@@ -222,6 +223,7 @@ def _options_from_dict(d: dict) -> jc.StreamOptions:
         generalized=d["generalized"],
         rdf_star=d["rdf_star"],
         namespace_declarations=d["namespace_declarations"],
+        delimited=d["delimited"],
     )
 
 
@@ -301,6 +303,12 @@ def write_jelly(
             "family) — flat logical types use bounded framing, which would "
             "split graphs across frames"
         )
+    if not options.delimited and grouped_by_graph:
+        raise jc.JellyError(
+            "non-delimited streams hold exactly ONE frame "
+            "(/root/reference/pyjelly/serialize/flows.py ManualFrameFlow); "
+            "grouped_by_graph emits one frame per graph"
+        )
     filesystem, base = _fs_for(out_dir)
     filesystem.create_dir(base, recursive=True)
     filesystem.create_dir(posixpath.join(base, "_manifest"), recursive=True)
@@ -331,9 +339,16 @@ def write_jelly(
         sink = part_fs.open_output_stream(tmp_path)
         try:
 
+            delimited = stream_options.delimited
+
             def emit(frame: bytes) -> None:
                 nonlocal n_frames, n_bytes
-                chunk = delimit(frame)
+                chunk = delimit(frame) if delimited else frame
+                if not delimited and n_frames:
+                    raise jc.JellyError(
+                        "non-delimited partition stream produced a second "
+                        "frame — statements exceed one frame's worth"
+                    )
                 sink.write(chunk)
                 digest.update(chunk)
                 n_frames += 1

@@ -281,3 +281,38 @@ def test_read_jelly_stream_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, streamed.select(*key_cols).collect())) == sorted(
         map(tuple, batch.select(*key_cols).collect())
     )
+
+
+def test_non_delimited_distributed_write(spark, tmp_path):
+    """delimited=False -> exactly one bare frame per partition stream
+    (the distributed write_single); the sniffing reader handles it
+    transparently, and overflowing one frame raises."""
+    from pyjelly_spark.jelly.ioutils import sniff_file
+    from pyjelly_spark.sources.jelly_io import read_jelly, write_jelly
+
+    df = _grouped_statements_df(spark).drop(
+        "g_kind", "g_value", "g_lang", "g_datatype"
+    )
+    out = str(tmp_path / "single_frame")
+    options = jc.StreamOptions(delimited=False)
+    manifest = write_jelly(df, out, options=options, resume=False)
+    assert int(manifest["n_statements"].sum()) == 15
+    assert set(manifest["n_frames"]) == {1}
+    for f in manifest["file"]:
+        assert sniff_file(f) is False  # non-delimited on disk
+    back = read_jelly(spark, out)
+    assert back.count() == 15
+    assert back.select("frame_id").distinct().collect()[0][0] == 0
+
+    with pytest.raises(jc.JellyError, match="one frame per graph|ONE frame"):
+        write_jelly(
+            _grouped_statements_df(spark),
+            str(tmp_path / "bad_nd"),
+            options=jc.StreamOptions(
+                physical_type=jc.PHYSICAL_GRAPHS,
+                logical_type=jc.LOGICAL_NAMED_GRAPHS,
+                delimited=False,
+            ),
+            grouped_by_graph=True,
+            resume=False,
+        )
