@@ -124,7 +124,17 @@ class TableState:
     # -- term-slot references --------------------------------------------------
     def _use(self, key: str) -> int:
         index = self.table.hit(key)
-        assert index is not None, f"term {key!r} must be in the table"
+        if index is None:
+            # pass-2 miss: a later slot's entry evicted this key between
+            # the ensure pass and the ref pass — the statement references
+            # more distinct entries than the table holds, which the wire
+            # format cannot express (all entry rows precede the statement
+            # row, so both values cannot coexist for the decoder)
+            raise c.JellyError(
+                f"lookup table (capacity {self.table.capacity}) too small "
+                f"to express this statement: entry {key!r} was evicted by "
+                "a later term of the same row"
+            )
         self.last_used = index
         return index
 
@@ -233,12 +243,18 @@ class StreamEncoder:
             self._started = True
 
     # ------------------------------------------------------------- term encode
-    def _iri_body(self, iri: str) -> bytes:
-        """Encode an IRI body, appending any lookup-entry rows first.
-
-        When the prefix table is disabled the whole IRI goes through the
-        name table (/root/reference/pyjelly/serialize/encode.py:69-73).
-        """
+    # Two-phase statement encoding: phase 1 ("ensure") appends every
+    # lookup-entry row a statement needs; phase 2 ("body") computes the
+    # term refs against the now-final table state — exactly the state the
+    # decoder has when the statement row arrives, since all entry rows
+    # precede it on the wire. A single interleaved pass (one slot at a
+    # time) silently corrupts streams whenever a later slot's entry
+    # EVICTS an earlier slot's key from a small table: the earlier slot's
+    # already-chosen index then resolves to the new value. Found by
+    # property fuzzing (tests/test_codec_fuzz.py); with no mid-row
+    # eviction the two phases emit byte-identical wire to the single
+    # pass (entry order, delta ids, and end-of-row recency all match).
+    def _ensure_iri(self, iri: str) -> None:
         rows = self._rows
         if self.prefixes.table.capacity:
             prefix, local = split_iri(iri)
@@ -248,10 +264,43 @@ class StreamEncoder:
                     _row(c.ROW_PREFIX_ENTRY, _entry_payload(prefix_entry, prefix))
                 )
         else:
-            prefix, local = "", iri
+            local = iri
         name_entry = self.names.entry_id(local)
         if name_entry is not None:
             rows.append(_row(c.ROW_NAME_ENTRY, _entry_payload(name_entry, local)))
+
+    def _ensure_literal(self, datatype: str) -> None:
+        if datatype and datatype != c.XSD_STRING:
+            if not self.datatypes.table.capacity:
+                raise c.JellyError(
+                    f"literal datatype {datatype!r} used with datatype table disabled"
+                )
+            entry = self.datatypes.entry_id(datatype)
+            if entry is not None:
+                self._rows.append(
+                    _row(c.ROW_DATATYPE_ENTRY, _entry_payload(entry, datatype))
+                )
+
+    def _ensure_term(self, term: Term) -> None:
+        kind = term[0]
+        if kind == "iri":
+            self._ensure_iri(term[1])
+        elif kind == "lit":
+            self._ensure_literal(term[3])
+        elif kind == "qt":
+            for sub in term[1:4]:
+                self._ensure_term(sub)
+
+    def _iri_body(self, iri: str) -> bytes:
+        """IRI body refs (entry rows already ensured).
+
+        When the prefix table is disabled the whole IRI goes through the
+        name table (/root/reference/pyjelly/serialize/encode.py:69-73).
+        """
+        if self.prefixes.table.capacity:
+            prefix, local = split_iri(iri)
+        else:
+            prefix, local = "", iri
         prefix_id = self.prefixes.prefix_ref(prefix)
         name_id = self.names.name_ref(local)
         body = b""
@@ -264,15 +313,6 @@ class StreamEncoder:
     def _literal_body(self, lex: str, lang: str, datatype: str) -> bytes:
         datatype_id = 0
         if datatype and datatype != c.XSD_STRING:
-            if not self.datatypes.table.capacity:
-                raise c.JellyError(
-                    f"literal datatype {datatype!r} used with datatype table disabled"
-                )
-            entry = self.datatypes.entry_id(datatype)
-            if entry is not None:
-                self._rows.append(
-                    _row(c.ROW_DATATYPE_ENTRY, _entry_payload(entry, datatype))
-                )
             datatype_id = self.datatypes.datatype_ref(datatype)
         body = b""
         if lex:
@@ -321,16 +361,22 @@ class StreamEncoder:
 
     # ------------------------------------------------------------- statements
     def _statement_body(self, terms: Tuple[Term, ...]) -> bytes:
-        """s/p/o with repeated-term suppression (encode.py:250-285)."""
+        """s/p/o with repeated-term suppression (encode.py:250-285).
+
+        Ensure pass over all changed slots first, then the ref pass —
+        see the phase comment above the ensure helpers.
+        """
         last = self._last_terms
+        slots = (c.SLOT_SUBJECT_BASE, c.SLOT_PREDICATE_BASE, c.SLOT_OBJECT_BASE)
+        changed = [last[slot] != terms[slot] for slot in range(3)]
+        for slot in range(3):
+            if changed[slot]:
+                self._ensure_term(terms[slot])
         body = b""
-        for slot, base in enumerate(
-            (c.SLOT_SUBJECT_BASE, c.SLOT_PREDICATE_BASE, c.SLOT_OBJECT_BASE)
-        ):
-            term = terms[slot]
-            if last[slot] != term:
-                body += self._term_field(term, base)
-                last[slot] = term
+        for slot, base in enumerate(slots):
+            if changed[slot]:
+                body += self._term_field(terms[slot], base)
+                last[slot] = terms[slot]
         return body
 
     def add_triple(self, s: Term, p: Term, o: Term) -> Optional[bytes]:
@@ -342,18 +388,33 @@ class StreamEncoder:
 
     def add_quad(self, s: Term, p: Term, o: Term, g: Term) -> Optional[bytes]:
         self._begin()
-        body = self._statement_body((s, p, o))
-        if self._last_terms[3] != g:
+        last = self._last_terms
+        slots = (c.SLOT_SUBJECT_BASE, c.SLOT_PREDICATE_BASE, c.SLOT_OBJECT_BASE)
+        terms = (s, p, o)
+        changed = [last[slot] != terms[slot] for slot in range(3)]
+        g_changed = last[3] != g
+        for slot in range(3):
+            if changed[slot]:
+                self._ensure_term(terms[slot])
+        if g_changed:
+            self._ensure_term(g)
+        body = b""
+        for slot, base in enumerate(slots):
+            if changed[slot]:
+                body += self._term_field(terms[slot], base)
+                last[slot] = terms[slot]
+        if g_changed:
             body += self._graph_field(
                 g, c.QUAD_G_IRI, c.QUAD_G_BNODE, c.QUAD_G_DEFAULT, c.QUAD_G_LITERAL
             )
-            self._last_terms[3] = g
+            last[3] = g
         self._rows.append(_row(c.ROW_QUAD, body))
         return self._maybe_flush()
 
     def begin_graph(self, graph: Term) -> None:
         """GRAPHS physical type: bracket open (streams.py:243-274)."""
         self._begin()
+        self._ensure_term(graph)
         body = self._graph_field(
             graph, c.START_G_IRI, c.START_G_BNODE, c.START_G_DEFAULT, c.START_G_LITERAL
         )
@@ -366,6 +427,7 @@ class StreamEncoder:
     def declare_namespace(self, label: str, iri: str) -> None:
         """Namespace declaration row (protocol v2; encode.py:343-365)."""
         self._begin()  # options row must precede any namespace row
+        self._ensure_iri(iri)
         iri_body = self._iri_body(iri)
         body = b""
         if label:
