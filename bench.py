@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh",
     "embedding_topk",
     "embedding_ann",
+    "embedding_ivf",
     "token_count",
     "kg_grouped_roundtrip",
 ]

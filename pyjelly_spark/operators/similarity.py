@@ -282,24 +282,10 @@ def _lsh_probes(
     )
 
 
-def ann_topk(
-    emb: DataFrame,
-    k: int = 5,
-    n_planes: int = 4,
-    n_tables: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k via multi-table sign-LSH (the 100 TB path).
-
-    Stage 1 (narrow map): :func:`_lsh_probes`.
-    Stage 2 (bucket shuffle): per-bucket numpy scoring via applyInPandas.
-    Stage 3 (query shuffle): global top-k merge per query with a window.
-    Recall follows 1-(1-p^r)^L; scores of returned pairs are exact, and
-    the whole pipeline is deterministic and SQL-replicable (see
-    queries.SQL_EMBEDDING_ANN).
-    """
-    probes = _lsh_probes(emb, n_planes, n_tables, id_col, vec_col)
+def _bucketed_topk(probes: DataFrame, k: int) -> DataFrame:
+    """Shared stages 2+3 of the bucketed ANN family: per-bucket numpy
+    scoring of anchors (role 0) against candidates (role 1) via
+    applyInPandas, then a global per-query top-k merge."""
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         anchors = pdf[pdf["role"] == 0]
@@ -338,6 +324,123 @@ def ann_topk(
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "rank", "score")
     )
+
+
+def ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH (the 100 TB path).
+
+    Stage 1 (narrow map): :func:`_lsh_probes`.
+    Stages 2+3: :func:`_bucketed_topk` (bucket shuffle + query merge).
+    Recall follows 1-(1-p^r)^L; scores of returned pairs are exact, and
+    the whole pipeline is deterministic and SQL-replicable (see
+    queries.SQL_EMBEDDING_ANN).
+    """
+    return _bucketed_topk(_lsh_probes(emb, n_planes, n_tables, id_col, vec_col), k)
+
+
+def _ivf_centroids(dim: int, n_cells: int) -> np.ndarray:
+    """Deterministic sha256-derived coarse-quantizer centroids (same
+    closed form as :func:`_hyperplanes`, distinct salt), so SQL engines
+    recompute identical cell assignments."""
+    import hashlib
+
+    out = np.empty((n_cells, dim))
+    for cell in range(n_cells):
+        for i in range(dim):
+            h = int(
+                hashlib.sha256(f"cell:{cell}:{i}".encode()).hexdigest()[:15], 16
+            )
+            out[cell, i] = h / float(1 << 59) - 1.0
+    return out
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer — the second scale
+    path beside sign-LSH (:func:`ann_topk`).
+
+    Every vector joins the inverted list of its best (max-cosine)
+    centroid cell (role 1); every query probes its ``n_probe`` best
+    cells (role 0) — a bounded n_probe/n_cells scan fraction with exact
+    re-ranking inside probed cells. Cell scoring + merging reuse the
+    bucketed machinery. No corpus broadcast anywhere; the cell shuffle
+    replaces the n^2 cross join.
+
+    The codebook here is random (sha-derived) so the WHOLE pipeline is
+    deterministic and SQL-oracle-checkable — assignment margins vs
+    engine summation noise measured >= 1.5e-5 at both SFs. Measured
+    recall@5 with the defaults (25% scan fraction) is ~0.49 on the
+    synthetic corpus; production deployments swap in a k-means-learned
+    codebook for higher recall at the same scan fraction — the operator
+    contract (inverted lists, bounded probing, exact re-rank) is
+    unchanged.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    cents = _ivf_centroids(dim, n_cells)
+    c_norms = np.sqrt((cents * cents).sum(axis=1))
+    bc = emb.sparkSession.sparkContext.broadcast((cents, c_norms))
+
+    probe_schema = StructType(
+        [
+            StructField("bucket", LongType(), False),
+            StructField("role", IntegerType(), False),  # 0=query, 1=member
+            StructField("id", LongType(), False),
+            StructField("v", emb.schema[vec_col].dataType, False),
+        ]
+    )
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_mat, c_n = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            mat = _matrix(pdf, vec_col)
+            v_n = np.sqrt((mat * mat).sum(axis=1))
+            scores = (mat @ c_mat.T) / np.outer(v_n, c_n)
+            # ties broken by cell index: lexsort on (cell asc) within
+            # equal scores — argsort of (-score, cell) per row
+            order = np.lexsort(
+                (np.tile(np.arange(scores.shape[1]), (len(ids), 1)), -scores),
+                axis=1,
+            )
+            vecs = pdf[vec_col].to_numpy()
+            frames = [
+                pd.DataFrame(
+                    {
+                        "bucket": order[:, 0].astype("int64"),
+                        "role": 1,
+                        "id": ids,
+                        "v": vecs,
+                    }
+                )
+            ]
+            for p in range(n_probe):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "bucket": order[:, p].astype("int64"),
+                            "role": 0,
+                            "id": ids,
+                            "v": vecs,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    probes = emb.select(id_col, vec_col).mapInPandas(emit, schema=probe_schema)
+    return _bucketed_topk(probes, k)
 
 
 def lsh_dup_pairs(

@@ -1206,6 +1206,83 @@ SELECT vec_id, neighbor_id, rank, score FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (second scale path beside sign-LSH),
+    fully oracle-gated: sha-derived centroids + measured >=1.5e-5
+    assignment margins make cells engine-independent."""
+    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+IVF_CELLS, IVF_PROBE = 16, 4
+
+SQL_EMBEDDING_IVF = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+cents AS (
+  -- identical closed form to similarity._ivf_centroids
+  SELECT c.c AS cell, i.i AS i,
+    ('0x' || substring(sha256('cell:' || c.c || ':' || i.i), 1, 15))::BIGINT
+      / 576460752303423488.0 - 1.0 AS coef
+  FROM range(0, {IVF_CELLS}) c(c), range(0, {ANN_DIM}) i(i)
+),
+cnorm AS (
+  SELECT cell, sqrt(sum(coef * coef)) AS cn FROM cents GROUP BY cell
+),
+n AS (
+  SELECT vec_id, v,
+    sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) AS nrm
+  FROM v
+),
+cellproj AS (
+  SELECT n.vec_id, ct.cell, sum(n.v[ct.i + 1] * ct.coef) AS dot
+  FROM n, cents ct
+  GROUP BY 1, 2
+),
+ranked_cells AS (
+  SELECT p.vec_id, p.cell,
+    row_number() OVER (
+      PARTITION BY p.vec_id
+      ORDER BY p.dot / (n.nrm * cn.cn) DESC, p.cell ASC
+    ) AS rc
+  FROM cellproj p
+  JOIN n ON p.vec_id = n.vec_id
+  JOIN cnorm cn ON p.cell = cn.cell
+),
+members AS (SELECT vec_id, cell FROM ranked_cells WHERE rc = 1),
+probes AS (SELECT vec_id, cell FROM ranked_cells WHERE rc <= {IVF_PROBE}),
+bucket_scored AS (
+  SELECT q.vec_id AS vec_id, q.cell AS bucket, m.vec_id AS neighbor_id,
+    list_reduce(
+      list_transform(range(1, {ANN_DIM} + 1), i -> x.v[i] * y.v[i]),
+      (acc, e) -> acc + e
+    ) / (x.nrm * y.nrm) AS raw_score
+  FROM probes q
+  JOIN members m ON q.cell = m.cell AND q.vec_id <> m.vec_id
+  JOIN n x ON q.vec_id = x.vec_id
+  JOIN n y ON m.vec_id = y.vec_id
+),
+bucket_topk AS (
+  SELECT vec_id, neighbor_id,
+    floor(raw_score * 10000 + 1e-9) / 10000 AS score
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, bucket ORDER BY raw_score DESC, neighbor_id ASC
+    ) AS rb FROM bucket_scored
+  ) WHERE rb <= 5
+),
+merged AS (
+  SELECT vec_id, neighbor_id, max(score) AS score FROM bucket_topk GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY score DESC, neighbor_id ASC
+  ) AS rank FROM merged
+)
+SELECT vec_id, neighbor_id, rank, score FROM ranked WHERE rank <= 5
+"""
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed (LSH) variant of embedding dedup — the scale path, with
     its own exact oracle replicating the bucket collisions in SQL."""
@@ -1397,6 +1474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
+    "embedding_ivf": q_embedding_ivf,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
@@ -1446,4 +1524,5 @@ ORACLES: dict[str, str] = {
     # approximate-but-deterministic: the sha-derived hyperplanes make the
     # whole LSH pipeline (buckets, per-bucket topk, merge) SQL-replicable
     "embedding_ann": SQL_EMBEDDING_ANN,
+    "embedding_ivf": SQL_EMBEDDING_IVF,
 }

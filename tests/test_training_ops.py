@@ -352,3 +352,20 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     rows = out.collect()
     assert rows, "expected closed sessions"
     assert all(r["n_events"] > 0 for r in rows)
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF ANN recall@5 against the exact broadcast top-k."""
+    from pyjelly_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["vec_id"], r["neighbor_id"]) for r in cosine_topk(emb, k=5).collect()
+    }
+    approx = {
+        (r["vec_id"], r["neighbor_id"]) for r in ivf_topk(emb, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random (sha-derived, oracle-checkable) codebook at 25% scan
+    # fraction: measured 0.482 here / 0.492 at sf0.1
+    assert recall >= 0.4, recall
