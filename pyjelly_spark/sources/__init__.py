@@ -7,6 +7,7 @@ from pyjelly_spark.sources.jelly_io import (  # noqa: F401
     read_jelly_frame_meta,
     read_jelly_namespaces,
     read_jelly_stream,
+    transcode,
     write_jelly,
 )
 from pyjelly_spark.sources.nt_source import read_nt, write_nt  # noqa: F401

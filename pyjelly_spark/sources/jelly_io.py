@@ -723,6 +723,53 @@ def read_jelly_namespaces(spark: SparkSession, path: str) -> DataFrame:
     return paths_df.mapInPandas(walk, schema=NAMESPACE_SCHEMA)
 
 
+def transcode(
+    spark: SparkSession,
+    src: str,
+    out_dir: str,
+    options: Optional[jc.StreamOptions] = None,
+    grouped_by_graph: bool = False,
+    sort_cols: Optional[List[str]] = None,
+    n_partitions: Optional[int] = None,
+) -> pd.DataFrame:
+    """Distributed format/framing transcoder: .jelly or .nt/.nq input ->
+    .jelly output under any options.
+
+    Covers the reference's conversion surface (e.g. QUADS -> GRAPHS via
+    ``split_to_graphs``, flat -> grouped re-framing, preset/frame-size
+    changes) as one Spark job: read -> (optional graph-keyed repartition
+    + in-partition sort) -> write. Returns the write manifest.
+
+    ``grouped_by_graph`` repartitions on the graph value and sorts each
+    partition graph-major, so consecutive runs == whole graphs (one frame
+    per graph). For flat output the statement order is the reader's
+    (source_file, stmt_idx) order within each input file.
+    """
+    lower = src.lower()
+    if lower.endswith((".nt", ".nq")):
+        from pyjelly_spark.sources.nt_source import read_nt
+
+        stmts = read_nt(spark, src)
+    else:
+        stmts = read_jelly(spark, src)
+    if grouped_by_graph:
+        parts = n_partitions or max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "8")) // 2, 1
+        )
+        stmts = stmts.repartition(parts, "g_value").sortWithinPartitions(
+            *(sort_cols or ["g_value", "s_value", "p_value", "o_value"])
+        )
+    elif sort_cols:
+        stmts = stmts.sortWithinPartitions(*sort_cols)
+    return write_jelly(
+        stmts,
+        out_dir,
+        options=options,
+        grouped_by_graph=grouped_by_graph,
+        resume=False,
+    )
+
+
 def read_manifest_frames(path: str) -> List[dict]:
     """Frame-level stats of one .jelly file (debug/lineage helper)."""
     filesystem, fs_path = _fs_for(path)

@@ -316,3 +316,45 @@ def test_non_delimited_distributed_write(spark, tmp_path):
             grouped_by_graph=True,
             resume=False,
         )
+
+
+def test_transcode_quads_to_graphs(spark, tmp_path):
+    """The reference's QUADS -> GRAPHS conversion (split_to_graphs use
+    case) as one distributed job: flat QUADS stream in, frame-per-graph
+    GRAPHS stream out, statements preserved."""
+    from pyjelly_spark.sources.jelly_io import read_jelly, transcode, write_jelly
+
+    df = _grouped_statements_df(spark)
+    flat_quads = str(tmp_path / "flat_quads")
+    write_jelly(
+        df,
+        flat_quads,
+        options=jc.StreamOptions(
+            physical_type=jc.PHYSICAL_QUADS, logical_type=jc.LOGICAL_FLAT_QUADS
+        ),
+        resume=False,
+    )
+
+    grouped_out = str(tmp_path / "graphs_out")
+    manifest = transcode(
+        spark, flat_quads, grouped_out, grouped_by_graph=True
+    )
+    assert int(manifest["n_statements"].sum()) == 15
+
+    decoded = read_jelly(spark, grouped_out).collect()
+    frames_per_graph = {}
+    for r in decoded:
+        frames_per_graph.setdefault(r["g_value"], set()).add(
+            (r["source_file"], r["frame_id"])
+        )
+    assert len(decoded) == 15
+    assert all(len(f) == 1 for f in frames_per_graph.values())
+
+
+def test_transcode_nt_to_jelly(spark, tmp_path):
+    from pyjelly_spark.sources.jelly_io import read_jelly, transcode
+
+    nt = "/root/reference/tests/e2e_test_cases/triples_rdf_1_1/weather.nt"
+    out = str(tmp_path / "from_nt")
+    manifest = transcode(spark, nt, out)
+    assert int(manifest["n_statements"].sum()) == read_jelly(spark, out).count() > 0
