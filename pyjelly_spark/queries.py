@@ -1339,6 +1339,77 @@ FROM scored WHERE raw_score >= 0.4 - 1e-9
 """
 
 
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision pipeline — the composition a real
+    training-data job runs: exact fingerprint dedup, then MinHash-LSH
+    text near-dup, then bucketed embedding near-dup, cascaded into one
+    keep/drop + reason per document. Canonical = the smallest doc_id of
+    each duplicate class; the b-side (larger id) of every near-dup pair
+    drops. All three stages are the oracle-gated operators above, so the
+    composition is closed-form checkable too."""
+    from pyjelly_spark.functions.text import normalized
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    canon = docs.select(
+        "doc_id", F.sha2(normalized(F.col("text")), 256).alias("fp")
+    ).withColumn("canon", F.min("doc_id").over(Window.partitionBy("fp")))
+    mh_b = (
+        D.minhash_pairs(docs, threshold=JACCARD_THRESHOLD)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_mh", F.lit(1))
+    )
+    em_b = (
+        SIM.lsh_dup_pairs(emb, threshold=0.4)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_em", F.lit(1))
+    )
+    flags = canon.join(mh_b, "doc_id", "left").join(em_b, "doc_id", "left")
+    reason = (
+        F.when(F.col("canon") != F.col("doc_id"), F.lit("exact"))
+        .when(F.col("is_mh").isNotNull(), F.lit("near_text"))
+        .when(F.col("is_em").isNotNull(), F.lit("near_embedding"))
+        .otherwise(F.lit("unique"))
+    )
+    return flags.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "unique").cast("int").alias("keep"),
+    )
+
+
+SQL_DEDUP_PIPELINE = f"""
+WITH canon AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY sha256({NORM_SQL})) AS canon
+  FROM documents
+),
+mh AS (
+  SELECT DISTINCT b FROM (
+    WITH {SHINGLES_SQL.strip()}
+    SELECT b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+  )
+),
+em AS (
+  SELECT DISTINCT b FROM ({SQL_DEDUP_EMBEDDING_LSH})
+)
+SELECT c.doc_id,
+  CASE WHEN c.canon <> c.doc_id THEN 'exact'
+       WHEN mh.b IS NOT NULL THEN 'near_text'
+       WHEN em.b IS NOT NULL THEN 'near_embedding'
+       ELSE 'unique' END AS reason,
+  (CASE WHEN c.canon <> c.doc_id THEN 'exact'
+        WHEN mh.b IS NOT NULL THEN 'near_text'
+        WHEN em.b IS NOT NULL THEN 'near_embedding'
+        ELSE 'unique' END = 'unique')::INT AS keep
+FROM canon c
+LEFT JOIN mh ON c.doc_id = mh.b
+LEFT JOIN em ON c.doc_id = em.b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1472,6 +1543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_pipeline": q_dedup_pipeline,
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
     "embedding_ivf": q_embedding_ivf,
@@ -1515,6 +1587,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
+    "dedup_pipeline": SQL_DEDUP_PIPELINE,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
