@@ -1339,6 +1339,116 @@ FROM scored WHERE raw_score >= 0.4 - 1e-9
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed Spark-first: for every event, the value of
+    the same user's most recent 'purchase' at or before it. One window
+    pass (running last-non-null over (user, time) order) — no join at
+    all, so it scales as a single hash-partition + sort, the plan an
+    as-of join should compile to when both sides share a key."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(
+            F.when(F.col("event_type") == "purchase", _f4(F.col("value"))),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_purchase_value"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+SELECT event_id, user_id,
+  last_value(CASE WHEN event_type = 'purchase'
+                  THEN floor(value * 10000) / 10000 END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS last_purchase_value
+FROM events
+"""
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, bucketed: events tagged with the closed-form
+    maintenance window containing them (windows = 1h slices every 7h).
+
+    The naive plan is a non-equi join (every event x every window —
+    O(n*m) nested loop). The scale pattern used here: both sides key on
+    the hour bucket, the interval side exploding one row per covered
+    bucket, so the join is a plain EQUI join + residual filter. Window
+    length <= bucket size means exactly one bucket row per window here.
+    """
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    # closed-form windows over the data's 30-day span: start = k*7h
+    windows = (
+        spark.range(0, 30 * 24 // 7 + 1)
+        .select(
+            F.col("id").alias("window_id"),
+            (F.col("id") * 7 * 3600).alias("w_start"),
+            (F.col("id") * 7 * 3600 + 3600).alias("w_end"),
+        )
+        .withColumn("bucket", (F.col("w_start") / 3600).cast("long"))
+    )
+    base = F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    ev_b = ev.select(
+        "event_id", (epoch - base).alias("off")
+    ).withColumn("bucket", (F.col("off") / 3600).cast("long"))
+    joined = ev_b.join(windows, "bucket").where(
+        (F.col("off") >= F.col("w_start")) & (F.col("off") < F.col("w_end"))
+    )
+    return joined.select("event_id", "window_id")
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH w AS (
+  SELECT i AS window_id, i * 7 * 3600 AS w_start, i * 7 * 3600 + 3600 AS w_end
+  FROM range(0, 30 * 24 // 7 + 1) t(i)
+),
+ev AS (
+  SELECT event_id,
+    epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00') AS off
+  FROM events
+)
+SELECT ev.event_id, w.window_id
+FROM ev JOIN w ON ev.off >= w.w_start AND ev.off < w.w_end
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format daily matrix via Spark's pivot relational operator:
+    one row per day, one count column per event type. The explicit value
+    list keeps the plan single-pass (no distinct-values pre-query) and
+    the output schema static — the shape that matters at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  count(*) FILTER (event_type = 'click') AS click,
+  count(*) FILTER (event_type = 'error') AS error,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup') AS signup,
+  count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1
+"""
+
+
 def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup decision pipeline — the composition a real
     training-data job runs: exact fingerprint dedup, then MinHash-LSH
@@ -1531,6 +1641,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_moving_avg": q_events_moving_avg,
     "events_median": q_events_median,
     "events_json": q_events_json,
+    "events_pivot": q_events_pivot,
+    "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
     "cust_no_orders": q_cust_no_orders,
     "part_setops": q_part_setops,
     "lang_id": q_lang_id,
@@ -1575,6 +1688,9 @@ ORACLES: dict[str, str] = {
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
     "events_median": SQL_EVENTS_MEDIAN,
     "events_json": SQL_EVENTS_JSON,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    "events_asof": SQL_EVENTS_ASOF,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "cust_no_orders": SQL_CUST_NO_ORDERS,
     "part_setops": SQL_PART_SETOPS,
     "lang_id": SQL_LANG_ID,
