@@ -358,3 +358,48 @@ def test_transcode_nt_to_jelly(spark, tmp_path):
     out = str(tmp_path / "from_nt")
     manifest = transcode(spark, nt, out)
     assert int(manifest["n_statements"].sum()) == read_jelly(spark, out).count() > 0
+
+
+def test_chunked_decode_over_boundary(spark, tmp_path):
+    """A single stream bigger than the 64k-row Arrow chunk decodes in
+    multiple bounded chunks with identical content (worker memory stays
+    bounded for multi-GB files)."""
+    from pyspark.sql import functions as F
+
+    from pyjelly_spark.sources.jelly_io import (
+        _DECODE_CHUNK_ROWS,
+        read_jelly,
+        write_jelly,
+    )
+
+    n = _DECODE_CHUNK_ROWS + 5_000
+    df = (
+        spark.range(n)
+        .select(
+            F.lit("iri").alias("s_kind"),
+            F.concat(F.lit("http://ex.org/s"), F.col("id")).alias("s_value"),
+            F.lit(None).cast("string").alias("s_lang"),
+            F.lit(None).cast("string").alias("s_datatype"),
+            F.lit("iri").alias("p_kind"),
+            F.lit("http://ex.org/p").alias("p_value"),
+            F.lit(None).cast("string").alias("p_lang"),
+            F.lit(None).cast("string").alias("p_datatype"),
+            F.lit("iri").alias("o_kind"),
+            F.concat(F.lit("http://ex.org/o"), (F.col("id") % 97)).alias("o_value"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("o_datatype"),
+        )
+        .coalesce(1)  # ONE partition -> one stream over the boundary
+    )
+    out = str(tmp_path / "big_stream")
+    manifest = write_jelly(df, out, resume=False)
+    assert int(manifest["n_statements"].sum()) == n
+    back = read_jelly(spark, out)
+    assert back.count() == n
+    # stmt_idx is contiguous across the chunk flush boundary
+    agg = back.agg(
+        F.min("stmt_idx").alias("mn"),
+        F.max("stmt_idx").alias("mx"),
+        F.countDistinct("stmt_idx").alias("nd"),
+    ).collect()[0]
+    assert (agg["mn"], agg["mx"], agg["nd"]) == (0, n - 1, n)
