@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "embedding_topk",
     "embedding_ann",
     "embedding_ivf",
+    "dedup_pipeline",
+    "events_pivot",
+    "events_asof",
+    "events_range_join",
     "token_count",
     "kg_grouped_roundtrip",
 ]
