@@ -141,27 +141,26 @@ def minhash_signatures(
     sh = doc_shingles(docs, n=n).withColumn(
         "h", hex_hash(F.col("shingle"), mod=MERSENNE31)
     )
-    perms = F.explode(
+    # all num_hashes minima in ONE groupBy(doc_id) pass (same shape as
+    # the SimHash rewrite): shuffle volume is one (doc, shingle-hash) row
+    # per shingle, not num_hashes x that; the (j, minhash) long format
+    # comes from exploding a tiny post-aggregation array (num_hashes rows
+    # per doc).
+    mins = [
+        F.min(
+            F.pmod(F.lit(pa) * F.col("h") + F.lit(pb), F.lit(MERSENNE31))
+        ).alias(f"m{j}")
+        for j, (pa, pb) in enumerate(_minhash_params(num_hashes))
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*mins)
+    sig = F.explode(
         F.array(*[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.lit(pa).alias("pa"),
-                F.lit(pb).alias("pb"),
-            )
-            for j, (pa, pb) in enumerate(_minhash_params(num_hashes))
+            F.struct(F.lit(j).alias("j"), F.col(f"m{j}").alias("minhash"))
+            for j in range(num_hashes)
         ])
-    ).alias("perm")
-    return (
-        sh.select("doc_id", "h", perms)
-        .select(
-            "doc_id",
-            F.col("perm.j").alias("j"),
-            F.pmod(
-                F.col("perm.pa") * F.col("h") + F.col("perm.pb"), F.lit(MERSENNE31)
-            ).alias("hv"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.min("hv").alias("minhash"))
+    ).alias("sig")
+    return per_doc.select("doc_id", sig).select(
+        "doc_id", F.col("sig.j").alias("j"), F.col("sig.minhash").alias("minhash")
     )
 
 
