@@ -403,3 +403,28 @@ def test_chunked_decode_over_boundary(spark, tmp_path):
         F.countDistinct("stmt_idx").alias("nd"),
     ).collect()[0]
     assert (agg["mn"], agg["mx"], agg["nd"]) == (0, n - 1, n)
+
+
+def test_grouped_write_resume_byte_identical(spark, tmp_path):
+    """Resume contract holds in grouped mode: a deleted partition is the
+    only one rewritten, and the deterministic replan reproduces its
+    bytes exactly."""
+    import os
+
+    from pyjelly_spark.sources.jelly_io import write_jelly
+
+    df = _grouped_statements_df(spark)
+    out = str(tmp_path / "grouped_resume")
+    m1 = write_jelly(df, out, grouped_by_graph=True, resume=True)
+    parts = sorted(f for f in os.listdir(out) if f.endswith(".jelly"))
+    victim = os.path.join(out, parts[0])
+    victim_id = int(parts[0].split("-")[1].split(".")[0])
+    original = open(victim, "rb").read()
+    os.remove(victim)
+
+    m2 = write_jelly(df, out, grouped_by_graph=True, resume=True)
+    rewritten = set(m2[m2["skipped"] == 0]["partition_id"])
+    skipped = set(m2[m2["skipped"] == 1]["partition_id"])
+    assert rewritten == {victim_id}
+    assert skipped == set(m1["partition_id"]) - {victim_id}
+    assert open(victim, "rb").read() == original
