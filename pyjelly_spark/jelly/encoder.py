@@ -76,6 +76,17 @@ class LruIndex:
         slots[key] = index
         return index
 
+    def get(self, key: str) -> Optional[int]:
+        """Index WITHOUT a recency refresh (ref-pass read).
+
+        Safe for the ref pass only: refs replay the ensure pass's keys in
+        the identical order, so re-refreshing them would leave the
+        last-occurrence (recency) order — and therefore every future
+        eviction — unchanged. Skipping the refresh is byte- and
+        eviction-identical while halving the dict work per term.
+        """
+        return self._slots.get(key)
+
     def add(self, key: str) -> int:
         """Insert an absent key, recycling the LRU slot once full."""
         if not self.capacity:
@@ -123,7 +134,7 @@ class TableState:
 
     # -- term-slot references --------------------------------------------------
     def _use(self, key: str) -> int:
-        index = self.table.hit(key)
+        index = self.table.get(key)
         if index is None:
             # pass-2 miss: a later slot's entry evicted this key between
             # the ensure pass and the ref pass — the statement references
@@ -174,6 +185,15 @@ def _row(row_field: int, payload: bytes) -> bytes:
     return len_field(row_field, payload)
 
 
+def _evicted(state: "TableState", key: str) -> c.JellyError:
+    """Ref-pass miss: same condition TableState._use guards (see there)."""
+    return c.JellyError(
+        f"lookup table (capacity {state.table.capacity}) too small "
+        f"to express this statement: entry {key!r} was evicted by "
+        "a later term of the same row"
+    )
+
+
 def _entry_payload(entry_id: int, value: str) -> bytes:
     """RdfNameEntry / RdfPrefixEntry / RdfDatatypeEntry body (defaults omitted)."""
     body = b""
@@ -199,6 +219,10 @@ class StreamEncoder:
         self.datatypes = TableState(preset.datatypes)
         # last term seen per slot: 0=s 1=p 2=o 3=g
         self._last_terms: List[Optional[Term]] = [None, None, None, None]
+        # memoized split_iri results: every IRI occurrence needs its split
+        # twice (ensure pass + ref pass) and hot IRIs recur constantly;
+        # bounded so a pathological stream of unique IRIs can't grow it
+        self._splits: Dict[str, Tuple[str, str]] = {}
         self._rows: List[bytes] = []
         self._started = False
         # Bounded (row-count) framing applies to delimited FLAT_* /
@@ -254,10 +278,18 @@ class StreamEncoder:
     # property fuzzing (tests/test_codec_fuzz.py); with no mid-row
     # eviction the two phases emit byte-identical wire to the single
     # pass (entry order, delta ids, and end-of-row recency all match).
+    def _split(self, iri: str) -> Tuple[str, str]:
+        got = self._splits.get(iri)
+        if got is None:
+            if len(self._splits) >= (1 << 20):
+                self._splits.clear()
+            got = self._splits[iri] = split_iri(iri)
+        return got
+
     def _ensure_iri(self, iri: str) -> None:
         rows = self._rows
         if self.prefixes.table.capacity:
-            prefix, local = split_iri(iri)
+            prefix, local = self._split(iri)
             prefix_entry = self.prefixes.entry_id(prefix)
             if prefix_entry is not None:
                 rows.append(
@@ -297,18 +329,38 @@ class StreamEncoder:
         When the prefix table is disabled the whole IRI goes through the
         name table (/root/reference/pyjelly/serialize/encode.py:69-73).
         """
-        if self.prefixes.table.capacity:
-            prefix, local = split_iri(iri)
+        # The delta rules below are TableState.prefix_ref / name_ref inlined
+        # (those remain the semantic reference, exercised by the ported
+        # vectors in tests/test_lookup_vectors.py); inlining removes ~6
+        # function calls per IRI occurrence on the encode hot path.
+        pt = self.prefixes
+        if pt.table.capacity:
+            prefix, local = self._split(iri)
+            prev = pt.last_used
+            if not prefix and prev == 0:
+                prefix_id = 0
+            else:
+                cur = pt.table.get(prefix)
+                if cur is None:
+                    raise _evicted(pt, prefix)
+                pt.last_used = cur
+                prefix_id = cur if prev == 0 or cur != prev else 0
         else:
-            prefix, local = "", iri
-        prefix_id = self.prefixes.prefix_ref(prefix)
-        name_id = self.names.name_ref(local)
-        body = b""
+            local = iri
+            prefix_id = 0
+        nt = self.names
+        cur_n = nt.table.get(local)
+        if cur_n is None:
+            raise _evicted(nt, local)
+        name_id = 0 if cur_n == nt.last_used + 1 else cur_n
+        nt.last_used = cur_n
         if prefix_id:
-            body += varint_field(1, prefix_id)
+            if name_id:
+                return varint_field(1, prefix_id) + varint_field(2, name_id)
+            return varint_field(1, prefix_id)
         if name_id:
-            body += varint_field(2, name_id)
-        return body
+            return varint_field(2, name_id)
+        return b""
 
     def _literal_body(self, lex: str, lang: str, datatype: str) -> bytes:
         datatype_id = 0
@@ -360,31 +412,41 @@ class StreamEncoder:
         raise c.JellyError(f"cannot encode term kind {kind!r} in graph slot")
 
     # ------------------------------------------------------------- statements
-    def _statement_body(self, terms: Tuple[Term, ...]) -> bytes:
-        """s/p/o with repeated-term suppression (encode.py:250-285).
-
-        Ensure pass over all changed slots first, then the ref pass —
-        see the phase comment above the ensure helpers.
-        """
-        last = self._last_terms
-        slots = (c.SLOT_SUBJECT_BASE, c.SLOT_PREDICATE_BASE, c.SLOT_OBJECT_BASE)
-        changed = [last[slot] != terms[slot] for slot in range(3)]
-        for slot in range(3):
-            if changed[slot]:
-                self._ensure_term(terms[slot])
-        body = b""
-        for slot, base in enumerate(slots):
-            if changed[slot]:
-                body += self._term_field(terms[slot], base)
-                last[slot] = terms[slot]
-        return body
-
     def add_triple(self, s: Term, p: Term, o: Term) -> Optional[bytes]:
-        """Feed one triple; returns a finished frame when one fills up."""
-        self._begin()
-        body = self._statement_body((s, p, o))
-        self._rows.append(_row(c.ROW_TRIPLE, body))
-        return self._maybe_flush()
+        """Feed one triple; returns a finished frame when one fills up.
+
+        s/p/o with repeated-term suppression (encode.py:250-285), ensure
+        pass over all changed slots first, then the ref pass — see the
+        phase comment above the ensure helpers. Unrolled: this is the
+        innermost loop of the distributed encode stage.
+        """
+        if not self._started:
+            self._begin()
+        last = self._last_terms
+        cs = last[0] != s
+        cp = last[1] != p
+        co = last[2] != o
+        if cs:
+            self._ensure_term(s)
+        if cp:
+            self._ensure_term(p)
+        if co:
+            self._ensure_term(o)
+        body = b""
+        if cs:
+            body += self._term_field(s, c.SLOT_SUBJECT_BASE)
+            last[0] = s
+        if cp:
+            body += self._term_field(p, c.SLOT_PREDICATE_BASE)
+            last[1] = p
+        if co:
+            body += self._term_field(o, c.SLOT_OBJECT_BASE)
+            last[2] = o
+        rows = self._rows
+        rows.append(len_field(c.ROW_TRIPLE, body))
+        if self._bounded and len(rows) >= self.options.frame_rows:
+            return self.take_frame()
+        return None
 
     def add_quad(self, s: Term, p: Term, o: Term, g: Term) -> Optional[bytes]:
         self._begin()
