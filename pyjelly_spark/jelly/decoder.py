@@ -20,7 +20,7 @@ from __future__ import annotations
 from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 
 from pyjelly_spark.jelly import constants as c
-from pyjelly_spark.jelly.wire import iter_fields
+from pyjelly_spark.jelly.wire import iter_fields, read_uvarint
 
 Term = tuple
 
@@ -94,20 +94,42 @@ def parse_options_row(body: bytes, delimited: bool) -> c.StreamOptions:
 
 
 def split_frame(frame: bytes) -> Tuple[List[bytes], Dict[str, bytes]]:
-    """One RdfStreamFrame -> (row byte-strings, metadata map)."""
+    """One RdfStreamFrame -> (row byte-strings, metadata map).
+
+    Hot path: the rows field (tag 0x0A) is walked inline; anything else
+    falls back to the generic iter_fields walk (same tolerance for
+    unknown fields as before, just off the fast path).
+    """
     rows: List[bytes] = []
     metadata: Dict[str, bytes] = {}
-    for field, _wt, value in iter_fields(frame):
-        if field == c.FRAME_ROWS:
-            rows.append(bytes(value))
-        elif field == c.FRAME_METADATA:
-            key, payload = "", b""
-            for mf, _mw, mv in iter_fields(bytes(value)):
-                if mf == 1:
-                    key = bytes(mv).decode("utf-8")
-                elif mf == 2:
-                    payload = bytes(mv)
-            metadata[key] = payload
+    pos = 0
+    n = len(frame)
+    while pos < n:
+        if frame[pos] == 0x0A:  # FRAME_ROWS, wire type 2
+            pos += 1
+            ln = frame[pos]
+            pos += 1
+            if ln >= 0x80:
+                ln, pos = read_uvarint(frame, pos - 1)
+            end = pos + ln
+            if end > n:
+                raise ValueError("truncated length-delimited field")
+            rows.append(frame[pos:end])
+            pos = end
+        else:
+            break
+    if pos < n:  # metadata / unknown fields: generic walk of the tail
+        for field, _wt, value in iter_fields(frame[pos:]):
+            if field == c.FRAME_ROWS:
+                rows.append(bytes(value))
+            elif field == c.FRAME_METADATA:
+                key, payload = "", b""
+                for mf, _mw, mv in iter_fields(bytes(value)):
+                    if mf == 1:
+                        key = bytes(mv).decode("utf-8")
+                    elif mf == 2:
+                        payload = bytes(mv)
+                metadata[key] = payload
     return rows, metadata
 
 
@@ -134,7 +156,47 @@ class StreamDecoder:
         self._datatypes = DecodeTable(options.preset.datatypes)
 
     # --------------------------------------------------------------- terms
+    # The fast decoders below walk the expected tags inline (the wire our
+    # encoder and the reference emit); an unexpected tag falls back to the
+    # *_slow generic duals, preserving unknown-field tolerance.
     def _decode_iri(self, body: bytes) -> Term:
+        prefix_id = name_id = 0
+        pos = 0
+        n = len(body)
+        while pos < n:
+            tag = body[pos]
+            pos += 1
+            if tag == 0x08 or tag == 0x10:  # prefix_id / name_id varints
+                v = body[pos]
+                pos += 1
+                if v >= 0x80:
+                    v, pos = read_uvarint(body, pos - 1)
+                if tag == 0x08:
+                    prefix_id = v
+                else:
+                    name_id = v
+            else:
+                return self._decode_iri_slow(body)
+        # name_at / prefix_at inlined (DecodeTable remains the semantic
+        # reference, exercised by tests/test_lookup_vectors.py)
+        nt = self._names
+        idx = name_id or nt.last_used + 1
+        nt.last_used = idx
+        name = nt._values[idx - 1]
+        if name is None:
+            raise c.JellyError(f"lookup index {idx} was never assigned")
+        pt = self._prefixes
+        if pt.capacity:
+            eff = prefix_id or pt.last_used
+            if eff:
+                pt.last_used = eff
+                prefix = pt._values[eff - 1]
+                if prefix is None:
+                    raise c.JellyError(f"lookup index {eff} was never assigned")
+                return ("iri", prefix + name)
+        return ("iri", name)
+
+    def _decode_iri_slow(self, body: bytes) -> Term:
         prefix_id = name_id = 0
         for field, _wt, value in iter_fields(body):
             if field == 1:
@@ -146,6 +208,39 @@ class StreamDecoder:
         return ("iri", prefix + name)
 
     def _decode_literal(self, body: bytes) -> Term:
+        lex, lang, datatype = "", "", ""
+        datatype_id = None
+        pos = 0
+        n = len(body)
+        while pos < n:
+            tag = body[pos]
+            pos += 1
+            if tag == 0x0A or tag == 0x12:  # lex / langtag strings
+                ln = body[pos]
+                pos += 1
+                if ln >= 0x80:
+                    ln, pos = read_uvarint(body, pos - 1)
+                end = pos + ln
+                if end > n:
+                    raise ValueError("truncated length-delimited field")
+                if tag == 0x0A:
+                    lex = body[pos:end].decode("utf-8")
+                else:
+                    lang = body[pos:end].decode("utf-8")
+                pos = end
+            elif tag == 0x18:  # datatype id varint
+                v = body[pos]
+                pos += 1
+                if v >= 0x80:
+                    v, pos = read_uvarint(body, pos - 1)
+                datatype_id = v
+            else:
+                return self._decode_literal_slow(body)
+        if not lang and datatype_id is not None and self._datatypes.capacity:
+            datatype = self._datatypes.datatype_at(datatype_id)
+        return ("lit", lex, lang, datatype)
+
+    def _decode_literal_slow(self, body: bytes) -> Term:
         lex, lang, datatype = "", "", ""
         datatype_id = None
         for field, _wt, value in iter_fields(body):
@@ -189,44 +284,113 @@ class StreamDecoder:
 
     # ---------------------------------------------------------------- rows
     def _decode_statement(self, body: bytes, is_quad: bool) -> Term:
-        present: Dict[int, Term] = {}
+        s = p = o = None
         graph_term: Optional[Term] = None
         saw_graph = False
-        for field, _wt, value in iter_fields(body):
+        pos = 0
+        n = len(body)
+        while pos < n:
+            tag = body[pos]
+            pos += 1
+            if tag >= 0x80:
+                tag, pos = read_uvarint(body, pos - 1)
+            wt = tag & 7
+            if wt == 2:
+                ln = body[pos]
+                pos += 1
+                if ln >= 0x80:
+                    ln, pos = read_uvarint(body, pos - 1)
+                end = pos + ln
+                if end > n:
+                    raise ValueError("truncated length-delimited field")
+                value: object = body[pos:end]
+                pos = end
+            elif wt == 0:
+                value, pos = read_uvarint(body, pos)
+            elif wt == 5:
+                value = body[pos : pos + 4]
+                pos += 4
+            elif wt == 1:
+                value = body[pos : pos + 8]
+                pos += 8
+            else:
+                raise ValueError(f"unsupported wire type {wt}")
+            field = tag >> 3
             if field >= c.QUAD_G_IRI:
                 graph_term = self._decode_graph_term(field - c.QUAD_G_IRI, value)
                 saw_graph = True
+                continue
+            slot, offset = divmod(field - 1, 4)
+            if offset == 0:
+                term = self._decode_iri(bytes(value))
+            elif offset == 1:
+                term = ("bnode", bytes(value).decode("utf-8"))
+            elif offset == 2:
+                term = self._decode_literal(bytes(value))
             else:
-                slot, offset = divmod(field - 1, 4)
-                present[slot] = self._decode_slot_term(offset, value)
+                term = self._decode_quoted(bytes(value))
+            if slot == 0:
+                s = term
+            elif slot == 1:
+                p = term
+            elif slot == 2:
+                o = term
         repeated = self._repeated
-        terms: List[Term] = []
-        for slot in range(3):
-            term = present.get(slot)
-            if term is None:
-                term = repeated[slot]
-                if term is None:
-                    raise c.JellyError(f"missing repeated term in slot {slot}")
-            else:
-                repeated[slot] = term
-            terms.append(term)
+        if s is None:
+            s = repeated[0]
+            if s is None:
+                raise c.JellyError("missing repeated term in slot 0")
+        else:
+            repeated[0] = s
+        if p is None:
+            p = repeated[1]
+            if p is None:
+                raise c.JellyError("missing repeated term in slot 1")
+        else:
+            repeated[1] = p
+        if o is None:
+            o = repeated[2]
+            if o is None:
+                raise c.JellyError("missing repeated term in slot 2")
+        else:
+            repeated[2] = o
         if not is_quad:
-            return ("triple", terms[0], terms[1], terms[2])
+            return ("triple", s, p, o)
         if saw_graph:
             repeated[3] = graph_term
         else:
             graph_term = repeated[3]
             if graph_term is None:
                 raise c.JellyError("missing repeated graph term")
-        return ("quad", terms[0], terms[1], terms[2], graph_term)
+        return ("quad", s, p, o, graph_term)
 
     def decode_row(self, row: bytes) -> Optional[Term]:
-        """Decode one RdfStreamRow; lookup rows return None (state only)."""
-        fields = list(iter_fields(row))
-        if not fields:
+        """Decode one RdfStreamRow; lookup rows return None (state only).
+
+        Every real row is a single length-delimited oneof field with a
+        one-byte tag; that shape is parsed inline, anything else drops to
+        the generic walk below.
+        """
+        n = len(row)
+        if not n:
             return None
-        field, _wt, value = fields[0]
-        payload = bytes(value) if not isinstance(value, int) else b""
+        tag = row[0]
+        if tag < 0x80 and tag & 7 == 2:
+            ln = row[1]
+            pos = 2
+            if ln >= 0x80:
+                ln, pos = read_uvarint(row, 1)
+            end = pos + ln
+            if end > n:
+                raise ValueError("truncated length-delimited field")
+            field = tag >> 3
+            payload = row[pos:end]
+        else:
+            fields = list(iter_fields(row))
+            if not fields:
+                return None
+            field, _wt, value = fields[0]
+            payload = bytes(value) if not isinstance(value, int) else b""
         if field == c.ROW_TRIPLE:
             return self._decode_statement(payload, is_quad=False)
         if field == c.ROW_QUAD:
@@ -292,11 +456,34 @@ class StreamDecoder:
 
 def _entry(payload: bytes) -> Tuple[int, str]:
     entry_id, text = 0, ""
-    for field, _wt, value in iter_fields(payload):
-        if field == 1:
-            entry_id = int(value)
-        elif field == 2:
-            text = bytes(value).decode("utf-8")
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        tag = payload[pos]
+        pos += 1
+        if tag == 0x08:  # id varint
+            v = payload[pos]
+            pos += 1
+            if v >= 0x80:
+                v, pos = read_uvarint(payload, pos - 1)
+            entry_id = v
+        elif tag == 0x12:  # value string
+            ln = payload[pos]
+            pos += 1
+            if ln >= 0x80:
+                ln, pos = read_uvarint(payload, pos - 1)
+            end = pos + ln
+            if end > n:
+                raise ValueError("truncated length-delimited field")
+            text = payload[pos:end].decode("utf-8")
+            pos = end
+        else:  # unknown field: generic walk (tolerated, as before)
+            for field, _wt, value in iter_fields(payload):
+                if field == 1:
+                    entry_id = int(value)
+                elif field == 2:
+                    text = bytes(value).decode("utf-8")
+            return entry_id, text
     return entry_id, text
 
 
