@@ -449,29 +449,42 @@ class StreamEncoder:
         return None
 
     def add_quad(self, s: Term, p: Term, o: Term, g: Term) -> Optional[bytes]:
-        self._begin()
+        """Same unrolled two-phase shape as add_triple, plus the graph slot."""
+        if not self._started:
+            self._begin()
         last = self._last_terms
-        slots = (c.SLOT_SUBJECT_BASE, c.SLOT_PREDICATE_BASE, c.SLOT_OBJECT_BASE)
-        terms = (s, p, o)
-        changed = [last[slot] != terms[slot] for slot in range(3)]
-        g_changed = last[3] != g
-        for slot in range(3):
-            if changed[slot]:
-                self._ensure_term(terms[slot])
-        if g_changed:
+        cs = last[0] != s
+        cp = last[1] != p
+        co = last[2] != o
+        cg = last[3] != g
+        if cs:
+            self._ensure_term(s)
+        if cp:
+            self._ensure_term(p)
+        if co:
+            self._ensure_term(o)
+        if cg:
             self._ensure_term(g)
         body = b""
-        for slot, base in enumerate(slots):
-            if changed[slot]:
-                body += self._term_field(terms[slot], base)
-                last[slot] = terms[slot]
-        if g_changed:
+        if cs:
+            body += self._term_field(s, c.SLOT_SUBJECT_BASE)
+            last[0] = s
+        if cp:
+            body += self._term_field(p, c.SLOT_PREDICATE_BASE)
+            last[1] = p
+        if co:
+            body += self._term_field(o, c.SLOT_OBJECT_BASE)
+            last[2] = o
+        if cg:
             body += self._graph_field(
                 g, c.QUAD_G_IRI, c.QUAD_G_BNODE, c.QUAD_G_DEFAULT, c.QUAD_G_LITERAL
             )
             last[3] = g
-        self._rows.append(_row(c.ROW_QUAD, body))
-        return self._maybe_flush()
+        rows = self._rows
+        rows.append(len_field(c.ROW_QUAD, body))
+        if self._bounded and len(rows) >= self.options.frame_rows:
+            return self.take_frame()
+        return None
 
     def begin_graph(self, graph: Term) -> None:
         """GRAPHS physical type: bracket open (streams.py:243-274)."""
