@@ -88,6 +88,16 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # Fault the first chunk of heap in at JVM start (parallel pre-touch
+        # under G1): lazy heap growth during the first heavy job otherwise
+        # shows up as kernel time in the middle of that job — measured 4-5x
+        # first-run walls on this host's degraded memory subsystem. On a
+        # real cluster executors are long-lived, so this cost is paid once
+        # per executor, never per job.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_XOPTS", "-Xms8g -XX:+AlwaysPreTouch"),
+        )
         # shuffle/spill on tmpfs when available: local[k] funnels every
         # shuffle through one disk, which otherwise serializes the very
         # stages that should scale with cores (a real cluster spreads
