@@ -149,3 +149,63 @@ class TestMetadataGoldens:
             metas.append(metadata)
         assert sizes == [33, 35, 15]
         assert metas == [{"c": b"\x00"}, {"c": b"\x01"}, {}]
+
+
+TEMP_EXAMPLES = f"{REF}/integration_tests/test_examples/temp"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{TEMP_EXAMPLES}/foaf.jelly"),
+    reason="reference example outputs not available",
+)
+class TestExampleOutputGoldens:
+    """Parity against .jelly files the reference's example scripts produced.
+
+    foaf.jelly is the richest golden available (620 triples, 3 frames at
+    the 250-row default boundary, real FOAF ontology IRIs/literals).
+    """
+
+    # (file, n_triples, byte_identical_under_row_framing)
+    CASES = [
+        ("foaf.jelly", 620, True),
+        ("output.jelly", 10, False),  # one-frame-per-event framing
+        ("flat_output.jelly", 10, True),
+        ("temp_output.jelly", 10, True),
+    ]
+
+    @pytest.mark.parametrize(("name", "n", "_bi"), CASES)
+    def test_decodes(self, name, n, _bi):
+        data = _load(f"{TEMP_EXAMPLES}/{name}")
+        assert looks_delimited(data[:3])
+        decoder = StreamDecoder()
+        events = []
+        for frame in frames_from_bytes(data):
+            events.extend(decoder.decode_frame(frame))
+        assert len(events) == n
+        assert all(e[0] == "triple" for e in events)
+
+    @pytest.mark.parametrize(
+        ("name", "_n", "byte_identical"),
+        [case for case in CASES if case[2]],
+    )
+    def test_reencode_byte_identical(self, name, _n, byte_identical):
+        data = _load(f"{TEMP_EXAMPLES}/{name}")
+        opts = read_stream_options(data)
+        decoder = StreamDecoder()
+        statements = []
+        for frame in frames_from_bytes(data):
+            rows, _meta = split_frame(frame)
+            for row in rows:
+                event = decoder.decode_row(row)
+                if event is not None:
+                    statements.append(event)
+        encoder = StreamEncoder(opts)
+        out = bytearray()
+        for event in statements:
+            frame = encoder.add_triple(event[1], event[2], event[3])
+            if frame is not None:
+                out += delimit(frame)
+        tail = encoder.take_frame()
+        if tail is not None:
+            out += delimit(tail)
+        assert bytes(out) == data
