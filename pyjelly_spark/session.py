@@ -79,6 +79,11 @@ def build_session(
         # per-executor heap — the knob that exists per JVM on a real
         # cluster; irrelevant in local[k] where driver == executor
         builder = builder.config("spark.executor.memory", executor_memory)
+        # same lazy-heap-growth fix as the driver below, per executor JVM
+        builder = builder.config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get("SPARK_EXECUTOR_XOPTS", "-Xms4g -XX:+AlwaysPreTouch"),
+        )
     session = (
         builder
         .appName(app_name)

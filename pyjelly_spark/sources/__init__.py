@@ -10,4 +10,8 @@ from pyjelly_spark.sources.jelly_io import (  # noqa: F401
     transcode,
     write_jelly,
 )
+from pyjelly_spark.sources.jelly_datasource import (  # noqa: F401
+    JellyDataSource,
+    register_jelly,
+)
 from pyjelly_spark.sources.nt_source import read_nt, write_nt  # noqa: F401

@@ -1,0 +1,143 @@
+"""The ``jelly`` Spark format (Python Data Source API).
+
+The DSv2 surface must agree with the mapInPandas reader/writer
+(`sources/jelly_io.py`) — same flat schema, same wire. Reference
+behavior analogue: format registration in
+/root/reference/pyjelly/integrations/rdflib/__init__.py.
+"""
+
+import os
+
+import pytest
+
+from pyjelly_spark.sources.jelly_datasource import register_jelly
+from pyjelly_spark.sources.jelly_io import read_jelly, write_jelly
+
+WEATHER_NT = "/root/reference/tests/e2e_test_cases/triples_rdf_1_1/weather.nt"
+WEATHER_NQ = "/root/reference/tests/e2e_test_cases/quads_rdf_1_1/weather-quads.nq"
+
+requires_corpora = pytest.mark.skipif(
+    not os.path.exists(WEATHER_NT), reason="reference e2e corpora not available"
+)
+
+STMT_COLS_DROP = ("source_file", "frame_id", "stmt_idx")
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register_jelly(spark)
+    return spark
+
+
+def _stmts(df):
+    cols = [c for c in df.columns if c not in STMT_COLS_DROP]
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+@requires_corpora
+def test_write_read_roundtrip_triples(registered, tmp_path):
+    from pyjelly_spark.sources.nt_source import read_nt
+
+    spark = registered
+    nt = read_nt(spark, WEATHER_NT)
+    out = str(tmp_path / "ds_triples")
+    nt.repartition(2).write.format("jelly").option("frame_rows", 100).mode(
+        "append"
+    ).save(out)
+    back = spark.read.format("jelly").load(out)
+    assert back.count() == nt.count()
+    # two input partitions -> two part files
+    assert back.select("source_file").distinct().count() == 2
+    # byte/value parity with the mapInPandas reader
+    assert _stmts(back) == _stmts(read_jelly(spark, out))
+
+
+@requires_corpora
+def test_datasource_reader_matches_legacy_on_legacy_output(
+    registered, tmp_path
+):
+    """Format reader over files the mapInPandas writer produced."""
+    from pyjelly_spark.jelly import constants as jc
+    from pyjelly_spark.sources.nt_source import read_nt
+
+    spark = registered
+    nt = read_nt(spark, WEATHER_NT)
+    out = str(tmp_path / "legacy_out")
+    write_jelly(nt.repartition(2), out, jc.StreamOptions())
+    back = spark.read.format("jelly").load(out)
+    assert _stmts(back) == _stmts(read_jelly(spark, out))
+
+
+@requires_corpora
+def test_quads_physical(registered, tmp_path):
+    from pyjelly_spark.sources.nt_source import read_nt
+
+    spark = registered
+    nq = read_nt(spark, WEATHER_NQ)
+    out = str(tmp_path / "ds_quads")
+    nq.coalesce(1).write.format("jelly").option("physical", "quads").mode(
+        "append"
+    ).save(out)
+    back = spark.read.format("jelly").load(out)
+    assert back.count() == nq.count()
+    # graph terms survive: same distinct graph values as the input
+    got = {r[0] for r in back.select("g_value").distinct().collect()}
+    want = {r[0] for r in nq.select("g_value").distinct().collect()}
+    assert got == want
+
+
+@requires_corpora
+def test_grouped_by_graph_frames(registered, tmp_path):
+    """grouped_by_graph: one frame per graph run; frame_id recovers groups."""
+    from pyspark.sql import functions as F
+
+    from pyjelly_spark.sources.nt_source import read_nt
+
+    spark = registered
+    nq = read_nt(spark, WEATHER_NQ)
+    out = str(tmp_path / "ds_grouped")
+    (
+        nq.coalesce(1)
+        .sortWithinPartitions("g_value")
+        .write.format("jelly")
+        .option("physical", "quads")
+        .option("grouped_by_graph", "true")
+        .mode("append")
+        .save(out)
+    )
+    back = spark.read.format("jelly").load(out)
+    # each frame holds exactly one graph
+    per_frame = back.groupBy("source_file", "frame_id").agg(
+        F.countDistinct("g_value").alias("n_graphs")
+    )
+    assert per_frame.filter("n_graphs > 1").count() == 0
+    n_graphs = nq.select("g_value").distinct().count()
+    assert per_frame.count() == n_graphs
+
+
+@requires_corpora
+def test_overwrite_mode(registered, tmp_path):
+    from pyjelly_spark.sources.nt_source import read_nt
+
+    spark = registered
+    nt = read_nt(spark, WEATHER_NT)
+    out = str(tmp_path / "ds_overwrite")
+    nt.coalesce(1).write.format("jelly").mode("append").save(out)
+    nt.limit(7).coalesce(1).write.format("jelly").mode("overwrite").save(out)
+    assert spark.read.format("jelly").load(out).count() == 7
+
+
+@requires_corpora
+def test_commit_manifest(registered, tmp_path):
+    import json
+
+    from pyjelly_spark.sources.nt_source import read_nt
+
+    spark = registered
+    nt = read_nt(spark, WEATHER_NT)
+    out = str(tmp_path / "ds_manifest")
+    nt.repartition(3).write.format("jelly").mode("append").save(out)
+    with open(os.path.join(out, "_manifest", "datasource.json")) as handle:
+        entries = json.load(handle)
+    assert sum(e["n_statements"] for e in entries) == nt.count()
+    assert all(e["file"].endswith(".jelly") for e in entries)
