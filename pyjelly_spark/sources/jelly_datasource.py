@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -119,6 +120,108 @@ class JellyCommit(WriterCommitMessage):
     n_statements: int
 
 
+def _encode_part(
+    options: dict, out_dir: str, grouped: bool, iterator, name_prefix: str
+) -> JellyCommit:
+    """Encode one task's Arrow batches into one .jelly part file."""
+    from pyjelly_spark.jelly import constants as jc
+    from pyjelly_spark.jelly.encoder import StreamEncoder, delimit
+    from pyjelly_spark.sources.jelly_io import _fs_for, _terms_from_arrays
+
+    opts = _options_from(options)
+    phys = opts.physical_type
+    encoder = StreamEncoder(opts)
+    filesystem, base = _fs_for(out_dir)
+    filesystem.create_dir(base, recursive=True)
+    name = f"{name_prefix}-{uuid.uuid4().hex[:12]}.jelly"
+    target = posixpath.join(base, name)
+    n_statements = 0
+    open_graph: Optional[tuple] = None
+
+    with filesystem.open_output_stream(target) as out:
+
+        def emit(frame: Optional[bytes]) -> None:
+            if frame:
+                out.write(delimit(frame) if opts.delimited else frame)
+
+        def close_group() -> None:
+            nonlocal open_graph
+            if open_graph is not None and phys == jc.PHYSICAL_GRAPHS:
+                encoder.end_graph()
+            if open_graph is not None:
+                emit(encoder.take_frame())
+            open_graph = None
+
+        for batch in iterator:
+            pdf = batch.to_pandas()
+            cols = set(pdf.columns)
+            missing = {"s_kind", "p_kind", "o_kind"} - cols
+            if missing:
+                raise ValueError(
+                    f"jelly write needs flat statement columns; missing {missing}"
+                )
+            subjects = _terms_from_arrays(
+                pdf["s_kind"].values, pdf["s_value"].values,
+                pdf["s_lang"].values, pdf["s_datatype"].values,
+            )
+            predicates = _terms_from_arrays(
+                pdf["p_kind"].values, pdf["p_value"].values,
+                pdf["p_lang"].values, pdf["p_datatype"].values,
+            )
+            objects = _terms_from_arrays(
+                pdf["o_kind"].values, pdf["o_value"].values,
+                pdf["o_lang"].values, pdf["o_datatype"].values,
+            )
+            graphs: Optional[List[tuple]] = None
+            if "g_kind" in cols and (grouped or phys != jc.PHYSICAL_TRIPLES):
+                kinds = pdf["g_kind"].where(pdf["g_kind"].notna(), "dg")
+                graphs = _terms_from_arrays(
+                    kinds.values, pdf["g_value"].values,
+                    pdf["g_lang"].values, pdf["g_datatype"].values,
+                )
+            if grouped and graphs is not None:
+                for s, p, o, g in zip(subjects, predicates, objects, graphs):
+                    if g != open_graph:
+                        close_group()
+                        if phys == jc.PHYSICAL_GRAPHS:
+                            encoder.begin_graph(g)
+                        open_graph = g
+                    if phys == jc.PHYSICAL_QUADS:
+                        encoder.add_quad(s, p, o, g)
+                    else:
+                        encoder.add_triple(s, p, o)
+            elif phys == jc.PHYSICAL_QUADS and graphs is not None:
+                for s, p, o, g in zip(subjects, predicates, objects, graphs):
+                    emit(encoder.add_quad(s, p, o, g))
+            else:
+                for s, p, o in zip(subjects, predicates, objects):
+                    emit(encoder.add_triple(s, p, o))
+            n_statements += len(subjects)
+        close_group()
+        emit(encoder.take_frame())
+    return JellyCommit(file=target, n_statements=n_statements)
+
+
+def _write_manifest(out_dir: str, messages, manifest_name: str) -> None:
+    import json
+
+    from pyjelly_spark.sources.jelly_io import _fs_for, _fs_write
+
+    filesystem, base = _fs_for(out_dir)
+    manifest_dir = posixpath.join(base, "_manifest")
+    filesystem.create_dir(manifest_dir, recursive=True)
+    entries = [
+        {"file": m.file, "n_statements": m.n_statements}
+        for m in messages
+        if m is not None
+    ]
+    _fs_write(
+        filesystem,
+        posixpath.join(manifest_dir, manifest_name),
+        json.dumps(entries, indent=1).encode("utf-8"),
+    )
+
+
 class JellyWriter(DataSourceArrowWriter):
     """One .jelly part file per input partition + a _manifest entry."""
 
@@ -136,108 +239,52 @@ class JellyWriter(DataSourceArrowWriter):
                 filesystem.delete_dir_contents(base)
 
     def write(self, iterator) -> JellyCommit:
-        from pyjelly_spark.jelly import constants as jc
-        from pyjelly_spark.jelly.encoder import StreamEncoder, delimit
-        from pyjelly_spark.sources.jelly_io import (
-            _fs_for,
-            _terms_from_arrays,
+        return _encode_part(
+            self._options, self._out, self._grouped, iterator, "part"
         )
-
-        opts = _options_from(self._options)
-        phys = opts.physical_type
-        encoder = StreamEncoder(opts)
-        filesystem, base = _fs_for(self._out)
-        filesystem.create_dir(base, recursive=True)
-        name = f"part-{uuid.uuid4().hex[:12]}.jelly"
-        target = posixpath.join(base, name)
-        n_statements = 0
-        open_graph: Optional[tuple] = None
-
-        with filesystem.open_output_stream(target) as out:
-
-            def emit(frame: Optional[bytes]) -> None:
-                if frame:
-                    out.write(delimit(frame) if opts.delimited else frame)
-
-            def close_group() -> None:
-                nonlocal open_graph
-                if open_graph is not None and phys == jc.PHYSICAL_GRAPHS:
-                    encoder.end_graph()
-                if open_graph is not None:
-                    emit(encoder.take_frame())
-                open_graph = None
-
-            for batch in iterator:
-                pdf = batch.to_pandas()
-                cols = set(pdf.columns)
-                missing = {"s_kind", "p_kind", "o_kind"} - cols
-                if missing:
-                    raise ValueError(
-                        f"jelly write needs flat statement columns; missing {missing}"
-                    )
-                subjects = _terms_from_arrays(
-                    pdf["s_kind"].values, pdf["s_value"].values,
-                    pdf["s_lang"].values, pdf["s_datatype"].values,
-                )
-                predicates = _terms_from_arrays(
-                    pdf["p_kind"].values, pdf["p_value"].values,
-                    pdf["p_lang"].values, pdf["p_datatype"].values,
-                )
-                objects = _terms_from_arrays(
-                    pdf["o_kind"].values, pdf["o_value"].values,
-                    pdf["o_lang"].values, pdf["o_datatype"].values,
-                )
-                graphs: Optional[List[tuple]] = None
-                if "g_kind" in cols and (
-                    self._grouped or phys != jc.PHYSICAL_TRIPLES
-                ):
-                    kinds = pdf["g_kind"].where(pdf["g_kind"].notna(), "dg")
-                    graphs = _terms_from_arrays(
-                        kinds.values, pdf["g_value"].values,
-                        pdf["g_lang"].values, pdf["g_datatype"].values,
-                    )
-                if self._grouped and graphs is not None:
-                    for s, p, o, g in zip(subjects, predicates, objects, graphs):
-                        if g != open_graph:
-                            close_group()
-                            if phys == jc.PHYSICAL_GRAPHS:
-                                encoder.begin_graph(g)
-                            open_graph = g
-                        if phys == jc.PHYSICAL_QUADS:
-                            encoder.add_quad(s, p, o, g)
-                        else:
-                            encoder.add_triple(s, p, o)
-                elif phys == jc.PHYSICAL_QUADS and graphs is not None:
-                    for s, p, o, g in zip(subjects, predicates, objects, graphs):
-                        emit(encoder.add_quad(s, p, o, g))
-                else:
-                    for s, p, o in zip(subjects, predicates, objects):
-                        emit(encoder.add_triple(s, p, o))
-                n_statements += len(subjects)
-            close_group()
-            emit(encoder.take_frame())
-        return JellyCommit(file=target, n_statements=n_statements)
 
     def commit(self, messages) -> None:
-        import json
-
-        from pyjelly_spark.sources.jelly_io import _fs_for, _fs_write
-
-        filesystem, base = _fs_for(self._out)
-        manifest_dir = posixpath.join(base, "_manifest")
-        filesystem.create_dir(manifest_dir, recursive=True)
-        entries = [
-            {"file": m.file, "n_statements": m.n_statements}
-            for m in messages
-            if m is not None
-        ]
-        _fs_write(
-            filesystem,
-            posixpath.join(manifest_dir, "datasource.json"),
-            json.dumps(entries, indent=1).encode("utf-8"),
-        )
+        _write_manifest(self._out, messages, "datasource.json")
 
     def abort(self, messages) -> None:
+        from pyjelly_spark.sources.jelly_io import _fs_for
+
+        filesystem, _base = _fs_for(self._out)
+        for m in messages:
+            if m is not None:
+                try:
+                    filesystem.delete_file(m.file)
+                except OSError:
+                    pass
+
+
+class JellyStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming jelly sink: one part file per microbatch partition.
+
+    Each microbatch commits a ``_manifest/batch-<id>.json``; part files
+    are named ``stream-<uuid>.jelly`` so a crashed, retried batch never
+    collides (orphans from failed tasks are deleted in ``abort``). Jelly
+    streams are self-contained per file, so any reader (``read_jelly``,
+    the batch format reader, the reference) can consume the directory as
+    it grows.
+    """
+
+    def __init__(self, options) -> None:
+        self._out = options.get("path")
+        if not self._out:
+            raise ValueError("jelly datasource requires a path")
+        self._options = dict(options)
+        self._grouped = _bool(options.get("grouped_by_graph"), False)
+
+    def write(self, iterator) -> JellyCommit:
+        return _encode_part(
+            self._options, self._out, self._grouped, iterator, "stream"
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        _write_manifest(self._out, messages, f"batch-{batchId}.json")
+
+    def abort(self, messages, batchId: int) -> None:
         from pyjelly_spark.sources.jelly_io import _fs_for
 
         filesystem, _base = _fs_for(self._out)
@@ -264,6 +311,9 @@ class JellyDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> JellyWriter:
         return JellyWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return JellyStreamWriter(self.options)
 
 
 def register_jelly(spark) -> None:

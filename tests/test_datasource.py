@@ -141,3 +141,34 @@ def test_commit_manifest(registered, tmp_path):
         entries = json.load(handle)
     assert sum(e["n_statements"] for e in entries) == nt.count()
     assert all(e["file"].endswith(".jelly") for e in entries)
+
+
+@requires_corpora
+def test_stream_writer_sink(registered, tmp_path):
+    """writeStream.format("jelly"): microbatch partitions -> part files
+    + per-batch manifest; readable by every jelly reader."""
+    import json
+
+    from pyjelly_spark.sources.nt_source import read_nt
+
+    spark = registered
+    nt = read_nt(spark, WEATHER_NT)
+    stage = str(tmp_path / "stage")
+    nt.write.parquet(stage)
+    sink = str(tmp_path / "sink")
+    query = (
+        spark.readStream.schema(nt.schema)
+        .parquet(stage)
+        .writeStream.format("jelly")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    assert read_jelly(spark, sink).count() == nt.count()
+    manifests = sorted(os.listdir(os.path.join(sink, "_manifest")))
+    assert manifests == ["batch-0.json"]
+    with open(os.path.join(sink, "_manifest", manifests[0])) as handle:
+        entries = json.load(handle)
+    assert sum(e["n_statements"] for e in entries) == nt.count()
