@@ -454,6 +454,51 @@ FROM files GROUP BY repo
 """
 
 
+def q_kg_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the registered Spark format (DSv2 Python data
+    source, ``sources/jelly_datasource.py``): structural triples ->
+    ``df.write.format("jelly")`` -> ``spark.read.format("jelly")`` ->
+    per-predicate histogram. Exercises the Arrow-batch writer (one part
+    file per partition + commit manifest) and the file-per-partition
+    Arrow reader; the oracle knows the histogram in closed form."""
+    import shutil
+    import tempfile
+
+    from pyjelly_spark.sources.jelly_datasource import register_jelly
+    from pyjelly_spark.sources.jelly_io import flatten_terms
+
+    register_jelly(spark)
+    files = derived_source_files(spark, sf_dir)
+    flat = flatten_terms(X.structural_triples(files))
+    out_dir = tempfile.mkdtemp(prefix="kg_ds_")
+    try:
+        (
+            flat.repartition(4)
+            .write.format("jelly")
+            .option("frame_rows", 500)
+            .mode("overwrite")
+            .save(out_dir)
+        )
+        decoded = spark.read.format("jelly").load(out_dir)
+        agg = (
+            decoded.groupBy(F.col("p_value").alias("p"))
+            .agg(F.count(F.lit(1)).alias("n_triples"))
+        ).toPandas()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(agg)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_KG_DATASOURCE_ROUNDTRIP = f"""
+WITH {SRC_SQL}
+SELECT p, n_triples FROM (
+  SELECT '{NS}contains' AS p, count(*) AS n_triples FROM files
+  UNION ALL SELECT '{NS}lang', count(*) FROM files
+  UNION ALL SELECT '{NS}sha256', count(*) FROM files
+) t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational analytics (TPC-H-style) — engine breadth on the star schema
 # ---------------------------------------------------------------------------
@@ -1630,6 +1675,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_imports_resolved": q_kg_imports_resolved,
     "kg_roundtrip": q_kg_roundtrip,
     "kg_grouped_roundtrip": q_kg_grouped_roundtrip,
+    "kg_datasource_roundtrip": q_kg_datasource_roundtrip,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -1677,6 +1723,7 @@ ORACLES: dict[str, str] = {
     "kg_imports_resolved": SQL_KG_IMPORTS_RESOLVED,
     "kg_roundtrip": SQL_KG_ROUNDTRIP,
     "kg_grouped_roundtrip": SQL_KG_GROUPED_ROUNDTRIP,
+    "kg_datasource_roundtrip": SQL_KG_DATASOURCE_ROUNDTRIP,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
