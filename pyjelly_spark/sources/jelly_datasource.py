@@ -93,11 +93,62 @@ class JellyReader(DataSourceReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("jelly datasource requires a path: .load(<path>)")
+        self._file_predicates: List[object] = []
+
+    def pushFilters(self, filters):
+        """Partition pruning: ``source_file`` predicates skip whole files.
+
+        Every statement a partition yields has source_file == that
+        partition's path, so file-level predicates are decided before a
+        single byte decodes. Filters are kept for Spark to re-apply
+        (returning them is allowed — pushdown here is pruning, not
+        evaluation), so semantics never depend on this fast path.
+        """
+        from pyspark.sql.datasource import (
+            EqualTo,
+            In,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+
+        for f in filters:
+            if isinstance(
+                f, (EqualTo, In, StringContains, StringEndsWith, StringStartsWith)
+            ) and tuple(f.attribute) == ("source_file",):
+                self._file_predicates.append(f)
+        return filters
+
+    def _keep(self, path: str) -> bool:
+        from pyspark.sql.datasource import (
+            EqualTo,
+            In,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+
+        for f in self._file_predicates:
+            if isinstance(f, EqualTo) and path != f.value:
+                return False
+            if isinstance(f, In) and path not in f.values:
+                return False
+            if isinstance(f, StringStartsWith) and not path.startswith(f.value):
+                return False
+            if isinstance(f, StringEndsWith) and not path.endswith(f.value):
+                return False
+            if isinstance(f, StringContains) and f.value not in path:
+                return False
+        return True
 
     def partitions(self) -> Sequence[InputPartition]:
         from pyjelly_spark.sources.jelly_io import _jelly_files
 
-        return [JellyFilePartition(p) for p in _jelly_files(self._path)]
+        return [
+            JellyFilePartition(p)
+            for p in _jelly_files(self._path)
+            if self._keep(p)
+        ]
 
     def read(self, partition: JellyFilePartition):
         import pyarrow as pa

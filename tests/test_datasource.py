@@ -172,3 +172,31 @@ def test_stream_writer_sink(registered, tmp_path):
     with open(os.path.join(sink, "_manifest", manifests[0])) as handle:
         entries = json.load(handle)
     assert sum(e["n_statements"] for e in entries) == nt.count()
+
+
+@requires_corpora
+def test_filter_pushdown_prunes_partitions(registered, tmp_path):
+    """source_file predicates prune file partitions before any decode;
+    results are identical to the unpruned scan (Spark re-applies the
+    filter post-scan, so this is a fast path, never a semantics path)."""
+    from pyspark.sql import functions as F
+
+    from pyjelly_spark.sources.nt_source import read_nt
+
+    spark = registered
+    nt = read_nt(spark, WEATHER_NT)
+    out = str(tmp_path / "ds_pushdown")
+    nt.repartition(4).write.format("jelly").mode("append").save(out)
+    back = spark.read.format("jelly").load(out)
+    files = sorted(r[0] for r in back.select("source_file").distinct().collect())
+    assert len(files) == 4
+    one = spark.read.format("jelly").load(out).filter(
+        F.col("source_file") == files[0]
+    )
+    expected = [r for r in back.collect() if r.source_file == files[0]]
+    assert one.count() == len(expected) > 0
+    # startswith over the dir keeps everything
+    pref = spark.read.format("jelly").load(out).filter(
+        F.col("source_file").startswith(out)
+    )
+    assert pref.count() == back.count()
