@@ -151,18 +151,15 @@ class JellyReader(DataSourceReader):
         ]
 
     def read(self, partition: JellyFilePartition):
-        import pyarrow as pa
-
         from pyjelly_spark.sources.jelly_io import (
-            _decode_bytes_chunked,
+            _decode_bytes_batches,
             _fs_for,
             _fs_read,
         )
 
         filesystem, fs_path = _fs_for(partition.path)
         data = _fs_read(filesystem, fs_path)
-        for chunk in _decode_bytes_chunked(partition.path, data):
-            yield pa.RecordBatch.from_pandas(chunk, preserve_index=False)
+        yield from _decode_bytes_batches(partition.path, data)
 
 
 @dataclass

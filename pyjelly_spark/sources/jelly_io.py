@@ -527,13 +527,78 @@ def _paths_df(spark: SparkSession, files: List[str]) -> DataFrame:
     return df.repartition(max(len(files), 1))
 
 
-def _decode_bytes_chunked(source: str, data: bytes) -> Iterator[pd.DataFrame]:
-    """Decode one self-contained Jelly stream into bounded Arrow chunks of
-    flat statement rows (with frame_id / stmt_idx)."""
+def _push_term(term, kinds, values, langs, datatypes) -> None:
+    """Append one term's 4 flat columns (columnar dual of _term_cols)."""
+    if term is None:
+        kinds.append(None)
+        values.append(None)
+        langs.append(None)
+        datatypes.append(None)
+        return
+    kind = term[0]
+    if kind == "lit":
+        kinds.append("lit")
+        values.append(term[1])
+        langs.append(term[2])
+        datatypes.append(term[3])
+        return
+    langs.append(None)
+    datatypes.append(None)
+    if kind == "dg":
+        kinds.append("dg")
+        values.append(None)
+    elif kind == "qt":
+        from pyjelly_spark.jelly.nt import term_to_nt
+
+        kinds.append("qt")
+        values.append(term_to_nt(term))
+    else:
+        kinds.append(kind)
+        values.append(term[1])
+
+
+def _arrow_read_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [pa.field("source_file", pa.string(), nullable=False)]
+        + [pa.field(n, pa.int64(), nullable=False) for n in ("frame_id", "stmt_idx")]
+        + [pa.field(n, pa.string()) for n in _READ_COLS[3:]]
+    )
+
+
+def _decode_bytes_batches(source: str, data: bytes):
+    """Decode one self-contained Jelly stream into bounded Arrow
+    RecordBatches of flat statement rows (with frame_id / stmt_idx).
+
+    Columnar construction: 19 python lists -> pa.array (C conversion),
+    never a row-tuple list — the statement decode itself is the only
+    per-row Python left on the read path.
+    """
+    import pyarrow as pa
+
+    schema = _arrow_read_schema()
     decoder = StreamDecoder()
     current_graph: Optional[tuple] = None
-    rows: List[tuple] = []
-    stmt_idx = 0
+    frame_ids: List[int] = []
+    cols: List[List] = [[] for _ in range(16)]
+    (sk, sv, sl, sd, pk, pv, pl, pd_, ok, ov, ol, od, gk, gv, gl, gd) = cols
+    chunk_start = 0
+
+    def flush():
+        nonlocal chunk_start
+        n = len(frame_ids)
+        arrays = [
+            pa.array([source] * n, pa.string()),
+            pa.array(frame_ids, pa.int64()),
+            pa.array(range(chunk_start, chunk_start + n), pa.int64()),
+        ] + [pa.array(col, pa.string()) for col in cols]
+        chunk_start += n
+        frame_ids.clear()
+        for col in cols:
+            col.clear()
+        return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
     for frame_id, frame in enumerate(frames_from_bytes(data)):
         frame_rows, _meta = split_frame(frame)
         for row in frame_rows:
@@ -541,34 +606,34 @@ def _decode_bytes_chunked(source: str, data: bytes) -> Iterator[pd.DataFrame]:
             if event is None:
                 continue
             kind = event[0]
-            if kind == "graph_start":
-                current_graph = event[1]
-                continue
-            if kind == "graph_end":
-                current_graph = None
-                continue
-            if kind == "namespace":
-                continue  # surfaced by read_jelly_namespaces
             if kind == "triple":
                 s, p, o = event[1], event[2], event[3]
                 graph = current_graph
             elif kind == "quad":
                 s, p, o, graph = event[1], event[2], event[3], event[4]
-            else:
+            elif kind == "graph_start":
+                current_graph = event[1]
                 continue
-            rows.append(
-                (source, frame_id, stmt_idx)
-                + _term_cols(s)
-                + _term_cols(p)
-                + _term_cols(o)
-                + _term_cols(graph)
-            )
-            stmt_idx += 1
-            if len(rows) >= _DECODE_CHUNK_ROWS:
-                yield pd.DataFrame(rows, columns=_READ_COLS)
-                rows = []
-    if rows:
-        yield pd.DataFrame(rows, columns=_READ_COLS)
+            elif kind == "graph_end":
+                current_graph = None
+                continue
+            else:  # namespace rows: surfaced by read_jelly_namespaces
+                continue
+            frame_ids.append(frame_id)
+            _push_term(s, sk, sv, sl, sd)
+            _push_term(p, pk, pv, pl, pd_)
+            _push_term(o, ok, ov, ol, od)
+            _push_term(graph, gk, gv, gl, gd)
+            if len(frame_ids) >= _DECODE_CHUNK_ROWS:
+                yield flush()
+    if frame_ids:
+        yield flush()
+
+
+def _decode_bytes_chunked(source: str, data: bytes) -> Iterator[pd.DataFrame]:
+    """Pandas view of _decode_bytes_batches (for pandas consumers)."""
+    for batch in _decode_bytes_batches(source, data):
+        yield batch.to_pandas()
 
 
 def read_jelly(spark: SparkSession, path: str) -> DataFrame:
@@ -586,15 +651,17 @@ def read_jelly(spark: SparkSession, path: str) -> DataFrame:
     ship_package(spark)
     paths_df = _paths_df(spark, _jelly_files(path))
 
-    def decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode_files(batches):
         for batch in batches:
-            for source in batch["source_file"]:
+            for source in batch.column("source_file").to_pylist():
                 filesystem, fs_path = _fs_for(source)
-                yield from _decode_bytes_chunked(
+                yield from _decode_bytes_batches(
                     source, _fs_read(filesystem, fs_path)
                 )
 
-    return paths_df.mapInPandas(decode_files, schema=READ_SCHEMA)
+    # mapInArrow: RecordBatches flow straight from the decoder's columnar
+    # builders to the JVM; no pandas materialization on the read path
+    return paths_df.mapInArrow(decode_files, schema=READ_SCHEMA)
 
 
 def read_jelly_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -622,12 +689,14 @@ def read_jelly_stream(spark: SparkSession, path: str) -> DataFrame:
         .select("path", "content")
     )
 
-    def decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode_files(batches):
         for batch in batches:
-            for source, data in zip(batch["path"], batch["content"]):
-                yield from _decode_bytes_chunked(source, bytes(data))
+            sources = batch.column("path").to_pylist()
+            contents = batch.column("content").to_pylist()
+            for source, data in zip(sources, contents):
+                yield from _decode_bytes_batches(source, bytes(data))
 
-    return stream.mapInPandas(decode_files, schema=READ_SCHEMA)
+    return stream.mapInArrow(decode_files, schema=READ_SCHEMA)
 
 
 FRAME_META_SCHEMA = StructType(
