@@ -201,31 +201,30 @@ def _encode_part(
             open_graph = None
 
         for batch in iterator:
-            pdf = batch.to_pandas()
-            cols = set(pdf.columns)
+            cols = set(batch.schema.names)
             missing = {"s_kind", "p_kind", "o_kind"} - cols
             if missing:
                 raise ValueError(
                     f"jelly write needs flat statement columns; missing {missing}"
                 )
+
+            def col(name: str):  # Arrow -> python strings, no pandas hop
+                return batch.column(name).to_pylist()
+
             subjects = _terms_from_arrays(
-                pdf["s_kind"].values, pdf["s_value"].values,
-                pdf["s_lang"].values, pdf["s_datatype"].values,
+                col("s_kind"), col("s_value"), col("s_lang"), col("s_datatype")
             )
             predicates = _terms_from_arrays(
-                pdf["p_kind"].values, pdf["p_value"].values,
-                pdf["p_lang"].values, pdf["p_datatype"].values,
+                col("p_kind"), col("p_value"), col("p_lang"), col("p_datatype")
             )
             objects = _terms_from_arrays(
-                pdf["o_kind"].values, pdf["o_value"].values,
-                pdf["o_lang"].values, pdf["o_datatype"].values,
+                col("o_kind"), col("o_value"), col("o_lang"), col("o_datatype")
             )
             graphs: Optional[List[tuple]] = None
             if "g_kind" in cols and (grouped or phys != jc.PHYSICAL_TRIPLES):
-                kinds = pdf["g_kind"].where(pdf["g_kind"].notna(), "dg")
+                kinds = [k if k is not None else "dg" for k in col("g_kind")]
                 graphs = _terms_from_arrays(
-                    kinds.values, pdf["g_value"].values,
-                    pdf["g_lang"].values, pdf["g_datatype"].values,
+                    kinds, col("g_value"), col("g_lang"), col("g_datatype")
                 )
             if grouped and graphs is not None:
                 for s, p, o, g in zip(subjects, predicates, objects, graphs):

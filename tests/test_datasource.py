@@ -200,3 +200,29 @@ def test_filter_pushdown_prunes_partitions(registered, tmp_path):
         F.col("source_file").startswith(out)
     )
     assert pref.count() == back.count()
+
+
+@requires_corpora
+def test_bad_options_fail_fast(registered, tmp_path):
+    from pyjelly_spark.sources.nt_source import read_nt
+
+    spark = registered
+    nt = read_nt(spark, WEATHER_NT)
+    out = str(tmp_path / "ds_bad")
+    with pytest.raises(Exception, match="physical|KeyError|hexagons"):
+        (
+            nt.coalesce(1)
+            .write.format("jelly")
+            .option("physical", "hexagons")
+            .mode("append")
+            .save(out)
+        )
+    # a lookup capacity below the protocol minimum is a JellyError
+    with pytest.raises(Exception, match="at least 8|lookup"):
+        (
+            nt.coalesce(1)
+            .write.format("jelly")
+            .option("names", "2")
+            .mode("append")
+            .save(out)
+        )
