@@ -150,3 +150,44 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         hex_hash(norm).alias("fp_hash"),
         hex_hash(norm, mod=1024).alias("fp_bucket"),
     )
+
+
+def train_val_split(docs: DataFrame, val_pct: int = 10) -> Column | DataFrame:
+    """Deterministic content-hash train/val assignment.
+
+    The training-data op that makes split membership reproducible across
+    runs, engines, and cluster sizes: membership is a pure function of
+    normalized content (no RNG, no per-partition state), so re-sharding
+    or re-running never moves a document across the split — and the
+    assignment is exactly computable by any engine with sha256
+    (oracle-gated via hex_hash).
+    """
+    h = hex_hash(normalized(F.col("text")), mod=100)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(h < F.lit(100 - val_pct), F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def term_stats(docs: DataFrame) -> DataFrame:
+    """Corpus vocabulary statistics: per (lang, term) document frequency
+    and total occurrence count — the integer core of TF-IDF/vocab-pruning
+    style LM-data analyses (integer-only on purpose: exactly portable
+    across engines, unlike log-weighted scores).
+
+    One explode + one groupBy: at corpus scale the shuffle carries one
+    row per (doc, term) occurrence, aggregated map-side first.
+    """
+    w = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(words(normalized(F.col("text")))).alias("term"),
+    ).where(F.col("term") != "")
+    return w.groupBy("lang", "term").agg(
+        F.count_distinct(F.col("doc_id")).alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_count"),
+    )

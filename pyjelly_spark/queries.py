@@ -972,6 +972,113 @@ FROM base
 """
 
 
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val split, aggregated per
+    (lang, split) — reproducible dataset splitting (see
+    functions/text.py::train_val_split)."""
+    assigned = T.train_val_split(_t(spark, sf_dir, "documents"), val_pct=10)
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SQL_TRAIN_VAL_SPLIT = rf"""
+WITH f AS (
+  SELECT doc_id, lang, length(text)::BIGINT AS n_chars,
+    ('0x' || substring(sha256({NORM_SQL}), 1, 15))::BIGINT % 100 AS h
+  FROM documents
+)
+SELECT lang, CASE WHEN h < 90 THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM f GROUP BY 1, 2
+"""
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language by corpus frequency (vocab statistics;
+    integer-only so the ranking is exactly engine-portable)."""
+    from pyspark.sql.window import Window
+
+    stats = T.term_stats(_t(spark, sf_dir, "documents"))
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("total_count"), F.asc("term")
+    )
+    return (
+        stats.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("lang", "term", "doc_freq", "total_count", "rank")
+    )
+
+
+SQL_TERM_STATS = rf"""
+WITH w AS (
+  SELECT doc_id, lang, unnest(string_split({NORM_SQL}, ' ')) AS term
+  FROM documents
+),
+s AS (
+  SELECT lang, term, count(DISTINCT doc_id) AS doc_freq,
+         count(*) AS total_count
+  FROM w WHERE term <> '' GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY total_count DESC, term ASC) AS rank
+  FROM s
+)
+SELECT lang, term, doc_freq, total_count, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality quota: keep the top-5 docs per lang by quality
+    score (doc_id tiebreak) — the 'data mixing' selection step of a
+    training pipeline. Ordering uses the floor-scaled score that the
+    text_quality gate already proves engine-identical, so the cut is
+    deterministic."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = T.quality_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "lang", "quality_score", "rank")
+    )
+
+
+SQL_DATA_MIXING = rf"""
+WITH base AS (
+  SELECT doc_id,
+    length(text)::DOUBLE AS n_chars,
+    len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))::DOUBLE AS n_words,
+    len(regexp_extract_all(text, '{T.PUNCT_RE}'))::DOUBLE AS n_punct,
+    len(regexp_extract_all(text, '{T.ALL_STOPWORDS_RE}'))::DOUBLE AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    floor((least(n_words / 100.0, 1.0) * 0.4
+           + (1.0 - n_punct / n_chars) * 0.3
+           + n_stop / n_words * 0.3) * 10000) / 10000 AS quality_score
+  FROM base
+),
+r AS (
+  SELECT q.doc_id, d.lang, q.quality_score,
+    row_number() OVER (
+      PARTITION BY d.lang ORDER BY q.quality_score DESC, q.doc_id ASC
+    ) AS rank
+  FROM q JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, quality_score, rank FROM r WHERE rank <= 5
+"""
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_counts(_t(spark, sf_dir, "documents"))
 
@@ -1695,6 +1802,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
+    "train_val_split": q_train_val_split,
+    "term_stats": q_term_stats,
+    "data_mixing": q_data_mixing,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1743,6 +1853,9 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
+    "train_val_split": SQL_TRAIN_VAL_SPLIT,
+    "term_stats": SQL_TERM_STATS,
+    "data_mixing": SQL_DATA_MIXING,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
