@@ -79,7 +79,11 @@ def _norm(statements):
 
 
 def _statements(allow_datatype: bool, quads: bool):
-    graph = st.one_of(st.just(("dg",)), _iri())
+    # graph slot exercises ALL four oneof offsets, incl. the two whose
+    # field numbers need multi-byte tags on the wire (bnode=14, lit=16)
+    graph = st.one_of(
+        st.just(("dg",)), _iri(), _bnode(), _literal(allow_datatype)
+    )
     if quads:
         stmt = st.tuples(
             _term(allow_datatype), _iri(), _term(allow_datatype), graph
@@ -242,3 +246,40 @@ class TestInexpressibleRows:
                     ),
                 )
             )
+
+
+def test_quad_graph_slot_all_offsets_roundtrip():
+    """Direct cover of every graph oneof offset, incl. the two whose
+    field numbers (bnode=14, literal=16) need multi-byte wire tags —
+    the decoder's inline statement walk must fall back to the generic
+    varint read for those."""
+    from pyjelly_spark.jelly.encoder import StreamEncoder
+
+    opts = c.StreamOptions(
+        physical_type=c.PHYSICAL_QUADS,
+        logical_type=c.LOGICAL_FLAT_QUADS,
+        generalized=True,
+    )
+    encoder = StreamEncoder(opts)
+    quads = [
+        (("iri", "http://e/s"), ("iri", "http://e/p"), ("iri", "http://e/o"),
+         ("lit", "graphlit", "", "")),
+        (("iri", "http://e/s2"), ("iri", "http://e/p"), ("lit", "v", "", ""),
+         ("bnode", "g1")),
+        (("iri", "http://e/s3"), ("iri", "http://e/p"), ("iri", "http://e/o"),
+         ("dg",)),
+        (("iri", "http://e/s4"), ("iri", "http://e/p"), ("iri", "http://e/o"),
+         ("lit", "graphlit2", "en", "")),
+        (("iri", "http://e/s4"), ("iri", "http://e/p"), ("iri", "http://e/o"),
+         ("iri", "http://e/g")),
+    ]
+    out = bytearray()
+    for quad in quads:
+        frame = encoder.add_quad(*quad)
+        if frame:
+            out += delimit(frame)
+    tail = encoder.take_frame()
+    if tail:
+        out += delimit(tail)
+    back = [tuple(e[1:]) for e in decode_flat(frames_from_bytes(bytes(out)))]
+    assert back == quads
