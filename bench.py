@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "events_asof",
     "events_range_join",
     "token_count",
+    "train_val_split",
+    "term_stats",
     "kg_grouped_roundtrip",
 ]
 
