@@ -3,6 +3,8 @@
     spark.dataSource.register(JellyDataSource)          # or register_jelly()
     df = spark.read.format("jelly").load("/data/*.jelly dir")
     df.write.format("jelly").option("frame_rows", 250).save("/out")
+    spark.readStream.format("jelly").load("/landing")   # tail a directory
+    df.writeStream.format("jelly").start()              # streaming sink
 
 This is the engine's analogue of the reference's format registration
 (/root/reference/pyjelly/integrations/rdflib/__init__.py registers Jelly
@@ -27,6 +29,7 @@ integrations/generic/serialize.py:303-350), ``rdf_star``.
 
 from __future__ import annotations
 
+import os
 import posixpath
 import uuid
 from dataclasses import dataclass
@@ -37,10 +40,56 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
+
+
+#: Where ship_package() materializes the package zip (driver node).
+PYFILES_ZIP = "/tmp/pyjelly_spark_pyfiles.zip"
+
+
+def _ensure_package() -> None:
+    """Make ``pyjelly_spark`` importable in whatever Python process runs
+    this method.
+
+    Task workers get the package via ``spark-submit --py-files`` /
+    ``addPyFile`` (ship_package). The driver-side planner processes that
+    PySpark spawns for Python data sources — notably the STREAMING source
+    runner — do not receive addPyFile includes (they inherit only the
+    JVM's environment), so when the plain import misses we fall back to
+    the shipped zip (kept current by ship_package; zip imports work via
+    zipimport) or the SparkFiles copy. register_jelly() additionally
+    registers this module for cloudpickle by-value pickling so the
+    DataSource instance itself unpickles without the package installed.
+    """
+    try:
+        import pyjelly_spark  # noqa: F401
+
+        return
+    except ModuleNotFoundError:
+        pass
+    import sys
+
+    candidates = [PYFILES_ZIP]
+    try:
+        from pyspark.core.files import SparkFiles
+
+        candidates.append(SparkFiles.get("pyjelly_spark_pyfiles.zip"))
+    except Exception:  # SparkFiles root unset in this process
+        pass
+    for cand in candidates:
+        if cand and os.path.exists(cand) and cand not in sys.path:
+            sys.path.insert(0, cand)
+            try:
+                import pyjelly_spark  # noqa: F401
+
+                return
+            except ModuleNotFoundError:
+                continue
+    import pyjelly_spark  # noqa: F401  — surface the real ImportError
 
 
 def _bool(value: Optional[str], default: bool) -> bool:
@@ -54,6 +103,7 @@ _PHYSICAL = {"triples": 1, "quads": 2, "graphs": 3}
 
 def _options_from(options) -> "object":
     """Build StreamOptions from datasource options (defaults = protocol)."""
+    _ensure_package()
     from pyjelly_spark.jelly import constants as jc
 
     physical = _PHYSICAL[str(options.get("physical") or "triples").lower()]
@@ -142,6 +192,7 @@ class JellyReader(DataSourceReader):
         return True
 
     def partitions(self) -> Sequence[InputPartition]:
+        _ensure_package()
         from pyjelly_spark.sources.jelly_io import _jelly_files
 
         return [
@@ -151,6 +202,7 @@ class JellyReader(DataSourceReader):
         ]
 
     def read(self, partition: JellyFilePartition):
+        _ensure_package()
         from pyjelly_spark.sources.jelly_io import (
             _decode_bytes_batches,
             _fs_for,
@@ -160,6 +212,68 @@ class JellyReader(DataSourceReader):
         filesystem, fs_path = _fs_for(partition.path)
         data = _fs_read(filesystem, fs_path)
         yield from _decode_bytes_batches(partition.path, data)
+
+
+class JellyStreamReader(DataSourceStreamReader):
+    """Streaming jelly source: tail a directory of ``.jelly`` streams.
+
+    ``spark.readStream.format("jelly").load(dir)`` follows the directory
+    as new self-contained stream files appear — e.g. from the streaming
+    sink below, from a batch ``write.format("jelly").mode("append")``,
+    or from the reference dropping files into a landing zone. The offset
+    is the sorted list of member files already visible (the seen-files
+    design of Spark's built-in FileStreamSource): a checkpointed restart
+    replays exactly the not-yet-committed files, each new file is one
+    input partition, and no file is ever decoded twice. Decoding streams
+    bounded Arrow chunks, identical to the batch reader.
+
+    Scale note: the offset grows with the member count of ONE directory,
+    exactly like the built-in file source's seen-files log — long-lived
+    ingest rotates landing directories (the path is any pyarrow-fs URI),
+    which keeps each offset list bounded.
+    """
+
+    def __init__(self, options) -> None:
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError(
+                "jelly datasource requires a path: .load(<path>)"
+            )
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        _ensure_package()
+        from pyjelly_spark.sources.jelly_io import _jelly_files
+
+        return {"files": _jelly_files(self._path)}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        seen = set(start.get("files", ()))
+        return [
+            JellyFilePartition(p)
+            for p in end.get("files", ())
+            if p not in seen
+        ]
+
+    def read(self, partition: JellyFilePartition):
+        _ensure_package()
+        from pyjelly_spark.sources.jelly_io import (
+            _decode_bytes_batches,
+            _fs_for,
+            _fs_read,
+        )
+
+        filesystem, fs_path = _fs_for(partition.path)
+        data = _fs_read(filesystem, fs_path)
+        yield from _decode_bytes_batches(partition.path, data)
+
+    def commit(self, end: dict) -> None:
+        # Source files are the caller's; nothing to clean up.
+        pass
 
 
 @dataclass
@@ -172,6 +286,7 @@ def _encode_part(
     options: dict, out_dir: str, grouped: bool, iterator, name_prefix: str
 ) -> JellyCommit:
     """Encode one task's Arrow batches into one .jelly part file."""
+    _ensure_package()
     from pyjelly_spark.jelly import constants as jc
     from pyjelly_spark.jelly.encoder import StreamEncoder, delimit
     from pyjelly_spark.sources.jelly_io import _fs_for, _terms_from_arrays
@@ -251,6 +366,7 @@ def _encode_part(
 
 def _write_manifest(out_dir: str, messages, manifest_name: str) -> None:
     import json
+    _ensure_package()
 
     from pyjelly_spark.sources.jelly_io import _fs_for, _fs_write
 
@@ -279,6 +395,7 @@ class JellyWriter(DataSourceArrowWriter):
         self._options = dict(options)
         self._grouped = _bool(options.get("grouped_by_graph"), False)
         if overwrite:
+            _ensure_package()
             from pyjelly_spark.sources.jelly_io import _fs_for, _fs_isdir
 
             filesystem, base = _fs_for(self._out)
@@ -294,6 +411,7 @@ class JellyWriter(DataSourceArrowWriter):
         _write_manifest(self._out, messages, "datasource.json")
 
     def abort(self, messages) -> None:
+        _ensure_package()
         from pyjelly_spark.sources.jelly_io import _fs_for
 
         filesystem, _base = _fs_for(self._out)
@@ -332,6 +450,7 @@ class JellyStreamWriter(DataSourceStreamArrowWriter):
         _write_manifest(self._out, messages, f"batch-{batchId}.json")
 
     def abort(self, messages, batchId: int) -> None:
+        _ensure_package()
         from pyjelly_spark.sources.jelly_io import _fs_for
 
         filesystem, _base = _fs_for(self._out)
@@ -349,12 +468,16 @@ class JellyDataSource(DataSource):
         return "jelly"
 
     def schema(self) -> StructType:
+        _ensure_package()
         from pyjelly_spark.sources.jelly_io import READ_SCHEMA
 
         return READ_SCHEMA
 
     def reader(self, schema: StructType) -> JellyReader:
         return JellyReader(self.options)
+
+    def streamReader(self, schema: StructType) -> JellyStreamReader:
+        return JellyStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> JellyWriter:
         return JellyWriter(self.options, overwrite)
@@ -364,8 +487,27 @@ class JellyDataSource(DataSource):
 
 
 def register_jelly(spark) -> None:
-    """Register the format (and ship the package to python workers)."""
+    """Register the format (and ship the package to python workers).
+
+    Besides ``addPyFile`` shipping (task workers), this module is
+    registered for cloudpickle BY-VALUE pickling: PySpark's driver-side
+    streaming source runner unpickles the DataSource in a bare Python
+    process that gets neither addPyFile includes nor the driver's
+    ``sys.path``, so the class definition must travel inside the pickle
+    itself (methods then bootstrap their imports via _ensure_package).
+    Under ``spark-submit --py-files`` (the cluster deployment, BASELINE
+    north_rule) the runner inherits PYTHONPATH and none of this is
+    needed — it makes programmatically-built sessions behave the same.
+    """
     from pyjelly_spark.session import ship_package
 
     ship_package(spark)
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle: --py-files / PYTHONPATH paths still work
     spark.dataSource.register(JellyDataSource)

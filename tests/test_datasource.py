@@ -226,3 +226,66 @@ def test_bad_options_fail_fast(registered, tmp_path):
             .mode("append")
             .save(out)
         )
+
+
+def test_stream_reader_offset_delta(tmp_path):
+    """Offset algebra: only files new since the start offset are planned."""
+    from pyjelly_spark.sources.jelly_datasource import JellyStreamReader
+
+    (tmp_path / "a.jelly").write_bytes(b"")
+    (tmp_path / "b.jelly").write_bytes(b"")
+    reader = JellyStreamReader({"path": str(tmp_path)})
+    assert reader.initialOffset() == {"files": []}
+    first = reader.latestOffset()
+    assert [os.path.basename(p) for p in first["files"]] == [
+        "a.jelly",
+        "b.jelly",
+    ]
+    (tmp_path / "c.jelly").write_bytes(b"")
+    second = reader.latestOffset()
+    delta = reader.partitions(first, second)
+    assert [os.path.basename(p.path) for p in delta] == ["c.jelly"]
+    assert reader.partitions(second, second) == []
+    # cold start replays everything
+    assert len(reader.partitions(reader.initialOffset(), second)) == 3
+
+
+@requires_corpora
+def test_stream_reader_tails_directory(registered, tmp_path):
+    """readStream.format("jelly"): a checkpointed restart decodes ONLY
+    the files that appeared since the last committed offset."""
+    from pyjelly_spark.sources.nt_source import read_nt
+
+    spark = registered
+    nt = read_nt(spark, WEATHER_NT)
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        query = (
+            spark.readStream.format("jelly")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+
+    nt.coalesce(1).write.format("jelly").mode("append").save(src)
+    drain()
+    assert _stmts(spark.read.parquet(sink)) == _stmts(read_jelly(spark, src))
+    first_files = {
+        r.source_file
+        for r in spark.read.parquet(sink).select("source_file").distinct().collect()
+    }
+    assert len(first_files) == 1
+
+    # a second stream file lands; the restarted query picks up only it
+    nt.limit(40).coalesce(1).write.format("jelly").mode("append").save(src)
+    drain()
+    got = spark.read.parquet(sink)
+    assert _stmts(got) == _stmts(read_jelly(spark, src))
+    assert got.select("source_file").distinct().count() == 2
