@@ -499,6 +499,69 @@ SELECT p, n_triples FROM (
 """
 
 
+def q_kg_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG ingest through the STREAMING jelly source
+    (``readStream.format("jelly")``, sources/jelly_datasource.py): two
+    deterministic halves of the structural triples land as .jelly files
+    in a landing directory; a checkpointed stream (availableNow) drains
+    after each landing into a parquet sink; the result is the
+    per-predicate histogram over both drains. Matching the closed-form
+    oracle proves exactly-once incremental decode: a re-read of the
+    first file would double its counts, a missed second file would
+    short them."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyjelly_spark.sources.jelly_datasource import register_jelly
+    from pyjelly_spark.sources.jelly_io import flatten_terms
+
+    register_jelly(spark)
+    files = derived_source_files(spark, sf_dir)
+    flat = flatten_terms(X.structural_triples(files))
+    half = F.pmod(F.xxhash64("s_value", "p_value", "o_value"), F.lit(2))
+    root = tempfile.mkdtemp(prefix="kg_stream_")
+    src = os.path.join(root, "landing")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+
+    def drain() -> None:
+        query = (
+            spark.readStream.format("jelly")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+
+    try:
+        for part in (0, 1):
+            (
+                flat.where(half == part)
+                .coalesce(1)
+                .write.format("jelly")
+                .option("frame_rows", 500)
+                .mode("append")
+                .save(src)
+            )
+            drain()
+        agg = (
+            spark.read.parquet(sink)
+            .groupBy(F.col("p_value").alias("p"))
+            .agg(F.count(F.lit(1)).alias("n_triples"))
+        ).toPandas()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(agg)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# Same closed form: the two streamed halves partition the triples.
+SQL_KG_STREAM_INGEST = SQL_KG_DATASOURCE_ROUNDTRIP
+
+
 # ---------------------------------------------------------------------------
 # Relational analytics (TPC-H-style) — engine breadth on the star schema
 # ---------------------------------------------------------------------------
@@ -1783,6 +1846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_roundtrip": q_kg_roundtrip,
     "kg_grouped_roundtrip": q_kg_grouped_roundtrip,
     "kg_datasource_roundtrip": q_kg_datasource_roundtrip,
+    "kg_stream_ingest": q_kg_stream_ingest,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -1834,6 +1898,7 @@ ORACLES: dict[str, str] = {
     "kg_roundtrip": SQL_KG_ROUNDTRIP,
     "kg_grouped_roundtrip": SQL_KG_GROUPED_ROUNDTRIP,
     "kg_datasource_roundtrip": SQL_KG_DATASOURCE_ROUNDTRIP,
+    "kg_stream_ingest": SQL_KG_STREAM_INGEST,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
