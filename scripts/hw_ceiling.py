@@ -49,7 +49,14 @@ def _compute_worker(seconds: float, out: mp.Queue) -> None:
 def _bandwidth_worker(seconds: float, out: mp.Queue) -> None:
     src = np.empty(BUF_MB * (1 << 20) // 8, dtype=np.int64)
     dst = np.empty_like(src)
+    # pre-touch BOTH buffers and do one untimed warmup copy: np.empty
+    # pages are allocated lazily, and the page faults otherwise dominate
+    # a short probe (they produced the bogus 86->42 GB/s round-1 numbers;
+    # the true controller profile is ~141 GB/s at 8 workers saturating
+    # ~270 GB/s at 16+)
     src[:] = 1
+    dst[:] = 2
+    np.copyto(dst, src)
     end = time.time() + seconds
     bytes_moved = 0
     while time.time() < end:
@@ -77,15 +84,12 @@ def main() -> None:
         ("compute", _compute_worker, "iters/s"),
         ("bandwidth", _bandwidth_worker, "bytes/s"),
     ):
-        rates = {n: run_level(worker, n, SECONDS) for n in (1, 8, 32)}
-        eff = (rates[32] / rates[8]) / 4.0
+        rates = {n: run_level(worker, n, SECONDS) for n in (1, 4, 8, 16, 32)}
         result[name] = {
             "unit": unit,
-            "rate_1": round(rates[1]),
-            "rate_8": round(rates[8]),
-            "rate_32": round(rates[32]),
-            "scaling_8_to_32": round(rates[32] / rates[8], 2),
-            "efficiency_8_to_32": round(eff, 3),
+            **{f"rate_{n}": round(r) for n, r in rates.items()},
+            "efficiency_4_to_16": round((rates[16] / rates[4]) / 4.0, 3),
+            "efficiency_8_to_32": round((rates[32] / rates[8]) / 4.0, 3),
         }
     print(json.dumps(result, indent=2))
 

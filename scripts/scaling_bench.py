@@ -193,6 +193,12 @@ def main() -> None:
     merged.setdefault("parallelism_ratio", HI / LO)
     merged["target"] = 0.8
     suffix = "" if CLUSTER == "threads" else f"_{CLUSTER}"
+    # keep level pairs distinct: the default 8->32 pair keeps its legacy
+    # key; any other pair (e.g. 4->16, where this host's DRAM does not
+    # yet thrash — see hardware_ceilings) gets an explicit _LOtoHI key so
+    # both records coexist in SCALING.json
+    if (LO, HI) != (8, 32):
+        suffix += f"_{LO}to{HI}"
     for section in ("pipeline", "encode"):
         if section in lo and section in hi:
             eff = (
