@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "token_count",
     "train_val_split",
     "term_stats",
+    "decontam",
     "kg_grouped_roundtrip",
 ]
 

@@ -173,6 +173,154 @@ def train_val_split(docs: DataFrame, val_pct: int = 10) -> Column | DataFrame:
     )
 
 
+# --- PII / secret scrubbing -------------------------------------------------
+# (name, pattern, replacement). Patterns valid in Java regex AND RE2, like
+# everything above, so the DuckDB oracle interpolates them verbatim.
+# Application order is part of the contract (matches the oracle): email
+# first (its domain needs an alpha TLD, so it never swallows an IPv4),
+# then IPv4, then long-hex secrets.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("secret", r"\b[A-Fa-f0-9]{32,}\b", "<SECRET>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect-and-redact PII/secrets: emails, IPv4 addresses, long hex
+    tokens (API-key shaped) — the scrubbing pass every training-data
+    pipeline runs before anything ships. Counts are taken BEFORE
+    redaction; redaction applies the patterns in ``PII_PATTERNS`` order.
+
+    Pure Catalyst (``regexp_count`` + chained ``regexp_replace``):
+    whole-stage codegen, embarrassingly parallel, no shuffle — the ideal
+    100 TB shape for a per-document map.
+    """
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = text
+    for _, pat, repl in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return docs.select("doc_id", *counts, redacted.alias("redacted"))
+
+
+# --- repetition / gopher-style quality --------------------------------------
+
+
+def word_ngrams(ws: Column, n: int) -> Column:
+    """Word n-grams of an already-tokenized array, joined with spaces.
+    Empty array when the document has fewer than ``n`` words."""
+    idx = F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n))
+    )
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    - ``distinct_word_ratio``: |distinct words| / |words|;
+    - ``dup_bigram_ratio``: fraction of word bigrams that are repeats;
+    - ``top_term_ratio``: occurrences of the most frequent word / |words|.
+
+    All three are pure ARRAY expressions (no explode, no shuffle): the
+    mode is computed as max over ``transform(distinct_terms, t ->
+    count_in_doc(t))`` — O(distinct x words) per row but entirely inside
+    whole-stage codegen, which at corpus scale beats the explode +
+    two-shuffle formulation by the full cost of shuffling one row per
+    word occurrence. Ratios are floor-scaled to 4 decimals (the proven
+    engine-portable rounding).
+    """
+    ws = words(normalized(F.col("text")))
+    n_words = F.size(ws)
+    bigrams = word_ngrams(ws, 2)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda t: F.size(F.filter(ws, lambda x: x == t)),
+        )
+    )
+
+    def r4(c: Column) -> Column:
+        return F.floor(c * 10000) / 10000
+
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        r4(F.size(F.array_distinct(ws)) / n_words).alias("distinct_word_ratio"),
+        r4(
+            (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
+            / F.greatest(F.size(bigrams), F.lit(1))
+        ).alias("dup_bigram_ratio"),
+        r4(top_cnt / n_words).alias("top_term_ratio"),
+    )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    val_pct: int = 10,
+    n: int = 5,
+    max_gram_doc_freq: int = 50,
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with the
+    held-out (val) split — the standard benchmark-decontamination pass
+    (the val split stands in for an eval benchmark; membership comes from
+    the same deterministic content-hash as ``train_val_split``).
+
+    Returns one row per contaminated train doc: (doc_id, n_shared_grams,
+    n_val_docs).
+
+    Scale shape: grams are exploded once (one row per (doc, gram)) and
+    the train-val match is an equi-join ON THE GRAM — never an all-pairs
+    doc join. The ``max_gram_doc_freq`` cap drops grams appearing in more
+    documents than that bound BEFORE the join (boilerplate n-grams are
+    exactly the skewed keys that would otherwise fan out quadratically);
+    the cap is part of the operator contract and mirrored in the oracle.
+    """
+    h = hex_hash(normalized(F.col("text")), mod=100)
+    base = docs.select(
+        "doc_id",
+        (h < F.lit(100 - val_pct)).alias("is_train"),
+        words(normalized(F.col("text"))).alias("ws"),
+    )
+    grams = base.select(
+        "doc_id",
+        "is_train",
+        F.explode(word_ngrams(F.col("ws"), n)).alias("gram"),
+    ).distinct()  # per-doc gram multiplicity is irrelevant downstream
+    # anti-join against the HOT grams (df > cap), not an inner join
+    # against the kept ones: the hot set is the small side (boilerplate
+    # grams only) at any corpus size, so it broadcasts safely, while
+    # "all grams with df <= cap" is nearly the whole gram table
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))  # grams pre-deduped per doc
+        .where(F.col("df") > max_gram_doc_freq)
+        .select("gram")
+    )
+    bounded = grams.join(hot, "gram", "left_anti")
+    train = bounded.where(F.col("is_train")).select("doc_id", "gram")
+    val = bounded.where(~F.col("is_train")).select(
+        F.col("doc_id").alias("val_doc_id"), "gram"
+    )
+    return (
+        train.join(val, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_shared_grams"),
+            F.count_distinct("val_doc_id").alias("n_val_docs"),
+        )
+    )
+
+
 def term_stats(docs: DataFrame) -> DataFrame:
     """Corpus vocabulary statistics: per (lang, term) document frequency
     and total occurrence count — the integer core of TF-IDF/vocab-pruning

@@ -1142,6 +1142,145 @@ SELECT doc_id, lang, quality_score, rank FROM r WHERE rank <= 5
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/secret scrub gate. The synthetic corpus contains no PII, so the
+    query deterministically injects it first — emails / IPv4s / 40-hex
+    secrets derived from doc_id, the identical expression in the oracle —
+    then the scrub must count and redact exactly those. ``redacted_sha``
+    pins the full redacted text, so a wrong replacement anywhere flips
+    the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" mail u"), did.cast("string"), F.lit("@example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0."),
+                    (did % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" token "),
+                    F.substring(F.sha2(did.cast("string"), 256), 1, 40),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return T.pii_scrub(aug).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_secret",
+        F.sha2(F.col("redacted"), 256).alias("redacted_sha"),
+    )
+
+
+_PII_EMAIL, _PII_IPV4, _PII_SECRET = (p for _, p, _ in T.PII_PATTERNS)
+
+SQL_PII_SCRUB = rf"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' mail u' || doc_id::VARCHAR || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' host 10.' || (doc_id % 256)::VARCHAR || '.0.'
+              || (doc_id % 250)::VARCHAR ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' token ' || substring(sha256(doc_id::VARCHAR), 1, 40)
+         ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, '{_PII_IPV4}'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(text, '{_PII_SECRET}'))::BIGINT AS n_secret,
+  sha256(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+        '{_PII_IPV4}', '<IP>', 'g'),
+      '{_PII_SECRET}', '<SECRET>', 'g')
+  ) AS redacted_sha
+FROM aug
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (pure array
+    expressions, no shuffle — see functions/text.py::repetition_scores)."""
+    return T.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_REPETITION = rf"""
+WITH f AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS ws FROM documents
+),
+b AS (
+  SELECT doc_id, ws, len(ws) AS n_words,
+    CASE WHEN len(ws) >= 2
+      THEN [array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]
+      ELSE [] END AS bg
+  FROM f
+)
+SELECT doc_id, n_words::BIGINT AS n_words,
+  floor(len(list_distinct(ws)) / n_words::DOUBLE * 10000) / 10000
+    AS distinct_word_ratio,
+  floor((len(bg) - len(list_distinct(bg)))
+        / greatest(len(bg), 1)::DOUBLE * 10000) / 10000
+    AS dup_bigram_ratio,
+  floor(list_max([len(list_filter(ws, x -> x = t))
+                  FOR t IN list_distinct(ws)])
+        / n_words::DOUBLE * 10000) / 10000
+    AS top_term_ratio
+FROM b
+"""
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing any word 5-gram with
+    the val split (functions/text.py::decontaminate)."""
+    return T.decontaminate(_t(spark, sf_dir, "documents"))
+
+
+SQL_DECONTAM = rf"""
+WITH f AS (
+  SELECT doc_id,
+    ('0x' || substring(sha256({NORM_SQL}), 1, 15))::BIGINT % 100 < 90
+      AS is_train,
+    string_split({NORM_SQL}, ' ') AS ws
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, is_train,
+         array_to_string(ws[i:i+4], ' ') AS gram
+  FROM f, LATERAL (SELECT unnest(range(1, greatest(len(ws)-3, 1))) AS i) t
+),
+keep AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50
+),
+b AS (SELECT g.* FROM g JOIN keep USING (gram))
+SELECT t.doc_id,
+       count(DISTINCT t.gram) AS n_shared_grams,
+       count(DISTINCT v.doc_id) AS n_val_docs
+FROM b t JOIN b v ON t.gram = v.gram AND t.is_train AND NOT v.is_train
+GROUP BY t.doc_id
+"""
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_counts(_t(spark, sf_dir, "documents"))
 
@@ -1869,6 +2008,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_val_split": q_train_val_split,
     "term_stats": q_term_stats,
     "data_mixing": q_data_mixing,
+    "pii_scrub": q_pii_scrub,
+    "doc_repetition": q_doc_repetition,
+    "decontam": q_decontam,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1921,6 +2063,9 @@ ORACLES: dict[str, str] = {
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "term_stats": SQL_TERM_STATS,
     "data_mixing": SQL_DATA_MIXING,
+    "pii_scrub": SQL_PII_SCRUB,
+    "doc_repetition": SQL_DOC_REPETITION,
+    "decontam": SQL_DECONTAM,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

@@ -369,3 +369,94 @@ def test_ivf_recall_vs_exact(spark):
     # random (sha-derived, oracle-checkable) codebook at 25% scan
     # fraction: measured 0.482 here / 0.492 at sf0.1
     assert recall >= 0.4, recall
+
+
+# --- curation: PII scrub / repetition / decontamination ---------------------
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from pyjelly_spark.functions.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "ping admin@corp.io or bob.smith+x@a-b.co from 10.1.2.3"),
+            (2, "key deadbeefdeadbeefdeadbeefdeadbeef1234 rest"),
+            (3, "no pii here, just 1.2 and short cafe1234 hex"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_ipv4"] == 1
+    assert got[1]["redacted"] == "ping <EMAIL> or <EMAIL> from <IP>"
+    assert got[2]["n_secret"] == 1
+    assert got[2]["redacted"] == "key <SECRET> rest"
+    # 1.2 is not an IPv4; 8-hex is below the 32-char secret floor
+    assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_secret"] == 0
+    assert got[3]["redacted"] == "no pii here, just 1.2 and short cafe1234 hex"
+
+
+def test_repetition_scores_closed_form(spark):
+    from pyjelly_spark.functions.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # one word repeated: top ratio 1, all bigrams dup
+            (2, "w x y z"),  # all distinct: no repetition anywhere
+            (3, "a b a b a"),  # bigrams: ab ba ab ba -> 2 distinct of 4
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    assert got[1]["distinct_word_ratio"] == 0.25
+    assert got[1]["dup_bigram_ratio"] == pytest.approx(2 / 3, abs=1e-4)
+    assert got[1]["top_term_ratio"] == 1.0
+    assert got[2]["distinct_word_ratio"] == 1.0
+    assert got[2]["dup_bigram_ratio"] == 0.0
+    assert got[2]["top_term_ratio"] == 0.25
+    assert got[3]["dup_bigram_ratio"] == 0.5
+    # 3/5 in binary sits just under 0.6, so floor-scaling gives 0.5999
+    assert got[3]["top_term_ratio"] == pytest.approx(0.6, abs=2e-4)
+
+
+def _split_bucket(text: str) -> int:
+    """Pure-python twin of hex_hash(normalized(text), mod=100)."""
+    norm = re.sub(r"\s+", " ", text).strip().lower()
+    return int(hashlib.sha256(norm.encode()).hexdigest()[:15], 16) % 100
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from pyjelly_spark.functions.text import decontaminate
+
+    # craft texts whose content-hash provably lands them train vs val,
+    # sharing one exact 5-gram ("alpha beta gamma delta epsilon")
+    gram = "alpha beta gamma delta epsilon"
+    train_text = next(
+        f"{gram} filler{i}" for i in range(1000)
+        if _split_bucket(f"{gram} filler{i}") < 90
+    )
+    val_text = next(
+        f"lead{i} {gram}" for i in range(1000)
+        if _split_bucket(f"lead{i} {gram}") >= 90
+    )
+    clean_text = next(
+        f"nothing shared here at all pad{i}" for i in range(1000)
+        if _split_bucket(f"nothing shared here at all pad{i}") < 90
+    )
+    df = spark.createDataFrame(
+        [(1, train_text), (2, val_text), (3, clean_text)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in decontaminate(df, val_pct=10, n=5).collect()}
+    assert 1 in out and out[1]["n_shared_grams"] == 1 and out[1]["n_val_docs"] == 1
+    assert 3 not in out  # clean train doc untouched
+    assert 2 not in out  # val docs are never flagged
+
+
+def test_decontaminate_hot_gram_cap(spark):
+    from pyjelly_spark.functions.text import decontaminate
+
+    # the same 5-gram in every doc; with the cap below the doc count the
+    # gram is dropped and nothing is flagged
+    rows = [(i, f"u{i} common five gram here shared") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    flagged = decontaminate(df, val_pct=50, n=5, max_gram_doc_freq=5)
+    assert flagged.count() == 0
