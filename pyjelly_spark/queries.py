@@ -1693,6 +1693,59 @@ FROM scored WHERE raw_score >= 0.4 - 1e-9
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: exact Jaccard pairs -> distributed
+    connected components -> (doc_id, rep, cluster_size) for every doc in
+    a multi-doc cluster. The step after pair detection in a real dedup
+    pipeline: transitive closure picks one representative per group
+    (A~B, B~C groups A,B,C even when A!~C directly).
+
+    Runs the SAME large-star/small-star CC operator as the KG
+    canonicalization stage (operators/components.py) on a general pair
+    graph — oracle-gated by a recursive-CTE transitive closure in
+    DuckDB, so the iterative distributed algorithm is checked against a
+    declarative exact one. Doc ids travel as zero-padded strings so CC's
+    lexicographic min equals numeric min.
+    """
+    from pyjelly_spark.operators.components import connected_components
+
+    pairs = D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = pairs.select(pad("a").alias("src"), pad("b").alias("dst"))
+    assign = connected_components(edges)
+    sizes = assign.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assign.join(sizes, "component").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("rep"),
+        "cluster_size",
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {SHINGLES_SQL.strip()},
+p AS (
+  SELECT lpad(a::VARCHAR, 12, '0') AS a, lpad(b::VARCHAR, 12, '0') AS b
+  FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+n AS (SELECT DISTINCT src AS node FROM e),
+r(node, m) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT r.node, e.dst FROM r JOIN e ON r.m = e.src
+),
+comp AS (SELECT node, min(m) AS component FROM r GROUP BY node),
+s AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT comp.node::BIGINT AS doc_id, comp.component::BIGINT AS rep,
+       s.cluster_size
+FROM comp JOIN s USING (component)
+"""
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join expressed Spark-first: for every event, the value of
     the same user's most recent 'purchase' at or before it. One window
@@ -2011,6 +2064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "doc_repetition": q_doc_repetition,
     "decontam": q_decontam,
+    "dedup_clusters": q_dedup_clusters,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -2066,6 +2120,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "doc_repetition": SQL_DOC_REPETITION,
     "decontam": SQL_DECONTAM,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

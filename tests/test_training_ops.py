@@ -460,3 +460,25 @@ def test_decontaminate_hot_gram_cap(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     flagged = decontaminate(df, val_pct=50, n=5, max_gram_doc_freq=5)
     assert flagged.count() == 0
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C above threshold but A!~C directly: one cluster of 3."""
+    from pyjelly_spark.queries import q_dedup_clusters
+
+    # 3-gram shingle Jaccards: J(A,B)=4/6, J(B,C)=3/7, J(A,C)=1/7
+    rows = [
+        (1, "p q r s t u", "en", "s", 11),
+        (2, "p q r s t u v w", "en", "s", 15),
+        (3, "s t u v w x", "en", "s", 11),
+        (4, "aa bb cc dd ee", "en", "s", 14),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in q_dedup_clusters(spark, d).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r["rep"] == 1 and r["cluster_size"] == 3 for r in out.values())
