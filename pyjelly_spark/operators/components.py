@@ -133,6 +133,75 @@ def _run_rounds(
     return current
 
 
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 8,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge DataFrame (src, dst) —
+    GraphFrames-style iterative joins, in INTEGER arithmetic.
+
+    Every step is integer math on ranks expressed in 1/``scale`` units:
+    per-node contribution = ``pr div outdeg`` (floor), damped sum =
+    ``damping_pct * sum div 100``. Integer addition is associative, so
+    the result is bit-identical regardless of engine, partitioning, or
+    summation order — which is what makes an iterative float algorithm
+    oracle-gateable (the DuckDB oracle unrolls the same recurrence).
+    Dangling-node mass is dropped (not redistributed); self-loops and
+    duplicate edges are removed first. Both choices are part of the
+    operator contract.
+
+    Scale shape: per iteration one equi-join of edges with the rank
+    table on src (both hash-partitioned on the same key, so consecutive
+    iterations reuse the partitioning) + one groupBy(dst) aggregation
+    with map-side partial sums. Lineage is truncated with a lazy
+    ``localCheckpoint`` per iteration — the classic iterative-join
+    lineage bomb, same treatment as the CC rounds above.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0).cast("long"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = (scale * (100 - damping_pct) // 100) // n
+    pr = nodes.withColumn("pr", F.lit(scale // n).cast("long"))
+    for _ in range(iterations):
+        sums = (
+            e.join(pr, e["src"] == pr["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr
+
+
 def connected_components(
     edges: DataFrame,
     max_rounds: int = 25,

@@ -342,6 +342,78 @@ FROM imports_gt
 """
 
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the resolved import graph (file -> defining file):
+    the 'important files' ranking a code-intelligence consumer runs on
+    the constructed KG. Fixed 8 iterations of GraphFrames-style
+    iterative joins in pure integer arithmetic
+    (operators/components.py::pagerank_int), so the distributed
+    iterative algorithm is bit-identical to the oracle's unrolled
+    recurrence. Returns the top-20 (node, pr, rank)."""
+    from pyspark.sql.window import Window
+
+    from pyjelly_spark.operators.components import pagerank_int
+
+    edges = q_kg_imports_resolved(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    pr = pagerank_int(edges, iterations=8)
+    w = Window.orderBy(F.desc("pr"), F.asc("node"))
+    return (
+        pr.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select("node", "pr", "rank")
+    )
+
+
+def _pagerank_sql(iterations: int = 8, scale: int = 10**12) -> str:
+    """Unrolled fixed-iteration PageRank oracle: it0..itN CTEs applying
+    the identical integer recurrence as pagerank_int."""
+    its = []
+    for k in range(1, iterations + 1):
+        its.append(f"""
+it{k} AS (
+  SELECT n0.node,
+    (({scale} * 15 // 100) // nn.n) + (85 * COALESCE(s.c, 0)) // 100 AS pr
+  FROM pr_nodes n0 CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr // o.outdeg)::BIGINT AS c
+    FROM pr_edges e JOIN it{k - 1} p ON e.src = p.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON n0.node = s.node
+)""".strip())
+    joined_its = ",\n".join(its)
+    return f"""
+WITH {{src}}, {{mentions}},
+pr_edges AS (
+  SELECT DISTINCT file_iri AS src,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS dst
+  FROM imports_gt
+  WHERE file_iri <> 'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg'
+      || (t % 13) || '/mod_' || t || '.py'
+),
+pr_nodes AS (
+  SELECT src AS node FROM pr_edges UNION SELECT dst FROM pr_edges
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM pr_nodes),
+outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM pr_edges GROUP BY src),
+it0 AS (SELECT node, {scale} // nn.n AS pr FROM pr_nodes CROSS JOIN nn),
+{joined_its}
+SELECT node, pr::BIGINT AS pr, rank FROM (
+  SELECT node, pr,
+         row_number() OVER (ORDER BY pr DESC, node ASC) AS rank
+  FROM it{iterations}
+) WHERE rank <= 20
+"""
+
+
+SQL_KG_PAGERANK = _pagerank_sql().format(
+    src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip()
+)
+
+
 def q_kg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full materialization round-trip: derived source table -> pipeline
     (extract + link + canonicalize) -> partitioned Jelly streams on disk
@@ -2065,6 +2137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": q_doc_repetition,
     "decontam": q_decontam,
     "dedup_clusters": q_dedup_clusters,
+    "kg_pagerank": q_kg_pagerank,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -2121,6 +2194,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition": SQL_DOC_REPETITION,
     "decontam": SQL_DECONTAM,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "kg_pagerank": SQL_KG_PAGERANK,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

@@ -538,3 +538,34 @@ def test_write_nt_roundtrip(spark, tmp_path):
             return Counter(tuple(r) for r in rows.collect())
 
         assert key(back) == key(stmts)
+
+
+def test_pagerank_int_closed_form(spark):
+    """2-node cycle + dangling pointer: ranks computable by hand.
+
+    Graph: a->b, b->a, c->a. N=3, scale S=10^12.
+    pr0 = S//3 for all; c's rank is always base (no in-edges);
+    a receives b's and c's full contribution, b receives a's.
+    """
+    from pyjelly_spark.operators.components import pagerank_int
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "a")], ["src", "dst"]
+    )
+    got = {r["node"]: r["pr"] for r in pagerank_int(edges, iterations=8).collect()}
+
+    S = 10**12
+    base = (S * 15 // 100) // 3
+    pr = {n: S // 3 for n in "abc"}
+    for _ in range(8):
+        nxt = {
+            "a": base + 85 * (pr["b"] // 1 + pr["c"] // 1) // 100,
+            "b": base + 85 * (pr["a"] // 1) // 100,
+            "c": base,
+        }
+        pr = nxt
+    assert got == pr
+    # sanity: c has no in-edges so its rank is exactly the base term;
+    # the a<->b cycle oscillates between iterations but both stay above c
+    assert got["c"] == base
+    assert got["a"] > got["c"] and got["b"] > got["c"]
