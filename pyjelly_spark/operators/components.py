@@ -1,4 +1,5 @@
-"""Connected components via alternating large-star / small-star joins.
+"""Iterative graph algorithms over edge DataFrames: connected components
+(alternating large-star / small-star joins) and integer PageRank.
 
 The O(log n)-round MapReduce CC algorithm (Kiveris et al., "Connected
 Components in MapReduce and Beyond", SoCC'14) expressed as DataFrame

@@ -482,3 +482,89 @@ def test_dedup_clusters_transitive(spark):
     out = {r["doc_id"]: r for r in q_dedup_clusters(spark, d).collect()}
     assert set(out) == {1, 2, 3}
     assert all(r["rep"] == 1 and r["cluster_size"] == 3 for r in out.values())
+
+
+def test_decontaminate_differential_random_corpus(spark):
+    """Seeded random corpus vs a pure-python recomputation of the whole
+    decontamination contract (split, n-grams, df cap, counts)."""
+    import random
+
+    from pyjelly_spark.functions.text import decontaminate
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20))))
+        for i in range(40)
+    ]
+    n, cap, val_pct = 3, 5, 10
+
+    grams = {}  # doc_id -> set of grams
+    is_train = {}
+    for doc_id, text in rows:
+        ws = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        grams[doc_id] = {
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        }
+        is_train[doc_id] = _split_bucket(text) < 100 - val_pct
+    df_count = {}
+    for g in (g for gs in grams.values() for g in gs):
+        df_count[g] = df_count.get(g, 0) + 1
+    hot = {g for g, c in df_count.items() if c > cap}
+    expected = {}
+    for d, gs in grams.items():
+        if not is_train[d]:
+            continue
+        shared = set()
+        val_docs = set()
+        for v, vgs in grams.items():
+            if is_train[v]:
+                continue
+            common = (gs & vgs) - hot
+            if common:
+                shared |= common
+                val_docs.add(v)
+        if shared:
+            expected[d] = (len(shared), len(val_docs))
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_val_docs"])
+        for r in decontaminate(
+            df, val_pct=val_pct, n=n, max_gram_doc_freq=cap
+        ).collect()
+    }
+    assert got == expected and expected  # non-vacuous
+
+
+def test_repetition_scores_differential(spark):
+    """Random docs vs pure-python ratio recomputation (floor-scaled)."""
+    import math
+    import random
+
+    from pyjelly_spark.functions.text import repetition_scores
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+        for i in range(25)
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in repetition_scores(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    r4 = lambda x: math.floor(x * 10000) / 10000  # noqa: E731
+    for doc_id, text in rows:
+        ws = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        bigrams = [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+        top = max(ws.count(t) for t in set(ws))
+        row = got[doc_id]
+        assert row["n_words"] == len(ws)
+        assert row["distinct_word_ratio"] == r4(len(set(ws)) / len(ws))
+        assert row["dup_bigram_ratio"] == r4(
+            (len(bigrams) - len(set(bigrams))) / max(len(bigrams), 1)
+        )
+        assert row["top_term_ratio"] == r4(top / len(ws))
