@@ -1,0 +1,153 @@
+"""Basic-graph-pattern (BGP) matching over a flat (s, p, o) triples frame.
+
+SPARQL-style conjunctive queries compiled straight to Catalyst plans:
+each triple pattern becomes a filtered scan of the shared triples
+relation (constant slots push down as equality predicates — on a
+parquet/Iceberg-backed graph they reach the scan as ``PushedFilters``),
+patterns equi-join on their shared variables, and the join order is
+chosen greedily by bound-constant selectivity so the most selective
+pattern anchors the plan.
+
+Reference parity: pyjelly itself stops at (de)serialization — querying
+the parsed graph is delegated to rdflib's SPARQL evaluation over the
+materialized ``Graph`` (``/root/reference/pyjelly/integrations/rdflib/
+parse.py:61`` hands triples to ``rdflib.Graph``).  Here the same
+capability is a distributed DataFrame program over the triples table the
+pipeline emits, so graph queries run where the graph lives instead of on
+a single driver-materialized rdflib store.
+
+Scale notes (100 TB graph):
+
+- A pattern with >= ``broadcast_constants`` constant slots matches a
+  sliver of the graph (e.g. one predicate + one object out of 10^12
+  triples); its scan result is broadcast so joining it adds **no
+  shuffle** to the big side.
+- Patterns joining on shared variables hash-partition both sides on the
+  variable columns — plain Spark equi-joins, so AQE is free to re-plan
+  skewed hubs (hot symbols/predicates) at runtime.
+- Matching is *bag* semantics, like SPARQL BGP evaluation; callers
+  layer ``distinct=True`` (solution-set semantics) or aggregates on top.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Pattern = tuple[str, str, str]
+
+_SLOTS = ("s", "p", "o")
+
+
+def is_var(term: str) -> bool:
+    """A pattern term is a variable iff it starts with ``?``."""
+    return term.startswith("?")
+
+
+class _Scan:
+    """One compiled triple pattern: projected scan + its variable set."""
+
+    __slots__ = ("df", "variables", "n_constants", "index")
+
+    def __init__(
+        self, df: DataFrame, variables: set[str], n_constants: int, index: int
+    ) -> None:
+        self.df = df
+        self.variables = variables
+        self.n_constants = n_constants
+        self.index = index
+
+
+def _compile_pattern(triples: DataFrame, pattern: Pattern, index: int) -> _Scan:
+    if len(pattern) != 3:
+        raise ValueError(f"pattern {index} must be a (s, p, o) 3-tuple")
+    var_slots: dict[str, str] = {}
+    df = triples
+    n_constants = 0
+    for slot, term in zip(_SLOTS, pattern):
+        if is_var(term):
+            name = term[1:]
+            if not name:
+                raise ValueError(f"pattern {index}: bare '?' is not a variable")
+            if name in var_slots:
+                # Same variable twice in one pattern => intra-pattern
+                # equality (e.g. (?x, p, ?x) matches self-loops).
+                df = df.filter(F.col(slot) == F.col(var_slots[name]))
+            else:
+                var_slots[name] = slot
+        else:
+            df = df.filter(F.col(slot) == F.lit(term))
+            n_constants += 1
+    if not var_slots:
+        # Fully-ground pattern: an existence test. Keep a marker column so
+        # the join below degenerates to a semi-join-style cross with 0/1
+        # rows (LIMIT 1 — one matching triple proves existence).
+        df = df.limit(1).select(F.lit(1).alias(f"__ground_{index}"))
+        return _Scan(df, set(), n_constants, index)
+    projected = df.select(
+        *[F.col(slot).alias(name) for name, slot in var_slots.items()]
+    )
+    return _Scan(projected, set(var_slots), n_constants, index)
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    *,
+    distinct: bool = False,
+    broadcast_constants: int = 2,
+) -> DataFrame:
+    """Match a conjunction of triple patterns against ``triples``.
+
+    ``triples`` must expose string columns ``s``, ``p``, ``o``.  Each
+    pattern term is either a constant or a ``?name`` variable; the result
+    has one column per distinct variable and one row per solution
+    mapping (bag semantics; ``distinct=True`` for set semantics).
+
+    Patterns with at least ``broadcast_constants`` constant slots are
+    broadcast into their join (selective scans — shuffle-free on the big
+    side); pass ``broadcast_constants=4`` to disable broadcasting.
+    """
+    if not patterns:
+        raise ValueError("bgp_match requires at least one pattern")
+    scans = [_compile_pattern(triples, p, i) for i, p in enumerate(patterns)]
+
+    # Greedy join order: anchor on the most selective pattern, then
+    # repeatedly take the pattern sharing the most variables with the
+    # bound set (ties -> more constants, then original order).  Patterns
+    # sharing no variables only ever cross-join after no connected
+    # pattern remains.
+    remaining = sorted(
+        scans, key=lambda sc: (-sc.n_constants, sc.index)
+    )
+    def _maybe_broadcast(sc: _Scan) -> DataFrame:
+        if sc.n_constants >= broadcast_constants:
+            return F.broadcast(sc.df)
+        return sc.df
+
+    first = remaining.pop(0)
+    acc, bound = _maybe_broadcast(first), set(first.variables)
+    while remaining:
+        best = max(
+            range(len(remaining)),
+            key=lambda k: (
+                len(remaining[k].variables & bound),
+                remaining[k].n_constants,
+                -remaining[k].index,
+            ),
+        )
+        nxt = remaining.pop(best)
+        shared = sorted(nxt.variables & bound)
+        right = _maybe_broadcast(nxt)
+        if shared:
+            acc = acc.join(right, on=shared, how="inner")
+        else:
+            acc = acc.crossJoin(right)
+        bound |= nxt.variables
+    # Drop ground-pattern marker columns from the solution.
+    markers = [c for c in acc.columns if c.startswith("__ground_")]
+    if markers:
+        acc = acc.drop(*markers)
+    return acc.distinct() if distinct else acc

@@ -414,6 +414,82 @@ SQL_KG_PAGERANK = _pagerank_sql().format(
 )
 
 
+def q_kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style BGP over the constructed KG: `?repo contains
+    ?def_file . ?def_file defines ?sym . ?caller calls ?sym` compiled to
+    Catalyst self-joins (operators/bgp.py), then aggregated per repo.
+    The graph is the full 4-family triple union, so the predicate
+    constants in each pattern must prune the other families. Oracle
+    recomputes the solution bag from the closed-form ground-truth CTEs —
+    no BGP machinery on the oracle side."""
+    from pyjelly_spark.operators.bgp import bgp_match
+
+    graph = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    sols = bgp_match(
+        graph,
+        [
+            ("?repo_iri", NS + "contains", "?def_file"),
+            ("?def_file", NS + "defines", "?sym"),
+            ("?caller", NS + "calls", "?sym"),
+        ],
+    )
+    return (
+        sols.groupBy("repo_iri")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("def_file").alias("n_def_files"),
+            F.countDistinct("caller").alias("n_callers"),
+            F.countDistinct("sym").alias("n_syms"),
+        )
+        .orderBy("repo_iri")
+    )
+
+
+SQL_KG_BGP = f"""
+WITH {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+sol AS (
+  SELECT 'http://kg.example/repo/' || f.repo AS repo_iri,
+         d.file_iri AS def_file, c.file_iri AS caller,
+         'http://kg.example/symbol/' || d.symbol AS sym
+  FROM defs_gt d
+  JOIN calls_gt c ON c.symbol = d.symbol
+  JOIN files f ON f.file_iri = d.file_iri
+)
+SELECT repo_iri,
+       count(*)::BIGINT AS n_links,
+       count(DISTINCT def_file)::BIGINT AS n_def_files,
+       count(DISTINCT caller)::BIGINT AS n_callers,
+       count(DISTINCT sym)::BIGINT AS n_syms
+FROM sol GROUP BY repo_iri ORDER BY repo_iri
+"""
+
+
+def q_kg_bgp_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup BGP: `?def_file defines <symbol/shared_8> . ?repo_iri
+    contains ?def_file`. The 2-constant pattern anchors the plan and is
+    broadcast (a handful of rows out of the whole graph), so the join
+    adds no shuffle on the graph side."""
+    from pyjelly_spark.operators.bgp import bgp_match
+
+    graph = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    return bgp_match(
+        graph,
+        [
+            ("?def_file", NS + "defines", "http://kg.example/symbol/shared_8"),
+            ("?repo_iri", NS + "contains", "?def_file"),
+        ],
+    ).select("repo_iri", "def_file").orderBy("repo_iri", "def_file")
+
+
+SQL_KG_BGP_SELECTIVE = f"""
+WITH {SRC_SQL.strip()}, {MENTIONS_SQL.strip()}
+SELECT 'http://kg.example/repo/' || f.repo AS repo_iri, d.file_iri AS def_file
+FROM defs_gt d JOIN files f ON f.file_iri = d.file_iri
+WHERE d.symbol = 'shared_8'
+ORDER BY repo_iri, def_file
+"""
+
+
 def q_kg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full materialization round-trip: derived source table -> pipeline
     (extract + link + canonicalize) -> partitioned Jelly streams on disk
@@ -2138,6 +2214,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam": q_decontam,
     "dedup_clusters": q_dedup_clusters,
     "kg_pagerank": q_kg_pagerank,
+    "kg_bgp": q_kg_bgp,
+    "kg_bgp_selective": q_kg_bgp_selective,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -2195,6 +2273,8 @@ ORACLES: dict[str, str] = {
     "decontam": SQL_DECONTAM,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "kg_pagerank": SQL_KG_PAGERANK,
+    "kg_bgp": SQL_KG_BGP,
+    "kg_bgp_selective": SQL_KG_BGP_SELECTIVE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

@@ -1,0 +1,119 @@
+"""BGP matcher: closed-form bindings, bag/set semantics, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyjelly_spark.operators.bgp import bgp_match
+
+NS = "http://kg.example/ns#"
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("f1", NS + "defines", "sym_a"),
+        ("f1", NS + "defines", "sym_b"),
+        ("f2", NS + "defines", "sym_a"),
+        ("f1", NS + "calls", "sym_a"),
+        ("f2", NS + "calls", "sym_b"),
+        ("f3", NS + "calls", "sym_a"),
+        ("r1", NS + "contains", "f1"),
+        ("r1", NS + "contains", "f2"),
+        ("r2", NS + "contains", "f3"),
+        ("loop", NS + "self", "loop"),
+    ]
+    return spark.createDataFrame(rows, ["s", "p", "o"])
+
+
+def _sols(df):
+    return {tuple(r[c] for c in sorted(df.columns)) for r in df.collect()}
+
+
+def test_single_pattern_bindings(triples):
+    out = bgp_match(triples, [("?f", NS + "defines", "?sym")])
+    assert sorted(out.columns) == ["f", "sym"]
+    assert _sols(out) == {("f1", "sym_a"), ("f1", "sym_b"), ("f2", "sym_a")}
+
+
+def test_two_pattern_join_on_shared_var(triples):
+    # callers of symbols that some file defines
+    out = bgp_match(
+        triples,
+        [("?d", NS + "defines", "?sym"), ("?c", NS + "calls", "?sym")],
+    )
+    assert _sols(out) == {
+        ("f1", "f1", "sym_a"),
+        ("f3", "f1", "sym_a"),
+        ("f1", "f2", "sym_a"),
+        ("f3", "f2", "sym_a"),
+        ("f2", "f1", "sym_b"),
+    }
+
+
+def test_three_pattern_chain(triples):
+    out = bgp_match(
+        triples,
+        [
+            ("?r", NS + "contains", "?d"),
+            ("?d", NS + "defines", "?sym"),
+            ("?c", NS + "calls", "?sym"),
+        ],
+    )
+    # every (d, sym, c) solution above, extended with d's repo (all r1)
+    assert out.count() == 5
+    assert {r["r"] for r in out.collect()} == {"r1"}
+
+
+def test_duplicate_variable_in_pattern_matches_self_loops(triples):
+    out = bgp_match(triples, [("?x", NS + "self", "?x")])
+    assert _sols(out) == {("loop",)}
+
+
+def test_ground_pattern_is_existence_gate(triples):
+    hit = bgp_match(
+        triples,
+        [("?r", NS + "contains", "?f"), ("loop", NS + "self", "loop")],
+    )
+    assert hit.count() == 3
+    assert sorted(hit.columns) == ["f", "r"]
+    miss = bgp_match(
+        triples,
+        [("?r", NS + "contains", "?f"), ("loop", NS + "self", "nope")],
+    )
+    assert miss.count() == 0
+
+
+def test_disconnected_patterns_cross_join(triples):
+    out = bgp_match(
+        triples,
+        [("?r", NS + "contains", "f1"), ("?x", NS + "self", "?y")],
+    )
+    assert _sols(out) == {("r1", "loop", "loop")}
+
+
+def test_bag_vs_set_semantics(spark):
+    dup = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "b")], ["s", "p", "o"]
+    )
+    assert bgp_match(dup, [("?x", "p", "?y")]).count() == 2
+    assert bgp_match(dup, [("?x", "p", "?y")], distinct=True).count() == 1
+
+
+def test_selective_pattern_broadcasts(triples):
+    out = bgp_match(
+        triples,
+        [("?d", NS + "defines", "sym_a"), ("?c", NS + "calls", "?x")],
+        broadcast_constants=2,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_validation_errors(triples):
+    with pytest.raises(ValueError):
+        bgp_match(triples, [])
+    with pytest.raises(ValueError):
+        bgp_match(triples, [("?x", "?", "?y")])
+    with pytest.raises(ValueError):
+        bgp_match(triples, [("?x", "p")])  # type: ignore[list-item]
