@@ -96,6 +96,8 @@ def bgp_match(
     triples: DataFrame,
     patterns: Sequence[Pattern],
     *,
+    optional: Sequence[Pattern] = (),
+    filters: Sequence[str] = (),
     distinct: bool = False,
     broadcast_constants: int = 2,
 ) -> DataFrame:
@@ -105,6 +107,13 @@ def bgp_match(
     pattern term is either a constant or a ``?name`` variable; the result
     has one column per distinct variable and one row per solution
     mapping (bag semantics; ``distinct=True`` for set semantics).
+
+    ``optional`` patterns extend solutions where they match and leave
+    their exclusive variables NULL where they don't — SPARQL OPTIONAL as
+    a left outer join, applied after the required patterns.  ``filters``
+    are SQL boolean expressions over the variable columns (SPARQL
+    FILTER); they participate in the single Catalyst plan, so filters on
+    required variables push down into the joins for free.
 
     Patterns with at least ``broadcast_constants`` constant slots are
     broadcast into their join (selective scans — shuffle-free on the big
@@ -146,6 +155,22 @@ def bgp_match(
         else:
             acc = acc.crossJoin(right)
         bound |= nxt.variables
+    # OPTIONAL patterns: left outer joins on the variables they share
+    # with the required part. A well-designed optional (SPARQL's common
+    # case) shares >= 1 variable; one sharing none would cross every
+    # solution with the pattern's matches, so reject it loudly.
+    for i, pat in enumerate(optional):
+        sc = _compile_pattern(triples, pat, len(patterns) + i)
+        shared = sorted(sc.variables & bound)
+        if not shared:
+            raise ValueError(
+                f"optional pattern {i} shares no variable with the "
+                "required patterns"
+            )
+        acc = acc.join(_maybe_broadcast(sc), on=shared, how="left")
+        bound |= sc.variables
+    for expr in filters:
+        acc = acc.filter(F.expr(expr))
     # Drop ground-pattern marker columns from the solution.
     markers = [c for c in acc.columns if c.startswith("__ground_")]
     if markers:

@@ -1,5 +1,6 @@
 """Iterative graph algorithms over edge DataFrames: connected components
-(alternating large-star / small-star joins) and integer PageRank.
+(alternating large-star / small-star joins), integer PageRank, and
+bounded-depth BFS reachability.
 
 The O(log n)-round MapReduce CC algorithm (Kiveris et al., "Connected
 Components in MapReduce and Beyond", SoCC'14) expressed as DataFrame
@@ -280,3 +281,54 @@ def connected_components(
     return members.join(reps, "comp_id").select(
         F.col("iri").alias("node"), "component"
     )
+
+
+def bfs_reachable(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Bounded-depth BFS over a directed edge DataFrame ``(src, dst)``:
+    min-hop distance from a source node set — the distributed form of a
+    SPARQL property-path query (``?s pred{0,k} ?o``).
+
+    ``sources`` is a one-column DataFrame ``(node)``. Returns
+    ``(node, depth)`` where ``depth`` is the minimum number of hops
+    (sources at depth 0); nodes farther than ``max_depth`` are absent.
+    Because the frontier only ever expands into *unvisited* nodes, the
+    first depth at which a node appears is its minimum distance — no
+    min-aggregation pass is needed.
+
+    Scale shape: per round one equi-join of the edge table with the
+    current frontier on ``src`` (frontier is the small side — AQE
+    broadcasts it while it fits, so expansion adds no shuffle on the
+    edge side) + one distinct + one left-anti join against the visited
+    set. One action per round for the emptiness test; lineage truncated
+    with ``localCheckpoint`` per round, as in the CC loop above.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reached = (
+        sources.select(F.col("node"), F.lit(0).cast("long").alias("depth"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = reached.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).cast("long").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        reached = reached.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return reached

@@ -490,6 +490,89 @@ ORDER BY repo_iri, def_file
 """
 
 
+def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL + FILTER through the BGP compiler: every defined symbol
+    with its caller count, callers outside the defining file only —
+    `?def_file defines ?sym . OPTIONAL { ?caller calls ?sym } FILTER
+    (?caller IS NULL OR ?caller != ?def_file)`. The left join preserves
+    never-called symbols (caller count 0), the SPARQL-FILTER equivalent
+    runs inside the same Catalyst plan. Aggregated per definition site."""
+    from pyjelly_spark.operators.bgp import bgp_match
+
+    graph = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    sols = bgp_match(
+        graph,
+        [("?def_file", NS + "defines", "?sym")],
+        optional=[("?caller", NS + "calls", "?sym")],
+        filters=["caller IS NULL OR caller != def_file"],
+    )
+    return (
+        sols.groupBy("def_file", "sym")
+        .agg(F.count("caller").alias("n_ext_callers"))
+        .orderBy("def_file", "sym")
+    )
+
+
+SQL_KG_BGP_OPTIONAL = f"""
+WITH {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+defs_iri AS (
+  SELECT file_iri AS def_file,
+         'http://kg.example/symbol/' || symbol AS sym, symbol
+  FROM defs_gt
+),
+calls_iri AS (SELECT file_iri AS caller, symbol FROM calls_gt)
+SELECT d.def_file, d.sym, count(c.caller)::BIGINT AS n_ext_callers
+FROM defs_iri d LEFT JOIN calls_iri c ON c.symbol = d.symbol
+WHERE c.caller IS NULL OR c.caller != d.def_file
+GROUP BY d.def_file, d.sym ORDER BY d.def_file, d.sym
+"""
+
+
+REACH_SOURCE = "http://kg.example/file/repo-00/src/pkg0/mod_0.py"
+REACH_DEPTH = 6
+
+
+def q_kg_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path query (`<file> importsResolved{0,6} ?f`): min-hop
+    distance from one file over the resolved import graph, via the
+    distributed bounded-depth BFS (operators/components.py::
+    bfs_reachable — frontier semi-joins, one action per round). Oracle
+    is a DuckDB recursive CTE over the closed-form import edges, so the
+    iterative distributed algorithm is checked against a declarative
+    transitive closure."""
+    from pyjelly_spark.operators.components import bfs_reachable
+
+    edges = q_kg_imports_resolved(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    sources = spark.createDataFrame([(REACH_SOURCE,)], ["node"])
+    return bfs_reachable(edges, sources, max_depth=REACH_DEPTH).orderBy(
+        "depth", "node"
+    )
+
+
+SQL_KG_REACHABLE = f"""
+WITH RECURSIVE {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+reach_edges AS (
+  SELECT DISTINCT file_iri AS src,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS dst
+  FROM imports_gt
+  WHERE file_iri <> 'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg'
+      || (t % 13) || '/mod_' || t || '.py'
+),
+reach(node, depth) AS (
+  SELECT '{REACH_SOURCE}', 0
+  UNION
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN reach_edges e ON e.src = r.node
+  WHERE r.depth < {REACH_DEPTH}
+)
+SELECT node, min(depth)::BIGINT AS depth FROM reach
+GROUP BY node ORDER BY depth, node
+"""
+
+
 def q_kg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full materialization round-trip: derived source table -> pipeline
     (extract + link + canonicalize) -> partitioned Jelly streams on disk
@@ -2216,6 +2299,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pagerank": q_kg_pagerank,
     "kg_bgp": q_kg_bgp,
     "kg_bgp_selective": q_kg_bgp_selective,
+    "kg_bgp_optional": q_kg_bgp_optional,
+    "kg_reachable": q_kg_reachable,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -2275,6 +2360,8 @@ ORACLES: dict[str, str] = {
     "kg_pagerank": SQL_KG_PAGERANK,
     "kg_bgp": SQL_KG_BGP,
     "kg_bgp_selective": SQL_KG_BGP_SELECTIVE,
+    "kg_bgp_optional": SQL_KG_BGP_OPTIONAL,
+    "kg_reachable": SQL_KG_REACHABLE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

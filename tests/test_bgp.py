@@ -117,3 +117,49 @@ def test_validation_errors(triples):
         bgp_match(triples, [("?x", "?", "?y")])
     with pytest.raises(ValueError):
         bgp_match(triples, [("?x", "p")])  # type: ignore[list-item]
+
+
+def test_optional_pattern_left_join(triples):
+    out = bgp_match(
+        triples,
+        [("?d", NS + "defines", "?sym")],
+        optional=[("?c", NS + "calls", "?sym")],
+    )
+    sols = _sols(out)  # columns sorted: c, d, sym
+    # sym_b defined by f1 and called by f2; sym_a has two callers
+    assert ("f2", "f1", "sym_b") in sols
+    # every (d, sym) required solution survives
+    assert {(d, s) for _, d, s in sols} == {
+        ("f1", "sym_a"), ("f1", "sym_b"), ("f2", "sym_a")
+    }
+    assert all(c is not None for c, _, _ in sols)  # every sym has a caller
+
+
+def test_optional_pattern_preserves_unmatched(spark):
+    t = spark.createDataFrame(
+        [("f1", "defines", "x"), ("f2", "defines", "y"), ("c1", "calls", "x")],
+        ["s", "p", "o"],
+    )
+    out = bgp_match(
+        t, [("?d", "defines", "?sym")], optional=[("?c", "calls", "?sym")]
+    )
+    assert _sols(out) == {("c1", "f1", "x"), (None, "f2", "y")}
+
+
+def test_filters_apply_to_solutions(triples):
+    out = bgp_match(
+        triples,
+        [("?d", NS + "defines", "?sym"), ("?c", NS + "calls", "?sym")],
+        filters=["d != c"],
+    )
+    assert all(r["d"] != r["c"] for r in out.collect())
+    assert out.count() == 4  # drops the (f1, f1, sym_a) self-solution
+
+
+def test_optional_without_shared_variable_rejected(triples):
+    with pytest.raises(ValueError):
+        bgp_match(
+            triples,
+            [("?d", NS + "defines", "?sym")],
+            optional=[("?x", NS + "self", "?y")],
+        )

@@ -101,3 +101,35 @@ def test_hashed_path_matches_string_path(spark):
         for r in connected_components(df, hash_ids=True).collect()
     }
     assert via_hashes == via_strings
+
+
+def test_bfs_reachable_min_depth_and_bound(spark):
+    from pyjelly_spark.operators.components import bfs_reachable
+
+    # a -> b -> c -> d -> e, plus shortcut a -> c and a cycle e -> a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c"),
+         ("e", "a")],
+        ["src", "dst"],
+    )
+    src = spark.createDataFrame([("a",)], ["node"])
+    out = {r["node"]: r["depth"] for r in bfs_reachable(edges, src).collect()}
+    # c is at depth 1 via the shortcut, not 2; cycle does not re-add a
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+    capped = {
+        r["node"]: r["depth"]
+        for r in bfs_reachable(edges, src, max_depth=2).collect()
+    }
+    assert capped == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_reachable_multi_source_and_isolated(spark):
+    from pyjelly_spark.operators.components import bfs_reachable
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("x", "y")], ["src", "dst"]
+    )
+    src = spark.createDataFrame([("a",), ("x",), ("a",)], ["node"])
+    out = {r["node"]: r["depth"] for r in bfs_reachable(edges, src).collect()}
+    assert out == {"a": 0, "x": 0, "b": 1, "y": 1}
