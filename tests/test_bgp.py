@@ -163,3 +163,86 @@ def test_optional_without_shared_variable_rejected(triples):
             [("?d", NS + "defines", "?sym")],
             optional=[("?x", NS + "self", "?y")],
         )
+
+
+def test_bgp_differential_random(spark):
+    """Seeded random graphs + random pattern conjunctions vs a pure-Python
+    bag-semantics evaluator (nested loops over all variable bindings)."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    nodes = ["n0", "n1", "n2", "n3"]
+    preds = ["p0", "p1"]
+
+    def py_eval(rows, patterns):
+        var_names = []
+        for pat in patterns:
+            for t in pat:
+                if t.startswith("?") and t[1:] not in var_names:
+                    var_names.append(t[1:])
+        sols = []
+        # bag semantics: count, per binding, the product of matching
+        # triple multiplicities
+        def matches(pat, binding):
+            n = 0
+            for row in rows:
+                ok = True
+                local = dict(binding)
+                for term, val in zip(pat, row):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        if v in local and local[v] != val:
+                            ok = False
+                            break
+                        local[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    n += 1
+            return n
+
+        universe = sorted({v for r in rows for v in r})
+        for vals in itertools.product(universe, repeat=len(var_names)):
+            binding = dict(zip(var_names, vals))
+            mult = 1
+            for pat in patterns:
+                ground = tuple(
+                    binding[t[1:]] if t.startswith("?") else t for t in pat
+                )
+                mult *= sum(1 for r in rows if r == ground)
+                if mult == 0:
+                    break
+            if mult:
+                sols.extend([tuple(binding[v] for v in sorted(var_names))] * mult)
+        return sorted(sols)
+
+    for case in range(12):
+        n_triples = rng.randint(3, 10)
+        # RDF graphs are triple SETS — dedupe so the ground-pattern
+        # existence gate (multiplicity 1) agrees with the evaluator
+        rows = sorted({
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(n_triples)
+        })
+        n_pat = rng.randint(1, 3)
+        patterns = []
+        var_pool = ["?a", "?b", "?c"]
+        for _ in range(n_pat):
+            pat = tuple(
+                rng.choice(var_pool)
+                if rng.random() < 0.6
+                else rng.choice(nodes if slot != 1 else preds)
+                for slot in range(3)
+            )
+            patterns.append(pat)
+        if not any(t.startswith("?") for pat in patterns for t in pat):
+            patterns[0] = ("?a", patterns[0][1], patterns[0][2])
+        expected = py_eval(rows, patterns)
+        df = spark.createDataFrame(rows, ["s", "p", "o"])
+        out = bgp_match(df, patterns)
+        got = sorted(
+            tuple(r[c] for c in sorted(out.columns)) for r in out.collect()
+        )
+        assert got == expected, (case, rows, patterns)
