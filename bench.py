@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "term_stats",
     "decontam",
     "kg_grouped_roundtrip",
+    "kg_bgp",
+    "kg_reachable",
 ]
 
 
