@@ -92,6 +92,35 @@ def derived_source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derived_source_files_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot 2 of the derived source table, for incremental-KG tests:
+    files with ``doc_id % 17 == 3`` are deleted, files with
+    ``doc_id % 10 == 0`` gain one import line (``t = (7*doc_id + 5) % n``)
+    — so content sha256 changes exactly for the modified files. Every
+    other file is byte-identical to snapshot 1."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id")
+    base = derived_source_files(spark, sf_dir).withColumn(
+        "doc_id", F.regexp_extract("path", r"/mod_(\d+)\.py$", 1).cast("long")
+    )
+    t = (i * 7 + 5) % n
+    extra = F.concat(
+        F.lit("import pkg"), (t % 13).cast("string"),
+        F.lit(".mod_"), t.cast("string"),
+    )
+    return (
+        base.where(i % 17 != 3)
+        .withColumn(
+            "content",
+            F.when(
+                i % 10 == 0, F.concat(F.col("content"), F.lit("\n"), extra)
+            ).otherwise(F.col("content")),
+        )
+        .drop("doc_id")
+    )
+
+
 # The same derivation as a DuckDB CTE. Keeps doc_id + n so downstream
 # closed-form CTEs (imports/defs/calls ground truth) can reuse them.
 SRC_SQL = """
@@ -570,6 +599,59 @@ reach(node, depth) AS (
 )
 SELECT node, min(depth)::BIGINT AS depth FROM reach
 GROUP BY node ORDER BY depth, node
+"""
+
+
+def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance between two snapshots of the source
+    table: sha256-keyed anti-joins prune unchanged files BEFORE
+    extraction (operators/incremental.py), so the expensive stage runs
+    on the changed sliver only. Output: triple-delta counts per
+    (op, predicate). Oracle recomputes the delta in closed form from the
+    ground-truth CTEs — the modified/deleted doc_id classes and their
+    per-family mention counts — with no extraction on the oracle side."""
+    from pyjelly_spark.operators.incremental import incremental_delta
+
+    v1 = derived_source_files(spark, sf_dir)
+    v2 = derived_source_files_v2(spark, sf_dir)
+    return (
+        incremental_delta(v1, v2)
+        .groupBy("op", "p")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .orderBy("op", "p")
+    )
+
+
+SQL_KG_INCREMENTAL = f"""
+WITH {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+del_f AS (
+  SELECT file_iri FROM files WHERE doc_id % 17 = 3 OR doc_id % 10 = 0
+),
+add_f AS (
+  SELECT file_iri FROM files WHERE doc_id % 10 = 0 AND doc_id % 17 <> 3
+),
+counts AS (
+  SELECT 'del' AS op, '{NS}contains' AS p, count(*) AS n FROM del_f
+  UNION ALL SELECT 'del', '{NS}lang', count(*) FROM del_f
+  UNION ALL SELECT 'del', '{NS}sha256', count(*) FROM del_f
+  UNION ALL SELECT 'del', '{NS}imports', count(*)
+    FROM imports_gt i JOIN del_f d ON i.file_iri = d.file_iri
+  UNION ALL SELECT 'del', '{NS}defines', count(*)
+    FROM defs_gt g JOIN del_f d ON g.file_iri = d.file_iri
+  UNION ALL SELECT 'del', '{NS}calls', count(*)
+    FROM calls_gt c JOIN del_f d ON c.file_iri = d.file_iri
+  UNION ALL SELECT 'add', '{NS}contains', count(*) FROM add_f
+  UNION ALL SELECT 'add', '{NS}lang', count(*) FROM add_f
+  UNION ALL SELECT 'add', '{NS}sha256', count(*) FROM add_f
+  UNION ALL SELECT 'add', '{NS}imports',
+    count(*) + (SELECT count(*) FROM add_f)
+    FROM imports_gt i JOIN add_f a ON i.file_iri = a.file_iri
+  UNION ALL SELECT 'add', '{NS}defines', count(*)
+    FROM defs_gt g JOIN add_f a ON g.file_iri = a.file_iri
+  UNION ALL SELECT 'add', '{NS}calls', count(*)
+    FROM calls_gt c JOIN add_f a ON c.file_iri = a.file_iri
+)
+SELECT op, p, n::BIGINT AS n_triples FROM counts ORDER BY op, p
 """
 
 
@@ -2301,6 +2383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_selective": q_kg_bgp_selective,
     "kg_bgp_optional": q_kg_bgp_optional,
     "kg_reachable": q_kg_reachable,
+    "kg_incremental": q_kg_incremental,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -2362,6 +2445,7 @@ ORACLES: dict[str, str] = {
     "kg_bgp_selective": SQL_KG_BGP_SELECTIVE,
     "kg_bgp_optional": SQL_KG_BGP_OPTIONAL,
     "kg_reachable": SQL_KG_REACHABLE,
+    "kg_incremental": SQL_KG_INCREMENTAL,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

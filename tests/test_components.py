@@ -133,3 +133,46 @@ def test_bfs_reachable_multi_source_and_isolated(spark):
     src = spark.createDataFrame([("a",), ("x",), ("a",)], ["node"])
     out = {r["node"]: r["depth"] for r in bfs_reachable(edges, src).collect()}
     assert out == {"a": 0, "x": 0, "b": 1, "y": 1}
+
+
+def test_incremental_delta_file_level(spark):
+    from pyjelly_spark.operators.incremental import incremental_delta
+
+    def files(rows):
+        return spark.createDataFrame(
+            [(r, p, "c0", "python", c) for r, p, c in rows],
+            ["repo", "path", "commit", "lang", "content"],
+        )
+
+    old = files([
+        ("r1", "a.py", "def f_a():"),            # unchanged
+        ("r1", "b.py", "def f_b():"),            # changed in new
+        ("r1", "c.py", "def f_c():"),            # deleted in new
+    ])
+    new = files([
+        ("r1", "a.py", "def f_a():"),
+        ("r1", "b.py", "def f_b2():"),
+        ("r1", "d.py", "def f_d():"),            # created in new
+    ])
+    rows = incremental_delta(old, new).collect()
+    by_op = {}
+    for r in rows:
+        by_op.setdefault(r["op"], set()).add((r["s"], r["p"], r["o"]))
+    defines = "http://kg.example/ns#defines"
+    sym = "http://kg.example/symbol/"
+    f = "http://kg.example/file/r1/"
+    # unchanged a.py contributes nothing at all
+    assert not any(
+        "a.py" in s or "a.py" in o
+        for op in by_op.values() for s, _, o in op
+    )
+    assert (f + "b.py", defines, sym + "f_b") in by_op["del"]
+    assert (f + "b.py", defines, sym + "f_b2") in by_op["add"]
+    assert (f + "c.py", defines, sym + "f_c") in by_op["del"]
+    assert not any("c.py" in s or "c.py" in o for s, _, o in by_op["add"])
+    assert (f + "d.py", defines, sym + "f_d") in by_op["add"]
+    assert not any("d.py" in s or "d.py" in o for s, _, o in by_op["del"])
+    # file-level contract: changed file re-emits ALL its triples both ways
+    n_b_del = sum(1 for s, _, o in by_op["del"] if "b.py" in s or "b.py" in o)
+    n_b_add = sum(1 for s, _, o in by_op["add"] if "b.py" in s or "b.py" in o)
+    assert n_b_del == n_b_add == 4  # contains, lang, sha256, defines
