@@ -95,8 +95,11 @@ def _signature(edges: DataFrame):
 #: the per-round shuffle volume (strings are 100+ bytes vs 8-byte longs)
 #: starts to dominate the extra node-table/mapping stages the hashed path
 #: pays. Below it, small graphs are stage-latency-bound and the string
-#: path's fewer stages win (measured: 8.0 s vs 9.1 s at 800k edges).
-HASH_ID_MIN_EDGES = 5_000_000
+#: path's fewer stages win. Measured crossover on the pipeline's def-site
+#: collision graph (~100-byte IRIs): string wins at 800k edges (8.0 s vs
+#: 9.1 s), hashed wins at 1.2M symmetrized-deduped edges on BOTH cluster
+#: sizes (4 cores: 22.2 s vs 26.5 s; 16 cores: 12.9 s vs 17.2 s steady).
+HASH_ID_MIN_EDGES = 1_000_000
 
 
 def _run_rounds(
