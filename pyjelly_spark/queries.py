@@ -602,6 +602,39 @@ GROUP BY node ORDER BY depth, node
 """
 
 
+def q_kg_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kg_bgp solution set expressed as SPARQL TEXT and run through
+    the front-end parser (operators/sparql.py) instead of the
+    programmatic pattern API — same oracle as kg_bgp, so the gate proves
+    text parsing + compilation end-to-end. Aggregation happens on the
+    returned solution frame (the supported subset has no GROUP BY —
+    DataFrame ops compose on top)."""
+    from pyjelly_spark.operators.sparql import sparql_query
+
+    graph = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    sols = sparql_query(
+        graph,
+        """
+        PREFIX kg: <http://kg.example/ns#>
+        SELECT ?repo_iri ?def_file ?caller ?sym WHERE {
+          ?repo_iri kg:contains ?def_file .
+          ?def_file kg:defines ?sym .
+          ?caller kg:calls ?sym
+        }
+        """,
+    )
+    return (
+        sols.groupBy("repo_iri")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("def_file").alias("n_def_files"),
+            F.countDistinct("caller").alias("n_callers"),
+            F.countDistinct("sym").alias("n_syms"),
+        )
+        .orderBy("repo_iri")
+    )
+
+
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental KG maintenance between two snapshots of the source
     table: sha256-keyed anti-joins prune unchanged files BEFORE
@@ -2384,6 +2417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_optional": q_kg_bgp_optional,
     "kg_reachable": q_kg_reachable,
     "kg_incremental": q_kg_incremental,
+    "kg_sparql": q_kg_sparql,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -2446,6 +2480,7 @@ ORACLES: dict[str, str] = {
     "kg_bgp_optional": SQL_KG_BGP_OPTIONAL,
     "kg_reachable": SQL_KG_REACHABLE,
     "kg_incremental": SQL_KG_INCREMENTAL,
+    "kg_sparql": SQL_KG_BGP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

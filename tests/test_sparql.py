@@ -1,0 +1,147 @@
+"""SPARQL front-end: parsing, compilation onto bgp_match, errors."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyjelly_spark.operators.sparql import (
+    SparqlError,
+    SparqlUnsupported,
+    parse_sparql,
+    sparql_query,
+)
+
+NS = "http://kg.example/ns#"
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("f1", NS + "defines", "sym_a"),
+        ("f1", NS + "defines", "sym_b"),
+        ("f2", NS + "defines", "sym_a"),
+        ("f1", NS + "calls", "sym_a"),
+        ("f2", NS + "calls", "sym_b"),
+        ("f3", NS + "calls", "sym_a"),
+        ("r1", NS + "contains", "f1"),
+        ("r1", NS + "contains", "f2"),
+        ("r2", NS + "contains", "f3"),
+    ]
+    return spark.createDataFrame(rows, ["s", "p", "o"])
+
+
+def test_parse_plan_shape():
+    plan = parse_sparql(
+        """
+        PREFIX kg: <http://kg.example/ns#>
+        SELECT DISTINCT ?f ?sym WHERE {
+          ?f kg:defines ?sym .
+          OPTIONAL { ?c kg:calls ?sym }
+          FILTER (?f != "f9")
+        }
+        ORDER BY ?f DESC(?sym) LIMIT 5
+        """
+    )
+    assert plan["patterns"] == [("?f", NS + "defines", "?sym")]
+    assert plan["optionals"] == [("?c", NS + "calls", "?sym")]
+    assert plan["filters"] == ["f != 'f9'"]
+    assert plan["projection"] == ["f", "sym"]
+    assert plan["distinct"] is True
+    assert plan["order"] == [("f", True), ("sym", False)]
+    assert plan["limit"] == 5
+
+
+def test_basic_select(triples):
+    out = sparql_query(
+        triples,
+        f'SELECT ?f WHERE {{ ?f <{NS}defines> "sym_a" }} ORDER BY ?f',
+    )
+    assert [r["f"] for r in out.collect()] == ["f1", "f2"]
+
+
+def test_join_prefix_and_predicate_list(triples):
+    out = sparql_query(
+        triples,
+        """
+        PREFIX kg: <http://kg.example/ns#>
+        SELECT ?d ?c WHERE {
+          ?d kg:defines ?sym ; kg:calls ?sym .
+          ?r kg:contains ?c .
+          FILTER (?c = ?d)
+        }
+        """,
+    )
+    # files that define AND call the same symbol: f1 (sym_a)
+    assert {(r["d"], r["c"]) for r in out.collect()} == {("f1", "f1")}
+
+
+def test_optional_and_bound_filter(triples):
+    out = sparql_query(
+        triples,
+        f"""
+        SELECT ?sym ?c WHERE {{
+          ?d <{NS}defines> ?sym .
+          OPTIONAL {{ ?c <{NS}calls> ?sym }}
+          FILTER (BOUND(?c))
+        }}
+        """,
+    )
+    assert all(r["c"] is not None for r in out.collect())
+
+
+def test_regex_filter_and_limit(triples):
+    out = sparql_query(
+        triples,
+        f"""
+        SELECT DISTINCT ?f WHERE {{
+          ?f <{NS}defines> ?s FILTER (REGEX(?f, "^f[12]$"))
+        }} ORDER BY ?f LIMIT 1
+        """,
+    )
+    assert [r["f"] for r in out.collect()] == ["f1"]
+
+
+def test_star_projection(triples):
+    out = sparql_query(
+        triples, f'SELECT * WHERE {{ ?r <{NS}contains> ?f }}'
+    )
+    assert sorted(out.columns) == ["f", "r"]
+    assert out.count() == 3
+
+
+def test_errors(triples):
+    with pytest.raises(SparqlUnsupported):
+        parse_sparql("SELECT ?x WHERE { { ?x ?p ?o } UNION { ?x ?q ?o } }")
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT WHERE { ?x ?p ?o }")
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?x WHERE { ?x kg:defines ?o }")  # no prefix
+    with pytest.raises(SparqlError):
+        sparql_query(triples, "SELECT ?nope WHERE { ?x ?p ?o }")
+
+
+def test_matches_programmatic_bgp(triples):
+    """The front-end and the programmatic API agree on a 3-pattern query."""
+    from pyjelly_spark.operators.bgp import bgp_match
+
+    text = sparql_query(
+        triples,
+        f"""
+        SELECT ?r ?d ?sym ?c WHERE {{
+          ?r <{NS}contains> ?d .
+          ?d <{NS}defines> ?sym .
+          ?c <{NS}calls> ?sym
+        }}
+        """,
+    )
+    api = bgp_match(
+        triples,
+        [
+            ("?r", NS + "contains", "?d"),
+            ("?d", NS + "defines", "?sym"),
+            ("?c", NS + "calls", "?sym"),
+        ],
+    ).select("r", "d", "sym", "c")
+    assert sorted(map(tuple, text.collect())) == sorted(
+        map(tuple, api.collect())
+    )
