@@ -5,12 +5,15 @@ Parses a practical SPARQL subset and compiles it onto
 joins over the flat (s, p, o) triples relation):
 
 - ``PREFIX ns: <iri>`` declarations, expanded in patterns
-- ``SELECT [DISTINCT] ?a ?b | *``
+- ``SELECT [DISTINCT] ?a ?b | * | (COUNT|SUM|MIN|MAX|AVG([DISTINCT]
+  ?v|*) AS ?alias)`` aggregate projections
 - ``WHERE { ... }`` with triple patterns (``.``-separated; ``;``
   predicate lists supported), ``OPTIONAL { ... }`` groups (one level),
-  and ``FILTER (expr)`` — comparisons, ``&&``/``||``/``!``,
-  ``BOUND(?v)``, ``REGEX(?v, "pat")``
-- trailing ``ORDER BY [ASC|DESC](?v) ...`` and ``LIMIT n``
+  ``{ A } UNION { B }`` alternation (top level of WHERE), and
+  ``FILTER (expr)`` — comparisons, ``&&``/``||``/``!``, ``BOUND(?v)``,
+  ``REGEX(?v, "pat")``
+- trailing ``GROUP BY ?v ...``, ``ORDER BY [ASC|DESC](?v) ...`` and
+  ``LIMIT n``
 
 Terms: ``<iri>``, ``ns:local``, ``"literal"``, ``?var``. The engine's
 term model is flat value strings (pyjelly_spark stores decoded term
@@ -20,10 +23,9 @@ Reference parity: pyjelly users query parsed graphs with rdflib's
 SPARQL engine on the driver (``/root/reference/pyjelly/integrations/
 rdflib/parse.py:61`` materializes into ``rdflib.Graph``); this runs the
 same query shape distributed, where the graph lives.  Unsupported
-SPARQL (UNION, subqueries, property paths — use
-``components.bfs_reachable`` for those, aggregates — use DataFrame ops
-on the solution frame) raises ``SparqlUnsupported`` loudly rather than
-mis-executing.
+SPARQL (subqueries, BIND/VALUES, property paths — use
+``components.bfs_reachable`` for those) raises ``SparqlUnsupported``
+loudly rather than mis-executing.
 """
 
 from __future__ import annotations
@@ -44,10 +46,12 @@ class SparqlUnsupported(SparqlError):
 
 
 _UNSUPPORTED = re.compile(
-    r"\b(UNION|GRAPH|SERVICE|MINUS|EXISTS|CONSTRUCT|ASK|DESCRIBE|BIND"
-    r"|VALUES|GROUP\s+BY|HAVING)\b",
+    r"\b(GRAPH|SERVICE|MINUS|EXISTS|CONSTRUCT|ASK|DESCRIBE|BIND"
+    r"|VALUES|HAVING)\b",
     re.IGNORECASE,
 )
+
+_AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
 _TOKEN = re.compile(
     r"""
@@ -185,9 +189,35 @@ class _Parser:
 
     # -- pattern groups ------------------------------------------------
 
-    def group(self) -> tuple[list, list, list]:
-        """Parse { ... }: returns (patterns, optionals, filters)."""
+    def group(self) -> list[tuple[list, list, list]]:
+        """Parse { ... }: returns a list of UNION branches, each
+        (patterns, optionals, filters). A group without UNION is a
+        single branch; ``{ {A} UNION {B} }`` returns both. Mixing
+        top-level patterns with UNION branches in one group is outside
+        the subset."""
         self.expect_punct("{")
+        if self.peek()[1] == "{":  # alternation: { {A} UNION {B} ... }
+            branches = list(self._single_group_inner())
+            while self.peek()[1].upper() == "UNION":
+                self.next()
+                branches.extend(self._single_group_inner())
+            kind, val = self.next()
+            if val != "}":
+                raise SparqlUnsupported(
+                    "UNION branches cannot mix with top-level patterns"
+                )
+            return branches
+        return [self._group_body()]
+
+    def _single_group_inner(self) -> list[tuple[list, list, list]]:
+        sub = self.group()
+        if len(sub) != 1:
+            raise SparqlUnsupported("nested UNION")
+        return sub
+
+    def _group_body(self) -> tuple[list, list, list]:
+        """Body of a brace group (opening '{' already consumed by
+        group()); consumes through the closing '}'."""
         patterns: list = []
         optionals: list = []
         filters: list = []
@@ -198,7 +228,10 @@ class _Parser:
                 break
             if kind == "word" and val.upper() == "OPTIONAL":
                 self.next()
-                sub_p, sub_o, sub_f = self.group()
+                sub = self.group()
+                if len(sub) != 1:
+                    raise SparqlUnsupported("UNION inside OPTIONAL")
+                sub_p, sub_o, sub_f = sub[0]
                 if sub_o or sub_f:
                     raise SparqlUnsupported(
                         "nested OPTIONAL/FILTER inside OPTIONAL"
@@ -245,6 +278,7 @@ def parse_sparql(query: str) -> dict:
         p.next()
         distinct = True
     projection: list[str] | None = []
+    aggregates: list[dict] = []
     while True:
         kind, val = p.peek()
         if kind == "var":
@@ -254,18 +288,57 @@ def parse_sparql(query: str) -> dict:
             projection = None
             p.next()
             break
+        elif val == "(":
+            # ( AGG([DISTINCT] ?v | *) AS ?alias )
+            p.next()
+            _, fn = p.next()
+            if fn.upper() not in _AGG_FUNCS:
+                raise SparqlUnsupported(f"projection function {fn!r}")
+            p.expect_punct("(")
+            agg_distinct = False
+            if p.peek()[1].upper() == "DISTINCT":
+                p.next()
+                agg_distinct = True
+            kind, arg = p.next()
+            if kind == "var":
+                arg = arg[1:]
+            elif arg == "*" and fn.upper() == "COUNT":
+                arg = None
+            else:
+                raise SparqlError(f"bad aggregate argument {arg!r}")
+            p.expect_punct(")")
+            p.expect_word("AS")
+            kind, alias = p.next()
+            if kind != "var":
+                raise SparqlError("aggregate alias must be a ?var")
+            p.expect_punct(")")
+            aggregates.append(
+                {
+                    "fn": fn.upper(),
+                    "var": arg,
+                    "distinct": agg_distinct,
+                    "alias": alias[1:],
+                }
+            )
         else:
             break
-    if projection == []:
-        raise SparqlError("SELECT needs variables or *")
+    if projection == [] and not aggregates:
+        raise SparqlError("SELECT needs variables, aggregates, or *")
     p.expect_word("WHERE")
-    patterns, optionals, filters = p.group()
+    branches = p.group()
     order: list[tuple[str, bool]] = []
+    group_by: list[str] = []
     limit: int | None = None
     while p.peek()[0] != "eof":
         kind, val = p.next()
         up = val.upper()
-        if up == "ORDER":
+        if up == "GROUP":
+            p.expect_word("BY")
+            while p.peek()[0] == "var":
+                group_by.append(p.next()[1][1:])
+            if not group_by:
+                raise SparqlError("GROUP BY needs variables")
+        elif up == "ORDER":
             p.expect_word("BY")
             while True:
                 kind, val = p.peek()
@@ -287,11 +360,21 @@ def parse_sparql(query: str) -> dict:
             limit = int(n)
         else:
             raise SparqlError(f"unexpected trailing token {val!r}")
+    if aggregates:
+        bad = [
+            v for v in (projection or []) if v not in group_by
+        ]
+        if bad:
+            raise SparqlError(
+                f"non-aggregate projection {bad} not in GROUP BY"
+            )
+    elif group_by:
+        raise SparqlError("GROUP BY without aggregates in SELECT")
     return {
-        "patterns": patterns,
-        "optionals": optionals,
-        "filters": filters,
+        "branches": branches,
         "projection": projection,
+        "aggregates": aggregates,
+        "group_by": group_by,
         "distinct": distinct,
         "order": order,
         "limit": limit,
@@ -305,13 +388,51 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     plan = parse_sparql(query)
-    sols = bgp_match(
-        triples,
-        plan["patterns"],
-        optional=plan["optionals"],
-        filters=plan["filters"],
-    )
-    if plan["projection"] is not None:
+    frames = [
+        bgp_match(triples, pats, optional=opts, filters=filts)
+        for pats, opts, filts in plan["branches"]
+    ]
+    # UNION semantics: solutions from any branch; variables a branch
+    # does not bind are NULL in its rows.
+    all_vars: list[str] = []
+    for f in frames:
+        for c in f.columns:
+            if c not in all_vars:
+                all_vars.append(c)
+    sols = None
+    for f in frames:
+        aligned = f.select(
+            *[
+                F.col(c) if c in f.columns else F.lit(None).cast("string").alias(c)
+                for c in all_vars
+            ]
+        )
+        sols = aligned if sols is None else sols.unionByName(aligned)
+    if plan["aggregates"]:
+        aggs = []
+        for a in plan["aggregates"]:
+            v, fn = a["var"], a["fn"]
+            if fn == "COUNT" and v is None:
+                col = F.count(F.lit(1))
+            elif fn == "COUNT" and a["distinct"]:
+                col = F.countDistinct(v)
+            elif fn == "COUNT":
+                col = F.count(v)
+            else:
+                src = F.col(v).cast("double") if fn in ("SUM", "AVG") else F.col(v)
+                src = (
+                    F.expr(f"{fn}(DISTINCT {v})") if a["distinct"]
+                    else getattr(F, fn.lower())(src)
+                )
+                col = src
+            aggs.append(col.alias(a["alias"]))
+        keys = plan["group_by"] or []
+        sols = sols.groupBy(*keys).agg(*aggs) if keys else sols.agg(*aggs)
+        if plan["projection"]:
+            sols = sols.select(
+                *plan["projection"], *[a["alias"] for a in plan["aggregates"]]
+            )
+    elif plan["projection"] is not None:
         missing = [v for v in plan["projection"] if v not in sols.columns]
         if missing:
             raise SparqlError(f"projected variables not bound: {missing}")

@@ -635,6 +635,44 @@ def q_kg_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION + GROUP BY/aggregate through the front-end: per-
+    symbol mention count across the defines and calls families, plus
+    the distinct-mentioner count. Gates branch alignment (NULL-filled
+    union), aggregate parsing, and grouped evaluation against a
+    closed-form oracle."""
+    from pyjelly_spark.operators.sparql import sparql_query
+
+    graph = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    return sparql_query(
+        graph,
+        """
+        PREFIX kg: <http://kg.example/ns#>
+        SELECT ?sym (COUNT(?x) AS ?n_mentions)
+               (COUNT(DISTINCT ?x) AS ?n_files) WHERE {
+          { ?x kg:defines ?sym } UNION { ?x kg:calls ?sym }
+        }
+        GROUP BY ?sym
+        ORDER BY ?sym
+        """,
+    )
+
+
+SQL_KG_SPARQL_AGG = f"""
+WITH {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+mentions AS (
+  SELECT file_iri AS x, 'http://kg.example/symbol/' || symbol AS sym
+  FROM defs_gt
+  UNION ALL
+  SELECT file_iri AS x, 'http://kg.example/symbol/' || symbol AS sym
+  FROM calls_gt
+)
+SELECT sym, count(*)::BIGINT AS n_mentions,
+       count(DISTINCT x)::BIGINT AS n_files
+FROM mentions GROUP BY sym ORDER BY sym
+"""
+
+
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental KG maintenance between two snapshots of the source
     table: sha256-keyed anti-joins prune unchanged files BEFORE
@@ -2418,6 +2456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_reachable": q_kg_reachable,
     "kg_incremental": q_kg_incremental,
     "kg_sparql": q_kg_sparql,
+    "kg_sparql_agg": q_kg_sparql_agg,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -2481,6 +2520,7 @@ ORACLES: dict[str, str] = {
     "kg_reachable": SQL_KG_REACHABLE,
     "kg_incremental": SQL_KG_INCREMENTAL,
     "kg_sparql": SQL_KG_BGP,
+    "kg_sparql_agg": SQL_KG_SPARQL_AGG,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

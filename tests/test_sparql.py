@@ -42,9 +42,11 @@ def test_parse_plan_shape():
         ORDER BY ?f DESC(?sym) LIMIT 5
         """
     )
-    assert plan["patterns"] == [("?f", NS + "defines", "?sym")]
-    assert plan["optionals"] == [("?c", NS + "calls", "?sym")]
-    assert plan["filters"] == ["f != 'f9'"]
+    assert plan["branches"] == [(
+        [("?f", NS + "defines", "?sym")],
+        [("?c", NS + "calls", "?sym")],
+        ["f != 'f9'"],
+    )]
     assert plan["projection"] == ["f", "sym"]
     assert plan["distinct"] is True
     assert plan["order"] == [("f", True), ("sym", False)]
@@ -111,7 +113,7 @@ def test_star_projection(triples):
 
 def test_errors(triples):
     with pytest.raises(SparqlUnsupported):
-        parse_sparql("SELECT ?x WHERE { { ?x ?p ?o } UNION { ?x ?q ?o } }")
+        parse_sparql("SELECT ?x WHERE { ?x ?p ?o BIND(?x AS ?y) }")
     with pytest.raises(SparqlError):
         parse_sparql("SELECT WHERE { ?x ?p ?o }")
     with pytest.raises(SparqlError):
@@ -145,3 +147,60 @@ def test_matches_programmatic_bgp(triples):
     assert sorted(map(tuple, text.collect())) == sorted(
         map(tuple, api.collect())
     )
+
+
+def test_union_branches(triples):
+    out = sparql_query(
+        triples,
+        f"""
+        SELECT ?f WHERE {{
+          {{ ?f <{NS}defines> "sym_b" }} UNION {{ ?f <{NS}calls> "sym_b" }}
+        }} ORDER BY ?f
+        """,
+    )
+    assert [r["f"] for r in out.collect()] == ["f1", "f2"]
+
+
+def test_union_disjoint_vars_null_fill(triples):
+    out = sparql_query(
+        triples,
+        f"""
+        SELECT ?d ?c WHERE {{
+          {{ ?d <{NS}defines> "sym_b" }} UNION {{ ?c <{NS}calls> "sym_b" }}
+        }}
+        """,
+    )
+    assert {(r["d"], r["c"]) for r in out.collect()} == {
+        ("f1", None), (None, "f2")
+    }
+
+
+def test_group_by_aggregates(triples):
+    out = sparql_query(
+        triples,
+        f"""
+        SELECT ?sym (COUNT(?c) AS ?n_callers)
+               (COUNT(DISTINCT ?c) AS ?n_distinct) WHERE {{
+          ?c <{NS}calls> ?sym
+        }} GROUP BY ?sym ORDER BY ?sym
+        """,
+    )
+    rows = {r["sym"]: (r["n_callers"], r["n_distinct"]) for r in out.collect()}
+    assert rows == {"sym_a": (2, 2), "sym_b": (1, 1)}
+
+
+def test_count_star_no_group(triples):
+    out = sparql_query(
+        triples,
+        f'SELECT (COUNT(*) AS ?n) WHERE {{ ?r <{NS}contains> ?f }}',
+    )
+    assert out.collect()[0]["n"] == 3
+
+
+def test_aggregate_validation():
+    with pytest.raises(SparqlError):
+        parse_sparql(
+            "SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x ?p ?y }"
+        )  # ?x not grouped
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?x WHERE { ?x ?p ?y } GROUP BY ?x")
