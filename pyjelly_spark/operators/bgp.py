@@ -41,9 +41,10 @@ Pattern = tuple[str, str, str]
 _SLOTS = ("s", "p", "o")
 
 
-def is_var(term: str) -> bool:
-    """A pattern term is a variable iff it starts with ``?``."""
-    return term.startswith("?")
+def is_var(term) -> bool:
+    """A pattern term is a variable iff it starts with ``?``. A tuple
+    term (predicate alternation, matched with IN) is never a variable."""
+    return isinstance(term, str) and term.startswith("?")
 
 
 class _Scan:
@@ -77,6 +78,11 @@ def _compile_pattern(triples: DataFrame, pattern: Pattern, index: int) -> _Scan:
                 df = df.filter(F.col(slot) == F.col(var_slots[name]))
             else:
                 var_slots[name] = slot
+        elif isinstance(term, tuple):
+            # alternation (SPARQL path p1|p2): membership pushes down to
+            # the scan exactly like an equality constant
+            df = df.filter(F.col(slot).isin(*term))
+            n_constants += 1
         else:
             df = df.filter(F.col(slot) == F.lit(term))
             n_constants += 1

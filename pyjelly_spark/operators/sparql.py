@@ -6,14 +6,22 @@ joins over the flat (s, p, o) triples relation):
 
 - ``PREFIX ns: <iri>`` declarations, expanded in patterns
 - ``SELECT [DISTINCT] ?a ?b | * | (COUNT|SUM|MIN|MAX|AVG([DISTINCT]
-  ?v|*) AS ?alias)`` aggregate projections
+  ?v|*) AS ?alias)`` aggregate projections; ``ASK`` (one boolean row);
+  ``CONSTRUCT { template } WHERE { ... }`` (returns a deduplicated
+  (s, p, o) triples DataFrame — the KG-construction form)
 - ``WHERE { ... }`` with triple patterns (``.``-separated; ``;``
-  predicate lists supported), ``OPTIONAL { ... }`` groups (one level),
-  ``{ A } UNION { B }`` alternation (top level of WHERE), and
-  ``FILTER (expr)`` — comparisons, ``&&``/``||``/``!``, ``BOUND(?v)``,
-  ``REGEX(?v, "pat")``
-- trailing ``GROUP BY ?v ...``, ``ORDER BY [ASC|DESC](?v) ...`` and
-  ``LIMIT n``
+  predicate lists supported), property paths in the predicate position
+  (``^p`` inverse, ``p1/p2`` sequence, ``p1|p2`` alternation, ``p+`` /
+  ``p*`` transitive closure — closures run as distributed semi-naive
+  reachability, see :func:`_closure_pairs`), ``OPTIONAL { ... }``
+  groups (one level), ``{ A } UNION { B }`` alternation (top level of
+  WHERE), ``MINUS { ... }``, ``BIND(expr AS ?v)``,
+  ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) .. }`` (UNDEF
+  supported), and ``FILTER (expr)`` — comparisons, ``&&``/``||``/``!``,
+  ``BOUND(?v)``, ``REGEX(?v, "pat")``, and passthrough SQL functions
+  (``CONCAT``, ``UPPER`` …)
+- trailing ``GROUP BY ?v ...``, ``HAVING (expr)``,
+  ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT n`` and ``OFFSET n``
 
 Terms: ``<iri>``, ``ns:local``, ``"literal"``, ``?var``. The engine's
 term model is flat value strings (pyjelly_spark stores decoded term
@@ -23,9 +31,8 @@ Reference parity: pyjelly users query parsed graphs with rdflib's
 SPARQL engine on the driver (``/root/reference/pyjelly/integrations/
 rdflib/parse.py:61`` materializes into ``rdflib.Graph``); this runs the
 same query shape distributed, where the graph lives.  Unsupported
-SPARQL (subqueries, BIND/VALUES, property paths — use
-``components.bfs_reachable`` for those) raises ``SparqlUnsupported``
-loudly rather than mis-executing.
+SPARQL (subqueries, GRAPH/SERVICE, FILTER EXISTS) raises
+``SparqlUnsupported`` loudly rather than mis-executing.
 """
 
 from __future__ import annotations
@@ -34,7 +41,7 @@ import re
 
 from pyspark.sql import DataFrame
 
-from pyjelly_spark.operators.bgp import bgp_match
+from pyjelly_spark.operators.bgp import bgp_match, is_var
 
 
 class SparqlError(ValueError):
@@ -46,8 +53,7 @@ class SparqlUnsupported(SparqlError):
 
 
 _UNSUPPORTED = re.compile(
-    r"\b(GRAPH|SERVICE|MINUS|EXISTS|CONSTRUCT|ASK|DESCRIBE|BIND"
-    r"|VALUES|HAVING)\b",
+    r"\b(GRAPH|SERVICE|EXISTS|DESCRIBE)\b",
     re.IGNORECASE,
 )
 
@@ -84,7 +90,7 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         m = _TOKEN.match(text, pos)
         if not m or m.end() == pos:
             # FILTTER expressions contain operators; capture them raw
-            op = re.match(r"(&&|\|\||!=|<=|>=|[=<>!*/+\-])", text[pos:])
+            op = re.match(r"(&&|\|\||!=|<=|>=|[=<>!*/+\-^|?])", text[pos:])
             if op:
                 tokens.append(("op", op.group(1)))
                 pos += op.end()
@@ -187,14 +193,91 @@ class _Parser:
                 parts.append(val)
         return " ".join(parts)
 
+    # -- property paths ------------------------------------------------
+
+    def _path_atom(self) -> str | tuple:
+        """One path atom: iri/pname/'a'/?var, or a parenthesized pure
+        alternation of simple predicates (-> tuple of IRIs)."""
+        if self.peek()[1] == "(":
+            self.next()
+            alts = [self._path_atom()]
+            while self.peek()[1] == "|":
+                self.next()
+                alts.append(self._path_atom())
+            self.expect_punct(")")
+            flat: list[str] = []
+            for a in alts:
+                if isinstance(a, tuple):
+                    flat.extend(a)
+                elif isinstance(a, str) and not a.startswith("?"):
+                    flat.append(a)
+                else:
+                    raise SparqlUnsupported(
+                        "parenthesized paths support only predicate "
+                        "alternation (p1|p2|...)"
+                    )
+            return tuple(flat) if len(flat) > 1 else flat[0]
+        return self.term()
+
+    def _path_unit(self) -> dict:
+        """One path element: ('^')? atom ('+'|'*'|'?')?"""
+        inverse = False
+        if self.peek()[1] == "^":
+            self.next()
+            inverse = True
+        atom = self._path_atom()
+        mod = None
+        if self.peek() == ("op", "+") or self.peek() == ("op", "*") or (
+            self.peek() == ("op", "?")
+        ):
+            mod = self.next()[1]
+        if isinstance(atom, str) and atom.startswith("?") and (inverse or mod):
+            raise SparqlUnsupported("path modifiers on a ?var predicate")
+        return {"pred": atom, "inverse": inverse, "mod": mod}
+
+    def path(self) -> list[dict]:
+        """Predicate-position property path: sequence of units
+        (p1/p2/...), each optionally inverse (^) and/or closed (+ * ?).
+        Top-level alternation of simple predicates (p1|p2) folds into
+        one IN-set unit."""
+        steps = [self._path_unit()]
+        while True:
+            kind, val = self.peek()
+            if val == "/":
+                self.next()
+                steps.append(self._path_unit())
+            elif val == "|":
+                # only simple-unit | simple-unit folds to an IN set
+                self.next()
+                nxt = self._path_unit()
+                last = steps[-1]
+                if (
+                    len(steps) >= 1
+                    and not last["inverse"] and not last["mod"]
+                    and not nxt["inverse"] and not nxt["mod"]
+                    and not (isinstance(last["pred"], str)
+                             and last["pred"].startswith("?"))
+                ):
+                    a = last["pred"] if isinstance(last["pred"], tuple) else (last["pred"],)
+                    b = nxt["pred"] if isinstance(nxt["pred"], tuple) else (nxt["pred"],)
+                    steps[-1] = {"pred": a + b, "inverse": False, "mod": None}
+                else:
+                    raise SparqlUnsupported(
+                        "alternation only over simple predicates"
+                    )
+            else:
+                break
+        return steps
+
     # -- pattern groups ------------------------------------------------
 
-    def group(self) -> list[tuple[list, list, list]]:
-        """Parse { ... }: returns a list of UNION branches, each
-        (patterns, optionals, filters). A group without UNION is a
-        single branch; ``{ {A} UNION {B} }`` returns both. Mixing
-        top-level patterns with UNION branches in one group is outside
-        the subset."""
+    def group(self) -> list[dict]:
+        """Parse { ... }: returns a list of UNION branches, each a dict
+        with keys ``p`` (required patterns), ``o`` (optional patterns),
+        ``f`` (filter SQL), ``closures``, ``binds``, ``values``,
+        ``minus``. A group without UNION is a single branch;
+        ``{ {A} UNION {B} }`` returns both. Mixing top-level patterns
+        with UNION branches in one group is outside the subset."""
         self.expect_punct("{")
         if self.peek()[1] == "{":  # alternation: { {A} UNION {B} ... }
             branches = list(self._single_group_inner())
@@ -209,44 +292,164 @@ class _Parser:
             return branches
         return [self._group_body()]
 
-    def _single_group_inner(self) -> list[tuple[list, list, list]]:
+    def _single_group_inner(self) -> list[dict]:
         sub = self.group()
         if len(sub) != 1:
             raise SparqlUnsupported("nested UNION")
         return sub
 
-    def _group_body(self) -> tuple[list, list, list]:
+    def values_block(self) -> tuple[list[str], list[tuple]]:
+        """VALUES ?v { t ... } or VALUES (?a ?b) { (t t) ... };
+        UNDEF -> None."""
+        kind, val = self.peek()
+        if val == "(":
+            self.next()
+            vars_: list[str] = []
+            while self.peek()[0] == "var":
+                vars_.append(self.next()[1][1:])
+            self.expect_punct(")")
+        elif kind == "var":
+            vars_ = [self.next()[1][1:]]
+        else:
+            raise SparqlError("VALUES needs ?var or (?var ...)")
+        if not vars_:
+            raise SparqlError("VALUES needs at least one variable")
+        self.expect_punct("{")
+        rows: list[tuple] = []
+
+        def one_term():
+            if self.peek()[1].upper() == "UNDEF":
+                self.next()
+                return None
+            return self.term()
+
+        while self.peek()[1] != "}":
+            if len(vars_) == 1 and self.peek()[1] != "(":
+                rows.append((one_term(),))
+                continue
+            self.expect_punct("(")
+            row = []
+            while self.peek()[1] != ")":
+                row.append(one_term())
+            self.expect_punct(")")
+            if len(row) != len(vars_):
+                raise SparqlError("VALUES row arity mismatch")
+            rows.append(tuple(row))
+        self.expect_punct("}")
+        return vars_, rows
+
+    def _group_body(self) -> dict:
         """Body of a brace group (opening '{' already consumed by
         group()); consumes through the closing '}'."""
-        patterns: list = []
-        optionals: list = []
-        filters: list = []
+        br: dict = {
+            "p": [], "o": [], "f": [],
+            "closures": [], "binds": [], "values": [], "minus": [],
+        }
+        fresh = [0]
+
+        def fresh_var() -> str:
+            fresh[0] += 1
+            return f"?__pv{len(br['p'])}_{fresh[0]}"
+
+        def emit_path(s: str, steps: list[dict], o: str, sink: list) -> None:
+            """Rewrite a path into patterns/closures with fresh
+            intermediate variables for sequences."""
+            cur = s
+            for idx, st in enumerate(steps):
+                nxt = o if idx == len(steps) - 1 else fresh_var()
+                a, b = (nxt, cur) if st["inverse"] else (cur, nxt)
+                if st["mod"] is None:
+                    sink.append((a, st["pred"], b))
+                else:
+                    if sink is br["o"]:
+                        raise SparqlUnsupported(
+                            "path closures inside OPTIONAL"
+                        )
+                    br["closures"].append(
+                        {"s": a, "pred": st["pred"], "o": b,
+                         "mod": st["mod"]}
+                    )
+                cur = nxt
+
         while True:
             kind, val = self.peek()
             if val == "}":
                 self.next()
                 break
-            if kind == "word" and val.upper() == "OPTIONAL":
+            up = val.upper() if kind == "word" else ""
+            if up == "OPTIONAL":
                 self.next()
                 sub = self.group()
                 if len(sub) != 1:
                     raise SparqlUnsupported("UNION inside OPTIONAL")
-                sub_p, sub_o, sub_f = sub[0]
-                if sub_o or sub_f:
+                sb = sub[0]
+                if any(sb[k] for k in
+                       ("o", "f", "closures", "binds", "values", "minus")):
                     raise SparqlUnsupported(
-                        "nested OPTIONAL/FILTER inside OPTIONAL"
+                        "only plain patterns inside OPTIONAL"
                     )
-                optionals.extend(sub_p)
+                br["o"].extend(sb["p"])
                 continue
-            if kind == "word" and val.upper() == "FILTER":
+            if up == "FILTER":
                 self.next()
-                filters.append(self.filter_expr())
+                br["f"].append(self.filter_expr())
+                continue
+            if up == "BIND":
+                self.next()
+                self.expect_punct("(")
+                # reuse the FILTER translator up to the AS keyword
+                depth, parts = 1, []
+                while True:
+                    k2, v2 = self.peek()
+                    if k2 == "eof":
+                        raise SparqlError("unterminated BIND")
+                    if k2 == "word" and v2.upper() == "AS" and depth == 1:
+                        self.next()
+                        break
+                    k2, v2 = self.next()
+                    if v2 == "(":
+                        depth += 1
+                        parts.append("(")
+                    elif v2 == ")":
+                        depth -= 1
+                        parts.append(")")
+                    elif k2 == "var":
+                        parts.append(v2[1:])
+                    elif k2 == "literal":
+                        parts.append("'" + v2[1:-1].replace("'", "''") + "'")
+                    elif k2 == "iri":
+                        parts.append("'" + v2[1:-1] + "'")
+                    elif k2 == "op":
+                        parts.append(
+                            {"&&": "AND", "||": "OR", "!": "NOT"}.get(v2, v2)
+                        )
+                    else:
+                        parts.append(v2)
+                k2, v2 = self.next()
+                if k2 != "var":
+                    raise SparqlError("BIND needs AS ?var")
+                self.expect_punct(")")
+                br["binds"].append((" ".join(parts), v2[1:]))
+                continue
+            if up == "VALUES":
+                self.next()
+                br["values"].append(self.values_block())
+                continue
+            if up == "MINUS":
+                self.next()
+                sub = self.group()
+                if len(sub) != 1:
+                    raise SparqlUnsupported("UNION inside MINUS")
+                br["minus"].append(sub[0])
                 continue
             s = self.term()
             while True:
-                p = self.term()
+                steps = self.path()
                 o = self.term()
-                patterns.append((s, p, o))
+                if len(steps) == 1 and steps[0]["mod"] is None and not steps[0]["inverse"]:
+                    br["p"].append((s, steps[0]["pred"], o))
+                else:
+                    emit_path(s, steps, o, br["p"])
                 kind, val = self.peek()
                 if val == ";":  # predicate list: same subject
                     self.next()
@@ -254,7 +457,7 @@ class _Parser:
                 break
             if self.peek()[1] == ".":
                 self.next()
-        return patterns, optionals, filters
+        return br
 
 
 def parse_sparql(query: str) -> dict:
@@ -272,14 +475,56 @@ def parse_sparql(query: str) -> dict:
         if kind != "iri":
             raise SparqlError("PREFIX needs an <iri>")
         p.prefixes[ns] = iri[1:-1]
-    p.expect_word("SELECT")
+    form = p.peek()[1].upper()
+    if form not in ("SELECT", "ASK", "CONSTRUCT"):
+        raise SparqlError(f"expected SELECT/ASK/CONSTRUCT, got {form!r}")
+    p.next()
     distinct = False
-    if p.peek()[1].upper() == "DISTINCT":
-        p.next()
-        distinct = True
     projection: list[str] | None = []
     aggregates: list[dict] = []
-    while True:
+    template: list[tuple] = []
+    if form == "ASK":
+        projection = None
+        # ASK { ... } — WHERE keyword optional
+        if p.peek()[1].upper() == "WHERE":
+            p.next()
+        branches = p.group()
+        if p.peek()[0] != "eof":
+            raise SparqlError("ASK takes no solution modifiers")
+        return {
+            "form": "ASK",
+            "branches": branches,
+            "projection": None,
+            "aggregates": [],
+            "group_by": [],
+            "having": [],
+            "distinct": False,
+            "order": [],
+            "limit": None,
+            "offset": None,
+            "template": [],
+        }
+    if form == "CONSTRUCT":
+        tb = p.group()
+        if len(tb) != 1:
+            raise SparqlUnsupported("UNION in CONSTRUCT template")
+        t = tb[0]
+        if any(t[k] for k in
+               ("o", "f", "closures", "binds", "values", "minus")):
+            raise SparqlUnsupported(
+                "CONSTRUCT template takes plain triple patterns only"
+            )
+        if not t["p"]:
+            raise SparqlError("empty CONSTRUCT template")
+        for s, pr, o in t["p"]:
+            if isinstance(pr, tuple):
+                raise SparqlUnsupported("alternation in CONSTRUCT template")
+            template.append((s, pr, o))
+        projection = None
+    if form == "SELECT" and p.peek()[1].upper() == "DISTINCT":
+        p.next()
+        distinct = True
+    while form == "SELECT":
         kind, val = p.peek()
         if kind == "var":
             projection.append(val[1:])
@@ -322,13 +567,15 @@ def parse_sparql(query: str) -> dict:
             )
         else:
             break
-    if projection == [] and not aggregates:
+    if form == "SELECT" and projection == [] and not aggregates:
         raise SparqlError("SELECT needs variables, aggregates, or *")
     p.expect_word("WHERE")
     branches = p.group()
     order: list[tuple[str, bool]] = []
     group_by: list[str] = []
+    having: list[str] = []
     limit: int | None = None
+    offset: int | None = None
     while p.peek()[0] != "eof":
         kind, val = p.next()
         up = val.upper()
@@ -338,6 +585,14 @@ def parse_sparql(query: str) -> dict:
                 group_by.append(p.next()[1][1:])
             if not group_by:
                 raise SparqlError("GROUP BY needs variables")
+        elif up == "HAVING":
+            having.append(p.filter_expr())
+        elif up == "VALUES":
+            # trailing VALUES applies to the whole solution sequence;
+            # fold it into every branch
+            vb = p.values_block()
+            for br in branches:
+                br["values"].append(vb)
         elif up == "ORDER":
             p.expect_word("BY")
             while True:
@@ -358,6 +613,9 @@ def parse_sparql(query: str) -> dict:
         elif up == "LIMIT":
             _, n = p.next()
             limit = int(n)
+        elif up == "OFFSET":
+            _, n = p.next()
+            offset = int(n)
         else:
             raise SparqlError(f"unexpected trailing token {val!r}")
     if aggregates:
@@ -370,27 +628,294 @@ def parse_sparql(query: str) -> dict:
             )
     elif group_by:
         raise SparqlError("GROUP BY without aggregates in SELECT")
+    if having and not aggregates:
+        raise SparqlError("HAVING without aggregates")
     return {
+        "form": form,
         "branches": branches,
         "projection": projection,
         "aggregates": aggregates,
         "group_by": group_by,
+        "having": having,
         "distinct": distinct,
         "order": order,
         "limit": limit,
+        "offset": offset,
+        "template": template,
     }
 
 
-def sparql_query(triples: DataFrame, query: str) -> DataFrame:
+def _closure_pairs(
+    triples: DataFrame, preds: tuple[str, ...], mod: str, max_rounds: int
+) -> DataFrame:
+    """Reachability pairs (src, dst) for a property-path closure over
+    the union of ``preds`` edges.
+
+    ``+``: one-or-more steps — distributed semi-naive transitive
+    closure: per round, extend only the *new* pairs of the previous
+    round by one edge (delta join), anti-join against everything seen,
+    stop at an empty delta. Lineage is truncated per round with
+    ``localCheckpoint`` (same discipline as the CC/BFS loops in
+    operators/components.py), so the plan does not grow with rounds and
+    each round is one edge-sized shuffle — the frontier side stays
+    small and AQE broadcasts it while it fits.
+
+    ``*`` / ``?``: zero-length pairs (t, t) are added for every term of
+    the graph (subject or object position — the practical reading of
+    SPARQL's zero-length-path semantics for this engine's flat term
+    model); ``?`` is zero-or-one (no iteration at all).
+    """
+    from pyspark.sql import functions as F
+
+    e = (
+        triples.filter(F.col("p").isin(*preds))
+        .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if mod == "?":
+        pairs = e
+    else:
+        pairs = e
+        delta = e
+        for _ in range(max_rounds):
+            step = (
+                delta.withColumnRenamed("dst", "mid")
+                .join(e.withColumnRenamed("src", "mid"), "mid")
+                .select("src", "dst")
+                .distinct()
+            )
+            new = step.join(pairs, ["src", "dst"], "left_anti").localCheckpoint(
+                eager=True
+            )
+            if not new.take(1):
+                break
+            # pairs is a union of per-round checkpointed deltas: shallow
+            # lineage without paying an extra checkpoint job per round
+            pairs = pairs.unionByName(new)
+            delta = new
+        else:
+            raise SparqlError(
+                f"path closure did not converge in {max_rounds} rounds"
+            )
+    if mod in ("*", "?"):
+        nodes = (
+            triples.select(F.col("s").alias("n"))
+            .unionByName(triples.select(F.col("o").alias("n")))
+            .distinct()
+        )
+        pairs = pairs.unionByName(
+            nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+        ).distinct()
+    return pairs
+
+
+def _closure_from(
+    triples: DataFrame,
+    preds: tuple[str, ...],
+    seed: str,
+    mod: str,
+    max_rounds: int,
+    forward: bool,
+) -> DataFrame:
+    """Nodes reachable from one constant endpoint of a path closure —
+    the seeded form of :func:`_closure_pairs`. A constant endpoint means
+    all-pairs transitive closure is never needed: frontier BFS to
+    fixpoint touches only the reachable sliver (per round: one edge
+    equi-join with the frontier — AQE broadcasts the frontier — one
+    distinct, one anti-join against visited). This is the plan that
+    holds at 10^12 triples; the all-pairs path is reserved for
+    var-to-var closures. Returns one column ``node``."""
+    from pyspark.sql import functions as F
+
+    src, dst = ("s", "o") if forward else ("o", "s")
+    e = (
+        triples.filter(F.col("p").isin(*preds))
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = triples.sparkSession
+    seed_df = spark.createDataFrame([(seed,)], "node string")
+    if mod == "?":
+        one = e.filter(F.col("src") == seed).select(
+            F.col("dst").alias("node")
+        )
+        return one.unionByName(seed_df).distinct()
+    reached = seed_df.localCheckpoint(eager=True)
+    frontier = reached
+    for _ in range(max_rounds):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        # reached is a union of per-round checkpointed frontiers:
+        # shallow lineage, no extra checkpoint job per round
+        reached = reached.unionByName(nxt)
+        frontier = nxt
+    else:
+        raise SparqlError(
+            f"path closure did not converge in {max_rounds} rounds"
+        )
+    if mod == "*":
+        return reached
+    # "+": drop the zero-length seed unless it is reachable in >=1 step
+    plus = reached.join(seed_df, "node", "left_anti")
+    seed_cycle = (
+        e.join(reached.withColumnRenamed("node", "src"), "src")
+        .filter(F.col("dst") == seed)
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    return plus.unionByName(seed_cycle).distinct()
+
+
+def _apply_closure(
+    sols: DataFrame | None,
+    cl: dict,
+    triples: DataFrame,
+    max_rounds: int,
+) -> DataFrame:
+    """Join one closure pattern's reachability pairs onto the branch
+    solutions (constants filter; shared variables equi-join; disjoint
+    variables cross-join, as SPARQL BGP semantics require). Closures
+    with one constant endpoint run as seeded BFS
+    (:func:`_closure_from`); only var-to-var closures pay for all-pairs
+    reachability."""
+    from pyspark.sql import functions as F
+
+    preds = cl["pred"] if isinstance(cl["pred"], tuple) else (cl["pred"],)
+    s_t, o_t = cl["s"], cl["o"]
+    if is_var(s_t) != is_var(o_t):
+        forward = not is_var(s_t)
+        seed = s_t if forward else o_t
+        var = (o_t if forward else s_t)[1:]
+        df = _closure_from(
+            triples, preds, seed, cl["mod"], max_rounds, forward
+        ).withColumnRenamed("node", var)
+        if sols is None:
+            return df
+        if var in sols.columns:
+            return sols.join(df, var)
+        return sols.crossJoin(df)
+    df = _closure_pairs(triples, preds, cl["mod"], max_rounds)
+    if is_var(s_t) and is_var(o_t) and s_t == o_t:
+        df = df.filter(F.col("src") == F.col("dst")).select(
+            F.col("src").alias(s_t[1:])
+        )
+    else:
+        if is_var(s_t):
+            df = df.withColumnRenamed("src", s_t[1:])
+        else:
+            df = df.filter(F.col("src") == F.lit(s_t)).drop("src")
+        if is_var(o_t):
+            df = df.withColumnRenamed("dst", o_t[1:])
+        else:
+            df = df.filter(F.col("dst") == F.lit(o_t)).drop("dst")
+    if sols is None:
+        return df
+    keys = [c for c in df.columns if c in sols.columns]
+    return sols.join(df, keys) if keys else sols.crossJoin(df)
+
+
+def _apply_values(
+    sols: DataFrame | None,
+    spark,
+    vars_: list[str],
+    rows: list[tuple],
+) -> DataFrame:
+    """Join a VALUES block: an inline broadcast relation. UNDEF cells
+    constrain nothing (NULL-or-equal join predicate)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    vdf = spark.createDataFrame(
+        rows,
+        StructType([StructField(v, StringType(), True) for v in vars_]),
+    )
+    if sols is None:
+        return vdf
+    shared = [v for v in vars_ if v in sols.columns]
+    new = [v for v in vars_ if v not in sols.columns]
+    S, V = sols.alias("S"), F.broadcast(vdf.alias("V"))
+    if shared:
+        cond = None
+        for v in shared:
+            c = F.col(f"V.{v}").isNull() | (F.col(f"V.{v}") == F.col(f"S.{v}"))
+            cond = c if cond is None else cond & c
+        joined = S.join(V, cond, "inner")
+    else:
+        joined = S.crossJoin(V)
+    return joined.select(
+        *[F.col(f"S.{c}") for c in sols.columns],
+        *[F.col(f"V.{v}").alias(v) for v in new],
+    )
+
+
+def _eval_branch(
+    triples: DataFrame, br: dict, max_rounds: int
+) -> DataFrame:
+    """Evaluate one UNION branch: BGP join -> path closures -> VALUES ->
+    BIND -> group-level FILTER -> MINUS. Helper variables introduced by
+    path sequence rewriting (``__pv*``) are dropped at the end."""
+    from pyspark.sql import functions as F
+
+    # FILTERs participate in the single bgp_match Catalyst plan (free
+    # pushdown) unless later stages introduce variables they may
+    # reference — then they apply at group level, after assembly.
+    defer_filters = bool(br["closures"] or br["binds"] or br["values"])
+    sols: DataFrame | None = None
+    if br["p"] or br["o"]:
+        sols = bgp_match(
+            triples,
+            br["p"],
+            optional=br["o"],
+            filters=() if defer_filters else br["f"],
+        )
+    for cl in br["closures"]:
+        sols = _apply_closure(sols, cl, triples, max_rounds)
+    for vars_, rows in br["values"]:
+        sols = _apply_values(sols, triples.sparkSession, vars_, rows)
+    if sols is None:
+        if not br["binds"]:
+            raise SparqlError("empty group pattern")
+        # BIND-only group: the unit solution (one empty mapping)
+        sols = triples.sparkSession.range(1).select()
+    for sql, var in br["binds"]:
+        sols = sols.withColumn(var, F.expr(sql))
+    if defer_filters:
+        for f in br["f"]:
+            sols = sols.filter(F.expr(f))
+    for mb in br["minus"]:
+        sub = _eval_branch(triples, mb, max_rounds)
+        shared = [c for c in sub.columns if c in sols.columns]
+        if shared:  # disjoint domains: MINUS removes nothing (SPARQL)
+            sols = sols.join(
+                sub.select(*shared).distinct(), shared, "left_anti"
+            )
+    helper = [c for c in sols.columns if c.startswith("__pv")]
+    return sols.drop(*helper) if helper else sols
+
+
+def sparql_query(
+    triples: DataFrame, query: str, *, max_closure_rounds: int = 25
+) -> DataFrame:
     """Run a SPARQL query (supported subset above) against a triples
-    DataFrame with string columns ``s``, ``p``, ``o``. Returns one
-    column per projected variable."""
+    DataFrame with string columns ``s``, ``p``, ``o``. SELECT returns
+    one column per projected variable; ASK returns a single boolean row
+    (column ``ask``); CONSTRUCT returns a deduplicated ``(s, p, o)``
+    triples DataFrame built from the template."""
     from pyspark.sql import functions as F
 
     plan = parse_sparql(query)
     frames = [
-        bgp_match(triples, pats, optional=opts, filters=filts)
-        for pats, opts, filts in plan["branches"]
+        _eval_branch(triples, br, max_closure_rounds)
+        for br in plan["branches"]
     ]
     # UNION semantics: solutions from any branch; variables a branch
     # does not bind are NULL in its rows.
@@ -408,6 +933,25 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
             ]
         )
         sols = aligned if sols is None else sols.unionByName(aligned)
+    if plan["form"] == "ASK":
+        return (
+            sols.limit(1)
+            .select(F.lit(1).alias("__x"))
+            .agg((F.count("__x") > 0).alias("ask"))
+        )
+    if plan["form"] == "CONSTRUCT":
+        out = None
+        for s, p, o in plan["template"]:
+            row = sols.select(
+                *[
+                    (F.col(t[1:]) if is_var(t) else F.lit(t)).alias(slot)
+                    for slot, t in (("s", s), ("p", p), ("o", o))
+                ]
+            )
+            out = row if out is None else out.unionByName(row)
+        # a template pattern with an unbound (OPTIONAL) variable emits
+        # no triple for that solution; CONSTRUCT output is a graph (set)
+        return out.na.drop().distinct()
     if plan["aggregates"]:
         aggs = []
         for a in plan["aggregates"]:
@@ -428,6 +972,8 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
             aggs.append(col.alias(a["alias"]))
         keys = plan["group_by"] or []
         sols = sols.groupBy(*keys).agg(*aggs) if keys else sols.agg(*aggs)
+        for h in plan["having"]:
+            sols = sols.filter(F.expr(h))
         if plan["projection"]:
             sols = sols.select(
                 *plan["projection"], *[a["alias"] for a in plan["aggregates"]]
@@ -446,6 +992,8 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
                 for v, asc in plan["order"]
             ]
         )
+    if plan["offset"]:
+        sols = sols.offset(plan["offset"])
     if plan["limit"] is not None:
         sols = sols.limit(plan["limit"])
     return sols

@@ -673,6 +673,80 @@ FROM mentions GROUP BY sym ORDER BY sym
 """
 
 
+def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property-path (`<seed> kg:importsResolved+ ?node`) through
+    the front-end: the textual `+` closure compiles onto the seeded
+    frontier-BFS fixpoint (operators/sparql.py::_closure_from — the
+    constant endpoint means no all-pairs closure is ever built). Oracle
+    is an unbounded recursive CTE, so the distributed fixpoint is
+    checked against a declarative transitive closure with cycles."""
+    from pyjelly_spark.operators.sparql import sparql_query
+
+    graph = q_kg_imports_resolved(spark, sf_dir)
+    return sparql_query(
+        graph,
+        f"""
+        PREFIX kg: <{NS}>
+        SELECT ?node WHERE {{ <{REACH_SOURCE}> kg:importsResolved+ ?node }}
+        ORDER BY ?node
+        """,
+        max_closure_rounds=64,
+    )
+
+
+SQL_KG_SPARQL_PATH = f"""
+WITH RECURSIVE {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+reach_edges AS (
+  SELECT DISTINCT file_iri AS src,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS dst
+  FROM imports_gt
+),
+reach(node) AS (
+  SELECT dst FROM reach_edges WHERE src = '{REACH_SOURCE}'
+  UNION
+  SELECT e.dst FROM reach r JOIN reach_edges e ON e.src = r.node
+)
+SELECT node FROM reach ORDER BY node
+"""
+
+
+def q_kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT through the front-end: rewrite the resolved
+    import graph into a derived two-predicate dependency graph (forward
+    + inverse edges) — the graph-to-graph transformation a KG
+    constructor ships. CONSTRUCT output is a set (distinct (s, p, o))
+    built per-template-pattern from the solution frame; the oracle is
+    the same derivation as closed-form SQL."""
+    from pyjelly_spark.operators.sparql import sparql_query
+
+    graph = q_kg_imports_resolved(spark, sf_dir)
+    return sparql_query(
+        graph,
+        f"""
+        PREFIX kg: <{NS}>
+        CONSTRUCT {{ ?f kg:dependsOn ?g . ?g kg:dependedBy ?f }}
+        WHERE {{ ?f kg:importsResolved ?g . FILTER (?f != ?g) }}
+        """,
+    ).orderBy("s", "p", "o")
+
+
+SQL_KG_SPARQL_CONSTRUCT = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+resolved AS (
+  SELECT DISTINCT file_iri AS f,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS g
+  FROM imports_gt
+)
+SELECT DISTINCT s, p, o FROM (
+  SELECT f AS s, '{NS}dependsOn' AS p, g AS o FROM resolved WHERE f <> g
+  UNION ALL
+  SELECT g AS s, '{NS}dependedBy' AS p, f AS o FROM resolved WHERE f <> g
+) ORDER BY s, p, o
+"""
+
+
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental KG maintenance between two snapshots of the source
     table: sha256-keyed anti-joins prune unchanged files BEFORE
@@ -2457,6 +2531,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_incremental": q_kg_incremental,
     "kg_sparql": q_kg_sparql,
     "kg_sparql_agg": q_kg_sparql_agg,
+    "kg_sparql_path": q_kg_sparql_path,
+    "kg_sparql_construct": q_kg_sparql_construct,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -2521,6 +2597,8 @@ ORACLES: dict[str, str] = {
     "kg_incremental": SQL_KG_INCREMENTAL,
     "kg_sparql": SQL_KG_BGP,
     "kg_sparql_agg": SQL_KG_SPARQL_AGG,
+    "kg_sparql_path": SQL_KG_SPARQL_PATH,
+    "kg_sparql_construct": SQL_KG_SPARQL_CONSTRUCT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

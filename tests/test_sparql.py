@@ -42,11 +42,13 @@ def test_parse_plan_shape():
         ORDER BY ?f DESC(?sym) LIMIT 5
         """
     )
-    assert plan["branches"] == [(
-        [("?f", NS + "defines", "?sym")],
-        [("?c", NS + "calls", "?sym")],
-        ["f != 'f9'"],
-    )]
+    br = plan["branches"]
+    assert len(br) == 1
+    assert br[0]["p"] == [("?f", NS + "defines", "?sym")]
+    assert br[0]["o"] == [("?c", NS + "calls", "?sym")]
+    assert br[0]["f"] == ["f != 'f9'"]
+    assert not (br[0]["closures"] or br[0]["binds"] or br[0]["values"]
+                or br[0]["minus"])
     assert plan["projection"] == ["f", "sym"]
     assert plan["distinct"] is True
     assert plan["order"] == [("f", True), ("sym", False)]
@@ -113,7 +115,11 @@ def test_star_projection(triples):
 
 def test_errors(triples):
     with pytest.raises(SparqlUnsupported):
-        parse_sparql("SELECT ?x WHERE { ?x ?p ?o BIND(?x AS ?y) }")
+        parse_sparql("SELECT ?x WHERE { GRAPH ?g { ?x ?p ?o } }")
+    with pytest.raises(SparqlUnsupported):
+        parse_sparql(
+            "SELECT ?x WHERE { ?x ?p ?o FILTER EXISTS { ?x ?p ?z } }"
+        )
     with pytest.raises(SparqlError):
         parse_sparql("SELECT WHERE { ?x ?p ?o }")
     with pytest.raises(SparqlError):
@@ -204,3 +210,151 @@ def test_aggregate_validation():
         )  # ?x not grouped
     with pytest.raises(SparqlError):
         parse_sparql("SELECT ?x WHERE { ?x ?p ?y } GROUP BY ?x")
+
+
+# -- round-2 extensions: paths, VALUES/BIND/MINUS, ASK/CONSTRUCT -------
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    """a -knows-> b -knows-> c -knows-> d -knows-> b (cycle), plus a
+    likes edge and a name leaf."""
+    K = "http://x/knows"
+    rows = [
+        ("a", K, "b"),
+        ("b", K, "c"),
+        ("c", K, "d"),
+        ("d", K, "b"),
+        ("a", "http://x/likes", "z"),
+        ("d", "http://x/name", "Dee"),
+    ]
+    return spark.createDataFrame(rows, ["s", "p", "o"])
+
+
+K = "http://x/knows"
+
+
+def test_path_plus_seeded(chain):
+    out = sparql_query(chain, f"SELECT ?y WHERE {{ <a> <{K}>+ ?y }} ORDER BY ?y")
+    assert [r.y for r in out.collect()] == ["b", "c", "d"]
+
+
+def test_path_plus_seed_in_cycle(chain):
+    # b->c->d->b: the seed itself is reachable in >= 1 step
+    out = sparql_query(chain, f"SELECT ?y WHERE {{ <b> <{K}>+ ?y }} ORDER BY ?y")
+    assert [r.y for r in out.collect()] == ["b", "c", "d"]
+
+
+def test_path_star_and_optional_mod(chain):
+    out = sparql_query(chain, f"SELECT ?y WHERE {{ <a> <{K}>* ?y }} ORDER BY ?y")
+    assert [r.y for r in out.collect()] == ["a", "b", "c", "d"]
+    out = sparql_query(chain, f"SELECT ?y WHERE {{ <a> <{K}>? ?y }} ORDER BY ?y")
+    assert [r.y for r in out.collect()] == ["a", "b"]
+
+
+def test_path_backward_seed(chain):
+    out = sparql_query(chain, f"SELECT ?x WHERE {{ ?x <{K}>+ <c> }} ORDER BY ?x")
+    assert [r.x for r in out.collect()] == ["a", "b", "c", "d"]
+
+
+def test_path_var_var_and_self_cycle(chain):
+    out = sparql_query(
+        chain,
+        f"SELECT ?x ?y WHERE {{ ?x <{K}>+ ?y . ?y <http://x/name> ?n }}",
+    )
+    assert sorted((r.x, r.y) for r in out.collect()) == [
+        ("a", "d"), ("b", "d"), ("c", "d"), ("d", "d"),
+    ]
+    out = sparql_query(chain, f"SELECT ?x WHERE {{ ?x <{K}>+ ?x }} ORDER BY ?x")
+    assert [r.x for r in out.collect()] == ["b", "c", "d"]
+
+
+def test_path_sequence_inverse_alternation(chain):
+    out = sparql_query(chain, f"SELECT ?y WHERE {{ <a> <{K}>/<{K}> ?y }}")
+    assert [r.y for r in out.collect()] == ["c"]
+    out = sparql_query(chain, f"SELECT ?y WHERE {{ <b> ^<{K}> ?y }} ORDER BY ?y")
+    assert [r.y for r in out.collect()] == ["a", "d"]
+    out = sparql_query(
+        chain,
+        f"SELECT ?y WHERE {{ <a> (<{K}>|<http://x/likes>) ?y }} ORDER BY ?y",
+    )
+    assert [r.y for r in out.collect()] == ["b", "z"]
+    out = sparql_query(
+        chain, f"SELECT ?n WHERE {{ <a> <{K}>+/<http://x/name> ?n }}"
+    )
+    assert [r.n for r in out.collect()] == ["Dee"]
+
+
+def test_values_single_and_undef(chain):
+    out = sparql_query(
+        chain,
+        f'SELECT ?s ?o WHERE {{ ?s <{K}> ?o . VALUES ?s {{ "a" "b" }} }} ORDER BY ?s',
+    )
+    assert [(r.s, r.o) for r in out.collect()] == [("a", "b"), ("b", "c")]
+    out = sparql_query(
+        chain,
+        f'SELECT ?s ?o WHERE {{ ?s <{K}> ?o . '
+        f'VALUES (?s ?o) {{ ("a" UNDEF) (UNDEF "d") }} }} ORDER BY ?s',
+    )
+    assert [(r.s, r.o) for r in out.collect()] == [("a", "b"), ("c", "d")]
+
+
+def test_values_trailing(chain):
+    out = sparql_query(
+        chain,
+        f'SELECT ?s ?o WHERE {{ ?s <{K}> ?o }} VALUES ?s {{ "a" }}',
+    )
+    assert [(r.s, r.o) for r in out.collect()] == [("a", "b")]
+
+
+def test_bind(chain):
+    out = sparql_query(
+        chain,
+        f'SELECT ?s ?tag WHERE {{ ?s <http://x/name> ?n . '
+        f'BIND(CONCAT(?n, "!") AS ?tag) }}',
+    )
+    assert [(r.s, r.tag) for r in out.collect()] == [("d", "Dee!")]
+
+
+def test_minus(chain):
+    out = sparql_query(
+        chain,
+        f"SELECT ?s WHERE {{ ?s <{K}> ?o . "
+        f"MINUS {{ ?s <http://x/likes> ?z }} }} ORDER BY ?s",
+    )
+    assert [r.s for r in out.collect()] == ["b", "c", "d"]
+
+
+def test_ask(chain):
+    assert sparql_query(chain, f"ASK {{ <a> <{K}> ?x }}").collect()[0].ask
+    assert not sparql_query(chain, f"ASK WHERE {{ <zz> <{K}> ?x }}").collect()[0].ask
+
+
+def test_construct(chain):
+    out = sparql_query(
+        chain,
+        f"PREFIX x: <http://x/> "
+        f"CONSTRUCT {{ ?a x:reaches ?b }} WHERE {{ ?a x:knows+ ?b }}",
+    )
+    got = sorted((r.s, r.p, r.o) for r in out.collect())
+    assert all(p == "http://x/reaches" for _, p, _ in got)
+    assert [(s, o) for s, _, o in got] == [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "b"), ("b", "c"), ("b", "d"),
+        ("c", "b"), ("c", "c"), ("c", "d"),
+        ("d", "b"), ("d", "c"), ("d", "d"),
+    ]
+
+
+def test_having_offset(chain):
+    out = sparql_query(
+        chain,
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } "
+        "GROUP BY ?s HAVING (?n >= 2) ORDER BY ?s",
+    )
+    assert [(r.s, r.n) for r in out.collect()] == [("a", 2), ("d", 2)]
+    out = sparql_query(
+        chain,
+        f"SELECT ?s WHERE {{ ?s <{K}> ?o }} ORDER BY ?s OFFSET 1 LIMIT 2",
+    )
+    assert [r.s for r in out.collect()] == ["b", "c"]
