@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 Pattern = tuple[str, str, str]
 
-_SLOTS = ("s", "p", "o")
+_SLOTS = ("s", "p", "o", "g")
 
 
 def is_var(term) -> bool:
@@ -62,22 +62,32 @@ class _Scan:
 
 
 def _compile_pattern(triples: DataFrame, pattern: Pattern, index: int) -> _Scan:
-    if len(pattern) != 3:
-        raise ValueError(f"pattern {index} must be a (s, p, o) 3-tuple")
+    if len(pattern) not in (3, 4):
+        raise ValueError(
+            f"pattern {index} must be a (s, p, o) or (s, p, o, g) tuple"
+        )
     var_slots: dict[str, str] = {}
     df = triples
     n_constants = 0
-    for slot, term in zip(_SLOTS, pattern):
+    for slot, term in zip(_SLOTS[: len(pattern)], pattern):
         if is_var(term):
             name = term[1:]
             if not name:
                 raise ValueError(f"pattern {index}: bare '?' is not a variable")
+            if slot == "g":
+                # SPARQL: a graph variable ranges over NAMED graphs only;
+                # the default graph (NULL) never binds a variable.
+                df = df.filter(F.col(slot).isNotNull())
             if name in var_slots:
                 # Same variable twice in one pattern => intra-pattern
                 # equality (e.g. (?x, p, ?x) matches self-loops).
                 df = df.filter(F.col(slot) == F.col(var_slots[name]))
             else:
                 var_slots[name] = slot
+        elif term is None:
+            # default-graph marker (quads): the slot must be NULL
+            df = df.filter(F.col(slot).isNull())
+            n_constants += 1
         elif isinstance(term, tuple):
             # alternation (SPARQL path p1|p2): membership pushes down to
             # the scan exactly like an equality constant

@@ -8,7 +8,13 @@ joins over the flat (s, p, o) triples relation):
 - ``SELECT [DISTINCT] ?a ?b | * | (COUNT|SUM|MIN|MAX|AVG([DISTINCT]
   ?v|*) AS ?alias)`` aggregate projections; ``ASK`` (one boolean row);
   ``CONSTRUCT { template } WHERE { ... }`` (returns a deduplicated
-  (s, p, o) triples DataFrame — the KG-construction form)
+  (s, p, o) triples DataFrame — the KG-construction form);
+  ``DESCRIBE ?v <iri> [WHERE { ... }]`` (subject-CBD over the default
+  graph)
+- ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` over a quads frame
+  (string columns s, p, o + nullable g; NULL g = default graph) —
+  patterns outside GRAPH match the default graph only, and a graph
+  variable ranges over named graphs, per the SPARQL dataset model
 - ``WHERE { ... }`` with triple patterns (``.``-separated; ``;``
   predicate lists supported), property paths in the predicate position
   (``^p`` inverse, ``p1/p2`` sequence, ``p1|p2`` alternation, ``p+`` /
@@ -31,7 +37,7 @@ Reference parity: pyjelly users query parsed graphs with rdflib's
 SPARQL engine on the driver (``/root/reference/pyjelly/integrations/
 rdflib/parse.py:61`` materializes into ``rdflib.Graph``); this runs the
 same query shape distributed, where the graph lives.  Unsupported
-SPARQL (subqueries, GRAPH/SERVICE, FILTER EXISTS) raises
+SPARQL (subqueries, SERVICE, FILTER EXISTS) raises
 ``SparqlUnsupported`` loudly rather than mis-executing.
 """
 
@@ -53,7 +59,7 @@ class SparqlUnsupported(SparqlError):
 
 
 _UNSUPPORTED = re.compile(
-    r"\b(GRAPH|SERVICE|EXISTS|DESCRIBE)\b",
+    r"\b(SERVICE|EXISTS)\b",
     re.IGNORECASE,
 )
 
@@ -442,6 +448,25 @@ class _Parser:
                     raise SparqlUnsupported("UNION inside MINUS")
                 br["minus"].append(sub[0])
                 continue
+            if up == "GRAPH":
+                # GRAPH ?g { ... } / GRAPH <iri> { ... } over a quads
+                # frame: every inner pattern gains a 4th (graph) slot.
+                self.next()
+                g_term = self.term()
+                sub = self.group()
+                if len(sub) != 1:
+                    raise SparqlUnsupported("UNION inside GRAPH")
+                sb = sub[0]
+                if any(sb[k] for k in
+                       ("o", "f", "closures", "binds", "values", "minus")):
+                    raise SparqlUnsupported(
+                        "only plain patterns inside GRAPH"
+                    )
+                for pat in sb["p"]:
+                    if len(pat) == 4:
+                        raise SparqlUnsupported("nested GRAPH")
+                    br["p"].append((*pat, g_term))
+                continue
             s = self.term()
             while True:
                 steps = self.path()
@@ -476,8 +501,10 @@ def parse_sparql(query: str) -> dict:
             raise SparqlError("PREFIX needs an <iri>")
         p.prefixes[ns] = iri[1:-1]
     form = p.peek()[1].upper()
-    if form not in ("SELECT", "ASK", "CONSTRUCT"):
-        raise SparqlError(f"expected SELECT/ASK/CONSTRUCT, got {form!r}")
+    if form not in ("SELECT", "ASK", "CONSTRUCT", "DESCRIBE"):
+        raise SparqlError(
+            f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got {form!r}"
+        )
     p.next()
     distinct = False
     projection: list[str] | None = []
@@ -493,6 +520,44 @@ def parse_sparql(query: str) -> dict:
             raise SparqlError("ASK takes no solution modifiers")
         return {
             "form": "ASK",
+            "describe": [],
+            "branches": branches,
+            "projection": None,
+            "aggregates": [],
+            "group_by": [],
+            "having": [],
+            "distinct": False,
+            "order": [],
+            "limit": None,
+            "offset": None,
+            "template": [],
+        }
+    if form == "DESCRIBE":
+        # DESCRIBE ?v ... <iri> ... [WHERE { ... }] — resources to
+        # describe: explicit IRIs plus solution bindings of the vars
+        targets: list[str] = []
+        while True:
+            kind, val = p.peek()
+            if kind == "var":
+                targets.append(p.next()[1])
+            elif kind in ("iri", "pname"):
+                targets.append(p.term())
+            else:
+                break
+        if not targets:
+            raise SparqlError("DESCRIBE needs at least one ?var or <iri>")
+        branches = []
+        if p.peek()[1].upper() == "WHERE" or p.peek()[1] == "{":
+            if p.peek()[1].upper() == "WHERE":
+                p.next()
+            branches = p.group()
+        if p.peek()[0] != "eof":
+            raise SparqlError("DESCRIBE takes no solution modifiers")
+        if any(is_var(t) for t in targets) and not branches:
+            raise SparqlError("DESCRIBE with ?vars needs a WHERE group")
+        return {
+            "form": "DESCRIBE",
+            "describe": targets,
             "branches": branches,
             "projection": None,
             "aggregates": [],
@@ -632,6 +697,7 @@ def parse_sparql(query: str) -> dict:
         raise SparqlError("HAVING without aggregates")
     return {
         "form": form,
+        "describe": [],
         "branches": branches,
         "projection": projection,
         "aggregates": aggregates,
@@ -865,6 +931,26 @@ def _eval_branch(
     path sequence rewriting (``__pv*``) are dropped at the end."""
     from pyspark.sql import functions as F
 
+    # Quads (a nullable ``g`` column, NULL = default graph): patterns
+    # outside GRAPH match the default graph only; GRAPH patterns carry
+    # their 4th slot. On a plain triples frame, 3-tuples pass through
+    # and GRAPH is an error.
+    has_g = "g" in triples.columns
+
+    def norm(pat: tuple) -> tuple:
+        if len(pat) == 4:
+            if not has_g:
+                raise SparqlError(
+                    "GRAPH requires a quads frame with a 'g' column"
+                )
+            return pat
+        return (*pat, None) if has_g else pat
+
+    dflt = (
+        triples.filter(F.col("g").isNull()).select("s", "p", "o")
+        if has_g
+        else triples
+    )
     # FILTERs participate in the single bgp_match Catalyst plan (free
     # pushdown) unless later stages introduce variables they may
     # reference — then they apply at group level, after assembly.
@@ -873,12 +959,13 @@ def _eval_branch(
     if br["p"] or br["o"]:
         sols = bgp_match(
             triples,
-            br["p"],
-            optional=br["o"],
+            [norm(p) for p in br["p"]],
+            optional=[norm(p) for p in br["o"]],
             filters=() if defer_filters else br["f"],
         )
     for cl in br["closures"]:
-        sols = _apply_closure(sols, cl, triples, max_rounds)
+        # path closures walk the default graph
+        sols = _apply_closure(sols, cl, dflt, max_rounds)
     for vars_, rows in br["values"]:
         sols = _apply_values(sols, triples.sparkSession, vars_, rows)
     if sols is None:
@@ -902,6 +989,43 @@ def _eval_branch(
     return sols.drop(*helper) if helper else sols
 
 
+def _eval_describe(
+    triples: DataFrame, plan: dict, max_rounds: int
+) -> DataFrame:
+    """DESCRIBE: all default-graph triples whose subject is a described
+    resource (subject-CBD) — resources are the explicit IRIs plus the
+    WHERE solutions' bindings of the named variables. The resource set
+    is small relative to the graph, so the semi-join broadcasts it."""
+    from pyspark.sql import functions as F
+
+    base = (
+        triples.filter(F.col("g").isNull()).select("s", "p", "o")
+        if "g" in triples.columns
+        else triples.select("s", "p", "o")
+    )
+    spark = triples.sparkSession
+    res: DataFrame | None = None
+    sols: DataFrame | None = None
+    if plan["branches"]:
+        for br in plan["branches"]:
+            f = _eval_branch(triples, br, max_rounds)
+            sols = f if sols is None else sols.unionByName(
+                f, allowMissingColumns=True
+            )
+    for t in plan["describe"]:
+        if is_var(t):
+            name = t[1:]
+            if sols is None or name not in sols.columns:
+                raise SparqlError(f"DESCRIBE variable ?{name} not bound")
+            part = sols.select(F.col(name).alias("s")).na.drop()
+        else:
+            part = spark.createDataFrame([(t,)], "s string")
+        res = part if res is None else res.unionByName(part)
+    return base.join(
+        F.broadcast(res.distinct()), "s", "leftsemi"
+    ).distinct()
+
+
 def sparql_query(
     triples: DataFrame, query: str, *, max_closure_rounds: int = 25
 ) -> DataFrame:
@@ -913,6 +1037,8 @@ def sparql_query(
     from pyspark.sql import functions as F
 
     plan = parse_sparql(query)
+    if plan["form"] == "DESCRIBE":
+        return _eval_describe(triples, plan, max_closure_rounds)
     frames = [
         _eval_branch(triples, br, max_closure_rounds)
         for br in plan["branches"]

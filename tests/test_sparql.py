@@ -115,7 +115,9 @@ def test_star_projection(triples):
 
 def test_errors(triples):
     with pytest.raises(SparqlUnsupported):
-        parse_sparql("SELECT ?x WHERE { GRAPH ?g { ?x ?p ?o } }")
+        parse_sparql(
+            "SELECT ?x WHERE { SERVICE <http://remote/sparql> { ?x ?p ?o } }"
+        )
     with pytest.raises(SparqlUnsupported):
         parse_sparql(
             "SELECT ?x WHERE { ?x ?p ?o FILTER EXISTS { ?x ?p ?z } }"
@@ -358,3 +360,76 @@ def test_having_offset(chain):
         f"SELECT ?s WHERE {{ ?s <{K}> ?o }} ORDER BY ?s OFFSET 1 LIMIT 2",
     )
     assert [r.s for r in out.collect()] == ["b", "c"]
+
+
+# -- quads: GRAPH clause + DESCRIBE ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        ("a", "p:knows", "b", None),
+        ("b", "p:knows", "c", None),
+        ("a", "p:knows", "x", "g:one"),
+        ("x", "p:knows", "y", "g:one"),
+        ("a", "p:knows", "z", "g:two"),
+        ("a", "p:name", "Ann", None),
+        ("b", "p:name", "Bob", None),
+    ]
+    return spark.createDataFrame(
+        rows, "s string, p string, o string, g string"
+    )
+
+
+def test_graph_default_only(quads):
+    out = sparql_query(quads, "SELECT ?o WHERE { <a> <p:knows> ?o }")
+    assert [r.o for r in out.collect()] == ["b"]
+
+
+def test_graph_constant_and_var(quads):
+    out = sparql_query(
+        quads, "SELECT ?o WHERE { GRAPH <g:one> { <a> <p:knows> ?o } }"
+    )
+    assert [r.o for r in out.collect()] == ["x"]
+    out = sparql_query(
+        quads,
+        "SELECT ?g ?o WHERE { GRAPH ?g { <a> <p:knows> ?o } } ORDER BY ?g",
+    )
+    assert [(r.g, r.o) for r in out.collect()] == [
+        ("g:one", "x"), ("g:two", "z"),
+    ]
+
+
+def test_graph_joins_with_default(quads):
+    out = sparql_query(
+        quads,
+        'SELECT ?o2 WHERE { <a> <p:knows> ?m . '
+        'GRAPH <g:one> { ?m2 <p:knows> ?o2 } FILTER (?m2 = "x") }',
+    )
+    assert [r.o2 for r in out.collect()] == ["y"]
+
+
+def test_graph_requires_quads(quads):
+    with pytest.raises(SparqlError):
+        sparql_query(
+            quads.select("s", "p", "o"),
+            "SELECT ?o WHERE { GRAPH <g:one> { <a> <p:knows> ?o } }",
+        ).collect()
+
+
+def test_path_on_quads_walks_default_graph(quads):
+    out = sparql_query(
+        quads, "SELECT ?y WHERE { <a> <p:knows>+ ?y } ORDER BY ?y"
+    )
+    assert [r.y for r in out.collect()] == ["b", "c"]
+
+
+def test_describe(quads):
+    out = sparql_query(quads, 'DESCRIBE ?x WHERE { ?x <p:knows> "b" }')
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("a", "p:knows", "b"), ("a", "p:name", "Ann"),
+    ]
+    out = sparql_query(quads, "DESCRIBE <b>")
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("b", "p:knows", "c"), ("b", "p:name", "Bob"),
+    ]
