@@ -23,9 +23,12 @@ joins over the flat (s, p, o) triples relation):
   groups (one level), ``{ A } UNION { B }`` alternation (top level of
   WHERE), ``MINUS { ... }``, ``BIND(expr AS ?v)``,
   ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) .. }`` (UNDEF
-  supported), and ``FILTER (expr)`` — comparisons, ``&&``/``||``/``!``,
-  ``BOUND(?v)``, ``REGEX(?v, "pat")``, and passthrough SQL functions
-  (``CONCAT``, ``UPPER`` …)
+  supported), ``FILTER [NOT] EXISTS { ... }`` (semi/anti join on the
+  shared variables), and ``FILTER (expr)`` — comparisons,
+  ``&&``/``||``/``!``, ``BOUND(?v)``, ``REGEX(?v, "pat")``, and the
+  string/numeric builtins (STRSTARTS/STRENDS/CONTAINS/STRLEN/UCASE/
+  LCASE/SUBSTR/REPLACE/ABS/CEIL/FLOOR/ROUND/CONCAT/COALESCE/STR)
+  mapped onto Spark SQL functions
 - trailing ``GROUP BY ?v ...``, ``HAVING (expr)``,
   ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT n`` and ``OFFSET n``
 
@@ -37,8 +40,8 @@ Reference parity: pyjelly users query parsed graphs with rdflib's
 SPARQL engine on the driver (``/root/reference/pyjelly/integrations/
 rdflib/parse.py:61`` materializes into ``rdflib.Graph``); this runs the
 same query shape distributed, where the graph lives.  Unsupported
-SPARQL (subqueries, SERVICE, FILTER EXISTS) raises
-``SparqlUnsupported`` loudly rather than mis-executing.
+SPARQL (subqueries, SERVICE) raises ``SparqlUnsupported`` loudly
+rather than mis-executing.
 """
 
 from __future__ import annotations
@@ -59,9 +62,30 @@ class SparqlUnsupported(SparqlError):
 
 
 _UNSUPPORTED = re.compile(
-    r"\b(SERVICE|EXISTS)\b",
+    r"\b(SERVICE)\b",
     re.IGNORECASE,
 )
+
+# SPARQL builtin -> Spark SQL function, applied verbatim to the
+# translated argument list (terms are flat strings in this engine, so
+# STR is the identity)
+_FILTER_FUNCS = {
+    "STRSTARTS": "startswith",
+    "STRENDS": "endswith",
+    "CONTAINS": "contains",
+    "STRLEN": "length",
+    "UCASE": "upper",
+    "LCASE": "lower",
+    "SUBSTR": "substring",
+    "REPLACE": "replace",
+    "ABS": "abs",
+    "CEIL": "ceil",
+    "FLOOR": "floor",
+    "ROUND": "round",
+    "CONCAT": "concat",
+    "COALESCE": "coalesce",
+    "STR": "",
+}
 
 _AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
@@ -195,6 +219,10 @@ class _Parser:
                     + pat[1:-1].replace("'", "''")
                     + "'"
                 )
+            elif kind == "word" and val.upper() in _FILTER_FUNCS:
+                # STR(?x) is the identity in a flat-string term model:
+                # emit just the parenthesized argument
+                parts.append(_FILTER_FUNCS[val.upper()])
             else:
                 parts.append(val)
         return " ".join(parts)
@@ -350,6 +378,7 @@ class _Parser:
         br: dict = {
             "p": [], "o": [], "f": [],
             "closures": [], "binds": [], "values": [], "minus": [],
+            "exists": [],  # (polarity, sub-branch): FILTER [NOT] EXISTS
         }
         fresh = [0]
 
@@ -390,7 +419,7 @@ class _Parser:
                     raise SparqlUnsupported("UNION inside OPTIONAL")
                 sb = sub[0]
                 if any(sb[k] for k in
-                       ("o", "f", "closures", "binds", "values", "minus")):
+                       ("o", "f", "closures", "binds", "values", "minus", "exists")):
                     raise SparqlUnsupported(
                         "only plain patterns inside OPTIONAL"
                     )
@@ -398,6 +427,17 @@ class _Parser:
                 continue
             if up == "FILTER":
                 self.next()
+                nxt = self.peek()[1].upper()
+                if nxt in ("EXISTS", "NOT"):
+                    positive = nxt == "EXISTS"
+                    self.next()
+                    if not positive:
+                        self.expect_word("EXISTS")
+                    sub = self.group()
+                    if len(sub) != 1:
+                        raise SparqlUnsupported("UNION inside EXISTS")
+                    br["exists"].append((positive, sub[0]))
+                    continue
                 br["f"].append(self.filter_expr())
                 continue
             if up == "BIND":
@@ -458,7 +498,7 @@ class _Parser:
                     raise SparqlUnsupported("UNION inside GRAPH")
                 sb = sub[0]
                 if any(sb[k] for k in
-                       ("o", "f", "closures", "binds", "values", "minus")):
+                       ("o", "f", "closures", "binds", "values", "minus", "exists")):
                     raise SparqlUnsupported(
                         "only plain patterns inside GRAPH"
                     )
@@ -575,7 +615,7 @@ def parse_sparql(query: str) -> dict:
             raise SparqlUnsupported("UNION in CONSTRUCT template")
         t = tb[0]
         if any(t[k] for k in
-               ("o", "f", "closures", "binds", "values", "minus")):
+               ("o", "f", "closures", "binds", "values", "minus", "exists")):
             raise SparqlUnsupported(
                 "CONSTRUCT template takes plain triple patterns only"
             )
@@ -985,6 +1025,18 @@ def _eval_branch(
             sols = sols.join(
                 sub.select(*shared).distinct(), shared, "left_anti"
             )
+    for positive, eb in br["exists"]:
+        sub = _eval_branch(triples, eb, max_rounds)
+        shared = [c for c in sub.columns if c in sols.columns]
+        if not shared:
+            raise SparqlUnsupported(
+                "EXISTS pattern must share a variable with the group"
+            )
+        sols = sols.join(
+            sub.select(*shared).distinct(),
+            shared,
+            "left_semi" if positive else "left_anti",
+        )
     helper = [c for c in sols.columns if c.startswith("__pv")]
     return sols.drop(*helper) if helper else sols
 

@@ -120,7 +120,7 @@ def test_errors(triples):
         )
     with pytest.raises(SparqlUnsupported):
         parse_sparql(
-            "SELECT ?x WHERE { ?x ?p ?o FILTER EXISTS { ?x ?p ?z } }"
+            "SELECT ?x WHERE { GRAPH ?g { GRAPH ?h { ?x ?p ?o } } }"
         )
     with pytest.raises(SparqlError):
         parse_sparql("SELECT WHERE { ?x ?p ?o }")
@@ -433,3 +433,33 @@ def test_describe(quads):
     assert sorted(tuple(r) for r in out.collect()) == [
         ("b", "p:knows", "c"), ("b", "p:name", "Bob"),
     ]
+
+
+def test_filter_exists(chain):
+    out = sparql_query(
+        chain,
+        f"SELECT ?s WHERE {{ ?s <{K}> ?o . "
+        f"FILTER EXISTS {{ ?s <http://x/likes> ?z }} }}",
+    )
+    assert [r.s for r in out.collect()] == ["a"]
+    out = sparql_query(
+        chain,
+        f"SELECT ?s WHERE {{ ?s <http://x/likes> ?o . "
+        f"FILTER NOT EXISTS {{ ?s <http://x/name> ?z }} }}",
+    )
+    assert [r.s for r in out.collect()] == ["a"]
+
+
+def test_filter_builtins(chain):
+    out = sparql_query(
+        chain,
+        'SELECT ?s WHERE { ?s <http://x/name> ?n . '
+        'FILTER (STRSTARTS(?n, "De") && STRLEN(?n) = 3) }',
+    )
+    assert [r.s for r in out.collect()] == ["d"]
+    out = sparql_query(
+        chain,
+        'SELECT ?s WHERE { ?s <http://x/name> ?n . '
+        'FILTER (CONTAINS(UCASE(?n), "EE")) }',
+    )
+    assert [r.s for r in out.collect()] == ["d"]
