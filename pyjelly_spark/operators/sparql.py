@@ -1118,6 +1118,19 @@ def sparql_query(
             .agg((F.count("__x") > 0).alias("ask"))
         )
     if plan["form"] == "CONSTRUCT":
+        # solution modifiers apply to the solution sequence BEFORE the
+        # template instantiates triples (SPARQL 16.2)
+        if plan["order"]:
+            sols = sols.orderBy(
+                *[
+                    F.col(v).asc() if asc else F.col(v).desc()
+                    for v, asc in plan["order"]
+                ]
+            )
+        if plan["offset"]:
+            sols = sols.offset(plan["offset"])
+        if plan["limit"] is not None:
+            sols = sols.limit(plan["limit"])
         out = None
         for s, p, o in plan["template"]:
             row = sols.select(

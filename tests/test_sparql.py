@@ -463,3 +463,14 @@ def test_filter_builtins(chain):
         'FILTER (CONTAINS(UCASE(?n), "EE")) }',
     )
     assert [r.s for r in out.collect()] == ["d"]
+
+
+def test_construct_solution_modifiers(chain):
+    out = sparql_query(
+        chain,
+        f"CONSTRUCT {{ ?s <http://x/e> ?o }} "
+        f"WHERE {{ ?s <{K}> ?o }} ORDER BY ?s LIMIT 2",
+    )
+    assert sorted((r.s, r.o) for r in out.collect()) == [
+        ("a", "b"), ("b", "c"),
+    ]
