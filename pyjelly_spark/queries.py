@@ -747,6 +747,51 @@ SELECT DISTINCT s, p, o FROM (
 """
 
 
+def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH clause through the front-end over a quads dataset:
+    defines-triples live in one named graph per repo, containment in the
+    default graph. The GRAPH ?g join runs as 4-slot BGP patterns in one
+    Catalyst plan (operators/bgp.py — the graph variable ranges over
+    named graphs only); the per-graph aggregate is gated against the
+    closed-form per-repo symbol counts."""
+    from pyjelly_spark.operators.sparql import sparql_query
+
+    files = derived_source_files(spark, sf_dir)
+    defs = _spo(X.extract_defs(files)).withColumn(
+        "g",
+        F.concat(
+            F.lit("http://kg.example/repo/"),
+            F.regexp_extract("s", r"file/([^/]+)/", 1),
+        ),
+    )
+    contains = _spo(X.structural_triples(files)).withColumn(
+        "g", F.lit(None).cast("string")
+    )
+    quads = contains.unionByName(defs)
+    return sparql_query(
+        quads,
+        f"""
+        PREFIX kg: <{NS}>
+        SELECT ?g (COUNT(?sym) AS ?n_defs)
+               (COUNT(DISTINCT ?sym) AS ?n_symbols) WHERE {{
+          GRAPH ?g {{ ?f kg:defines ?sym }}
+        }}
+        GROUP BY ?g
+        ORDER BY ?g
+        """,
+    )
+
+
+SQL_KG_SPARQL_GRAPH = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()}
+SELECT 'http://kg.example/repo/' || repo AS g,
+       count(*)::BIGINT AS n_defs,
+       count(DISTINCT symbol)::BIGINT AS n_symbols
+FROM defs_gt
+GROUP BY repo ORDER BY g
+"""
+
+
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental KG maintenance between two snapshots of the source
     table: sha256-keyed anti-joins prune unchanged files BEFORE
@@ -2533,6 +2578,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_agg": q_kg_sparql_agg,
     "kg_sparql_path": q_kg_sparql_path,
     "kg_sparql_construct": q_kg_sparql_construct,
+    "kg_sparql_graph": q_kg_sparql_graph,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -2599,6 +2645,7 @@ ORACLES: dict[str, str] = {
     "kg_sparql_agg": SQL_KG_SPARQL_AGG,
     "kg_sparql_path": SQL_KG_SPARQL_PATH,
     "kg_sparql_construct": SQL_KG_SPARQL_CONSTRUCT,
+    "kg_sparql_graph": SQL_KG_SPARQL_GRAPH,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

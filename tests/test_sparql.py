@@ -474,3 +474,47 @@ def test_construct_solution_modifiers(chain):
     assert sorted((r.s, r.o) for r in out.collect()) == [
         ("a", "b"), ("b", "c"),
     ]
+
+
+def test_path_closure_differential_random(spark):
+    """Seeded random graphs vs a pure-Python transitive closure: the
+    var-var semi-naive path and the seeded-BFS path must both agree with
+    brute force, including cyclic graphs and the zero-length (*) rule."""
+    import random
+
+    rng = random.Random(7)
+    nodes = ["n0", "n1", "n2", "n3", "n4"]
+
+    def py_closure(edges):
+        pairs = set(edges)
+        while True:
+            new = {(a, d) for a, b in pairs for c, d in edges if b == c}
+            if new <= pairs:
+                return pairs
+            pairs |= new
+
+    for case in range(8):
+        edges = sorted({
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(rng.randint(2, 9))
+        })
+        rows = [(a, "p:e", b) for a, b in edges]
+        # a second predicate as noise
+        rows += [(rng.choice(nodes), "p:x", rng.choice(nodes))]
+        g = spark.createDataFrame(rows, ["s", "p", "o"])
+        expected = sorted(py_closure(edges))
+
+        out = sparql_query(g, "SELECT ?x ?y WHERE { ?x <p:e>+ ?y }")
+        got = sorted((r.x, r.y) for r in out.collect())
+        assert got == expected, (case, edges)
+
+        # seeded: forward from a random constant
+        seed = rng.choice(nodes)
+        exp_fwd = sorted({b for a, b in expected if a == seed})
+        out = sparql_query(g, f"SELECT ?y WHERE {{ <{seed}> <p:e>+ ?y }}")
+        assert sorted(r.y for r in out.collect()) == exp_fwd, (case, seed, edges)
+
+        # star adds zero-length pairs over every graph term
+        terms = sorted({t for r in rows for t in (r[0], r[2])})
+        exp_star = sorted(set(expected) | {(t, t) for t in terms})
+        out = sparql_query(g, "SELECT ?x ?y WHERE { ?x <p:e>* ?y }")
+        assert sorted((r.x, r.y) for r in out.collect()) == exp_star, (case, edges)
