@@ -40,8 +40,9 @@ Reference parity: pyjelly users query parsed graphs with rdflib's
 SPARQL engine on the driver (``/root/reference/pyjelly/integrations/
 rdflib/parse.py:61`` materializes into ``rdflib.Graph``); this runs the
 same query shape distributed, where the graph lives.  Unsupported
-SPARQL (subqueries, SERVICE) raises ``SparqlUnsupported`` loudly
-rather than mis-executing.
+SPARQL (SERVICE, federation) raises ``SparqlUnsupported`` loudly
+rather than mis-executing. Subqueries (``{ SELECT ... }``) evaluate
+bottom-up and join the outer group on their projected variables.
 """
 
 from __future__ import annotations
@@ -379,6 +380,7 @@ class _Parser:
             "p": [], "o": [], "f": [],
             "closures": [], "binds": [], "values": [], "minus": [],
             "exists": [],  # (polarity, sub-branch): FILTER [NOT] EXISTS
+            "subqueries": [],  # nested { SELECT ... } plan dicts
         }
         fresh = [0]
 
@@ -419,7 +421,8 @@ class _Parser:
                     raise SparqlUnsupported("UNION inside OPTIONAL")
                 sb = sub[0]
                 if any(sb[k] for k in
-                       ("o", "f", "closures", "binds", "values", "minus", "exists")):
+                       ("o", "f", "closures", "binds", "values", "minus",
+                        "exists", "subqueries")):
                     raise SparqlUnsupported(
                         "only plain patterns inside OPTIONAL"
                     )
@@ -488,6 +491,29 @@ class _Parser:
                     raise SparqlUnsupported("UNION inside MINUS")
                 br["minus"].append(sub[0])
                 continue
+            if up == "SELECT":
+                # subquery as the entire remaining group: evaluated
+                # bottom-up, projected vars join the outer group
+                self.next()
+                br["subqueries"].append(
+                    _parse_select_tail(self, "SELECT", [], stop="}")
+                )
+                return br
+            if val == "{":
+                # braced subgroup mid-body: only { SELECT ... } folds in
+                sub = self.group()
+                if len(sub) != 1:
+                    raise SparqlUnsupported("UNION in a nested group")
+                sb = sub[0]
+                if any(sb[k] for k in
+                       ("p", "o", "f", "closures", "binds", "values",
+                        "minus", "exists")) or not sb["subqueries"]:
+                    raise SparqlUnsupported(
+                        "nested groups support only { SELECT ... } "
+                        "subqueries"
+                    )
+                br["subqueries"].extend(sb["subqueries"])
+                continue
             if up == "GRAPH":
                 # GRAPH ?g { ... } / GRAPH <iri> { ... } over a quads
                 # frame: every inner pattern gains a 4th (graph) slot.
@@ -498,7 +524,8 @@ class _Parser:
                     raise SparqlUnsupported("UNION inside GRAPH")
                 sb = sub[0]
                 if any(sb[k] for k in
-                       ("o", "f", "closures", "binds", "values", "minus", "exists")):
+                       ("o", "f", "closures", "binds", "values", "minus",
+                        "exists", "subqueries")):
                     raise SparqlUnsupported(
                         "only plain patterns inside GRAPH"
                     )
@@ -546,12 +573,8 @@ def parse_sparql(query: str) -> dict:
             f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got {form!r}"
         )
     p.next()
-    distinct = False
-    projection: list[str] | None = []
-    aggregates: list[dict] = []
     template: list[tuple] = []
     if form == "ASK":
-        projection = None
         # ASK { ... } — WHERE keyword optional
         if p.peek()[1].upper() == "WHERE":
             p.next()
@@ -615,7 +638,8 @@ def parse_sparql(query: str) -> dict:
             raise SparqlUnsupported("UNION in CONSTRUCT template")
         t = tb[0]
         if any(t[k] for k in
-               ("o", "f", "closures", "binds", "values", "minus", "exists")):
+               ("o", "f", "closures", "binds", "values", "minus",
+                        "exists", "subqueries")):
             raise SparqlUnsupported(
                 "CONSTRUCT template takes plain triple patterns only"
             )
@@ -625,7 +649,19 @@ def parse_sparql(query: str) -> dict:
             if isinstance(pr, tuple):
                 raise SparqlUnsupported("alternation in CONSTRUCT template")
             template.append((s, pr, o))
-        projection = None
+    return _parse_select_tail(p, form, template, stop="eof")
+
+
+def _parse_select_tail(
+    p: _Parser, form: str, template: list[tuple], stop: str
+) -> dict:
+    """Projection + WHERE + solution modifiers — shared by the top
+    level (``stop="eof"``) and subqueries (``stop="}"``, consuming the
+    closing brace). The form word (SELECT/CONSTRUCT) is already
+    consumed."""
+    distinct = False
+    projection: list[str] | None = [] if form == "SELECT" else None
+    aggregates: list[dict] = []
     if form == "SELECT" and p.peek()[1].upper() == "DISTINCT":
         p.next()
         distinct = True
@@ -681,7 +717,15 @@ def parse_sparql(query: str) -> dict:
     having: list[str] = []
     limit: int | None = None
     offset: int | None = None
-    while p.peek()[0] != "eof":
+    while True:
+        kind, val = p.peek()
+        if kind == "eof":
+            if stop == "}":
+                raise SparqlError("unterminated subquery group")
+            break
+        if stop == "}" and val == "}":
+            p.next()
+            break
         kind, val = p.next()
         up = val.upper()
         if up == "GROUP":
@@ -994,7 +1038,9 @@ def _eval_branch(
     # FILTERs participate in the single bgp_match Catalyst plan (free
     # pushdown) unless later stages introduce variables they may
     # reference — then they apply at group level, after assembly.
-    defer_filters = bool(br["closures"] or br["binds"] or br["values"])
+    defer_filters = bool(
+        br["closures"] or br["binds"] or br["values"] or br["subqueries"]
+    )
     sols: DataFrame | None = None
     if br["p"] or br["o"]:
         sols = bgp_match(
@@ -1006,6 +1052,13 @@ def _eval_branch(
     for cl in br["closures"]:
         # path closures walk the default graph
         sols = _apply_closure(sols, cl, dflt, max_rounds)
+    for sq in br["subqueries"]:
+        sub = _eval_select_plan(triples, sq, max_rounds)
+        if sols is None:
+            sols = sub
+        else:
+            keys = [c for c in sub.columns if c in sols.columns]
+            sols = sols.join(sub, keys) if keys else sols.crossJoin(sub)
     for vars_, rows in br["values"]:
         sols = _apply_values(sols, triples.sparkSession, vars_, rows)
     if sols is None:
@@ -1091,6 +1144,17 @@ def sparql_query(
     plan = parse_sparql(query)
     if plan["form"] == "DESCRIBE":
         return _eval_describe(triples, plan, max_closure_rounds)
+    return _eval_select_plan(triples, plan, max_closure_rounds)
+
+
+def _eval_select_plan(
+    triples: DataFrame, plan: dict, max_closure_rounds: int
+) -> DataFrame:
+    """Evaluate a SELECT/ASK/CONSTRUCT plan dict — also the entry point
+    for nested ``{ SELECT ... }`` subqueries (SPARQL 18.2: subqueries
+    evaluate bottom-up, exporting only their projected variables)."""
+    from pyspark.sql import functions as F
+
     frames = [
         _eval_branch(triples, br, max_closure_rounds)
         for br in plan["branches"]

@@ -518,3 +518,51 @@ def test_path_closure_differential_random(spark):
         exp_star = sorted(set(expected) | {(t, t) for t in terms})
         out = sparql_query(g, "SELECT ?x ?y WHERE { ?x <p:e>* ?y }")
         assert sorted((r.x, r.y) for r in out.collect()) == exp_star, (case, edges)
+
+
+def test_subquery_whole_where(chain):
+    out = sparql_query(
+        chain,
+        f"SELECT ?s ?n WHERE {{ "
+        f"{{ SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s <{K}> ?o }} GROUP BY ?s }} "
+        f"}} ORDER BY ?s",
+    )
+    assert [(r.s, r.n) for r in out.collect()] == [
+        ("a", 1), ("b", 1), ("c", 1), ("d", 1),
+    ]
+
+
+def test_subquery_joined_with_outer(chain):
+    out = sparql_query(
+        chain,
+        f"""
+        SELECT ?s ?name ?n WHERE {{
+          ?s <http://x/name> ?name .
+          {{ SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s ?p ?o }} GROUP BY ?s }}
+        }}
+        """,
+    )
+    assert [(r.s, r.name, r.n) for r in out.collect()] == [("d", "Dee", 2)]
+
+
+def test_subquery_with_limit(chain):
+    # top-1 subject by out-degree, then decorate with its name
+    out = sparql_query(
+        chain,
+        f"""
+        SELECT ?name WHERE {{
+          ?s <http://x/name> ?name .
+          {{ SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s ?p ?o }}
+             GROUP BY ?s ORDER BY DESC(?n) ?s LIMIT 2 }}
+        }}
+        """,
+    )
+    assert [r.name for r in out.collect()] == ["Dee"]
+
+
+def test_subquery_rejected_in_optional(chain):
+    with pytest.raises(SparqlUnsupported):
+        parse_sparql(
+            f"SELECT ?s WHERE {{ ?s ?p ?o . "
+            f"OPTIONAL {{ {{ SELECT ?s WHERE {{ ?s ?p ?o }} }} }} }}"
+        )
