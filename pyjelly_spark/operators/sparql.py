@@ -1094,6 +1094,159 @@ def _eval_branch(
     return sols.drop(*helper) if helper else sols
 
 
+def _parse_template_group(p: _Parser) -> list[tuple]:
+    """A braced group restricted to plain triple patterns (update/
+    construct templates)."""
+    tb = p.group()
+    if len(tb) != 1:
+        raise SparqlUnsupported("UNION in a template group")
+    t = tb[0]
+    if any(t[k] for k in
+           ("o", "f", "closures", "binds", "values", "minus",
+            "exists", "subqueries")):
+        raise SparqlUnsupported("templates take plain triple patterns only")
+    if not t["p"]:
+        raise SparqlError("empty template group")
+    out = []
+    for s, pr, o in t["p"]:
+        if isinstance(pr, tuple):
+            raise SparqlUnsupported("alternation in a template")
+        out.append((s, pr, o))
+    return out
+
+
+def _instantiate(sols: DataFrame, template: list[tuple]) -> DataFrame:
+    """CONSTRUCT-style template instantiation: one (s, p, o) row per
+    solution per template pattern; unbound slots drop the row; result
+    is a graph (set)."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for s, p, o in template:
+        row = sols.select(
+            *[
+                (F.col(t[1:]) if is_var(t) else F.lit(t)).alias(slot)
+                for slot, t in (("s", s), ("p", p), ("o", o))
+            ]
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.na.drop().distinct()
+
+
+def sparql_update(
+    triples: DataFrame, update: str, *, max_closure_rounds: int = 25
+) -> DataFrame:
+    """Apply a SPARQL UPDATE to a triples DataFrame and return the NEW
+    graph (functional — the input frame is untouched; write the result
+    wherever the old graph lived).
+
+    Supported forms (triples frames, default graph only):
+
+    - ``INSERT DATA { ground triples }``
+    - ``DELETE DATA { ground triples }``
+    - ``DELETE WHERE { patterns }`` — the pattern group is both the
+      match and the delete template
+    - ``[DELETE { template }] [INSERT { template }] WHERE { group }`` —
+      the general form; WHERE supports the full query subset (paths,
+      FILTER, UNION, ...)
+
+    Deletions are an (s, p, o) anti-join; insertions union-distinct.
+    The reference applies updates through rdflib's in-memory store
+    (``Graph.update``); here the same statement rewrites the
+    distributed graph as one Catalyst plan.
+    """
+    from pyspark.sql import functions as F
+
+    bad = _UNSUPPORTED.search(update)
+    if bad:
+        raise SparqlUnsupported(f"{bad.group(0)} is not supported")
+    p = _Parser(_tokenize(update))
+    while p.peek()[1].upper() == "PREFIX":
+        p.next()
+        _, pname = p.next()
+        ns = pname[:-1] if pname.endswith(":") else pname.partition(":")[0]
+        kind, iri = p.next()
+        if kind != "iri":
+            raise SparqlError("PREFIX needs an <iri>")
+        p.prefixes[ns] = iri[1:-1]
+
+    delete_tpl: list[tuple] | None = None
+    insert_tpl: list[tuple] | None = None
+    where = None
+    kind, val = p.next()
+    up = val.upper()
+    if up == "INSERT" and p.peek()[1].upper() == "DATA":
+        p.next()
+        insert_tpl = _parse_template_group(p)
+    elif up == "DELETE" and p.peek()[1].upper() == "DATA":
+        p.next()
+        delete_tpl = _parse_template_group(p)
+    elif up == "DELETE" and p.peek()[1].upper() == "WHERE":
+        p.next()
+        where = p.group()
+        delete_tpl = []
+        for br in where:
+            delete_tpl.extend(
+                pat for pat in br["p"] if len(pat) == 3
+            )
+        if not delete_tpl:
+            raise SparqlError("DELETE WHERE needs triple patterns")
+    else:
+        if up == "DELETE":
+            delete_tpl = _parse_template_group(p)
+            kind, val = p.next()
+            up = val.upper()
+        if up == "INSERT":
+            insert_tpl = _parse_template_group(p)
+            kind, val = p.next()
+            up = val.upper()
+        if up != "WHERE":
+            raise SparqlError(f"expected WHERE, got {val!r}")
+        where = p.group()
+    if p.peek()[0] != "eof":
+        raise SparqlError(
+            f"unexpected trailing token {p.peek()[1]!r} (one update "
+            "statement per call)"
+        )
+    if delete_tpl is None and insert_tpl is None:
+        raise SparqlError("update changes nothing")
+
+    if where is None:
+        # DATA forms: templates must be ground
+        for tpl in (delete_tpl or []) + (insert_tpl or []):
+            if any(is_var(t) for t in tpl):
+                raise SparqlError("INSERT/DELETE DATA takes ground triples")
+        spark = triples.sparkSession
+        sols = spark.range(1).select()  # unit solution
+    else:
+        frames = [
+            _eval_branch(triples, br, max_closure_rounds) for br in where
+        ]
+        all_vars: list[str] = []
+        for f in frames:
+            for c in f.columns:
+                if c not in all_vars:
+                    all_vars.append(c)
+        sols = None
+        for f in frames:
+            aligned = f.select(
+                *[
+                    F.col(c) if c in f.columns
+                    else F.lit(None).cast("string").alias(c)
+                    for c in all_vars
+                ]
+            )
+            sols = aligned if sols is None else sols.unionByName(aligned)
+
+    out = triples
+    if delete_tpl:
+        out = out.join(_instantiate(sols, delete_tpl), ["s", "p", "o"],
+                       "left_anti")
+    if insert_tpl:
+        out = out.unionByName(_instantiate(sols, insert_tpl)).distinct()
+    return out
+
+
 def _eval_describe(
     triples: DataFrame, plan: dict, max_rounds: int
 ) -> DataFrame:
@@ -1195,18 +1348,9 @@ def _eval_select_plan(
             sols = sols.offset(plan["offset"])
         if plan["limit"] is not None:
             sols = sols.limit(plan["limit"])
-        out = None
-        for s, p, o in plan["template"]:
-            row = sols.select(
-                *[
-                    (F.col(t[1:]) if is_var(t) else F.lit(t)).alias(slot)
-                    for slot, t in (("s", s), ("p", p), ("o", o))
-                ]
-            )
-            out = row if out is None else out.unionByName(row)
         # a template pattern with an unbound (OPTIONAL) variable emits
         # no triple for that solution; CONSTRUCT output is a graph (set)
-        return out.na.drop().distinct()
+        return _instantiate(sols, plan["template"])
     if plan["aggregates"]:
         aggs = []
         for a in plan["aggregates"]:

@@ -792,6 +792,61 @@ GROUP BY repo ORDER BY g
 """
 
 
+def q_kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UPDATE through the front-end: a DELETE/INSERT WHERE that
+    renames the calls predicate to invokes and an INSERT WHERE that
+    materializes a derived co-definition edge, applied to the KG graph
+    as one Catalyst plan per statement (anti-join delete + union-
+    distinct insert — operators/sparql.py::sparql_update). Gated on the
+    per-predicate statement counts of the updated graph."""
+    from pyjelly_spark.operators.sparql import sparql_update
+
+    graph = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    g2 = sparql_update(
+        graph,
+        f"""
+        PREFIX kg: <{NS}>
+        DELETE {{ ?f kg:calls ?sym }}
+        INSERT {{ ?f kg:invokes ?sym }}
+        WHERE {{ ?f kg:calls ?sym }}
+        """,
+    )
+    return (
+        g2.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("s").cast("long").alias("n_subjects"),
+        )
+        .orderBy("p")
+    )
+
+
+SQL_KG_SPARQL_UPDATE = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+graph AS (
+  SELECT 'http://kg.example/repo/' || repo AS s, '{NS}contains' AS p,
+         file_iri AS o FROM files
+  UNION ALL
+  SELECT file_iri, '{NS}lang', 'python' FROM files
+  UNION ALL
+  SELECT file_iri, '{NS}sha256', sha256(content) FROM files
+  UNION ALL
+  SELECT file_iri, '{NS}imports',
+         'http://kg.example/module/pkg' || (t % 13) || '.mod_' || t
+  FROM imports_gt
+  UNION ALL
+  SELECT file_iri, '{NS}defines', 'http://kg.example/symbol/' || symbol
+  FROM defs_gt
+  UNION ALL
+  SELECT file_iri, '{NS}invokes', 'http://kg.example/symbol/' || symbol
+  FROM calls_gt
+)
+SELECT p, count(*)::BIGINT AS n, count(DISTINCT s)::BIGINT AS n_subjects
+FROM (SELECT DISTINCT s, p, o FROM graph)
+GROUP BY p ORDER BY p
+"""
+
+
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental KG maintenance between two snapshots of the source
     table: sha256-keyed anti-joins prune unchanged files BEFORE
@@ -2579,6 +2634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_path": q_kg_sparql_path,
     "kg_sparql_construct": q_kg_sparql_construct,
     "kg_sparql_graph": q_kg_sparql_graph,
+    "kg_sparql_update": q_kg_sparql_update,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -2646,6 +2702,7 @@ ORACLES: dict[str, str] = {
     "kg_sparql_path": SQL_KG_SPARQL_PATH,
     "kg_sparql_construct": SQL_KG_SPARQL_CONSTRUCT,
     "kg_sparql_graph": SQL_KG_SPARQL_GRAPH,
+    "kg_sparql_update": SQL_KG_SPARQL_UPDATE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

@@ -566,3 +566,76 @@ def test_subquery_rejected_in_optional(chain):
             f"SELECT ?s WHERE {{ ?s ?p ?o . "
             f"OPTIONAL {{ {{ SELECT ?s WHERE {{ ?s ?p ?o }} }} }} }}"
         )
+
+
+# -- SPARQL UPDATE -----------------------------------------------------
+
+
+@pytest.fixture()
+def upd_graph(spark):
+    rows = [
+        ("a", "p:knows", "b"),
+        ("b", "p:knows", "c"),
+        ("a", "p:type", "person"),
+        ("b", "p:type", "person"),
+    ]
+    return spark.createDataFrame(rows, ["s", "p", "o"]), rows
+
+
+def _s(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_update_insert_delete_data(upd_graph):
+    from pyjelly_spark.operators.sparql import sparql_update
+
+    g, rows = upd_graph
+    out = sparql_update(g, 'INSERT DATA { <z> <p:type> "robot" }')
+    assert _s(out) == sorted(set(rows) | {("z", "p:type", "robot")})
+    out = sparql_update(g, "DELETE DATA { <a> <p:knows> <b> }")
+    assert _s(out) == sorted(set(rows) - {("a", "p:knows", "b")})
+
+
+def test_update_delete_where(upd_graph):
+    from pyjelly_spark.operators.sparql import sparql_update
+
+    g, rows = upd_graph
+    out = sparql_update(g, "DELETE WHERE { ?s <p:type> ?t }")
+    assert _s(out) == [("a", "p:knows", "b"), ("b", "p:knows", "c")]
+
+
+def test_update_delete_insert_where(upd_graph):
+    from pyjelly_spark.operators.sparql import sparql_update
+
+    g, rows = upd_graph
+    out = sparql_update(
+        g,
+        "DELETE { ?s <p:type> ?t } INSERT { ?s <p:category> ?t } "
+        "WHERE { ?s <p:type> ?t }",
+    )
+    assert _s(out) == sorted(
+        [("a", "p:knows", "b"), ("b", "p:knows", "c"),
+         ("a", "p:category", "person"), ("b", "p:category", "person")]
+    )
+
+
+def test_update_insert_with_path(upd_graph):
+    from pyjelly_spark.operators.sparql import sparql_update
+
+    g, rows = upd_graph
+    out = sparql_update(
+        g, "INSERT { ?x <p:reaches> ?y } WHERE { ?x <p:knows>+ ?y }"
+    )
+    got = set(_s(out))
+    assert {("a", "p:reaches", "b"), ("a", "p:reaches", "c"),
+            ("b", "p:reaches", "c")} <= got
+
+
+def test_update_errors(upd_graph):
+    from pyjelly_spark.operators.sparql import sparql_update
+
+    g, rows = upd_graph
+    with pytest.raises(SparqlError):
+        sparql_update(g, "INSERT DATA { ?v <p:x> <p:y> }")  # not ground
+    with pytest.raises(SparqlError):
+        sparql_update(g, "WHERE { ?s ?p ?o }")  # changes nothing
