@@ -88,7 +88,9 @@ _FILTER_FUNCS = {
     "STR": "",
 }
 
-_AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+_AGG_FUNCS = {
+    "COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT",
+}
 
 _TOKEN = re.compile(
     r"""
@@ -692,6 +694,16 @@ def _parse_select_tail(
                 arg = None
             else:
                 raise SparqlError(f"bad aggregate argument {arg!r}")
+            separator = " "
+            if p.peek()[1] == ";":  # GROUP_CONCAT(?v; SEPARATOR="x")
+                p.next()
+                p.expect_word("SEPARATOR")
+                if p.peek()[1] == "=":
+                    p.next()
+                kind2, sep = p.next()
+                if kind2 != "literal":
+                    raise SparqlError("SEPARATOR needs a string literal")
+                separator = re.sub(r"\\(.)", r"\1", sep[1:-1])
             p.expect_punct(")")
             p.expect_word("AS")
             kind, alias = p.next()
@@ -704,6 +716,7 @@ def _parse_select_tail(
                     "var": arg,
                     "distinct": agg_distinct,
                     "alias": alias[1:],
+                    "separator": separator,
                 }
             )
         else:
@@ -1361,6 +1374,16 @@ def _eval_select_plan(
                 col = F.countDistinct(v)
             elif fn == "COUNT":
                 col = F.count(v)
+            elif fn == "SAMPLE":
+                # any value is allowed; min() is the deterministic pick
+                col = F.min(v)
+            elif fn == "GROUP_CONCAT":
+                # sorted for partition-order independence (SPARQL leaves
+                # concatenation order unspecified)
+                vals = (
+                    F.collect_set(v) if a["distinct"] else F.collect_list(v)
+                )
+                col = F.array_join(F.sort_array(vals), a["separator"])
             else:
                 src = F.col(v).cast("double") if fn in ("SUM", "AVG") else F.col(v)
                 src = (

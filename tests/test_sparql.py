@@ -639,3 +639,22 @@ def test_update_errors(upd_graph):
         sparql_update(g, "INSERT DATA { ?v <p:x> <p:y> }")  # not ground
     with pytest.raises(SparqlError):
         sparql_update(g, "WHERE { ?s ?p ?o }")  # changes nothing
+
+
+def test_sample_and_group_concat(chain):
+    out = sparql_query(
+        chain,
+        f"""
+        SELECT ?s (GROUP_CONCAT(?o; SEPARATOR="|") AS ?objs)
+               (SAMPLE(?o) AS ?one) WHERE {{ ?s <{K}> ?o }}
+        GROUP BY ?s ORDER BY ?s
+        """,
+    )
+    rows = [(r.s, r.objs, r.one) for r in out.collect()]
+    assert rows == [("a", "b", "b"), ("b", "c", "c"),
+                    ("c", "d", "d"), ("d", "b", "b")]
+    out = sparql_query(
+        chain,
+        "SELECT (GROUP_CONCAT(DISTINCT ?o) AS ?objs) WHERE { ?s ?p ?o }",
+    )
+    assert out.collect()[0].objs == "Dee b c d z"
