@@ -658,3 +658,38 @@ def test_sample_and_group_concat(chain):
         "SELECT (GROUP_CONCAT(DISTINCT ?o) AS ?objs) WHERE { ?s ?p ?o }",
     )
     assert out.collect()[0].objs == "Dee b c d z"
+
+
+def test_parser_totality_fuzz():
+    """The parser is a total function: any input either parses or
+    raises SparqlError — never IndexError/KeyError/RecursionError.
+    Seeded: prefix truncations of a kitchen-sink query, random
+    character soup, and token-level shuffles."""
+    import random
+
+    valid = """PREFIX kg: <http://kg.example/ns#>
+SELECT ?sym (COUNT(DISTINCT ?x) AS ?n) WHERE {
+  { ?x kg:defines ?sym } UNION { ?x kg:calls+ ?sym }
+  FILTER (STRSTARTS(?sym, "f") && BOUND(?x))
+  OPTIONAL { ?x kg:lang ?l }
+  VALUES ?l { "python" UNDEF }
+  MINUS { ?x kg:sha256 ?h }
+} GROUP BY ?sym HAVING (?n > 1) ORDER BY DESC(?n) LIMIT 5 OFFSET 1"""
+
+    def check(q):
+        try:
+            parse_sparql(q)
+        except SparqlError:
+            pass  # the contract: SparqlError or success, nothing else
+
+    rng = random.Random(1)
+    for i in range(len(valid)):
+        check(valid[:i])
+    alphabet = list('?{}()<>."; selectwhreabc|^+*/!&=,') + list("ABC?")
+    for _ in range(1500):
+        check("".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))))
+    toks = valid.split()
+    for _ in range(500):
+        t = toks[:]
+        rng.shuffle(t)
+        check(" ".join(t[: rng.randint(1, len(t))]))
