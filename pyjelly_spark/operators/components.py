@@ -23,7 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -49,13 +49,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
     undirected (Kiveris et al. §3). No output distinct: duplicates feed
     min-aggregations downstream and small-star ends with the one
     distinct that bounds the per-round edge set.
+
+    The per-node minimum is a window aggregate, not groupBy+join: one
+    hash exchange on ``src`` instead of three (agg shuffle + both join
+    sides) — the rounds are stage-latency-bound at moderate edge counts,
+    so exchange count per round is what bounds N->4N scaling efficiency.
     """
     both = _symmetrize(edges)
-    mins = both.groupBy("src").agg(
-        F.least(F.min("dst"), F.first("src")).alias("m")
-    )
+    m = F.least(F.min("dst").over(Window.partitionBy("src")), F.col("src"))
     return (
-        both.join(mins, "src")
+        both.withColumn("m", m)
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -64,19 +67,34 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient edges high->low; for each node u connect all small neighbors
-    (and u itself) to the minimum of that neighborhood."""
+    (and u itself) to the minimum of that neighborhood.
+
+    Same single-exchange window shape as ``_large_star``; the node's own
+    (u -> min) link is emitted from the row(s) where ``dst`` IS the
+    minimum (instead of a second union branch over a joined aggregate),
+    and the closing ``distinct`` both dedups and bounds the per-round
+    edge set.
+    """
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
-    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    relinked = (
-        oriented.join(mins, "src")
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .unionByName(mins.select(F.col("src"), F.col("m").alias("dst")))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
+    withm = oriented.withColumn(
+        "m", F.min("dst").over(Window.partitionBy("src"))
     )
-    return relinked
+    pairs = withm.select(
+        F.explode(
+            F.when(
+                F.col("dst") == F.col("m"),
+                F.array(
+                    F.struct(F.col("dst").alias("a"), F.col("m").alias("b")),
+                    F.struct(F.col("src").alias("a"), F.col("m").alias("b")),
+                ),
+            ).otherwise(
+                F.array(F.struct(F.col("dst").alias("a"), F.col("m").alias("b")))
+            )
+        ).alias("e")
+    ).select(F.col("e.a").alias("src"), F.col("e.b").alias("dst"))
+    return pairs.where(F.col("src") != F.col("dst")).distinct()
 
 
 def _signature(edges: DataFrame):
