@@ -236,16 +236,97 @@ def extract_mentions_arrow(files: DataFrame) -> DataFrame:
     return files.select("repo", "path", "content").mapInPandas(run, schema=schema)
 
 
+def extract_compact(files: DataFrame) -> DataFrame:
+    """ONE narrow pass over ``content``: per-file sha256 + all mention
+    arrays.
+
+    ``(repo, path, lang, sha, imports, defs, calls)`` — everything any
+    downstream consumer needs, with ``content`` dropped. The per-family
+    extractors above each scan the (cached) corpus separately; unioning
+    them costs 6+ bandwidth-bound sweeps of the content column, which is
+    exactly the resource that stops scaling first when cores quadruple
+    (DRAM locally, the storage fabric on a cluster). Pipelines checkpoint
+    this frame (small: no content) and derive triples, the def dictionary,
+    and the call mentions from it without ever touching content again.
+    """
+    return files.select(
+        "repo",
+        "path",
+        "lang",
+        F.sha2(F.col("content"), 256).alias("sha"),
+        F.regexp_extract_all("content", F.lit(IMPORT_RE), F.lit(1)).alias("imports"),
+        F.regexp_extract_all("content", F.lit(DEF_RE), F.lit(1)).alias("defs"),
+        F.regexp_extract_all("content", F.lit(CALL_RE), F.lit(1)).alias("calls"),
+    )
+
+
+def triples_from_compact(per_file: DataFrame) -> DataFrame:
+    """Compact per-file frame -> the uniform triples frame, zero content
+    scans: builds an ``array<struct<kind_rank,s,p,o>>`` per file with
+    ``transform`` over the mention arrays and explodes ONCE (one narrow
+    stage, no 6-way union of separate corpus scans).
+    """
+
+    def _t(kind_rank: int, s: Column, p: str, o: Column) -> Column:
+        return F.struct(
+            F.lit(kind_rank).cast("int").alias("kind_rank"),
+            s.alias("s"),
+            iri(F.lit(p)).alias("p"),
+            o.alias("o"),
+        )
+
+    file_node = iri(file_iri(F.col("repo"), F.col("path")))
+    base = F.array(
+        _t(0, iri(repo_iri(F.col("repo"))), P_CONTAINS, file_node),
+        _t(1, file_node, P_LANG, lit_term(F.col("lang"))),
+        _t(2, file_node, P_SHA256, lit_term(F.col("sha"))),
+    )
+    imports = F.transform(
+        F.col("imports"),
+        lambda m: _t(
+            3,
+            file_node,
+            P_IMPORTS,
+            iri(
+                F.concat(
+                    F.lit(MODULE_BASE), F.replace(m, F.lit("/"), F.lit("."))
+                )
+            ),
+        ),
+    )
+    defs = F.transform(
+        F.col("defs"),
+        lambda sym: _t(
+            4, file_node, P_DEFINES, iri(F.concat(F.lit(SYMBOL_BASE), sym))
+        ),
+    )
+    calls = F.transform(
+        F.col("calls"),
+        lambda sym: _t(
+            5, file_node, P_CALLS, iri(F.concat(F.lit(SYMBOL_BASE), sym))
+        ),
+    )
+    return per_file.select(
+        "repo",
+        "path",
+        F.explode(F.concat(base, imports, defs, calls)).alias("t"),
+    ).select(
+        "repo",
+        "path",
+        F.col("t.kind_rank").alias("kind_rank"),
+        F.col("t.s").alias("s"),
+        F.col("t.p").alias("p"),
+        F.col("t.o").alias("o"),
+    )
+
+
 def extract_all(files: DataFrame) -> DataFrame:
-    """Full mention extraction: one narrow pass over content per family.
+    """Full mention extraction, single content scan.
 
     Returns the uniform triples frame
     ``(repo, path, kind_rank, s, p, o)``; deterministic statement order is
-    (repo, path, kind_rank, o.value).
+    (repo, path, kind_rank, o.value). Row set is identical to unioning
+    ``structural_triples`` + the three per-family extractors (tested);
+    the plan reads content once instead of six times.
     """
-    return (
-        structural_triples(files)
-        .unionByName(extract_imports(files))
-        .unionByName(extract_defs(files))
-        .unionByName(extract_calls(files))
-    )
+    return triples_from_compact(extract_compact(files))

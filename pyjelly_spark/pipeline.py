@@ -58,39 +58,32 @@ class PipelineConfig:
     min_parts: int = 1
 
 
-def _mentions(files: DataFrame, pattern: str) -> DataFrame:
-    return files.select(
-        "repo",
-        "path",
-        F.explode(F.regexp_extract_all("content", F.lit(pattern), F.lit(1))).alias(
-            "symbol"
-        ),
-    )
-
-
 def build_triples(
     spark: SparkSession, files: DataFrame, config: PipelineConfig
 ) -> DataFrame:
     """All pipeline triples in the uniform (repo, path, kind_rank, s, p, o)
     frame."""
-    triples = X.extract_all(files)
+    compact = X.extract_compact(files)
+    if config.link_calls or config.canonicalize:
+        # The compact frame feeds the triples build, the link dictionary,
+        # the CC edge build, AND the canonical join — without a checkpoint
+        # each consumer re-runs the content sweep over the whole corpus.
+        # It is narrow (sha + mention arrays, no content), so pinning it
+        # is cheap — unlike the wide struct triples frame, which is
+        # deliberately staged to parquet instead (see run_pipeline).
+        compact = compact.localCheckpoint(eager=False)
+    triples = X.triples_from_compact(compact)
 
-    defs = _mentions(files, X.DEF_RE).select(
+    defs = compact.select(
         F.col("repo").alias("def_repo"),
         F.col("path").alias("def_path"),
-        "symbol",
+        F.explode("defs").alias("symbol"),
     )
-    if config.link_calls or config.canonicalize:
-        # defs feed the link dictionary, the CC edge build, AND the
-        # canonical join — without a checkpoint each consumer re-runs the
-        # regexp sweep over the whole corpus (3x extraction). The frame is
-        # narrow (3 string columns, ~rows ≈ files), so pinning it is cheap
-        # — unlike the wide struct triples frame, which is deliberately
-        # staged to parquet instead (see run_pipeline).
-        defs = defs.localCheckpoint(eager=False)
 
     if config.link_calls:
-        calls = _mentions(files, X.CALL_RE)
+        calls = compact.select(
+            "repo", "path", F.explode("calls").alias("symbol")
+        )
         linked = link_mentions(
             calls, defs, broadcast_dictionary=config.broadcast_dictionary
         )
