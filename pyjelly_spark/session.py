@@ -91,6 +91,11 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # allow joins to accept children hash-partitioned on a SUBSET of
+        # the join keys (pre-3.3 behavior): the linking stage partitions
+        # the mention stream and def dictionaries by symbol once and
+        # reuses that exchange across four different join key sets
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # lets Python data sources (the jelly format) see filters for
         # partition pruning; no effect on built-in sources
         .config("spark.sql.python.filterPushdown.enabled", "true")

@@ -149,6 +149,19 @@ def _terms_from_arrays(kinds, values, langs, datatypes) -> List[tuple]:
     """
     from pyjelly_spark.jelly.nt import parse_term
 
+    # Homogeneous-slot fast paths: predicates are always IRIs and
+    # subjects almost always are, so one vectorized kind check replaces
+    # the per-row branch ladder for most batches.
+    n = len(kinds)
+    if n:
+        first = kinds[0]
+        if first == "iri" and (kinds == "iri").all():
+            return [("iri", v) for v in values]
+        if first == "lit" and (kinds == "lit").all():
+            return [
+                ("lit", v, lg or "", dt or "")
+                for v, lg, dt in zip(values, langs, datatypes)
+            ]
     out = []
     append = out.append
     for kind, value, lang, datatype in zip(kinds, values, langs, datatypes):
