@@ -152,12 +152,15 @@ def _terms_from_arrays(kinds, values, langs, datatypes) -> List[tuple]:
     # Homogeneous-slot fast paths: predicates are always IRIs and
     # subjects almost always are, so one vectorized kind check replaces
     # the per-row branch ladder for most batches.
-    n = len(kinds)
-    if n:
+    def _uniform(kind: str) -> bool:
+        eq = kinds == kind  # ndarray (Arrow batches) or scalar (lists)
+        return eq.all() if hasattr(eq, "all") else all(k == kind for k in kinds)
+
+    if len(kinds):
         first = kinds[0]
-        if first == "iri" and (kinds == "iri").all():
+        if first == "iri" and _uniform("iri"):
             return [("iri", v) for v in values]
-        if first == "lit" and (kinds == "lit").all():
+        if first == "lit" and _uniform("lit"):
             return [
                 ("lit", v, lg or "", dt or "")
                 for v, lg, dt in zip(values, langs, datatypes)
