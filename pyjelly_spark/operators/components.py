@@ -17,8 +17,9 @@ Scale notes:
   O(log n) in the worst case, 2-4 in practice for social-ish graphs;
 - ``localCheckpoint`` every round truncates the lineage so plans don't
   grow exponentially (iterative joins are the classic Spark lineage bomb);
-- convergence test compares a cheap global aggregate (count + hash sum),
-  not a full collect.
+- convergence is detected structurally (the converged state is a star
+  forest: src/dst node sets disjoint, srcs unique) with one aggregation
+  job per round — no extra confirm round, no full collect.
 """
 
 from __future__ import annotations
@@ -97,16 +98,39 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return pairs.where(F.col("src") != F.col("dst")).distinct()
 
 
-def _signature(edges: DataFrame):
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        # decimal(38) sum: immune to ANSI long-overflow on hash sums
+def _converged(edges: DataFrame) -> bool:
+    """Exact convergence test, one aggregation job, no extra round.
+
+    The alternating rounds have converged exactly when the edge set is a
+    star forest rooted at component minima: no node appears both as a
+    src and as a dst, and no src repeats (small-star's closing distinct
+    already collapsed duplicates). Both conditions fall out of one
+    groupBy(node) over the role-tagged node stream — checking this right
+    after a round saves the extra confirm round a signature-equality
+    test needs (run round k+1, compare), which on near-star graphs is a
+    third of the total CC wall.
+    """
+    roles = edges.select(
+        F.col("src").alias("node"), F.lit(1).alias("s"), F.lit(0).alias("d")
+    ).unionByName(
+        edges.select(
+            F.col("dst").alias("node"), F.lit(0).alias("s"), F.lit(1).alias("d")
+        )
+    )
+    per_node = roles.groupBy("node").agg(
+        F.max("s").alias("is_src"),
+        F.max("d").alias("is_dst"),
+        F.sum("s").alias("n_src"),
+    )
+    row = per_node.agg(
+        F.coalesce(F.sum(F.col("is_src") * F.col("is_dst")), F.lit(0)).alias(
+            "overlap"
+        ),
         F.coalesce(
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
-            F.lit(0).cast("decimal(38,0)"),
-        ).alias("h"),
+            F.sum(F.when(F.col("is_src") == 1, F.col("n_src") - 1)), F.lit(0)
+        ).alias("dup_src"),
     ).collect()[0]
-    return row["n"], row["h"]
+    return row["overlap"] == 0 and row["dup_src"] == 0
 
 
 #: above this symmetrized-edge count the rounds run on hashed long ids:
@@ -138,18 +162,15 @@ def _run_rounds(
         # overhead; big graphs keep the session setting.
         round_parts = max(4, min(int(parts_before), n_edges // 50_000 + 1))
         spark.conf.set("spark.sql.shuffle.partitions", str(round_parts))
-        previous_sig = None
         for _ in range(max_rounds):
             current = _small_star(_large_star(current))
             if checkpoint:
-                # lazy checkpoint: the signature collect below is the
+                # lazy checkpoint: the convergence collect below is the
                 # materializing action, so each round costs ONE job
                 # (eager=True would run a second, redundant one)
                 current = current.localCheckpoint(eager=False)
-            sig = _signature(current)
-            if sig == previous_sig:
+            if _converged(current):
                 break
-            previous_sig = sig
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         spark.conf.set("spark.sql.shuffle.partitions", parts_before)
