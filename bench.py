@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "kg_grouped_roundtrip",
     "kg_bgp",
     "kg_reachable",
+    "kg_triangles",
 ]
 
 

@@ -325,6 +325,77 @@ def connected_components(
     )
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected edge frame —
+    the degree-oriented wedge join (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11).
+
+    ``edges (src, dst)`` is treated as undirected; self-loops and
+    duplicates are dropped. Returns ``(node, triangles)`` for every node
+    in at least one triangle.
+
+    Scale shape: each undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, so every node's
+    out-degree is O(sqrt(E)) regardless of how skewed the real degree
+    distribution is — the wedge self-join (two out-edges sharing a
+    source) is therefore bounded by E^{3/2} total work instead of
+    sum(deg^2), which is what makes the hub-node "last reducer" problem
+    disappear at web scale. Three shuffles total: degree aggregation,
+    wedge self-join on the oriented source, and the closing equi-join of
+    wedges against the canonical edge set. No counterpart in the
+    reference (graph analytics over the constructed KG, SURVEY.md §2.9
+    family)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"),
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    # b < c in node-id order by construction, matching und's (u < v)
+    # canonical form, so one equi-join closes the wedge
+    triangles = wedges.join(
+        und, (F.col("b") == F.col("u")) & (F.col("c") == F.col("v"))
+    ).select("a", "b", "c")
+    return (
+        triangles.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+
+
 def bfs_reachable(
     edges: DataFrame,
     sources: DataFrame,

@@ -395,6 +395,61 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file triangle participation in the shared-symbol
+    co-definition graph: files defining the same ``shared_*`` symbol are
+    pairwise connected, and the triangle count measures how densely each
+    file's co-definition neighborhood closes (the KG-side input to
+    clustering-coefficient/community features). Counting runs through
+    the degree-oriented wedge join
+    (operators/components.py::triangle_count) — the O(E^{3/2}) MapReduce
+    algorithm that survives hub nodes at web scale; the oracle closes
+    triangles declaratively with a 3-way self-join over the closed-form
+    co-definition pairs."""
+    from pyjelly_spark.operators.components import triangle_count
+
+    files = derived_source_files(spark, sf_dir)
+    sdefs = files.select(
+        X.file_iri(F.col("repo"), F.col("path")).alias("file"),
+        F.explode(
+            F.regexp_extract_all("content", F.lit(X.DEF_RE), F.lit(1))
+        ).alias("symbol"),
+    ).where(F.col("symbol").startswith("shared_"))
+    pairs = (
+        sdefs.alias("x")
+        .join(
+            sdefs.alias("y"),
+            (F.col("x.symbol") == F.col("y.symbol"))
+            & (F.col("x.file") < F.col("y.file")),
+        )
+        .select(F.col("x.file").alias("src"), F.col("y.file").alias("dst"))
+    )
+    return triangle_count(pairs)
+
+
+SQL_KG_TRIANGLES = f"""
+WITH {SRC_SQL},
+sdefs AS (
+  SELECT file_iri, 'shared_' || (doc_id % 50) AS symbol
+  FROM files WHERE doc_id % 2 = 0
+),
+pairs AS (
+  SELECT DISTINCT x.file_iri AS u, y.file_iri AS v
+  FROM sdefs x JOIN sdefs y
+    ON x.symbol = y.symbol AND x.file_iri < y.file_iri
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, count(*)::BIGINT AS triangles
+FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+GROUP BY node
+"""
+
+
 def _pagerank_sql(iterations: int = 8, scale: int = 10**12) -> str:
     """Unrolled fixed-iteration PageRank oracle: it0..itN CTEs applying
     the identical integer recurrence as pagerank_int."""
@@ -2593,6 +2648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_linked": q_kg_linked,
     "kg_canonical": q_kg_canonical,
     "kg_imports_resolved": q_kg_imports_resolved,
+    "kg_triangles": q_kg_triangles,
     "kg_roundtrip": q_kg_roundtrip,
     "kg_grouped_roundtrip": q_kg_grouped_roundtrip,
     "kg_datasource_roundtrip": q_kg_datasource_roundtrip,
@@ -2661,6 +2717,7 @@ ORACLES: dict[str, str] = {
     "kg_linked": SQL_KG_LINKED,
     "kg_canonical": SQL_KG_CANONICAL,
     "kg_imports_resolved": SQL_KG_IMPORTS_RESOLVED,
+    "kg_triangles": SQL_KG_TRIANGLES,
     "kg_roundtrip": SQL_KG_ROUNDTRIP,
     "kg_grouped_roundtrip": SQL_KG_GROUPED_ROUNDTRIP,
     "kg_datasource_roundtrip": SQL_KG_DATASOURCE_ROUNDTRIP,

@@ -176,3 +176,61 @@ def test_incremental_delta_file_level(spark):
     n_b_del = sum(1 for s, _, o in by_op["del"] if "b.py" in s or "b.py" in o)
     n_b_add = sum(1 for s, _, o in by_op["add"] if "b.py" in s or "b.py" in o)
     assert n_b_del == n_b_add == 4  # contains, lang, sha256, defines
+
+
+def _triangle_oracle(edges):
+    """Brute-force per-node triangle counts over an undirected edge list."""
+    from itertools import combinations
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def _check_triangles(spark, edges):
+    from pyjelly_spark.operators.components import triangle_count
+
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == _triangle_oracle(edges)
+
+
+def test_triangle_simple(spark):
+    _check_triangles(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+
+
+def test_triangle_clique_and_hub(spark):
+    # K4 (4 triangles, 3 per node) plus a hub fanning to leaves that add
+    # no triangles; duplicate/reversed/self edges must not change counts
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("b", "a"), ("a", "a"),
+    ] + [("hub", f"leaf{i}") for i in range(10)] + [("hub", "a")]
+    _check_triangles(spark, edges)
+
+
+def test_triangle_random(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+    ]
+    _check_triangles(spark, edges)
+
+
+def test_triangle_free_graph_empty(spark):
+    # bipartite graphs have no triangles -> empty result
+    from pyjelly_spark.operators.components import triangle_count
+
+    edges = [(f"l{i}", f"r{j}") for i in range(4) for j in range(4)]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    assert triangle_count(df).count() == 0
