@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "kg_bgp",
     "kg_reachable",
     "kg_triangles",
+    "doc_filter",
 ]
 
 

@@ -261,6 +261,82 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def gopher_filter(
+    docs: DataFrame,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len_x10k: int = 30_000,
+    max_mean_word_len_x10k: int = 100_000,
+    min_distinct_ratio_x10k: int = 3_500,
+    max_top_term_ratio_x10k: int = 1_500,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document-filter VERDICTS (Rae et al. 2021 §A1.1):
+    one row per doc with each rule's pass flag and the final ``keep``.
+
+    Rules (all integer arithmetic — floor-scaled x10000 ratios — so the
+    verdict is bit-identical across engines and partitionings):
+
+    - word count within [min_words, max_words];
+    - mean word length within [3.0, 10.0] (x10000);
+    - distinct-word ratio >= threshold (repetition guard);
+    - top-term dominance <= threshold (repetition guard);
+    - at least ``min_stopwords`` stop-word occurrences (gibberish guard).
+
+    Pure ARRAY expressions per row — no explode, no shuffle, fully
+    inside whole-stage codegen; at corpus scale the filter is a narrow
+    map over the text column (the shape you want in front of a 100 TB
+    tokenization pipeline). Flags are 0/1 ints for oracle portability.
+    """
+    ws = words(normalized(F.col("text")))
+    n_words = F.size(ws).cast("long")
+    chars = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_len_x10k = F.floor((chars * 10000) / F.greatest(n_words, F.lit(1))).cast(
+        "long"
+    )
+    distinct_x10k = F.floor(
+        (F.size(F.array_distinct(ws)).cast("long") * 10000)
+        / F.greatest(n_words, F.lit(1))
+    ).cast("long")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda t: F.size(F.filter(ws, lambda x: x == t)),
+        )
+    ).cast("long")
+    top_x10k = F.floor((top_cnt * 10000) / F.greatest(n_words, F.lit(1))).cast(
+        "long"
+    )
+    n_stop = F.regexp_count(normalized(F.col("text")), F.lit(ALL_STOPWORDS_RE))
+    p_count = (
+        (n_words >= min_words) & (n_words <= max_words)
+    ).cast("long")
+    p_mean = (
+        (mean_len_x10k >= min_mean_word_len_x10k)
+        & (mean_len_x10k <= max_mean_word_len_x10k)
+    ).cast("long")
+    p_distinct = (distinct_x10k >= min_distinct_ratio_x10k).cast("long")
+    p_top = (top_x10k <= max_top_term_ratio_x10k).cast("long")
+    p_stop = (n_stop >= min_stopwords).cast("long")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len_x10k.alias("mean_word_len_x10k"),
+        distinct_x10k.alias("distinct_ratio_x10k"),
+        top_x10k.alias("top_term_ratio_x10k"),
+        p_count.alias("pass_word_count"),
+        p_mean.alias("pass_mean_word_len"),
+        p_distinct.alias("pass_distinct_ratio"),
+        p_top.alias("pass_top_term"),
+        p_stop.alias("pass_stopwords"),
+        (p_count * p_mean * p_distinct * p_top * p_stop).alias("keep"),
+    )
+
+
 # --- benchmark decontamination ----------------------------------------------
 
 

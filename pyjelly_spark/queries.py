@@ -1863,6 +1863,63 @@ FROM b
 """
 
 
+def q_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-filter verdicts (word-count bounds, mean
+    word length, distinct-word ratio, top-term dominance, stop-word
+    floor) with the final keep flag — integer arithmetic throughout so
+    the distributed verdict is bit-identical to the oracle's
+    (functions/text.py::gopher_filter)."""
+    return T.gopher_filter(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FILTER = rf"""
+WITH f AS (
+  SELECT doc_id, {NORM_SQL} AS t, string_split({NORM_SQL}, ' ') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(ws)::BIGINT AS n_words,
+    list_sum(list_transform(ws, w -> len(w)))::BIGINT AS chars,
+    len(list_distinct(ws))::BIGINT AS n_distinct,
+    list_max([len(list_filter(ws, x -> x = u))
+              FOR u IN list_distinct(ws)])::BIGINT AS top_cnt,
+    len(regexp_extract_all(t,
+      '\b(the|and|of|to|a|in|is|der|die|und|le|la|et|el|los|que)\b'
+    ))::BIGINT AS n_stop
+  FROM f
+),
+v AS (
+  SELECT doc_id, n_words,
+    floor(chars * 10000 / greatest(n_words, 1)::DOUBLE)::BIGINT
+      AS mean_word_len_x10k,
+    floor(n_distinct * 10000 / greatest(n_words, 1)::DOUBLE)::BIGINT
+      AS distinct_ratio_x10k,
+    floor(top_cnt * 10000 / greatest(n_words, 1)::DOUBLE)::BIGINT
+      AS top_term_ratio_x10k,
+    n_stop
+  FROM s
+)
+SELECT doc_id, n_words, mean_word_len_x10k, distinct_ratio_x10k,
+  top_term_ratio_x10k,
+  (CASE WHEN n_words BETWEEN 30 AND 100000 THEN 1 ELSE 0 END)::BIGINT
+    AS pass_word_count,
+  (CASE WHEN mean_word_len_x10k BETWEEN 30000 AND 100000 THEN 1 ELSE 0 END)::BIGINT
+    AS pass_mean_word_len,
+  (CASE WHEN distinct_ratio_x10k >= 3500 THEN 1 ELSE 0 END)::BIGINT
+    AS pass_distinct_ratio,
+  (CASE WHEN top_term_ratio_x10k <= 1500 THEN 1 ELSE 0 END)::BIGINT
+    AS pass_top_term,
+  (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)::BIGINT AS pass_stopwords,
+  ((CASE WHEN n_words BETWEEN 30 AND 100000 THEN 1 ELSE 0 END)
+   * (CASE WHEN mean_word_len_x10k BETWEEN 30000 AND 100000 THEN 1 ELSE 0 END)
+   * (CASE WHEN distinct_ratio_x10k >= 3500 THEN 1 ELSE 0 END)
+   * (CASE WHEN top_term_ratio_x10k <= 1500 THEN 1 ELSE 0 END)
+   * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END))::BIGINT AS keep
+FROM v
+"""
+
+
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs sharing any word 5-gram with
     the val split (functions/text.py::decontaminate)."""
@@ -2677,6 +2734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_mixing": q_data_mixing,
     "pii_scrub": q_pii_scrub,
     "doc_repetition": q_doc_repetition,
+    "doc_filter": q_doc_filter,
     "decontam": q_decontam,
     "dedup_clusters": q_dedup_clusters,
     "kg_pagerank": q_kg_pagerank,
@@ -2746,6 +2804,7 @@ ORACLES: dict[str, str] = {
     "data_mixing": SQL_DATA_MIXING,
     "pii_scrub": SQL_PII_SCRUB,
     "doc_repetition": SQL_DOC_REPETITION,
+    "doc_filter": SQL_DOC_FILTER,
     "decontam": SQL_DECONTAM,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "kg_pagerank": SQL_KG_PAGERANK,

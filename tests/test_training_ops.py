@@ -568,3 +568,32 @@ def test_repetition_scores_differential(spark):
             (len(bigrams) - len(set(bigrams))) / max(len(bigrams), 1)
         )
         assert row["top_term_ratio"] == r4(top / len(ws))
+
+
+def test_gopher_filter_verdicts(spark):
+    from pyjelly_spark.functions.text import gopher_filter
+
+    good = " ".join(f"word{i}" for i in range(50)) + " the a is in"
+    short = "the a short one"                      # fails word count
+    repetitive = "the a " + "spam " * 60           # top-term dominance fails
+    no_stop = " ".join(f"w{i}" for i in range(40)) # no stopwords
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, repetitive), (3, no_stop)],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in gopher_filter(df).collect()}
+    assert rows[0]["keep"] == 1
+    assert rows[1]["pass_word_count"] == 0 and rows[1]["keep"] == 0
+    assert rows[2]["pass_top_term"] == 0 and rows[2]["keep"] == 0
+    assert rows[3]["pass_stopwords"] == 0 and rows[3]["keep"] == 0
+    assert rows[0]["n_words"] == 54 and rows[0]["distinct_ratio_x10k"] == 10000
+    # every flag is 0/1 and keep is their product
+    for r in rows.values():
+        flags = [r["pass_word_count"], r["pass_mean_word_len"],
+                 r["pass_distinct_ratio"], r["pass_top_term"],
+                 r["pass_stopwords"]]
+        assert set(flags) <= {0, 1}
+        prod = 1
+        for x in flags:
+            prod *= x
+        assert r["keep"] == prod
