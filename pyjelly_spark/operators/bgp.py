@@ -88,6 +88,11 @@ def _compile_pattern(triples: DataFrame, pattern: Pattern, index: int) -> _Scan:
             # default-graph marker (quads): the slot must be NULL
             df = df.filter(F.col(slot).isNull())
             n_constants += 1
+        elif isinstance(term, frozenset):
+            # negated property set (SPARQL !:p / !(:p|:q)): everything
+            # except the set. Weakly selective, so it does NOT count as
+            # a constant for join ordering / broadcast choice.
+            df = df.filter(~F.col(slot).isin(*sorted(term)))
         elif isinstance(term, tuple):
             # alternation (SPARQL path p1|p2): membership pushes down to
             # the scan exactly like an equality constant

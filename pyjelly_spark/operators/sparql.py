@@ -17,9 +17,10 @@ joins over the flat (s, p, o) triples relation):
   variable ranges over named graphs, per the SPARQL dataset model
 - ``WHERE { ... }`` with triple patterns (``.``-separated; ``;``
   predicate lists supported), property paths in the predicate position
-  (``^p`` inverse, ``p1/p2`` sequence, ``p1|p2`` alternation, ``p+`` /
-  ``p*`` transitive closure — closures run as distributed semi-naive
-  reachability, see :func:`_closure_pairs`), ``OPTIONAL { ... }``
+  (``^p`` inverse, ``p1/p2`` sequence, ``p1|p2`` alternation, ``!p`` /
+  ``!(p1|p2)`` negated property sets (NOT-IN pushed to the scan),
+  ``p+`` / ``p*`` transitive closure — closures run as distributed
+  semi-naive reachability, see :func:`_closure_pairs`), ``OPTIONAL { ... }``
   groups (one level), ``{ A } UNION { B }`` alternation (top level of
   WHERE), ``MINUS { ... }``, ``BIND(expr AS ?v)``,
   ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) .. }`` (UNDEF
@@ -27,8 +28,10 @@ joins over the flat (s, p, o) triples relation):
   shared variables), and ``FILTER (expr)`` — comparisons,
   ``&&``/``||``/``!``, ``BOUND(?v)``, ``REGEX(?v, "pat")``, and the
   string/numeric builtins (STRSTARTS/STRENDS/CONTAINS/STRLEN/UCASE/
-  LCASE/SUBSTR/REPLACE/ABS/CEIL/FLOOR/ROUND/CONCAT/COALESCE/STR)
-  mapped onto Spark SQL functions
+  LCASE/SUBSTR/REPLACE/ABS/CEIL/FLOOR/ROUND/CONCAT/COALESCE/IF/STR,
+  plus STRBEFORE/STRAFTER expanded to CASE-over-instr with SPARQL's
+  not-found => '' semantics, and ``IN (...)``) mapped onto Spark SQL;
+  the same builtins work inside BIND expressions
 - trailing ``GROUP BY ?v ...``, ``HAVING (expr)``,
   ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT n`` and ``OFFSET n``
 
@@ -85,6 +88,7 @@ _FILTER_FUNCS = {
     "ROUND": "round",
     "CONCAT": "concat",
     "COALESCE": "coalesce",
+    "IF": "if",
     "STR": "",
 }
 
@@ -180,6 +184,39 @@ class _Parser:
 
     # -- FILTER expression -> Spark SQL --------------------------------
 
+    def _str_before_after(self, fn: str) -> str:
+        """Expand STRBEFORE/STRAFTER(simple, simple) to a CASE over
+        instr/substring — Spark has no equivalent with SPARQL's
+        not-found => '' semantics (17.4.3.3-4); the empty-separator
+        cases fall out of instr(a, '') = 1."""
+        self.expect_punct("(")
+        a = self._filter_simple_arg()
+        self.expect_punct(",")
+        b = self._filter_simple_arg()
+        self.expect_punct(")")
+        if fn == "STRBEFORE":
+            return (
+                f"CASE WHEN instr({a}, {b}) > 0 THEN "
+                f"substring({a}, 1, instr({a}, {b}) - 1) ELSE '' END"
+            )
+        return (
+            f"CASE WHEN instr({a}, {b}) > 0 THEN "
+            f"substring({a}, instr({a}, {b}) + length({b})) ELSE '' END"
+        )
+
+    def _filter_simple_arg(self) -> str:
+        """One var-or-literal argument inside a builtin expansion."""
+        kind, v = self.next()
+        if kind == "var":
+            return v[1:]
+        if kind == "literal":
+            return "'" + v[1:-1].replace("'", "''") + "'"
+        if kind == "iri":
+            return "'" + v[1:-1] + "'"
+        raise SparqlUnsupported(
+            "STRBEFORE/STRAFTER support variable or literal arguments"
+        )
+
     def filter_expr(self) -> str:
         self.expect_punct("(")
         depth, parts = 1, []
@@ -222,6 +259,12 @@ class _Parser:
                     + pat[1:-1].replace("'", "''")
                     + "'"
                 )
+            elif kind == "word" and val.upper() in ("STRBEFORE", "STRAFTER"):
+                # no Spark SQL equivalent with SPARQL's not-found => ''
+                # semantics; expand the simple (var/literal, var/literal)
+                # form to a CASE over instr/substring. SPARQL 17.4.3.3-4
+                # empty-separator cases fall out: instr(a, '') = 1.
+                parts.append(self._str_before_after(val.upper()))
             elif kind == "word" and val.upper() in _FILTER_FUNCS:
                 # STR(?x) is the identity in a flat-string term model:
                 # emit just the parenthesized argument
@@ -232,9 +275,21 @@ class _Parser:
 
     # -- property paths ------------------------------------------------
 
-    def _path_atom(self) -> str | tuple:
-        """One path atom: iri/pname/'a'/?var, or a parenthesized pure
-        alternation of simple predicates (-> tuple of IRIs)."""
+    def _path_atom(self) -> str | tuple | frozenset:
+        """One path atom: iri/pname/'a'/?var, a parenthesized pure
+        alternation of simple predicates (-> tuple of IRIs), or a
+        negated property set ``!p`` / ``!(p1|p2|...)`` (-> frozenset —
+        matches every predicate NOT in the set)."""
+        if self.peek() == ("op", "!"):
+            self.next()
+            atom = self._path_atom()
+            if isinstance(atom, tuple):
+                return frozenset(atom)
+            if isinstance(atom, str) and not atom.startswith("?"):
+                return frozenset((atom,))
+            raise SparqlUnsupported(
+                "negated property set over variables or nested negation"
+            )
         if self.peek()[1] == "(":
             self.next()
             alts = [self._path_atom()]
@@ -270,6 +325,10 @@ class _Parser:
             mod = self.next()[1]
         if isinstance(atom, str) and atom.startswith("?") and (inverse or mod):
             raise SparqlUnsupported("path modifiers on a ?var predicate")
+        if isinstance(atom, frozenset) and mod:
+            raise SparqlUnsupported(
+                "closure modifiers on a negated property set"
+            )
         return {"pred": atom, "inverse": inverse, "mod": mod}
 
     def path(self) -> list[dict]:
@@ -294,6 +353,8 @@ class _Parser:
                     and not nxt["inverse"] and not nxt["mod"]
                     and not (isinstance(last["pred"], str)
                              and last["pred"].startswith("?"))
+                    and not isinstance(last["pred"], frozenset)
+                    and not isinstance(nxt["pred"], frozenset)
                 ):
                     a = last["pred"] if isinstance(last["pred"], tuple) else (last["pred"],)
                     b = nxt["pred"] if isinstance(nxt["pred"], tuple) else (nxt["pred"],)
@@ -474,6 +535,12 @@ class _Parser:
                         parts.append(
                             {"&&": "AND", "||": "OR", "!": "NOT"}.get(v2, v2)
                         )
+                    elif k2 == "word" and v2.upper() in (
+                        "STRBEFORE", "STRAFTER",
+                    ):
+                        parts.append(self._str_before_after(v2.upper()))
+                    elif k2 == "word" and v2.upper() in _FILTER_FUNCS:
+                        parts.append(_FILTER_FUNCS[v2.upper()])
                     else:
                         parts.append(v2)
                 k2, v2 = self.next()
@@ -648,7 +715,7 @@ def parse_sparql(query: str) -> dict:
         if not t["p"]:
             raise SparqlError("empty CONSTRUCT template")
         for s, pr, o in t["p"]:
-            if isinstance(pr, tuple):
+            if isinstance(pr, (tuple, frozenset)):
                 raise SparqlUnsupported("alternation in CONSTRUCT template")
             template.append((s, pr, o))
     return _parse_select_tail(p, form, template, stop="eof")
@@ -1122,7 +1189,7 @@ def _parse_template_group(p: _Parser) -> list[tuple]:
         raise SparqlError("empty template group")
     out = []
     for s, pr, o in t["p"]:
-        if isinstance(pr, tuple):
+        if isinstance(pr, (tuple, frozenset)):
             raise SparqlUnsupported("alternation in a template")
         out.append((s, pr, o))
     return out

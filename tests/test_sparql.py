@@ -693,3 +693,77 @@ SELECT ?sym (COUNT(DISTINCT ?x) AS ?n) WHERE {
         t = toks[:]
         rng.shuffle(t)
         check(" ".join(t[: rng.randint(1, len(t))]))
+
+
+def test_negated_property_set_single(triples):
+    out = sparql_query(
+        triples,
+        """
+        PREFIX kg: <http://kg.example/ns#>
+        SELECT ?s ?o WHERE { ?s !kg:defines ?o . FILTER (?s = "f1") }
+        """,
+    ).collect()
+    got = {(r["s"], r["o"]) for r in out}
+    assert got == {("f1", "sym_a")}  # only the calls edge survives
+
+
+def test_negated_property_set_group(triples):
+    out = sparql_query(
+        triples,
+        """
+        PREFIX kg: <http://kg.example/ns#>
+        SELECT ?s ?o WHERE { ?s !(kg:defines|kg:calls) ?o }
+        """,
+    ).collect()
+    got = {(r["s"], r["o"]) for r in out}
+    assert got == {("r1", "f1"), ("r1", "f2"), ("r2", "f3")}  # contains only
+
+
+def test_negated_property_set_inverse(triples):
+    out = sparql_query(
+        triples,
+        """
+        PREFIX kg: <http://kg.example/ns#>
+        SELECT ?o WHERE { ?o ^!(kg:defines|kg:calls) "r2" }
+        """,
+    ).collect()
+    assert {r["o"] for r in out} == {"f3"}
+
+
+def test_negated_set_closure_rejected(triples):
+    with pytest.raises(SparqlUnsupported):
+        sparql_query(
+            triples,
+            "SELECT ?s WHERE { ?s !(<p>|<q>)+ ?o }",
+        )
+
+
+def test_strbefore_strafter_if_in(triples):
+    out = sparql_query(
+        triples,
+        """
+        PREFIX kg: <http://kg.example/ns#>
+        SELECT ?sym ?head WHERE {
+          ?f kg:defines ?sym .
+          BIND (STRBEFORE(?sym, "_") AS ?head)
+          FILTER (STRAFTER(?sym, "_") IN ("a", "b"))
+          FILTER (IF(?f = "f1", "yes", "no") = "yes")
+        }
+        """,
+    ).collect()
+    got = {(r["sym"], r["head"]) for r in out}
+    assert got == {("sym_a", "sym"), ("sym_b", "sym")}
+
+
+def test_strbefore_not_found_is_empty(triples):
+    out = sparql_query(
+        triples,
+        """
+        PREFIX kg: <http://kg.example/ns#>
+        SELECT ?sym WHERE {
+          ?f kg:defines ?sym .
+          FILTER (STRBEFORE(?sym, "zzz") = "" && STRAFTER(?sym, "") = ?sym)
+        }
+        """,
+    ).collect()
+    assert len(out) == 3  # all defines rows: both identities hold
