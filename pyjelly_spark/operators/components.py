@@ -345,18 +345,25 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     wedges against the canonical edge set. No counterpart in the
     reference (graph analytics over the constructed KG, SURVEY.md §2.9
     family)."""
+    # The canonical edge set feeds four consumers (both degree branches,
+    # the orientation join, and the closing join) — checkpoint it so the
+    # upstream derivation runs once, not once per consumer subtree (the
+    # same lineage treatment as the CC rounds above). ``deg`` likewise
+    # joins twice; a lazy checkpoint materializes it on first use.
     und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     with_deg = (
         und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
