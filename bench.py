@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "kg_reachable",
     "kg_triangles",
     "doc_filter",
+    "kg_communities",
 ]
 
 

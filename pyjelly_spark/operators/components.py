@@ -325,6 +325,60 @@ def connected_components(
     )
 
 
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label-propagation communities over an undirected edge
+    frame — fixed iteration count, fully deterministic tie-breaks.
+
+    Every node starts labeled with itself; each iteration relabels every
+    node with the most frequent label among its neighbors, ties broken
+    by the LEXICOGRAPHICALLY SMALLEST label (isolated update order —
+    all nodes update from the previous iteration's labels
+    simultaneously). Nodes with no neighbors keep their label. Fixed
+    ``iterations`` + deterministic tie-break make the distributed result
+    bit-identical to a declarative oracle (the DuckDB gate unrolls the
+    same recurrence), which is what makes an otherwise
+    update-order-sensitive heuristic oracle-gateable — same design as
+    ``pagerank_int`` above.
+
+    Scale shape: per iteration one equi-join of the (checkpointed,
+    symmetrized) edge table with the label table on ``src`` + one
+    two-level aggregation — groupBy (dst, label) count with map-side
+    partials, then the per-dst argmax as ``min(struct(-count, label))``
+    (no window sort). Lineage truncated with a lazy localCheckpoint per
+    iteration.
+    """
+    und = _symmetrize(edges, dedup=True).localCheckpoint(eager=True)
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(iterations):
+        neigh = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("label")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = neigh.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg"), F.col("label"))
+            ).getField("label").alias("new_label")
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation over an undirected edge frame —
     the degree-oriented wedge join (Suri & Vassilvitskii, "Counting

@@ -395,6 +395,73 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the (symmetrized) resolved
+    import graph — 3 synchronous iterations with deterministic
+    smallest-label tie-breaks, so the distributed heuristic is
+    bit-identical to the oracle's unrolled recurrence
+    (operators/components.py::label_propagation). Returns every node's
+    final community label."""
+    from pyjelly_spark.operators.components import label_propagation
+
+    edges = q_kg_imports_resolved(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    return label_propagation(edges, iterations=3)
+
+
+def _lpa_sql(iterations: int = 3) -> str:
+    """Unrolled synchronous LPA oracle: per iteration, each node takes
+    the most frequent neighbor label (ties -> smallest label), keeping
+    its own when it has no neighbors — identical recurrence to
+    label_propagation."""
+    its = []
+    for k in range(1, iterations + 1):
+        its.append(f"""
+l{k} AS (
+  SELECT p.node, coalesce(b.new_label, p.label) AS label
+  FROM l{k - 1} p
+  LEFT JOIN (
+    SELECT node, label AS new_label FROM (
+      SELECT e.dst AS node, p2.label,
+        row_number() OVER (
+          PARTITION BY e.dst
+          ORDER BY count(*) DESC, p2.label ASC
+        ) AS rn
+      FROM und e JOIN l{k - 1} p2 ON e.src = p2.node
+      GROUP BY e.dst, p2.label
+    ) WHERE rn = 1
+  ) b ON p.node = b.node
+)""".strip())
+    joined = ",\n".join(its)
+    return f"""
+WITH {{src}}, {{mentions}},
+edges0 AS (
+  SELECT file_iri AS src,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS dst
+  FROM imports_gt
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges0
+  ) WHERE src <> dst
+),
+l0 AS (
+  SELECT node, node AS label FROM (SELECT DISTINCT src AS node FROM und)
+),
+{joined}
+SELECT node, label FROM l{iterations}
+"""
+
+
+SQL_KG_COMMUNITIES = _lpa_sql(3).format(
+    src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip()
+)
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file triangle participation in the shared-symbol
     co-definition graph: files defining the same ``shared_*`` symbol are
@@ -2706,6 +2773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonical": q_kg_canonical,
     "kg_imports_resolved": q_kg_imports_resolved,
     "kg_triangles": q_kg_triangles,
+    "kg_communities": q_kg_communities,
     "kg_roundtrip": q_kg_roundtrip,
     "kg_grouped_roundtrip": q_kg_grouped_roundtrip,
     "kg_datasource_roundtrip": q_kg_datasource_roundtrip,
@@ -2776,6 +2844,7 @@ ORACLES: dict[str, str] = {
     "kg_canonical": SQL_KG_CANONICAL,
     "kg_imports_resolved": SQL_KG_IMPORTS_RESOLVED,
     "kg_triangles": SQL_KG_TRIANGLES,
+    "kg_communities": SQL_KG_COMMUNITIES,
     "kg_roundtrip": SQL_KG_ROUNDTRIP,
     "kg_grouped_roundtrip": SQL_KG_GROUPED_ROUNDTRIP,
     "kg_datasource_roundtrip": SQL_KG_DATASOURCE_ROUNDTRIP,

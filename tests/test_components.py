@@ -234,3 +234,56 @@ def test_triangle_free_graph_empty(spark):
     edges = [(f"l{i}", f"r{j}") for i in range(4) for j in range(4)]
     df = spark.createDataFrame(edges, "src: string, dst: string")
     assert triangle_count(df).count() == 0
+
+
+def _lpa_oracle(edges, iterations=3):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(iterations):
+        new = {}
+        for n in adj:
+            counts = {}
+            for m in adj[n]:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            if counts:
+                best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                new[n] = best[0]
+            else:
+                new[n] = labels[n]
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_oracle(spark):
+    from pyjelly_spark.operators.components import label_propagation
+
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(25)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    for iters in (1, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=iters).collect()
+        }
+        assert got == _lpa_oracle(edges, iters)
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    from pyjelly_spark.operators.components import label_propagation
+
+    # two triangles joined by one bridge edge: each triangle converges to
+    # its lexicographic minimum as the community label
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, iterations=3).collect()}
+    assert got == _lpa_oracle(edges, 3)
+    # within the 'a' triangle the minimum label wins
+    assert got["b"] == "a" and got["c"] == "a"
