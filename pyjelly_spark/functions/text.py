@@ -415,3 +415,80 @@ def term_stats(docs: DataFrame) -> DataFrame:
         F.count_distinct(F.col("doc_id")).alias("doc_freq"),
         F.count(F.lit(1)).alias("total_count"),
     )
+
+
+def dup_span_fraction(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Duplicated n-gram fraction per document — the RefinedWeb/Dolma
+    "fraction of content duplicated elsewhere in the corpus" report:
+    of a document's distinct word ``n``-grams, how many also occur in at
+    least one OTHER document. Complements ``decontaminate`` (which flags
+    cross-split overlap) with a corpus-internal redundancy signal used
+    for span-level dedup decisions.
+
+    Returns (doc_id, n_grams, n_dup_grams, dup_pct_x10000) for every
+    document with at least ``n`` words; the pct is integer floor-scaled
+    (exactly engine-portable). Documents shorter than ``n`` words have
+    no grams and are absent — part of the operator contract.
+
+    Scale shape: one explode to distinct (doc, gram) pairs, then the
+    gram document-frequency as a window count over ``gram`` — ONE hash
+    exchange total (groupBy-then-join-back would pay two), followed by a
+    map-side-combined per-doc aggregation. No pair join anywhere: the
+    fan-out is linear in (doc, gram) pairs, so boilerplate grams cost
+    their df, never df^2.
+    """
+    base = docs.select(
+        "doc_id", words(normalized(F.col("text"))).alias("ws")
+    )
+    grams = base.select(
+        "doc_id", F.explode(word_ngrams(F.col("ws"), n)).alias("gram")
+    ).distinct()
+    from pyspark.sql.window import Window
+
+    with_df = grams.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
+    per_doc = with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_grams"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.expr("(n_dup_grams * 10000) div n_grams").alias("dup_pct_x10000"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_pct: dict[str, int],
+    default_pct: int = 10,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum (language) sampling: a document is kept
+    iff ``hex_hash(normalized_text || ':' || salt) % 100`` falls below
+    its language's target percentage — the data-mixing primitive that
+    up/down-samples languages to a recipe while staying a pure function
+    of content (reproducible across runs, engines, and cluster sizes;
+    re-sharding or resuming cannot change membership). The ``salt``
+    decorrelates this decision from ``train_val_split``'s hash so
+    sampling is independent of split membership.
+
+    Returns the input with (bucket, rate_pct, keep) appended — a narrow,
+    shuffle-free map; downstream stages filter on ``keep``.
+    """
+    h = hex_hash(
+        F.concat(normalized(F.col("text")), F.lit(":" + salt)), mod=100
+    )
+    rate = F.lit(default_pct)
+    for lang, pct in rates_pct.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return docs.select(
+        "*",
+        h.alias("bucket"),
+        rate.cast("long").alias("rate_pct"),
+        (h < rate).alias("keep"),
+    )

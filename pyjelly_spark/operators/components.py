@@ -457,6 +457,44 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge frame: per
+    round, drop every node whose surviving degree is below ``k`` and
+    every edge touching a dropped node. Returns ``(node, deg)`` for the
+    nodes still alive after ``rounds`` rounds, with their degree over
+    the surviving edge set.
+
+    A fixed round count (instead of peel-to-fixpoint) is what makes the
+    iterative algorithm oracle-gateable — the DuckDB gate unrolls the
+    identical recurrence — same design as ``pagerank_int`` /
+    ``label_propagation`` above. Peeling converges geometrically on
+    real degree distributions; callers needing the exact core pick
+    ``rounds`` so that one extra round is a no-op (asserted in tests).
+
+    Scale shape: per round one degree aggregation (map-side partial
+    count over the symmetrized edges) + two semi-joins of the edge set
+    against the surviving-node set. The survivor set shrinks
+    monotonically, so AQE broadcasts it once peeling bites; lineage is
+    truncated per round with a lazy ``localCheckpoint``. No counterpart
+    in the reference (graph analytics over the constructed KG,
+    SURVEY.md §2.9 family).
+    """
+    und = _symmetrize(edges, dedup=True).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.where(F.col("deg") >= k).select("src")
+        und = (
+            und.join(alive, "src", "semi")
+            .join(alive.withColumnRenamed("src", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+
+
 def bfs_reachable(
     edges: DataFrame,
     sources: DataFrame,

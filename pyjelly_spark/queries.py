@@ -2761,6 +2761,207 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Graph analytics II + clustering + corpus statistics (round-2 additions)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the resolved import graph: 4 fixed peeling rounds at
+    k=2 (operators/components.py::kcore) — the "structurally load-
+    bearing files" view a code-intelligence consumer derives from the
+    constructed KG. Fixed rounds make the iterative peel bit-identical
+    to the oracle's unrolled recurrence."""
+    from pyjelly_spark.operators.components import kcore
+
+    edges = q_kg_imports_resolved(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    return kcore(edges, k=2, rounds=4)
+
+
+def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
+    """Unrolled fixed-round peeling: per round keep nodes with surviving
+    degree >= k, then edges with both endpoints kept — identical
+    recurrence to operators/components.py::kcore."""
+    its = []
+    for r in range(1, rounds + 1):
+        its.append(f"""
+n{r} AS (
+  SELECT src AS node FROM e{r - 1} GROUP BY src HAVING count(*) >= {k}
+),
+e{r} AS (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  JOIN n{r} a ON e.src = a.node
+  JOIN n{r} b ON e.dst = b.node
+)""".strip())
+    joined = ",\n".join(its)
+    return f"""
+WITH {{src}}, {{mentions}},
+edges0 AS (
+  SELECT file_iri AS src,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS dst
+  FROM imports_gt
+),
+e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges0
+  ) WHERE src <> dst
+),
+{joined}
+SELECT src AS node, count(*)::BIGINT AS deg
+FROM e{rounds} GROUP BY src
+"""
+
+
+SQL_KG_KCORE = _kcore_sql(2, 4).format(
+    src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip()
+)
+
+
+KMEANS_K, KMEANS_ITERS, KMEANS_SCALE = 8, 2, 10**6
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer Lloyd's k-means over the embeddings table
+    (operators/clustering.py::kmeans_int): exact integer distances and
+    exact integer centroid means make the distributed iterative
+    algorithm bit-identical to the oracle's unrolled recurrence —
+    the embedding-clustering primitive behind IVF coarse quantizers and
+    topic-balanced data mixing."""
+    from pyjelly_spark.operators.clustering import kmeans_int
+
+    asg = kmeans_int(
+        _t(spark, sf_dir, "embeddings"),
+        k=KMEANS_K,
+        iterations=KMEANS_ITERS,
+        scale=KMEANS_SCALE,
+    )
+    return asg.select(F.col("vid").alias("vec_id"), "cid")
+
+
+def _kmeans_sql(k: int, iterations: int, scale: int, dim: int = 64) -> str:
+    """Unrolled Lloyd's recurrence: assignment = argmin of exact integer
+    squared distance (ties to the smallest cid), update = exact integer
+    mean, empty clusters keep their centroid."""
+
+    def assign(a: str, c: str) -> str:
+        return f"""
+{a} AS (
+  SELECT vid, cid FROM (
+    SELECT p.vid, c.cid,
+      row_number() OVER (
+        PARTITION BY p.vid
+        ORDER BY list_reduce(
+          list_transform(range(1, {dim + 1}),
+                         i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])),
+          (acc, e) -> acc + e
+        ) ASC, c.cid ASC
+      ) AS rn
+    FROM pts p, {c} c
+  ) WHERE rn = 1
+)""".strip()
+
+    def update(a: str, c_prev: str, c_new: str) -> str:
+        return f"""
+{c_new} AS (
+  SELECT p0.cid, coalesce(u.v, p0.v) AS v
+  FROM {c_prev} p0 LEFT JOIN (
+    SELECT cid, list((s - (s % n)) // n ORDER BY i) AS v FROM (
+      SELECT a.cid, t.i, sum(p.v[t.i])::BIGINT AS s, count(*)::BIGINT AS n
+      FROM {a} a JOIN pts p USING (vid), range(1, {dim + 1}) t(i)
+      GROUP BY a.cid, t.i
+    ) GROUP BY cid
+  ) u USING (cid)
+)""".strip()
+
+    steps = []
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        steps.append(assign(f"a{it}", prev))
+        steps.append(update(f"a{it}", prev, f"c{it}"))
+        prev = f"c{it}"
+    steps.append(assign("afinal", prev))
+    joined = ",\n".join(steps)
+    return f"""
+WITH pts AS (
+  SELECT vec_id AS vid,
+    list_transform(embedding, x -> round(x::DOUBLE * {scale})::BIGINT) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vid)::BIGINT AS cid, v
+  FROM (SELECT vid, v FROM pts ORDER BY vid LIMIT {k})
+),
+{joined}
+SELECT vid AS vec_id, cid FROM afinal
+"""
+
+
+SQL_EMBEDDING_KMEANS = _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE)
+
+
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal duplicated 5-gram fraction per document
+    (functions/text.py::dup_span_fraction) — the span-level redundancy
+    report behind RefinedWeb/Dolma-style dedup decisions."""
+    return T.dup_span_fraction(_t(spark, sf_dir, "documents"), n=5)
+
+
+SQL_DOC_DUP_SPANS = rf"""
+WITH f AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+  FROM f, LATERAL (SELECT unnest(range(1, greatest(len(ws)-3, 1))) AS i) t
+),
+d AS (
+  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g
+)
+SELECT doc_id,
+  count(*)::BIGINT AS n_grams,
+  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+  (sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 10000) // count(*)
+    AS dup_pct_x10000
+FROM d GROUP BY doc_id
+"""
+
+
+SAMPLE_RATES = {"en": 80, "de": 40, "fr": 20}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling
+    (functions/text.py::stratified_sample), aggregated per (lang, keep):
+    the data-mixing recipe applied as a pure function of content."""
+    s = T.stratified_sample(
+        _t(spark, sf_dir, "documents"), SAMPLE_RATES, default_pct=10
+    )
+    return s.groupBy("lang", "keep").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SQL_SAMPLE_STRATIFIED = rf"""
+WITH f AS (
+  SELECT doc_id, lang, n_chars,
+    ('0x' || substring(sha256({NORM_SQL} || ':sample'), 1, 15))::BIGINT % 100
+      AS bucket,
+    CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 40 WHEN 'fr' THEN 20
+      ELSE 10 END AS rate_pct
+  FROM documents
+)
+SELECT lang, bucket < rate_pct AS keep,
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM f GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2833,6 +3034,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "stream_hourly": q_stream_hourly,
+    "kg_kcore": q_kg_kcore,
+    "embedding_kmeans": q_embedding_kmeans,
+    "doc_dup_spans": q_doc_dup_spans,
+    "sample_stratified": q_sample_stratified,
 }
 
 ORACLES: dict[str, str] = {
@@ -2906,4 +3111,8 @@ ORACLES: dict[str, str] = {
     # whole LSH pipeline (buckets, per-bucket topk, merge) SQL-replicable
     "embedding_ann": SQL_EMBEDDING_ANN,
     "embedding_ivf": SQL_EMBEDDING_IVF,
+    "kg_kcore": SQL_KG_KCORE,
+    "embedding_kmeans": SQL_EMBEDDING_KMEANS,
+    "doc_dup_spans": SQL_DOC_DUP_SPANS,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
 }

@@ -1,0 +1,154 @@
+"""k-core peeling and integer k-means vs brute-force driver oracles."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from pyjelly_spark.operators.clustering import kmeans_int
+from pyjelly_spark.operators.components import kcore
+
+
+def _brute_kcore(edges, k, rounds):
+    """Replicate the fixed-round peel exactly: symmetrize+dedup, then per
+    round drop nodes with degree < k and their edges."""
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    for _ in range(rounds):
+        deg = {}
+        for a, _b in und:
+            deg[a] = deg.get(a, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        und = {(a, b) for a, b in und if a in alive and b in alive}
+    out = {}
+    for a, _b in und:
+        out[a] = out.get(a, 0) + 1
+    return out
+
+
+class TestKCore:
+    def test_triangle_with_tail(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+        df = spark.createDataFrame(edges, "src: string, dst: string")
+        got = {r["node"]: r["deg"] for r in kcore(df, k=2, rounds=3).collect()}
+        assert got == {"a": 2, "b": 2, "c": 2}
+
+    def test_random_graphs_match_brute_force(self, spark):
+        rng = random.Random(20260818)
+        for trial in range(4):
+            n = rng.randint(8, 30)
+            m = rng.randint(n, 3 * n)
+            edges = [
+                (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}")
+                for _ in range(m)
+            ]
+            for k in (2, 3):
+                df = spark.createDataFrame(edges, "src: string, dst: string")
+                got = {
+                    r["node"]: r["deg"]
+                    for r in kcore(df, k=k, rounds=5).collect()
+                }
+                assert got == _brute_kcore(edges, k, 5), (trial, k)
+
+    def test_fixed_rounds_reach_fixpoint_on_chain(self, spark):
+        # a chain peels one layer per round from each end; 5 rounds
+        # suffice for a 6-node chain at k=2 (everything dies)
+        edges = [(f"c{i}", f"c{i+1}") for i in range(5)]
+        df = spark.createDataFrame(edges, "src: string, dst: string")
+        assert kcore(df, k=2, rounds=5).count() == 0
+        # and a clique survives any number of rounds intact
+        clique = [
+            (f"q{i}", f"q{j}") for i in range(4) for j in range(i + 1, 4)
+        ]
+        df2 = spark.createDataFrame(clique, "src: string, dst: string")
+        got = {r["node"]: r["deg"] for r in kcore(df2, k=3, rounds=6).collect()}
+        assert got == {f"q{i}": 3 for i in range(4)}
+
+
+def _brute_kmeans(vecs, k, iterations, scale):
+    """The exact integer recurrence, in plain Python."""
+    import math
+
+    # Python round() is banker's rounding and Python % is floor-mod;
+    # replicate Spark/DuckDB semantics exactly: round half away from
+    # zero, integer mean = truncation-toward-zero division.
+    def r(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    def trunc_div(s, n):
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
+    pts = {vid: [r(float(x) * scale) for x in v] for vid, v in vecs}
+    seeds = sorted(pts)[:k]
+    centers = {i + 1: list(pts[vid]) for i, vid in enumerate(seeds)}
+
+    def assign():
+        out = {}
+        for vid, v in pts.items():
+            best = None
+            for cid in sorted(centers):
+                d = sum((a - b) * (a - b) for a, b in zip(v, centers[cid]))
+                if best is None or d < best[0]:
+                    best = (d, cid)
+            out[vid] = best[1]
+        return out
+
+    for _ in range(iterations):
+        asg = assign()
+        by = {}
+        for vid, cid in asg.items():
+            by.setdefault(cid, []).append(pts[vid])
+        for cid, members in by.items():
+            n = len(members)
+            centers[cid] = [
+                trunc_div(sum(col), n) for col in zip(*members)
+            ]
+    return assign()
+
+
+class TestKMeansInt:
+    def test_matches_brute_force_recurrence(self, spark):
+        rng = random.Random(7)
+        vecs = [
+            (f"v{i:03d}", [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(vecs, "vec_id: string, embedding: array<double>")
+        got = {
+            r["vid"]: r["cid"]
+            for r in kmeans_int(df, k=4, iterations=2).collect()
+        }
+        assert got == _brute_kmeans(vecs, 4, 2, 10**6)
+
+    def test_deterministic_across_partitionings(self, spark):
+        rng = random.Random(11)
+        vecs = [
+            (f"v{i:03d}", [rng.uniform(-1, 1) for _ in range(6)])
+            for i in range(30)
+        ]
+        df1 = spark.createDataFrame(
+            vecs, "vec_id: string, embedding: array<double>"
+        ).repartition(1)
+        df8 = spark.createDataFrame(
+            vecs, "vec_id: string, embedding: array<double>"
+        ).repartition(8)
+        a1 = sorted(map(tuple, kmeans_int(df1, k=3, iterations=2).collect()))
+        a8 = sorted(map(tuple, kmeans_int(df8, k=3, iterations=2).collect()))
+        assert a1 == a8
+
+    def test_empty_cluster_keeps_centroid(self, spark):
+        # two tight blobs, k=3: the third seed is inside blob one and
+        # loses all points after the first update; the run must not fail
+        # and every point must still get a label in 1..3
+        vecs = [(f"a{i}", [0.0 + i * 1e-4, 0.0]) for i in range(3)] + [
+            (f"b{i}", [1.0 + i * 1e-4, 1.0]) for i in range(3)
+        ]
+        df = spark.createDataFrame(vecs, "vec_id: string, embedding: array<double>")
+        out = kmeans_int(df, k=3, iterations=3).collect()
+        assert len(out) == 6
+        assert {r["cid"] for r in out} <= {1, 2, 3}

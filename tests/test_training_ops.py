@@ -597,3 +597,69 @@ def test_gopher_filter_verdicts(spark):
         for x in flags:
             prod *= x
         assert r["keep"] == prod
+
+
+def test_dup_span_fraction_matches_python(spark):
+    from pyjelly_spark.functions.text import dup_span_fraction
+
+    rows = [
+        ("d1", "a b c d e f g"),          # shares the 'a b c d e' gram
+        ("d2", "a b c d e x y"),          # with d1
+        ("d3", "p q r s t u"),            # unique grams only
+        ("d4", "a b c"),                  # < 5 words: no grams, absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id: string, text: string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_pct_x10000"])
+        for r in dup_span_fraction(df, n=5).collect()
+    }
+    # brute force: distinct 5-grams per doc, df >= 2 counts as dup
+    grams = {}
+    for d, t in rows:
+        ws = t.split()
+        if len(ws) >= 5:
+            grams[d] = {" ".join(ws[i : i + 5]) for i in range(len(ws) - 4)}
+    from collections import Counter
+
+    dfreq = Counter(g for gs in grams.values() for g in gs)
+    want = {}
+    for d, gs in grams.items():
+        dup = sum(1 for g in gs if dfreq[g] >= 2)
+        want[d] = (len(gs), dup, dup * 10000 // len(gs))
+    assert got == want
+    assert "d4" not in got
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from pyjelly_spark.functions.text import stratified_sample
+
+    rows = [
+        (f"doc{i}", f"word{i} alpha beta gamma {i}", ["en", "de", "fr"][i % 3])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: string, text: string, lang: string")
+    out = stratified_sample(df, {"en": 100, "de": 0}, default_pct=50)
+    rates = {
+        r["lang"]: r
+        for r in out.groupBy("lang")
+        .agg(
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert rates["en"]["kept"] == rates["en"]["n"]       # 100% stratum
+    assert rates["de"]["kept"] == 0                      # 0% stratum
+    assert 0 < rates["fr"]["kept"] < rates["fr"]["n"]    # default ~50%
+    # membership is a pure function of content: re-partitioning cannot
+    # change which docs are kept
+    kept1 = {r["doc_id"] for r in out.where("keep").collect()}
+    kept2 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(16), {"en": 100, "de": 0}, default_pct=50
+        )
+        .where("keep")
+        .collect()
+    }
+    assert kept1 == kept2
