@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "kg_triangles",
     "doc_filter",
     "kg_communities",
+    "kg_kcore",
+    "embedding_kmeans",
+    "doc_dup_spans",
 ]
 
 

@@ -457,6 +457,55 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def sssp_int(
+    edges: DataFrame, sources: DataFrame, rounds: int = 8
+) -> DataFrame:
+    """Fixed-round Bellman-Ford over a directed, integer-weighted edge
+    frame ``(src, dst, w)``: minimum path cost from a source node set
+    ``(node)``. Returns ``(node, dist)`` for every node reachable within
+    ``rounds`` relaxations (sources at distance 0).
+
+    Integer weights + a fixed round count make the iterative relaxation
+    bit-identical to a declarative oracle (the DuckDB gate unrolls the
+    same min-union recurrence) — same determinism design as
+    ``pagerank_int``. ``rounds`` bounds path length in EDGES; a path
+    using more than ``rounds`` edges is not discovered, which is part of
+    the operator contract (pick rounds >= graph diameter for the exact
+    fixpoint; one extra round being a no-op is asserted in tests).
+
+    Scale shape: per round one equi-join of the (checkpointed) edge
+    table with the current distance table on ``src`` + one min-
+    aggregation with map-side partials. Unlike the BFS in
+    ``bfs_reachable``, already-reached nodes CAN improve (cheaper path,
+    more hops), so the aggregation runs over reached ∪ relaxed rather
+    than frontier-only; lineage truncated per round with a lazy
+    ``localCheckpoint``.
+    """
+    e = (
+        edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select("node", F.lit(0).cast("long").alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = e.join(
+            dist.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
 def kcore(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
     """Fixed-round k-core peeling over an undirected edge frame: per
     round, drop every node whose surviving degree is below ``k`` and

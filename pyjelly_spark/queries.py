@@ -2930,6 +2930,67 @@ FROM d GROUP BY doc_id
 """
 
 
+SSSP_ROUNDS = 8
+
+
+def q_kg_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths from one file over the resolved import
+    graph — fixed-round integer Bellman-Ford
+    (operators/components.py::sssp_int). Edge weights are a
+    deterministic function of the edge itself
+    (1 + (len(src)+len(dst)) % 5), so both engines derive identical
+    weights; min path cost within 8 relaxation rounds."""
+    from pyjelly_spark.operators.components import sssp_int
+
+    edges = q_kg_imports_resolved(spark, sf_dir).select(
+        F.col("s").alias("src"),
+        F.col("o").alias("dst"),
+        (
+            1 + (F.length("s") + F.length("o")) % 5
+        ).cast("long").alias("w"),
+    )
+    sources = spark.createDataFrame([(REACH_SOURCE,)], ["node"])
+    return sssp_int(edges, sources, rounds=SSSP_ROUNDS)
+
+
+def _sssp_sql(rounds: int) -> str:
+    """Unrolled fixed-round Bellman-Ford min-union recurrence, identical
+    to operators/components.py::sssp_int."""
+    its = []
+    for r in range(1, rounds + 1):
+        its.append(f"""
+d{r} AS (
+  SELECT node, min(dist)::BIGINT AS dist FROM (
+    SELECT node, dist FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{r - 1} d JOIN we e ON e.src = d.node
+  ) GROUP BY node
+)""".strip())
+    joined = ",\n".join(its)
+    return f"""
+WITH {{src}}, {{mentions}},
+edges0 AS (
+  SELECT DISTINCT file_iri AS src,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS dst
+  FROM imports_gt
+),
+we AS (
+  SELECT src, dst, 1 + (length(src) + length(dst)) % 5 AS w
+  FROM edges0 WHERE src <> dst
+),
+d0 AS (SELECT '{{source}}' AS node, 0::BIGINT AS dist),
+{joined}
+SELECT node, dist FROM d{rounds}
+"""
+
+
+SQL_KG_SSSP = _sssp_sql(SSSP_ROUNDS).format(
+    src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip(), source=REACH_SOURCE
+)
+
+
 SAMPLE_RATES = {"en": 80, "de": 40, "fr": 20}
 
 
@@ -3038,6 +3099,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_kmeans": q_embedding_kmeans,
     "doc_dup_spans": q_doc_dup_spans,
     "sample_stratified": q_sample_stratified,
+    "kg_sssp": q_kg_sssp,
 }
 
 ORACLES: dict[str, str] = {
@@ -3115,4 +3177,5 @@ ORACLES: dict[str, str] = {
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
     "doc_dup_spans": SQL_DOC_DUP_SPANS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "kg_sssp": SQL_KG_SSSP,
 }

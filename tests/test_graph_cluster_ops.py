@@ -152,3 +152,59 @@ class TestKMeansInt:
         out = kmeans_int(df, k=3, iterations=3).collect()
         assert len(out) == 6
         assert {r["cid"] for r in out} <= {1, 2, 3}
+
+
+def _brute_sssp(edges, sources, rounds):
+    dist = {s: 0 for s in sources}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for a, b, w in edges:
+            if a == b:
+                continue
+            if a in dist and (b not in nxt or dist[a] + w < nxt[b]):
+                nxt[b] = min(nxt.get(b, 1 << 60), dist[a] + w)
+        dist = nxt
+    return dist
+
+
+class TestSsspInt:
+    def test_weighted_beats_hop_count(self, spark):
+        # a->c direct costs 10; a->b->c costs 2+3=5: min COST must win
+        edges = [("a", "c", 10), ("a", "b", 2), ("b", "c", 3)]
+        df = spark.createDataFrame(edges, "src: string, dst: string, w: long")
+        src = spark.createDataFrame([("a",)], ["node"])
+        from pyjelly_spark.operators.components import sssp_int
+
+        got = {r["node"]: r["dist"] for r in sssp_int(df, src, rounds=3).collect()}
+        assert got == {"a": 0, "b": 2, "c": 5}
+
+    def test_random_graphs_match_brute_force_and_fixpoint(self, spark):
+        from pyjelly_spark.operators.components import sssp_int
+
+        rng = random.Random(99)
+        for trial in range(3):
+            n = rng.randint(6, 15)
+            edges = [
+                (
+                    f"n{rng.randrange(n)}",
+                    f"n{rng.randrange(n)}",
+                    rng.randint(1, 9),
+                )
+                for _ in range(3 * n)
+            ]
+            df = spark.createDataFrame(
+                edges, "src: string, dst: string, w: long"
+            )
+            src = spark.createDataFrame([("n0",), ("n1",)], ["node"])
+            rounds = n  # >= diameter: fixpoint reached
+            got = {
+                r["node"]: r["dist"]
+                for r in sssp_int(df, src, rounds=rounds).collect()
+            }
+            assert got == _brute_sssp(edges, ["n0", "n1"], rounds), trial
+            # one extra round is a no-op at the fixpoint
+            again = {
+                r["node"]: r["dist"]
+                for r in sssp_int(df, src, rounds=rounds + 1).collect()
+            }
+            assert again == got
