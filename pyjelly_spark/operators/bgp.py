@@ -47,6 +47,50 @@ def is_var(term) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+class QuotedPattern:
+    """RDF-star quoted-triple pattern ``<< s p o >>`` in a subject or
+    object slot. Matches term values stored in the flat-column
+    convention (sources/jelly_io.py: kind ``qt`` carries the quoted
+    triple as its N-Triples serialization ``<< <s> <p> <o> >>``),
+    binding inner variables to DECODED term values (IRI brackets /
+    bnode prefix / literal quotes stripped), so inner bindings join
+    ordinary patterns on equal footing.
+
+    Supported inner shape (the practical RDF-star annotation form):
+    inner subject and predicate are space-free terms (IRI/bnode —
+    nesting in those slots is not supported), inner object is the
+    serialized remainder (literal, IRI, or a nested quoted triple
+    matched opaquely). Literal escapes are not unescaped.
+    """
+
+    __slots__ = ("s", "p", "o")
+
+    def __init__(self, s: str, p: str, o: str) -> None:
+        self.s, self.p, self.o = s, p, o
+
+    @property
+    def variables(self) -> set[str]:
+        return {t[1:] for t in (self.s, self.p, self.o) if is_var(t)}
+
+
+#: inner-term split of a non-nested-subject quoted triple: two
+#: space-free terms, then the remainder
+_QT_RE = r"^<< (\S+) (\S+) (.+) >>$"
+
+
+def _decode_nt_piece(c):
+    """Serialized N-Triples term -> the engine's flat value string."""
+    return (
+        F.when(c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1))
+        .when(c.startswith("_:"), F.substring(c, 3, 1 << 30))
+        .when(
+            c.startswith('"'),
+            F.regexp_extract(c, r'^"((?:[^"\\]|\\.)*)"', 1),
+        )
+        .otherwise(c)
+    )
+
+
 class _Scan:
     """One compiled triple pattern: projected scan + its variable set."""
 
@@ -69,7 +113,36 @@ def _compile_pattern(triples: DataFrame, pattern: Pattern, index: int) -> _Scan:
     var_slots: dict[str, str] = {}
     df = triples
     n_constants = 0
+    # RDF-star: expand a QuotedPattern slot into the structural filter
+    # plus three derived pseudo-slot columns (decoded inner terms), then
+    # let the ordinary slot loop below handle constants/variables/
+    # repeated-variable equality uniformly.
+    slot_terms: list[tuple[str, object]] = []
     for slot, term in zip(_SLOTS[: len(pattern)], pattern):
+        if isinstance(term, QuotedPattern):
+            if slot not in ("s", "o"):
+                raise ValueError(
+                    f"pattern {index}: quoted-triple pattern only in the "
+                    "subject or object slot"
+                )
+            # rlike doubles as the structural filter AND the
+            # extractability guard (a nested quoted triple in the inner
+            # SUBJECT slot fails \S+ and is correctly not matched,
+            # instead of binding empty strings)
+            df = df.filter(F.col(slot).rlike(_QT_RE))
+            n_constants += 1  # the structural filter is selective
+            for grp, inner in enumerate((term.s, term.p, term.o), start=1):
+                pseudo = f"__qt{index}_{slot}{grp}"
+                df = df.withColumn(
+                    pseudo,
+                    _decode_nt_piece(
+                        F.regexp_extract(F.col(slot), _QT_RE, grp)
+                    ),
+                )
+                slot_terms.append((pseudo, inner))
+        else:
+            slot_terms.append((slot, term))
+    for slot, term in slot_terms:
         if is_var(term):
             name = term[1:]
             if not name:

@@ -34,6 +34,13 @@ joins over the flat (s, p, o) triples relation):
   the same builtins work inside BIND expressions
 - trailing ``GROUP BY ?v ...``, ``HAVING (expr)``,
   ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT n`` and ``OFFSET n``
+- SPARQL-star: quoted-triple patterns ``<< s p o >>`` in the subject or
+  object slot of a triple pattern match RDF-star annotation terms (the
+  flat-column qt convention stores them as their N-Triples
+  serialization) and bind inner variables to decoded term values —
+  see :class:`pyjelly_spark.operators.bgp.QuotedPattern` for the
+  supported inner shape; nested quoted PATTERNS are rejected (nested
+  quoted DATA in the inner object matches opaquely)
 
 Terms: ``<iri>``, ``ns:local``, ``"literal"``, ``?var``. The engine's
 term model is flat value strings (pyjelly_spark stores decoded term
@@ -54,7 +61,7 @@ import re
 
 from pyspark.sql import DataFrame
 
-from pyjelly_spark.operators.bgp import bgp_match, is_var
+from pyjelly_spark.operators.bgp import QuotedPattern, bgp_match, is_var
 
 
 class SparqlError(ValueError):
@@ -181,6 +188,36 @@ class _Parser:
         if kind == "word" and val == "a":  # rdf:type shorthand
             return "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
         raise SparqlError(f"expected term, got {val!r}")
+
+    def term_or_quoted(self):
+        """A term, or an RDF-star quoted-triple pattern ``<< s p o >>``
+        (subject/object position in a triple pattern). The tokenizer
+        emits ``<<`` / ``>>`` as two ``<`` / ``>`` operator tokens."""
+        if (
+            self.peek() == ("op", "<")
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1] == ("op", "<")
+        ):
+            self.next()
+            self.next()
+            if (
+                self.peek() == ("op", "<")
+                and self.toks[self.i + 1] == ("op", "<")
+            ):
+                raise SparqlUnsupported(
+                    "nested quoted-triple patterns"
+                )
+            s = self.term()
+            p = self.term()
+            o = self.term()
+            for _ in range(2):
+                kind, val = self.next()
+                if (kind, val) != ("op", ">"):
+                    raise SparqlError(
+                        f"expected '>>' closing a quoted triple, got {val!r}"
+                    )
+            return QuotedPattern(s, p, o)
+        return self.term()
 
     # -- FILTER expression -> Spark SQL --------------------------------
 
@@ -603,10 +640,10 @@ class _Parser:
                         raise SparqlUnsupported("nested GRAPH")
                     br["p"].append((*pat, g_term))
                 continue
-            s = self.term()
+            s = self.term_or_quoted()
             while True:
                 steps = self.path()
-                o = self.term()
+                o = self.term_or_quoted()
                 if len(steps) == 1 and steps[0]["mod"] is None and not steps[0]["inverse"]:
                     br["p"].append((s, steps[0]["pred"], o))
                 else:

@@ -2930,6 +2930,53 @@ FROM d GROUP BY doc_id
 """
 
 
+def q_kg_sparql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-star over RDF-star annotation triples: resolved import
+    edges are annotated with a confidence score carried on the QUOTED
+    TRIPLE itself (``<< <f> <importsResolved> <t> >> :confidence "d"``,
+    the flat-column qt convention), and a quoted-triple pattern binds
+    the inner subject/object while filtering on the annotation — the
+    rdflib-SPARQL-star query shape running distributed
+    (operators/sparql.py::term_or_quoted -> bgp.py::QuotedPattern)."""
+    from pyjelly_spark.operators.sparql import sparql_query
+
+    edges = q_kg_imports_resolved(spark, sf_dir)
+    annotated = edges.select(
+        F.concat(
+            F.lit("<< <"), F.col("s"),
+            F.lit("> <"), F.col("p"),
+            F.lit("> <"), F.col("o"), F.lit("> >>"),
+        ).alias("s"),
+        F.lit("http://kg.example/pred/confidence").alias("p"),
+        ((F.length(edges["s"]) + F.length(edges["o"])) % 10)
+        .cast("string")
+        .alias("o"),
+    )
+    q = """
+    SELECT ?f ?t ?conf WHERE {
+      << ?f <http://kg.example/ns#importsResolved> ?t >>
+        <http://kg.example/pred/confidence> ?conf .
+      FILTER (?conf >= "5")
+    }
+    """
+    return sparql_query(annotated, q)
+
+
+SQL_KG_SPARQL_STAR = f"""
+WITH {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+resolved AS (
+  SELECT file_iri AS f,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS t
+  FROM imports_gt
+)
+SELECT f, t,
+  ((length(f) + length(t)) % 10)::VARCHAR AS conf
+FROM resolved
+WHERE ((length(f) + length(t)) % 10)::VARCHAR >= '5'
+"""
+
+
 SSSP_ROUNDS = 8
 
 
@@ -3100,6 +3147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dup_spans": q_doc_dup_spans,
     "sample_stratified": q_sample_stratified,
     "kg_sssp": q_kg_sssp,
+    "kg_sparql_star": q_kg_sparql_star,
 }
 
 ORACLES: dict[str, str] = {
@@ -3178,4 +3226,5 @@ ORACLES: dict[str, str] = {
     "doc_dup_spans": SQL_DOC_DUP_SPANS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "kg_sssp": SQL_KG_SSSP,
+    "kg_sparql_star": SQL_KG_SPARQL_STAR,
 }

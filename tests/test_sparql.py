@@ -767,3 +767,90 @@ def test_strbefore_not_found_is_empty(triples):
         """,
     ).collect()
     assert len(out) == 3  # all defines rows: both identities hold
+
+
+# --- RDF-star (SPARQL-star quoted-triple patterns) --------------------------
+
+
+@pytest.fixture(scope="module")
+def star_triples(spark):
+    rows = [
+        ("<< <http://x/f1> <http://x/imports> <http://x/m1> >>",
+         "http://x/certainty", "0.9"),
+        ("<< <http://x/f2> <http://x/imports> <http://x/m2> >>",
+         "http://x/certainty", "0.4"),
+        ('<< <http://x/f1> <http://x/defines> "fn main" >>',
+         "http://x/certainty", "0.7"),
+        ("<< _:b1 <http://x/imports> <http://x/m3> >>",
+         "http://x/certainty", "0.5"),
+        ("http://x/f1", "http://x/type", "file"),
+    ]
+    return spark.createDataFrame(rows, "s: string, p: string, o: string")
+
+
+def test_quoted_pattern_binds_inner_vars(star_triples):
+    out = sparql_query(
+        star_triples,
+        "SELECT ?f ?m ?c WHERE { << ?f <http://x/imports> ?m >> "
+        '<http://x/certainty> ?c . FILTER (?c >= "0.5") }',
+    ).collect()
+    got = {(r["f"], r["m"], r["c"]) for r in out}
+    assert got == {
+        ("http://x/f1", "http://x/m1", "0.9"),
+        ("b1", "http://x/m3", "0.5"),  # bnode label decoded
+    }
+
+
+def test_quoted_pattern_literal_object_and_join(star_triples):
+    out = sparql_query(
+        star_triples,
+        "SELECT ?what ?c WHERE { "
+        "<< ?f <http://x/defines> ?what >> <http://x/certainty> ?c . "
+        '?f <http://x/type> "file" . }',
+    ).collect()
+    assert {(r["what"], r["c"]) for r in out} == {("fn main", "0.7")}
+
+
+def test_quoted_pattern_inner_constants(star_triples):
+    # all three inner slots constant: pure existence filter on the qt
+    out = sparql_query(
+        star_triples,
+        "SELECT ?c WHERE { "
+        "<< <http://x/f2> <http://x/imports> <http://x/m2> >> "
+        "<http://x/certainty> ?c . }",
+    ).collect()
+    assert [r["c"] for r in out] == ["0.4"]
+
+
+def test_whole_qt_term_still_binds_serialization(star_triples):
+    out = sparql_query(
+        star_triples,
+        'SELECT ?qt WHERE { ?qt <http://x/certainty> "0.9" . }',
+    ).collect()
+    assert out[0]["qt"].startswith("<< <http://x/f1>")
+
+
+def test_nested_quoted_pattern_unsupported(star_triples):
+    with pytest.raises(SparqlUnsupported):
+        sparql_query(
+            star_triples,
+            "SELECT ?c WHERE { << << ?a ?b ?x >> ?p ?o >> "
+            "<http://x/certainty> ?c . }",
+        )
+
+
+def test_quoted_pattern_repeated_inner_var(spark):
+    # self-referential annotation: << ?x ?p ?x >> matches only the
+    # self-loop quoted triple
+    rows = [
+        ("<< <http://x/n1> <http://x/link> <http://x/n1> >>",
+         "http://x/w", "1"),
+        ("<< <http://x/n1> <http://x/link> <http://x/n2> >>",
+         "http://x/w", "2"),
+    ]
+    t = spark.createDataFrame(rows, "s: string, p: string, o: string")
+    out = sparql_query(
+        t, "SELECT ?x ?w WHERE { << ?x <http://x/link> ?x >> "
+           "<http://x/w> ?w . }"
+    ).collect()
+    assert {(r["x"], r["w"]) for r in out} == {("http://x/n1", "1")}
