@@ -2930,6 +2930,79 @@ FROM d GROUP BY doc_id
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue-change: the canonical predicate-
+    pushdown showcase — every filter reaches the parquet scan
+    (PushedFilters), one map-side-combined global aggregate, zero
+    joins. Decimal-exact like q1/q3/q5."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * _dec("l_discount")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, retained-
+    user counts at day offsets 0..7 — the standard product-analytics
+    rollup. One aggregation derives cohorts, one distinct builds active
+    (user, day) pairs, and the cohort join is user-keyed (the cohort
+    table is one row per user — AQE broadcasts it while it fits)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    active = ev.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM active GROUP BY user_id
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', c.cohort_day, a.day) AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM active a JOIN cohort c USING (user_id)
+WHERE date_diff('day', c.cohort_day, a.day) <= 7
+GROUP BY 1, 2
+"""
+
+
 def q_kg_sparql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-star over RDF-star annotation triples: resolved import
     edges are annotated with a confidence score carried on the QUOTED
@@ -3148,6 +3221,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "kg_sssp": q_kg_sssp,
     "kg_sparql_star": q_kg_sparql_star,
+    "tpch_q6": q_tpch_q6,
+    "events_retention": q_events_retention,
 }
 
 ORACLES: dict[str, str] = {
@@ -3227,4 +3302,6 @@ ORACLES: dict[str, str] = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "kg_sssp": SQL_KG_SSSP,
     "kg_sparql_star": SQL_KG_SPARQL_STAR,
+    "tpch_q6": SQL_TPCH_Q6,
+    "events_retention": SQL_EVENTS_RETENTION,
 }
