@@ -33,7 +33,9 @@ joins over the flat (s, p, o) triples relation):
   not-found => '' semantics, and ``IN (...)``) mapped onto Spark SQL;
   the same builtins work inside BIND expressions
 - trailing ``GROUP BY ?v ...``, ``HAVING (expr)``,
-  ``ORDER BY [ASC|DESC](?v) ...``, ``LIMIT n`` and ``OFFSET n``
+  ``ORDER BY [ASC|DESC](expr) ...`` (sort keys are variables or any
+  BIND-translatable expression, e.g. ``DESC(STRLEN(?x))``), ``LIMIT n``
+  and ``OFFSET n``
 - SPARQL-star: quoted-triple patterns ``<< s p o >>`` in the subject or
   object slot of a triple pattern match RDF-star annotation terms (the
   flat-column qt convention stores them as their N-Triples
@@ -218,6 +220,41 @@ class _Parser:
                     )
             return QuotedPattern(s, p, o)
         return self.term()
+
+    def sql_until_close(self) -> str:
+        """Translate tokens to Spark SQL through the matching ``)`` (the
+        opening ``(`` already consumed) — the BIND-style expression
+        translator, shared by ORDER BY expressions."""
+        depth, parts = 1, []
+        while True:
+            k2, v2 = self.next()
+            if k2 == "eof":
+                raise SparqlError("unterminated expression")
+            if v2 == "(":
+                depth += 1
+                parts.append("(")
+            elif v2 == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+                parts.append(")")
+            elif k2 == "var":
+                parts.append(v2[1:])
+            elif k2 == "literal":
+                parts.append("'" + v2[1:-1].replace("'", "''") + "'")
+            elif k2 == "iri":
+                parts.append("'" + v2[1:-1] + "'")
+            elif k2 == "op":
+                parts.append(
+                    {"&&": "AND", "||": "OR", "!": "NOT"}.get(v2, v2)
+                )
+            elif k2 == "word" and v2.upper() in ("STRBEFORE", "STRAFTER"):
+                parts.append(self._str_before_after(v2.upper()))
+            elif k2 == "word" and v2.upper() in _FILTER_FUNCS:
+                parts.append(_FILTER_FUNCS[v2.upper()])
+            else:
+                parts.append(v2)
+        return " ".join(parts)
 
     # -- FILTER expression -> Spark SQL --------------------------------
 
@@ -865,15 +902,23 @@ def _parse_select_tail(
                 kind, val = p.peek()
                 asc = True
                 if val.upper() in ("ASC", "DESC"):
+                    # ASC(?v) / DESC(expr): any BIND-translatable
+                    # expression is a valid sort key (SPARQL 15.1)
                     asc = val.upper() == "ASC"
                     p.next()
                     p.expect_punct("(")
-                    _, v = p.next()
-                    p.expect_punct(")")
-                    order.append((v[1:], asc))
+                    order.append((p.sql_until_close(), asc))
                 elif kind == "var":
                     p.next()
                     order.append((val[1:], True))
+                elif kind == "word" and val.upper() in _FILTER_FUNCS:
+                    # bare builtin sort key: ORDER BY STRLEN(?x)
+                    p.next()
+                    p.expect_punct("(")
+                    fn = _FILTER_FUNCS[val.upper()]
+                    order.append(
+                        (f"{fn}({p.sql_until_close()})", True)
+                    )
                 else:
                     break
         elif up == "LIMIT":
@@ -1457,7 +1502,7 @@ def _eval_select_plan(
         if plan["order"]:
             sols = sols.orderBy(
                 *[
-                    F.col(v).asc() if asc else F.col(v).desc()
+                    F.expr(v).asc() if asc else F.expr(v).desc()
                     for v, asc in plan["order"]
                 ]
             )
@@ -1514,7 +1559,7 @@ def _eval_select_plan(
     if plan["order"]:
         sols = sols.orderBy(
             *[
-                F.col(v).asc() if asc else F.col(v).desc()
+                F.expr(v).asc() if asc else F.expr(v).desc()
                 for v, asc in plan["order"]
             ]
         )

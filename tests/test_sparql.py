@@ -854,3 +854,17 @@ def test_quoted_pattern_repeated_inner_var(spark):
            "<http://x/w> ?w . }"
     ).collect()
     assert {(r["x"], r["w"]) for r in out} == {("http://x/n1", "1")}
+
+
+def test_order_by_expression(spark):
+    rows = [("s1", "p", "alpha"), ("s2", "p", "bee"), ("s3", "p", "cc")]
+    t = spark.createDataFrame(rows, "s: string, p: string, o: string")
+    out = sparql_query(
+        t, "SELECT ?s ?o WHERE { ?s <p> ?o . } "
+           "ORDER BY DESC(STRLEN(?o)) ?s LIMIT 2"
+    ).collect()
+    assert [(r["s"], r["o"]) for r in out] == [("s1", "alpha"), ("s2", "bee")]
+    out2 = sparql_query(
+        t, "SELECT ?s WHERE { ?s <p> ?o . } ORDER BY STRLEN(?o)"
+    ).collect()
+    assert [r["s"] for r in out2] == ["s3", "s2", "s1"]
