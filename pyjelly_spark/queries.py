@@ -3142,6 +3142,23 @@ FROM f GROUP BY 1, 2
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once ingest dedup: the event backlog drained
+    with availableNow, every event_id % 3 == 0 event redelivered twice,
+    watermarked dropDuplicates repairing the stream to exactly-once —
+    result must equal the batch per-type distinct counts
+    (streaming/jobs.py::deduped_type_counts)."""
+    from pyjelly_spark.streaming.jobs import run_stream_dedup_batchmode
+
+    return run_stream_dedup_batchmode(spark, f"{sf_dir}/events.parquet")
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_type, count(DISTINCT event_id) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3223,6 +3240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_star": q_kg_sparql_star,
     "tpch_q6": q_tpch_q6,
     "events_retention": q_events_retention,
+    "stream_dedup": q_stream_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -3304,4 +3322,5 @@ ORACLES: dict[str, str] = {
     "kg_sparql_star": SQL_KG_SPARQL_STAR,
     "tpch_q6": SQL_TPCH_Q6,
     "events_retention": SQL_EVENTS_RETENTION,
+    "stream_dedup": SQL_STREAM_DEDUP,
 }

@@ -203,3 +203,52 @@ def run_sessionized_batchmode(
     q = writer.start()
     q.awaitTermination()
     return spark.table(name)
+
+
+def deduped_type_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once ingest dedup: drop re-delivered events by
+    key before aggregating — the standard at-least-once -> exactly-once
+    repair in a training-data ingest path.
+
+    ``dropDuplicates`` on a stream keeps per-key state; the watermark
+    bounds that state (keys older than the watermark are evicted, so
+    state is O(events within the watermark window), not O(stream
+    history)) — the property that makes the operator viable on an
+    unbounded 100 TB feed. Duplicates are exact copies (same ``ts``), so
+    eviction can never split a duplicate pair across the watermark
+    boundary.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def run_stream_dedup_batchmode(
+    spark: SparkSession, events_dir: str
+) -> DataFrame:
+    """Drain the event backlog with availableNow, with deterministic
+    duplicate injection (every event_id % 3 == 0 event is delivered
+    twice via a self-union of the stream — the at-least-once redelivery
+    pattern), deduped by ``deduped_type_counts``. The result must equal
+    the batch per-type distinct counts — the driver oracle gate
+    (queries.py::SQL_STREAM_DEDUP)."""
+    from pyspark.sql import functions as F
+
+    ev = read_event_stream(spark, events_dir)
+    redelivered = ev.where(F.col("event_id") % 3 == 0)
+    result = deduped_type_counts(ev.unionByName(redelivered))
+    name = "stream_dedup_sink"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
