@@ -42,7 +42,11 @@ joins over the flat (s, p, o) triples relation):
   serialization) and bind inner variables to decoded term values —
   see :class:`pyjelly_spark.operators.bgp.QuotedPattern` for the
   supported inner shape; nested quoted PATTERNS are rejected (nested
-  quoted DATA in the inner object matches opaquely)
+  quoted DATA in the inner object matches opaquely). CONSTRUCT-star:
+  quoted-triple TEMPLATE terms serialize their bindings back into the
+  qt convention (term kind recovered heuristically — IRI-scheme values
+  as IRIs, else literals; predicates always IRIs), so constructed
+  annotations round-trip through the matcher and the Jelly/NT writers
 
 Terms: ``<iri>``, ``ns:local``, ``"literal"``, ``?var``. The engine's
 term model is flat value strings (pyjelly_spark stores decoded term
@@ -1277,17 +1281,59 @@ def _parse_template_group(p: _Parser) -> list[tuple]:
     return out
 
 
+#: values with an IRI scheme serialize as IRIs in constructed quoted
+#: triples; everything else as a plain literal. The flat value model
+#: drops term kinds, so CONSTRUCT-star recovers them heuristically —
+#: documented operator contract (predicates always serialize as IRIs,
+#: as RDF requires).
+_IRI_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+
+
+def _serialize_term(t, as_iri: bool = False):
+    """Template term -> serialized N-Triples piece (Column) for
+    CONSTRUCT-star quoted-triple building."""
+    from pyspark.sql import functions as F
+
+    val = F.col(t[1:]) if is_var(t) else F.lit(t)
+    if as_iri:
+        return F.concat(F.lit("<"), val, F.lit(">"))
+    looks_iri = val.rlike(_IRI_SCHEME_RE)
+    return F.when(looks_iri, F.concat(F.lit("<"), val, F.lit(">"))).otherwise(
+        F.concat(F.lit('"'), val, F.lit('"'))
+    )
+
+
+def _template_col(t, slot: str):
+    """One template slot -> output Column (QuotedPattern serializes to
+    the flat-column qt convention; plain terms pass through)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(t, QuotedPattern):
+        return F.concat(
+            F.lit("<< "),
+            _serialize_term(t.s),
+            F.lit(" "),
+            _serialize_term(t.p, as_iri=True),
+            F.lit(" "),
+            _serialize_term(t.o),
+            F.lit(" >>"),
+        ).alias(slot)
+    return (F.col(t[1:]) if is_var(t) else F.lit(t)).alias(slot)
+
+
 def _instantiate(sols: DataFrame, template: list[tuple]) -> DataFrame:
     """CONSTRUCT-style template instantiation: one (s, p, o) row per
     solution per template pattern; unbound slots drop the row; result
-    is a graph (set)."""
-    from pyspark.sql import functions as F
+    is a graph (set). A quoted-triple template term (CONSTRUCT-star,
+    ``<< ?s ?p ?o >> :pred ?v``) serializes its bindings into the
+    flat-column qt convention, so constructed annotations round-trip
+    through the quoted-pattern MATCHER and the Jelly/NT writers."""
 
     out = None
     for s, p, o in template:
         row = sols.select(
             *[
-                (F.col(t[1:]) if is_var(t) else F.lit(t)).alias(slot)
+                _template_col(t, slot)
                 for slot, t in (("s", s), ("p", p), ("o", o))
             ]
         )

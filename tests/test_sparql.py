@@ -868,3 +868,45 @@ def test_order_by_expression(spark):
         t, "SELECT ?s WHERE { ?s <p> ?o . } ORDER BY STRLEN(?o)"
     ).collect()
     assert [r["s"] for r in out2] == ["s3", "s2", "s1"]
+
+
+def test_construct_star_roundtrips_through_matcher(spark):
+    rows = [
+        ("http://x/f1", "http://x/imports", "http://x/m1"),
+        ("http://x/f2", "http://x/imports", "http://x/m2"),
+        ("http://x/f1", "http://x/defines", "fn main"),
+    ]
+    t = spark.createDataFrame(rows, "s: string, p: string, o: string")
+    ann = sparql_query(
+        t,
+        'CONSTRUCT { << ?f <http://x/imports> ?m >> '
+        '<http://x/source> "scan" . } '
+        "WHERE { ?f <http://x/imports> ?m . }",
+    )
+    got = {r["s"] for r in ann.collect()}
+    assert got == {
+        "<< <http://x/f1> <http://x/imports> <http://x/m1> >>",
+        "<< <http://x/f2> <http://x/imports> <http://x/m2> >>",
+    }
+    back = sparql_query(
+        ann,
+        "SELECT ?f ?m WHERE { << ?f <http://x/imports> ?m >> "
+        '<http://x/source> "scan" . }',
+    ).collect()
+    assert {(r["f"], r["m"]) for r in back} == {
+        ("http://x/f1", "http://x/m1"),
+        ("http://x/f2", "http://x/m2"),
+    }
+
+
+def test_construct_star_literal_object_serializes_quoted(spark):
+    t = spark.createDataFrame(
+        [("http://x/f1", "http://x/defines", "fn main")],
+        "s: string, p: string, o: string",
+    )
+    out = sparql_query(
+        t,
+        'CONSTRUCT { << ?f <http://x/defines> ?d >> <http://x/w> "1" . } '
+        "WHERE { ?f <http://x/defines> ?d . }",
+    ).collect()
+    assert out[0]["s"] == '<< <http://x/f1> <http://x/defines> "fn main" >>'
