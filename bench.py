@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "kg_kcore",
     "embedding_kmeans",
     "doc_dup_spans",
+    "events_funnel",
 ]
 
 

@@ -3142,6 +3142,60 @@ FROM f GROUP BY 1, 2
 """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first qualifying click —
+    the standard product-analytics conversion funnel, as strictly-
+    ordered min-timestamp chaining. One scan per step, user-keyed joins
+    (each step's frame is one row per surviving user, so AQE broadcasts
+    the shrinking side); no window over the whole event stream."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(step: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.where(F.col("event_type") == step)
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("ts") > F.col("t_prev"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    out = None
+    prev = None
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        prev = first_after(step, prev)
+        row = prev.agg(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(step).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 1::BIGINT AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 2::BIGINT, 'click', count(*) FROM s2
+UNION ALL
+SELECT 3::BIGINT, 'purchase', count(*) FROM s3
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once ingest dedup: the event backlog drained
     with availableNow, every event_id % 3 == 0 event redelivered twice,
@@ -3241,6 +3295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q6": q_tpch_q6,
     "events_retention": q_events_retention,
     "stream_dedup": q_stream_dedup,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -3323,4 +3378,5 @@ ORACLES: dict[str, str] = {
     "tpch_q6": SQL_TPCH_Q6,
     "events_retention": SQL_EVENTS_RETENTION,
     "stream_dedup": SQL_STREAM_DEDUP,
+    "events_funnel": SQL_EVENTS_FUNNEL,
 }
