@@ -23,12 +23,13 @@ order, and the DuckDB oracle unrolls the same recurrence
 Scale shape (per iteration):
 - assignment is SHUFFLE-FREE: the k centroids are driver state (k*d
   longs — the same regime as MLlib's KMeans, whose centers live on the
-  driver between iterations) embedded as an array literal, and the
-  per-row argmin runs as one whole-stage-codegen ``aggregate`` over
-  that k-element array. The corpus is never joined or re-keyed;
-- update: ``posexplode`` of assigned vectors -> groupBy (cid, pos).
-  Map-side partial aggregation means the one exchange per iteration
-  moves O(k * d * partitions) partial sums, not the corpus;
+  driver between iterations) closed over an Arrow-batched
+  ``mapInPandas``; the per-batch distance matrix is exact int64 numpy.
+  The corpus is never joined or re-keyed;
+- update: per-partition numpy partial sums (one (cid, sum-vec, count)
+  row per cluster per partition), collected and combined on the driver
+  — O(k * d * partitions) values move, never the corpus, and there is
+  NO shuffle at all in an iteration;
 - the corpus table is checkpointed once up front; nothing iterative
   accumulates lineage on it.
 
@@ -39,7 +40,7 @@ all its points keeps its previous centroid.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_SCALE = 10**6
@@ -55,61 +56,109 @@ def _int_vecs(
     return vecs.select(F.col(id_col).alias("vid"), v.alias("v"))
 
 
-def _sqdist(a: Column, b: Column) -> Column:
-    diff2 = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
-    return F.aggregate(diff2, F.lit(0).cast("long"), lambda acc, d: acc + d)
-
-
-def _nearest_cid(centers: list[tuple[int, list[int]]]) -> Column:
-    """Argmin over a literal centroid array, ties to the smallest cid —
-    one codegen expression, no join, no shuffle."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("long").alias("cid"),
-                F.array(*[F.lit(int(x)).cast("long") for x in c]).alias("c"),
-            )
-            for cid, c in centers
-        ]
-    )
-    init = F.struct(
-        F.lit(None).cast("long").alias("dist"), F.lit(None).cast("long").alias("cid")
-    )
-
-    def step(acc: Column, e: Column) -> Column:
-        d = _sqdist(F.col("v"), e.getField("c"))
-        better = acc.getField("dist").isNull() | (d < acc.getField("dist"))
-        return F.when(
-            better, F.struct(d.alias("dist"), e.getField("cid").alias("cid"))
-        ).otherwise(acc)
-
-    return F.aggregate(cent_arr, init, step).getField("cid")
-
-
 def _assign(pts: DataFrame, centers: list[tuple[int, list[int]]]) -> DataFrame:
-    return pts.select("vid", "v", _nearest_cid(centers).alias("cid"))
+    """Shuffle-free nearest-centroid assignment: the k x d integer
+    centroid matrix closes over an Arrow-batched ``mapInPandas`` and the
+    per-batch distance matrix is exact int64 numpy — the MLlib regime
+    (vectorized math against broadcast driver-state centers), preferred
+    over a k*d-literal codegen expression whose generated code grows
+    with k*d (compile time dominated the wall at k=8, d=64). Ties go to
+    the smallest cid: ``centers`` is ordered by cid and ``argmin`` keeps
+    the first minimum."""
+    import numpy as np
+    import pandas as pd
+
+    ordered = sorted(centers)
+    cids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    cmat = np.array([c for _, c in ordered], dtype=np.int64)  # k x d
+
+    def run(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            vmat = np.array(list(b["v"]), dtype=np.int64)  # n x d
+            # per-centroid pass keeps the intermediate at n x d (not
+            # n x k x d), exact int64 throughout
+            dists = np.empty((len(vmat), len(cids)), dtype=np.int64)
+            for j in range(len(cids)):
+                diff = vmat - cmat[j]
+                dists[:, j] = (diff * diff).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": b["vid"],
+                    "v": b["v"],
+                    "cid": cids[np.argmin(dists, axis=1)],
+                }
+            )
+
+    vid_type = dict(pts.dtypes)["vid"]
+    return pts.mapInPandas(
+        run, schema=f"vid {vid_type}, v array<bigint>, cid bigint"
+    )
 
 
 def _update(
     assigned: DataFrame, centers: list[tuple[int, list[int]]]
 ) -> list[tuple[int, list[int]]]:
-    flat = assigned.select("cid", F.posexplode("v").alias("pos", "val"))
-    sums = (
-        flat.groupBy("cid", "pos")
-        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select("cid", "pos", F.expr("(s - (s % n)) div n").alias("m"))
-        .collect()
-    )
-    by_cid: dict[int, dict[int, int]] = {}
-    for row in sums:
-        by_cid.setdefault(row["cid"], {})[row["pos"]] = row["m"]
+    """Exact integer centroid means via per-partition numpy partial sums:
+    each Arrow batch contributes one (cid, sum-vector, count) row per
+    cluster it contains, so the driver collects O(k * partitions) tiny
+    rows instead of shuffling a posexploded corpus. Integer addition is
+    associative — partial-sum order cannot change the result. The mean
+    is ``(s - s % n) // n`` with C-style ``%`` (trunc-toward-zero
+    division), matching Spark's ``div`` and DuckDB's ``//`` exactly.
+    Clusters that lost all points keep their previous centroid."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        acc: dict[int, tuple] = {}
+        for b in batches:
+            if not len(b):
+                continue
+            vmat = np.array(list(b["v"]), dtype=np.int64)
+            cvec = b["cid"].to_numpy()
+            for cid in np.unique(cvec):
+                block = vmat[cvec == cid]
+                s, n = block.sum(axis=0, dtype=np.int64), len(block)
+                if cid in acc:
+                    s0, n0 = acc[cid]
+                    acc[cid] = (s0 + s, n0 + n)
+                else:
+                    acc[cid] = (s, n)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "cid": list(acc),
+                    "s": [list(map(int, v[0])) for v in acc.values()],
+                    "n": [v[1] for v in acc.values()],
+                }
+            )
+
+    rows = assigned.mapInPandas(
+        partials, schema="cid bigint, s array<bigint>, n bigint"
+    ).collect()
+    totals: dict[int, tuple] = {}
+    for r in rows:
+        s = r["s"]
+        if r["cid"] in totals:
+            s0, n0 = totals[r["cid"]]
+            totals[r["cid"]] = ([a + b for a, b in zip(s0, s)], n0 + r["n"])
+        else:
+            totals[r["cid"]] = (list(s), r["n"])
+
+    def trunc_div(s: int, n: int) -> int:
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
     out = []
     for cid, prev in centers:
-        got = by_cid.get(cid)
+        got = totals.get(cid)
         if got is None:
             out.append((cid, prev))  # empty cluster keeps its centroid
         else:
-            out.append((cid, [got[i] for i in range(len(prev))]))
+            s, n = got
+            out.append((cid, [trunc_div(x, n) for x in s]))
     return out
 
 
