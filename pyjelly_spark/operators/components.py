@@ -98,6 +98,31 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return pairs.where(F.col("src") != F.col("dst")).distinct()
 
 
+class _round_shuffles:
+    """Right-size shuffle partitions for small iterative rounds (the
+    same treatment as ``_run_rounds``): with a fixed session setting, a
+    100k-edge graph would run every round across the full partition
+    count, paying pure task-scheduling latency — which is exactly what
+    bounds N->4N scaling on latency-bound iterative operators. AQE is
+    left ON here (unlike the CC rounds, whose one-job-per-round
+    convergence collect AQE would multiply); restored on exit."""
+
+    def __init__(self, spark, n_rows: int, per_part: int = 50_000) -> None:
+        self.spark = spark
+        self.n_rows = n_rows
+        self.per_part = per_part
+
+    def __enter__(self):
+        self.before = self.spark.conf.get("spark.sql.shuffle.partitions")
+        parts = max(4, min(int(self.before), self.n_rows // self.per_part + 1))
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.before)
+        return False
+
+
 def _converged(edges: DataFrame) -> bool:
     """Exact convergence test, one aggregation job, no extra round.
 
@@ -491,18 +516,20 @@ def sssp_int(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
-        relaxed = e.join(
-            dist.withColumnRenamed("node", "src"), "src"
-        ).select(
-            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
-        )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
-        )
+    with _round_shuffles(e.sparkSession, e.count()):
+        for _ in range(rounds):
+            relaxed = e.join(
+                dist.withColumnRenamed("node", "src"), "src"
+            ).select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=False)
+            )
     return dist
 
 
@@ -529,19 +556,20 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
     SURVEY.md §2.9 family).
     """
     und = _symmetrize(edges, dedup=True).localCheckpoint(eager=True)
-    for _ in range(rounds):
-        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        alive = deg.where(F.col("deg") >= k).select("src")
-        und = (
-            und.join(alive, "src", "semi")
-            .join(alive.withColumnRenamed("src", "dst"), "dst", "semi")
-            .select("src", "dst")
-            .localCheckpoint(eager=False)
+    with _round_shuffles(und.sparkSession, und.count()):
+        for _ in range(rounds):
+            deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            alive = deg.where(F.col("deg") >= k).select("src")
+            und = (
+                und.join(alive, "src", "semi")
+                .join(alive.withColumnRenamed("src", "dst"), "dst", "semi")
+                .select("src", "dst")
+                .localCheckpoint(eager=False)
+            )
+        return (
+            und.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         )
-    return (
-        und.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
 
 
 def bfs_reachable(
