@@ -311,3 +311,51 @@ def simhash_pairs(docs: DataFrame, max_distance: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_distance)
         .distinct()
     )
+
+
+def incremental_dedup(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Continuous-ingestion exact dedup: classify an incoming batch
+    against an already-ingested corpus by normalized-content
+    fingerprint. Returns one row per incoming doc:
+    ``(doc_id, verdict, canonical_doc_id)`` with verdict precedence
+
+    - ``dup_existing``: the fingerprint is already in the corpus —
+      canonical is the smallest existing doc_id carrying it;
+    - ``dup_batch``: first seen in THIS batch, but another incoming doc
+      (the smallest doc_id, which stays ``new``) carries it;
+    - ``new``: first occurrence anywhere.
+
+    Scale shape: the existing corpus reduces to one row per distinct
+    fingerprint (min doc_id) — at 10^12-doc scale that aggregate is the
+    persisted fingerprint index a real ingest pipeline maintains
+    incrementally, not a rescan. The batch side takes one window
+    exchange (within-batch canonical) and one fp-keyed equi-join; the
+    batch is the small side, so AQE broadcasts it against the index.
+    """
+    from pyspark.sql.window import Window
+
+    exf = (
+        existing.select(
+            F.sha2(normalized(F.col("text")), 256).alias("fp"),
+            F.col("doc_id"),
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("ex_canon"))
+    )
+    inc = incoming.select(
+        F.sha2(normalized(F.col("text")), 256).alias("fp"),
+        F.col("doc_id"),
+    ).withColumn(
+        "batch_canon", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    joined = inc.join(exf, "fp", "left")
+    verdict = (
+        F.when(F.col("ex_canon").isNotNull(), F.lit("dup_existing"))
+        .when(F.col("doc_id") != F.col("batch_canon"), F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return joined.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        F.coalesce("ex_canon", "batch_canon").alias("canonical_doc_id"),
+    )

@@ -3142,6 +3142,60 @@ FROM f GROUP BY 1, 2
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup (operators/dedup.py::incremental_dedup):
+    a deterministic incoming batch — every doc_id % 5 == 0 doc
+    redelivered verbatim under doc_id + 100000 (dup_existing), every
+    doc_id % 7 == 0 doc re-sent with edited text under doc_id + 200000
+    (new), and one doc_id % 35 == 0 slice duplicated AGAIN under
+    doc_id + 300000 (dup_batch vs the +200000 copy) — classified
+    against the corpus."""
+    from pyjelly_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    redelivered = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    edited = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("edited v2 "), F.col("text")).alias("text"),
+    )
+    edited_again = docs.where(F.col("doc_id") % 35 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit("edited v2 "), F.col("text")).alias("text"),
+    )
+    incoming = redelivered.unionByName(edited).unionByName(edited_again)
+    return incremental_dedup(docs.select("doc_id", "text"), incoming)
+
+
+SQL_DEDUP_INCREMENTAL = rf"""
+WITH inc AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000, 'edited v2 ' || text FROM documents
+  WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 300000, 'edited v2 ' || text FROM documents
+  WHERE doc_id % 35 = 0
+),
+exf AS (
+  SELECT sha256({NORM_SQL}) AS fp, min(doc_id) AS ex_canon
+  FROM documents GROUP BY 1
+),
+incf AS (
+  SELECT doc_id, sha256({NORM_SQL}) AS fp,
+         min(doc_id) OVER (PARTITION BY sha256({NORM_SQL})) AS batch_canon
+  FROM inc
+)
+SELECT i.doc_id,
+  CASE WHEN e.ex_canon IS NOT NULL THEN 'dup_existing'
+       WHEN i.doc_id <> i.batch_canon THEN 'dup_batch'
+       ELSE 'new' END AS verdict,
+  coalesce(e.ex_canon, i.batch_canon) AS canonical_doc_id
+FROM incf i LEFT JOIN exf e USING (fp)
+"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -3296,6 +3350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "stream_dedup": q_stream_dedup,
     "events_funnel": q_events_funnel,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES: dict[str, str] = {
@@ -3379,4 +3434,5 @@ ORACLES: dict[str, str] = {
     "events_retention": SQL_EVENTS_RETENTION,
     "stream_dedup": SQL_STREAM_DEDUP,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
 }

@@ -707,3 +707,31 @@ def test_stream_dedup_repairs_redelivery(spark):
         for r in spark.table("stream_dedup_raw_sink").collect()
     }
     assert sum(raw.values()) > sum(want.values())
+
+
+def test_incremental_dedup_verdicts(spark):
+    from pyjelly_spark.operators.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id: long, text: string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "  ALPHA   beta "),  # normalizes to an existing fp
+            (11, "epsilon zeta"),     # brand new
+            (12, "epsilon zeta"),     # dup of 11 within the batch
+            (13, "eta theta"),        # brand new
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: (r["verdict"], r["canonical_doc_id"])
+        for r in incremental_dedup(existing, incoming).collect()
+    }
+    assert got == {
+        10: ("dup_existing", 1),  # canonical = min existing doc_id
+        11: ("new", 11),
+        12: ("dup_batch", 11),
+        13: ("new", 13),
+    }
