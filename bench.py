@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "doc_dup_spans",
     "events_funnel",
+    "seq_packing",
 ]
 
 

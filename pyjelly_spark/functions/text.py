@@ -492,3 +492,157 @@ def stratified_sample(
         rate.cast("long").alias("rate_pct"),
         (h < rate).alias("keep"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing index: the data-loader artifact
+    of an LLM pretraining pipeline. Documents are deterministically
+    sharded (portable content hash), ordered within each shard (hash,
+    then doc_id — a content-keyed global shuffle order), concatenated,
+    and chopped into fixed ``seq_len``-token training sequences; each
+    document is mapped to the sequence range [seq_first, seq_last] it
+    lands in and its token offset inside the first one.
+
+    Token counts use the BPE-ish pre-tokenizer (``BPE_TOKEN_RE``), the
+    same count the ``token_count`` gate proves engine-identical, so the
+    whole index is integer-exact and reproducible across engines, runs,
+    and cluster sizes.
+
+    Scale shape: ONE hash exchange on ``shard`` + an in-partition sort —
+    no global sort, no driver state. Shards are independent, so at
+    100 TB you raise ``n_shards`` to O(cluster) and every shard packs in
+    parallel; this is exactly the sharded token-file layout
+    (Megatron/GPT-style) real loaders consume. Zero-token documents
+    contribute nothing to a sequence and are absent by contract.
+    """
+    from pyspark.sql.window import Window
+
+    h = hex_hash(F.concat(normalized(F.col("text")), F.lit(":" + salt)))
+    base = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.pmod(h, F.lit(n_shards)).cast("long").alias("shard"),
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE))
+        .cast("long")
+        .alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("cum_before"),
+    ).select(
+        "doc_id",
+        "shard",
+        "pos",
+        "n_tokens",
+        F.expr(f"cum_before div {seq_len}").alias("seq_first"),
+        F.expr(
+            f"(cum_before + n_tokens - 1) div {seq_len}"
+        ).alias("seq_last"),
+        F.expr(f"cum_before % {seq_len}").alias("seq_offset"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = 200, overlap: int = 40
+) -> DataFrame:
+    """Fixed-size overlapping character chunking (RAG / context-window
+    prep): chunk i covers [i*stride, i*stride + size) with
+    stride = size - overlap; the last chunk may be shorter, and a
+    document never emits a chunk whose start lies past its end.
+
+    Returns (doc_id, chunk_id, chunk_start, chunk_len, chunk_sha) — the
+    sha256 of the chunk text stands in for the text itself so the index
+    stays narrow (and stays engine-portable; the ``doc_fingerprint``
+    gate proves sha256 parity).
+
+    Scale shape: a pure narrow map — ``sequence`` + ``explode`` +
+    ``substring``, zero shuffles, whole-stage codegen end to end.
+    Fan-out is O(n_chars / stride) per document.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    stride = size - overlap
+    n = F.length(F.col("text"))
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.expr(f"(length(text) - {size} + {stride} - 1) div {stride}") + 1
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("text"),
+            F.explode(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("long").alias("chunk_start"),
+            F.expr(
+                f"substring(text, chunk_id * {stride} + 1, {size})"
+            ).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_start",
+            F.length("chunk").cast("long").alias("chunk_len"),
+            F.sha2(F.col("chunk"), 256).alias("chunk_sha"),
+        )
+    )
+
+
+def bm25_scores(
+    docs: DataFrame, query_terms: list[str], idf_scale: int = 1000
+) -> DataFrame:
+    """Integer-exact tf-idf relevance scoring (BM25 family) of every
+    document against a fixed query-term set:
+
+        score = sum over query terms t of  tf(doc, t) * idf_x1000(t)
+        idf_x1000(t) = (N * idf_scale) div (df(t) + 1)
+
+    The idf uses integer division instead of ``ln`` so the ranking is
+    bit-identical across engines (same reason ``term_stats`` is
+    integer-only); monotonicity in df — all a ranker needs — is
+    preserved.
+
+    Scale shape: the term explode is filtered to the query set BEFORE
+    any shuffle (the isin predicate sits on the projection, so the
+    exchange carries only matching occurrences); tf is one map-side
+    combined groupBy; df and the corpus size N are O(|Q|) and O(1)
+    aggregates broadcast back. No driver collect of corpus data.
+    """
+    hits = (
+        docs.select(
+            "doc_id",
+            F.explode(words(normalized(F.col("text")))).alias("term"),
+        )
+        .where(F.col("term").isin(list(query_terms)))
+    )
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf = df_t.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.expr(f"(n_docs * {idf_scale}) div (df + 1)").alias("idf_x1000"),
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.sum(F.expr("tf * idf_x1000")).cast("long").alias("score"),
+        )
+    )

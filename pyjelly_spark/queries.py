@@ -1822,6 +1822,102 @@ SELECT doc_id, lang, quality_score, rank FROM r WHERE rank <= 5
 """
 
 
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing index: every document mapped to
+    its (shard, position, training-sequence range, offset) under a
+    content-hash shard order — the data-loader artifact of an LLM
+    pretraining run (see functions/text.py::pack_sequences). One hash
+    exchange, per-shard windows, integer-exact."""
+    return T.pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=512, n_shards=8
+    )
+
+
+SQL_SEQ_PACKING = rf"""
+WITH base AS (
+  SELECT doc_id,
+    ('0x' || substring(sha256({NORM_SQL} || ':pack'), 1, 15))::BIGINT AS h,
+    len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}'))::BIGINT AS n_tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, h, h % 8 AS shard, n_tokens FROM base WHERE n_tokens > 0
+),
+cum AS (
+  SELECT doc_id, shard,
+    row_number() OVER w AS pos, n_tokens,
+    sum(n_tokens) OVER w - n_tokens AS cum_before
+  FROM sh WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)
+)
+SELECT doc_id, shard, pos::BIGINT AS pos, n_tokens,
+  cum_before // 512 AS seq_first,
+  (cum_before + n_tokens - 1) // 512 AS seq_last,
+  cum_before % 512 AS seq_offset
+FROM cum
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunk index (RAG / context-window prep):
+    size 200 chars, overlap 40 (see functions/text.py::chunk_documents).
+    Pure narrow map — zero shuffles."""
+    return T.chunk_documents(
+        _t(spark, sf_dir, "documents"), size=200, overlap=40
+    )
+
+
+SQL_DOC_CHUNKS = r"""
+WITH n AS (
+  SELECT doc_id, text,
+    CASE WHEN length(text) <= 200 THEN 1
+         ELSE (length(text) - 200 + 160 - 1) // 160 + 1 END AS n_chunks
+  FROM documents
+),
+e AS (
+  SELECT doc_id, text,
+    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM n
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+  (chunk_id * 160)::BIGINT AS chunk_start,
+  length(substring(text, chunk_id * 160 + 1, 200))::BIGINT AS chunk_len,
+  sha256(substring(text, chunk_id * 160 + 1, 200)) AS chunk_sha
+FROM e
+"""
+
+BM25_TERMS = ("spark", "join", "window")
+
+
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact tf-idf (BM25-family) relevance of every document
+    against a fixed query-term set (see functions/text.py::bm25_scores).
+    The explode is filtered to query terms before the shuffle; idf uses
+    integer division so the ranking is engine-portable."""
+    return T.bm25_scores(
+        _t(spark, sf_dir, "documents"), list(BM25_TERMS)
+    )
+
+
+SQL_DOC_BM25 = rf"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM w WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+idf AS (
+  SELECT term, (n_docs * 1000) // (df + 1) AS idf_x1000 FROM dfq, n
+)
+SELECT tf.doc_id, count(*)::BIGINT AS n_hits,
+  sum(tf.tf * idf.idf_x1000)::BIGINT AS score
+FROM tf JOIN idf USING (term) GROUP BY 1
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/secret scrub gate. The synthetic corpus contains no PII, so the
     query deterministically injects it first — emails / IPv4s / 40-hex
@@ -3351,6 +3447,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "events_funnel": q_events_funnel,
     "dedup_incremental": q_dedup_incremental,
+    "seq_packing": q_seq_packing,
+    "doc_chunks": q_doc_chunks,
+    "doc_bm25": q_doc_bm25,
 }
 
 ORACLES: dict[str, str] = {
@@ -3435,4 +3534,7 @@ ORACLES: dict[str, str] = {
     "stream_dedup": SQL_STREAM_DEDUP,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "seq_packing": SQL_SEQ_PACKING,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "doc_bm25": SQL_DOC_BM25,
 }

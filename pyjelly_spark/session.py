@@ -24,6 +24,12 @@ def ship_package(spark: SparkSession) -> None:
     import pyjelly_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(pyjelly_spark.__file__))
+    if not os.path.isdir(pkg_dir):
+        # already running from a --py-files zip (spark-submit path):
+        # executors got the same zip from the submit line; re-shipping is
+        # both impossible (no source tree to walk) and unnecessary.
+        _SHIPPED_SESSIONS.add(key)
+        return
     zip_path = os.path.join("/tmp", "pyjelly_spark_pyfiles.zip")
     if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
         os.path.getmtime(os.path.join(root, name))

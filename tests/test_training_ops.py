@@ -735,3 +735,112 @@ def test_incremental_dedup_verdicts(spark):
         12: ("dup_batch", 11),
         13: ("new", 13),
     }
+
+
+# --- sequence packing / chunking / bm25 -------------------------------------
+
+
+def test_pack_sequences_closed_form(spark):
+    """Pack a tiny hand-built corpus and verify against a sequential
+    reference implementation of concat-and-chunk packing."""
+    from pyjelly_spark.functions import text as T
+
+    rows = [(i, f"tok " * (20 + 7 * i)) for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in T.pack_sequences(df, seq_len=64, n_shards=2).collect()
+    }
+    assert len(out) == 12
+
+    # sequential reference: shard by the same hash, order by (h, doc_id)
+    import hashlib
+
+    def hval(text):
+        norm = re.sub(r"\s+", " ", text).strip().lower() + ":pack"
+        return int(hashlib.sha256(norm.encode()).hexdigest()[:15], 16)
+
+    per_shard: dict[int, list] = {0: [], 1: []}
+    for i, text in rows:
+        h = hval(text)
+        per_shard[h % 2].append((h, i, 20 + 7 * i))
+    for shard, members in per_shard.items():
+        cum = 0
+        for pos, (h, i, n_tok) in enumerate(sorted(members), start=1):
+            r = out[i]
+            assert r["shard"] == shard and r["pos"] == pos
+            assert r["n_tokens"] == n_tok
+            assert r["seq_first"] == cum // 64
+            assert r["seq_last"] == (cum + n_tok - 1) // 64
+            assert r["seq_offset"] == cum % 64
+            cum += n_tok
+
+
+def test_pack_sequences_spans_and_offsets_are_consistent(docs):
+    """Invariants on real data: positions are dense per shard, offsets
+    stay below seq_len, and a document spans exactly the sequences its
+    token count dictates."""
+    from pyjelly_spark.functions import text as T
+
+    out = T.pack_sequences(docs, seq_len=512, n_shards=8).toPandas()
+    assert (out.seq_offset < 512).all() and (out.seq_offset >= 0).all()
+    assert (out.seq_last >= out.seq_first).all()
+    # a doc occupying [offset, offset + n) spans ceil((offset+n)/512)-first
+    expect_last = out.seq_first + (out.seq_offset + out.n_tokens - 1) // 512
+    assert (out.seq_last == expect_last).all()
+    for _, grp in out.groupby("shard"):
+        pos = sorted(grp.pos)
+        assert pos == list(range(1, len(pos) + 1))
+
+
+def test_chunk_documents_boundaries(spark):
+    from pyjelly_spark.functions import text as T
+
+    rows = [
+        (0, "a" * 50),    # shorter than size -> 1 chunk
+        (1, "b" * 200),   # exactly size -> 1 chunk
+        (2, "c" * 201),   # one char past -> 2 chunks
+        (3, "d" * 520),   # 1 + ceil(320/160) = 3 chunks
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = T.chunk_documents(df, size=200, overlap=40).toPandas()
+    n_chunks = out.groupby("doc_id").chunk_id.count().to_dict()
+    assert n_chunks == {0: 1, 1: 1, 2: 2, 3: 3}
+    d3 = out[out.doc_id == 3].sort_values("chunk_id")
+    assert list(d3.chunk_start) == [0, 160, 320]
+    assert list(d3.chunk_len) == [200, 200, 200]
+    d2 = out[out.doc_id == 2].sort_values("chunk_id")
+    assert list(d2.chunk_len) == [200, 41]  # tail chunk keeps the overlap
+    import hashlib
+
+    assert (
+        d2.chunk_sha.iloc[1]
+        == hashlib.sha256(b"c" * 41).hexdigest()
+    )
+    with pytest.raises(ValueError):
+        T.chunk_documents(df, size=100, overlap=100)
+
+
+def test_bm25_scores_integer_exact(spark):
+    from pyjelly_spark.functions import text as T
+
+    rows = [
+        (0, "spark spark join"),
+        (1, "join window"),
+        (2, "nothing relevant here"),
+        (3, "spark"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r for r in T.bm25_scores(df, ["spark", "join"]).collect()
+    }
+    assert set(out) == {0, 1, 3}  # doc 2 has no hits
+    n = 4
+    idf_spark = (n * 1000) // (2 + 1)  # df(spark)=2
+    idf_join = (n * 1000) // (2 + 1)   # df(join)=2
+    assert out[0]["score"] == 2 * idf_spark + 1 * idf_join
+    assert out[0]["n_hits"] == 2
+    assert out[1]["score"] == idf_join  # window not in query set
+    assert out[3]["score"] == idf_spark
+    # rarer terms never score below an equally-frequent common term
+    assert out[0]["score"] > out[3]["score"]
