@@ -3357,6 +3357,28 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_dedup_batchmode(spark, f"{sf_dir}/events.parquet")
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join: views and purchases read as two
+    independent file streams, inner-joined on user with an event-time
+    range (purchase within 60 min after the view), both sides
+    watermarked so buffered state stays bounded
+    (streaming/jobs.py::view_purchase_pairs). Drained with availableNow;
+    must equal the batch range join."""
+    from pyjelly_spark.streaming.jobs import run_stream_join_batchmode
+
+    return run_stream_join_batchmode(spark, f"{sf_dir}/events.parquet")
+
+
+SQL_STREAM_JOIN = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+  (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS secs_to_purchase
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
+"""
+
+
 SQL_STREAM_DEDUP = """
 SELECT event_type, count(DISTINCT event_id) AS n_events
 FROM events GROUP BY event_type
@@ -3450,6 +3472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_packing": q_seq_packing,
     "doc_chunks": q_doc_chunks,
     "doc_bm25": q_doc_bm25,
+    "stream_join": q_stream_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -3537,4 +3560,5 @@ ORACLES: dict[str, str] = {
     "seq_packing": SQL_SEQ_PACKING,
     "doc_chunks": SQL_DOC_CHUNKS,
     "doc_bm25": SQL_DOC_BM25,
+    "stream_join": SQL_STREAM_JOIN,
 }

@@ -252,3 +252,83 @@ def run_stream_dedup_batchmode(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def view_purchase_pairs(
+    views: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "2 hours",
+    horizon_minutes: int = 60,
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    every (view, purchase) pair by the same user where the purchase
+    lands within ``horizon_minutes`` after the view — the attribution
+    join of a clickstream pipeline.
+
+    Both sides carry a watermark and the join condition bounds purchase
+    time to [view_ts, view_ts + horizon], so Spark can evict buffered
+    state from BOTH sides once the watermark passes the horizon: state
+    is O(events inside watermark + horizon), never O(stream history) —
+    what keeps a stream-stream join viable on an unbounded feed. The
+    join output is append-only and, once the backlog drains, equal to
+    the batch range join (the driver oracle).
+    """
+    v = (
+        views.select(
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        ).withWatermark("view_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            f"""
+            user_id = p_user_id AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + interval {horizon_minutes} minutes
+            """
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        # microsecond-exact difference (truncating each side to seconds
+        # first would be off by one around sub-second boundaries)
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000"
+        ).alias("secs_to_purchase"),
+    )
+
+
+def run_stream_join_batchmode(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Drain the backlog through the stream-stream attribution join with
+    availableNow. Views and purchases are two INDEPENDENT file-stream
+    sources over the same directory (each with its own offsets/state, as
+    two Kafka topics would be), so the join exercises genuine two-source
+    stream-stream buffering, not a self-union."""
+    views = read_event_stream(spark, events_dir).where(
+        F.col("event_type") == "view"
+    )
+    purchases = read_event_stream(spark, events_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    result = view_purchase_pairs(views, purchases)
+    name = "stream_join_sink"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -844,3 +844,36 @@ def test_bm25_scores_integer_exact(spark):
     assert out[3]["score"] == idf_spark
     # rarer terms never score below an equally-frequent common term
     assert out[0]["score"] > out[3]["score"]
+
+
+def test_stream_stream_join_horizon_and_pairs(spark, tmp_path):
+    """Stream-stream attribution join on a hand-built corpus: pairs
+    inside the 60-min horizon appear exactly once, a purchase 61 min
+    after the view is excluded, a purchase before the view is excluded,
+    and cross-user pairs never match."""
+    import pandas as pd
+
+    from pyjelly_spark.streaming.jobs import EVENTS_SCHEMA, run_stream_join_batchmode
+
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 10:30:00", 1, "purchase", 9.0, "{}"),   # in horizon
+        (3, "2024-01-01 11:00:00", 1, "purchase", 9.0, "{}"),   # exactly 60m: in
+        (4, "2024-01-01 11:01:00", 1, "purchase", 9.0, "{}"),   # 61m: out
+        (5, "2024-01-01 09:59:00", 1, "purchase", 9.0, "{}"),   # before view: out
+        (6, "2024-01-01 10:10:00", 2, "purchase", 9.0, "{}"),   # other user: out
+        (7, "2024-01-01 23:00:00", 3, "view", 0.0, "{}"),       # no purchase
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf, schema=EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(events_dir))
+
+    out = run_stream_join_batchmode(spark, str(events_dir)).collect()
+    pairs = {(r["view_id"], r["purchase_id"]): r["secs_to_purchase"] for r in out}
+    assert pairs == {(1, 2): 1800, (1, 3): 3600}
