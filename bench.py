@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "doc_dup_spans",
     "events_funnel",
     "seq_packing",
+    "embedding_pq",
+    "stream_join",
 ]
 
 

@@ -2393,6 +2393,94 @@ SELECT vec_id, neighbor_id, rank, score FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with re-rank (FAISS IVFADC+R shape):
+    int64 vectors split into 8 subspaces, each quantized against a
+    32-anchor sampled codebook; ADC keeps a top-50 shortlist per query
+    (integer LUT sums over broadcast CODES, never raw vectors), exact
+    integer L2 re-ranks to top-5 via keyed joins. Bit-exact vs the
+    oracle's replay of encode+ADC+re-rank
+    (operators/similarity.py::pq_topk)."""
+    return SIM.pq_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, m=8, ks=32, rerank=50
+    )
+
+
+PQ_M, PQ_KS, PQ_SUB, PQ_RERANK, PQ_SCALE_SQL = 8, 32, 8, 50, 10**6
+
+SQL_EMBEDDING_PQ = f"""
+WITH iv AS (
+  SELECT vec_id,
+    list_transform(embedding,
+                   x -> round(x::DOUBLE * {PQ_SCALE_SQL})::BIGINT) AS v
+  FROM embeddings
+),
+anchors AS (
+  -- identical anchor draw to similarity._pq_codebooks: ks smallest
+  -- portable hashes of 'pqanchor:<vec_id>', subvectors become codes
+  SELECT v, row_number() OVER (
+    ORDER BY ('0x' || substring(sha256('pqanchor:' || vec_id),
+                                1, 15))::BIGINT, vec_id) - 1 AS j
+  FROM iv
+),
+cb AS (
+  SELECT m.m, a.j, i.i, a.v[m.m * {PQ_SUB} + i.i + 1] AS c
+  FROM (SELECT * FROM anchors WHERE j < {PQ_KS}) a,
+       range(0, {PQ_M}) m(m), range(0, {PQ_SUB}) i(i)
+),
+-- exact int distance of every vector's m-th subvector to every codebook
+-- entry; doubles as the encode argmin input (for the vector as corpus
+-- member) AND the ADC lookup table (for the vector as query)
+d2 AS (
+  SELECT iv.vec_id, cb.m, cb.j,
+    sum((iv.v[cb.m * {PQ_SUB} + cb.i + 1] - cb.c)
+        * (iv.v[cb.m * {PQ_SUB} + cb.i + 1] - cb.c)) AS d2
+  FROM iv, cb GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS r
+    FROM d2
+  ) WHERE r = 1
+),
+adc AS (
+  SELECT q.vec_id AS vec_id, x.vec_id AS neighbor_id,
+    sum(q.d2) AS adc_dist
+  FROM codes x
+  JOIN d2 q ON q.m = x.m AND q.j = x.code
+  WHERE x.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY adc_dist ASC, neighbor_id ASC) AS r
+    FROM adc
+  ) WHERE r <= {PQ_RERANK}
+),
+-- exact integer L2 re-rank of the ADC shortlist (IVFADC+R)
+re AS (
+  SELECT s.vec_id, s.neighbor_id,
+    list_reduce(
+      list_transform(range(1, len(q.v) + 1),
+                     i -> (q.v[i] - x.v[i]) * (q.v[i] - x.v[i])),
+      (acc, y) -> acc + y
+    ) AS l2_dist
+  FROM shortlist s
+  JOIN iv q ON q.vec_id = s.vec_id
+  JOIN iv x ON x.vec_id = s.neighbor_id
+),
+final AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
+  FROM re
+)
+SELECT vec_id, neighbor_id, l2_dist, rank::BIGINT AS rank
+FROM final WHERE rank <= 5
+"""
+
+
 def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (second scale path beside sign-LSH),
     fully oracle-gated: sha-derived centroids + measured >=1.5e-5
@@ -3473,6 +3561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "doc_bm25": q_doc_bm25,
     "stream_join": q_stream_join,
+    "embedding_pq": q_embedding_pq,
 }
 
 ORACLES: dict[str, str] = {
@@ -3561,4 +3650,5 @@ ORACLES: dict[str, str] = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "doc_bm25": SQL_DOC_BM25,
     "stream_join": SQL_STREAM_JOIN,
+    "embedding_pq": SQL_EMBEDDING_PQ,
 }

@@ -877,3 +877,70 @@ def test_stream_stream_join_horizon_and_pairs(spark, tmp_path):
     out = run_stream_join_batchmode(spark, str(events_dir)).collect()
     pairs = {(r["view_id"], r["purchase_id"]): r["secs_to_purchase"] for r in out}
     assert pairs == {(1, 2): 1800, (1, 3): 3600}
+
+
+def test_pq_topk_recall_and_exactness(spark):
+    """PQ/ADC with re-rank: ranks dense, exact int64 distances sorted,
+    recall@5 vs exact integer L2 clears the IVFADC+R floor, and planted
+    near-duplicate pairs surface in the top-5."""
+    import numpy as np
+
+    from pyjelly_spark.operators.similarity import (
+        _pq_codebooks,
+        cosine_dup_pairs,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rows = pq_topk(emb, k=5, m=8, ks=32, rerank=50).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["vec_id"], []).append(r)
+    for q, nbrs in by_q.items():
+        nbrs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in nbrs] == [1, 2, 3, 4, 5]
+        dists = [r["l2_dist"] for r in nbrs]
+        assert dists == sorted(dists)
+        assert all(r["neighbor_id"] != q for r in nbrs)
+
+    # exact int64 L2 top-5 (no quantization) as the recall reference
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype="int64")
+    mat = np.array(
+        [np.asarray(v, dtype="float64") for v in pdf["embedding"]]
+    )
+    # same Catalyst-style rounding as the operator (half away from zero)
+    imat = np.sign(mat * 1e6) * np.floor(np.abs(mat * 1e6) + 0.5)
+    imat = imat.astype(np.int64)
+    exact = set()
+    for r in range(len(ids)):
+        d = ((imat - imat[r]) ** 2).sum(axis=1)
+        d[r] = np.iinfo(np.int64).max
+        order = np.lexsort((ids, d))[:5]
+        exact |= {(ids[r], ids[j]) for j in order}
+    approx = {(r["vec_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    # near-iid synthetic corpus at a 10% ADC scan fraction: measured
+    # 0.66 (ADC alone ranks noise poorly; the re-rank carries recall)
+    assert recall >= 0.5, recall
+
+    # the planted near-duplicate pairs are what dedup actually needs
+    dups = cosine_dup_pairs(emb).collect()
+    pairs = {(r[0], r[1]) for r in dups} | {(r[1], r[0]) for r in dups}
+    found = len(pairs & approx) / len(pairs)
+    assert found >= 0.7, found  # measured 105/118 = 0.89
+
+    # codebooks are corpus subvectors (anchors), not noise
+    from pyspark.sql import functions as F
+
+    iv = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * F.lit(10**6)).cast("long"),
+        ).alias("v"),
+    )
+    books = _pq_codebooks(iv, 8, 32, 8)
+    assert books.shape == (8, 32, 8)
+    flat = books.transpose(1, 0, 2).reshape(32, 64)
+    assert all((imat == row).all(axis=1).any() for row in flat)
