@@ -892,7 +892,7 @@ def test_pq_topk_recall_and_exactness(spark):
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    rows = pq_topk(emb, k=5, m=8, ks=32, rerank=50).collect()
+    rows = pq_topk(emb, k=5, m=8, ks=32, rerank=50, learn_iters=2).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["vec_id"], []).append(r)
@@ -921,8 +921,9 @@ def test_pq_topk_recall_and_exactness(spark):
     approx = {(r["vec_id"], r["neighbor_id"]) for r in rows}
     recall = len(exact & approx) / len(exact)
     # near-iid synthetic corpus at a 10% ADC scan fraction: measured
-    # 0.66 (ADC alone ranks noise poorly; the re-rank carries recall)
-    assert recall >= 0.5, recall
+    # 0.79 with 2 Lloyd iterations (0.66 untrained; ADC alone ranks
+    # noise poorly — the re-rank carries recall)
+    assert recall >= 0.7, recall
 
     # the planted near-duplicate pairs are what dedup actually needs
     dups = cosine_dup_pairs(emb).collect()
