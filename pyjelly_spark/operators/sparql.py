@@ -31,7 +31,14 @@ joins over the flat (s, p, o) triples relation):
   LCASE/SUBSTR/REPLACE/ABS/CEIL/FLOOR/ROUND/CONCAT/COALESCE/IF/STR,
   plus STRBEFORE/STRAFTER expanded to CASE-over-instr with SPARQL's
   not-found => '' semantics, and ``IN (...)``) mapped onto Spark SQL;
-  the same builtins work inside BIND expressions
+  the same builtins work inside BIND expressions. Value-space numerics:
+  ``xsd:integer/long/int/double/float/decimal/boolean/string(?v)``
+  constructor casts translate to ``try_cast`` (a failed cast eliminates
+  the row — SPARQL expression-error semantics — instead of aborting
+  under ANSI mode), and ``isNumeric(?v)`` tests lexical parseability.
+  Term-KIND tests (isIRI/isBlank/isLiteral/LANG/DATATYPE) raise
+  ``SparqlUnsupported``: the flat-string model erases the markers they
+  need, and guessing would mis-execute silently
 - trailing ``GROUP BY ?v ...``, ``HAVING (expr)``,
   ``ORDER BY [ASC|DESC](expr) ...`` (sort keys are variables or any
   BIND-translatable expression, e.g. ``DESC(STRLEN(?x))``), ``LIMIT n``
@@ -107,6 +114,39 @@ _FILTER_FUNCS = {
 
 _AGG_FUNCS = {
     "COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT",
+}
+
+# Builtins over the engine's FLAT term model (variables bind the lexical
+# value string — IRIs, bnode labels, and literal lexical forms are all
+# plain strings with no serialization markers). Each takes ONE
+# var/literal argument and expands to a Spark SQL expression.
+_TERM_FUNC_TEMPLATES = {
+    # numeric = the lexical form parses as a number. try_cast: Spark 4
+    # runs ANSI mode, where a plain cast of 'abc' THROWS instead of
+    # yielding NULL.
+    "ISNUMERIC": "try_cast({a} as double) IS NOT NULL",
+}
+
+# Term-KIND tests need markers the flat model intentionally erases (an
+# IRI and a same-spelled literal are indistinguishable once both are
+# plain strings) — refuse loudly instead of guessing (same policy as
+# SERVICE/federation).
+_TERM_KIND_FUNCS = {"ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "LANG", "DATATYPE"}
+
+# xsd constructor casts (FILTER(xsd:integer(?v) > 10)): value-space
+# comparison over the flat lexical model — the variable already binds the
+# lexical form, so the cast applies directly. try_cast, not cast: SPARQL
+# semantics make a failed cast an expression error that eliminates the
+# row, which is exactly NULL-propagation; ANSI cast would abort the job.
+_XSD_CASTS = {
+    "xsd:integer": "try_cast({a} as bigint)",
+    "xsd:long": "try_cast({a} as bigint)",
+    "xsd:int": "try_cast({a} as bigint)",
+    "xsd:double": "try_cast({a} as double)",
+    "xsd:float": "try_cast({a} as double)",
+    "xsd:decimal": "try_cast({a} as decimal(38, 10))",
+    "xsd:boolean": "try_cast({a} as boolean)",
+    "xsd:string": "cast({a} as string)",
 }
 
 _TOKEN = re.compile(
@@ -254,6 +294,17 @@ class _Parser:
                 )
             elif k2 == "word" and v2.upper() in ("STRBEFORE", "STRAFTER"):
                 parts.append(self._str_before_after(v2.upper()))
+            elif k2 == "word" and v2.upper() in _TERM_FUNC_TEMPLATES:
+                parts.append(
+                    self._unary_term_fn(_TERM_FUNC_TEMPLATES[v2.upper()])
+                )
+            elif k2 == "word" and v2.upper() in _TERM_KIND_FUNCS:
+                raise SparqlUnsupported(
+                    f"{v2.upper()} needs term-kind markers the flat-string "
+                    "term model erases"
+                )
+            elif k2 == "pname" and v2 in _XSD_CASTS:
+                parts.append(self._unary_term_fn(_XSD_CASTS[v2]))
             elif k2 == "word" and v2.upper() in _FILTER_FUNCS:
                 parts.append(_FILTER_FUNCS[v2.upper()])
             else:
@@ -294,6 +345,15 @@ class _Parser:
         raise SparqlUnsupported(
             "STRBEFORE/STRAFTER support variable or literal arguments"
         )
+
+    def _unary_term_fn(self, template: str) -> str:
+        """Expand a one-argument term builtin / xsd cast: consume
+        ``( arg )`` and substitute the translated argument into the
+        structural SQL template."""
+        self.expect_punct("(")
+        a = self._filter_simple_arg()
+        self.expect_punct(")")
+        return "(" + template.format(a=a) + ")"
 
     def filter_expr(self) -> str:
         self.expect_punct("(")
@@ -343,6 +403,17 @@ class _Parser:
                 # form to a CASE over instr/substring. SPARQL 17.4.3.3-4
                 # empty-separator cases fall out: instr(a, '') = 1.
                 parts.append(self._str_before_after(val.upper()))
+            elif kind == "word" and val.upper() in _TERM_FUNC_TEMPLATES:
+                parts.append(
+                    self._unary_term_fn(_TERM_FUNC_TEMPLATES[val.upper()])
+                )
+            elif kind == "word" and val.upper() in _TERM_KIND_FUNCS:
+                raise SparqlUnsupported(
+                    f"{val.upper()} needs term-kind markers the flat-string "
+                    "term model erases"
+                )
+            elif kind == "pname" and val in _XSD_CASTS:
+                parts.append(self._unary_term_fn(_XSD_CASTS[val]))
             elif kind == "word" and val.upper() in _FILTER_FUNCS:
                 # STR(?x) is the identity in a flat-string term model:
                 # emit just the parenthesized argument
@@ -554,6 +625,11 @@ class _Parser:
             if val == "}":
                 self.next()
                 break
+            if val == ".":
+                # SPARQL grammar: GraphPatternNotTriples (FILTER/BIND/
+                # OPTIONAL/...) may be followed by an optional '.'
+                self.next()
+                continue
             up = val.upper() if kind == "word" else ""
             if up == "OPTIONAL":
                 self.next()
@@ -617,6 +693,19 @@ class _Parser:
                         "STRBEFORE", "STRAFTER",
                     ):
                         parts.append(self._str_before_after(v2.upper()))
+                    elif k2 == "word" and v2.upper() in _TERM_FUNC_TEMPLATES:
+                        parts.append(
+                            self._unary_term_fn(
+                                _TERM_FUNC_TEMPLATES[v2.upper()]
+                            )
+                        )
+                    elif k2 == "word" and v2.upper() in _TERM_KIND_FUNCS:
+                        raise SparqlUnsupported(
+                            f"{v2.upper()} needs term-kind markers the "
+                            "flat-string term model erases"
+                        )
+                    elif k2 == "pname" and v2 in _XSD_CASTS:
+                        parts.append(self._unary_term_fn(_XSD_CASTS[v2]))
                     elif k2 == "word" and v2.upper() in _FILTER_FUNCS:
                         parts.append(_FILTER_FUNCS[v2.upper()])
                     else:

@@ -757,6 +757,47 @@ def q_kg_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sparql_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL value-space filtering over a graph carrying numeric
+    literals: events lifted to (event IRI, kg:amount, integer-lexical
+    literal | kg:type, word literal); isNumeric() selects the numeric
+    family and xsd:integer() casts move the FILTER and the BIND into
+    value space (string comparison would order '12' < '5'). Gates the
+    try_cast translation of the xsd constructor builtins."""
+    from pyjelly_spark.operators.sparql import sparql_query
+
+    ev = _t(spark, sf_dir, "events")
+    amounts = ev.select(
+        F.concat(F.lit("http://kg.example/event/"), F.col("event_id")).alias("s"),
+        F.lit("http://kg.example/ns#amount").alias("p"),
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("o"),
+    )
+    types = ev.select(
+        F.concat(F.lit("http://kg.example/event/"), F.col("event_id")).alias("s"),
+        F.lit("http://kg.example/ns#type").alias("p"),
+        F.col("event_type").alias("o"),
+    )
+    return sparql_query(
+        amounts.unionByName(types),
+        """
+        PREFIX kg: <http://kg.example/ns#>
+        SELECT ?s ?cents WHERE {
+          ?s kg:amount ?v .
+          FILTER(isNumeric(?v) && xsd:integer(?v) >= 9900)
+          BIND(xsd:integer(?v) AS ?cents)
+        }
+        """,
+    )
+
+
+SQL_KG_SPARQL_TYPED = """
+SELECT 'http://kg.example/event/' || event_id AS s,
+       floor(value * 100)::BIGINT AS cents
+FROM events
+WHERE floor(value * 100) >= 9900
+"""
+
+
 def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL UNION + GROUP BY/aggregate through the front-end: per-
     symbol mention count across the defines and calls families, plus
@@ -3608,6 +3649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bm25": q_doc_bm25,
     "stream_join": q_stream_join,
     "embedding_pq": q_embedding_pq,
+    "kg_sparql_typed": q_kg_sparql_typed,
 }
 
 ORACLES: dict[str, str] = {
@@ -3697,4 +3739,5 @@ ORACLES: dict[str, str] = {
     "doc_bm25": SQL_DOC_BM25,
     "stream_join": SQL_STREAM_JOIN,
     "embedding_pq": SQL_EMBEDDING_PQ,
+    "kg_sparql_typed": SQL_KG_SPARQL_TYPED,
 }

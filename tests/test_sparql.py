@@ -910,3 +910,63 @@ def test_construct_star_literal_object_serializes_quoted(spark):
         "WHERE { ?f <http://x/defines> ?d . }",
     ).collect()
     assert out[0]["s"] == '<< <http://x/f1> <http://x/defines> "fn main" >>'
+
+
+# --- xsd casts / isNumeric / term-kind refusals ------------------------------
+
+
+@pytest.fixture(scope="module")
+def typed_triples(spark):
+    rows = [
+        ("f1", "http://x/p", "5"),
+        ("f2", "http://x/p", "12"),
+        ("f3", "http://x/p", "oops"),
+        ("f1", "http://x/q", "f2"),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def test_xsd_cast_filter_value_space(typed_triples):
+    """xsd:integer(?v) compares in value space (string compare would put
+    '12' < '5'); non-numeric lexical forms are eliminated, not fatal."""
+    out = sparql_query(
+        typed_triples,
+        'SELECT ?s WHERE { ?s <http://x/p> ?v . FILTER(xsd:integer(?v) > 10) }',
+    ).collect()
+    assert [r["s"] for r in out] == ["f2"]
+
+
+def test_xsd_cast_in_bind_and_order(typed_triples):
+    out = sparql_query(
+        typed_triples,
+        'SELECT ?s ?n WHERE { ?s <http://x/p> ?v . FILTER(isNumeric(?v)) '
+        'BIND(xsd:integer(?v) * 2 AS ?n) } ORDER BY DESC(xsd:integer(?v))',
+    ).collect()
+    assert [(r["s"], r["n"]) for r in out] == [("f2", 24), ("f1", 10)]
+
+
+def test_is_numeric_try_cast_never_aborts(typed_triples):
+    # ANSI mode: a plain CAST('oops' AS DOUBLE) would throw mid-job
+    out = sparql_query(
+        typed_triples,
+        'SELECT ?s WHERE { ?s <http://x/p> ?v . FILTER(isNumeric(?v)) }',
+    ).collect()
+    assert sorted(r["s"] for r in out) == ["f1", "f2"]
+
+
+def test_term_kind_builtins_refuse_loudly(typed_triples):
+    for fn in ("isIRI", "isBlank", "isLiteral", "LANG", "DATATYPE"):
+        with pytest.raises(SparqlUnsupported):
+            sparql_query(
+                typed_triples,
+                f'SELECT ?o WHERE {{ ?s ?p ?o . FILTER({fn}(?o)) }}',
+            )
+
+
+def test_optional_dot_after_filter_and_bind(typed_triples):
+    out = sparql_query(
+        typed_triples,
+        'SELECT ?s ?n WHERE { ?s <http://x/p> ?v . '
+        'FILTER(isNumeric(?v)) . BIND(xsd:integer(?v) AS ?n) . }',
+    ).collect()
+    assert sorted(r["s"] for r in out) == ["f1", "f2"]
