@@ -3532,6 +3532,28 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_dedup_batchmode(spark, f"{sf_dir}/events.parquet")
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the static
+    customer dimension (user -> nation, broadcast per micro-batch) and
+    aggregated per (nation, event type) with exact integer cent sums
+    (streaming/jobs.py::enriched_nation_counts). Drained with
+    availableNow; must equal the batch join+aggregate."""
+    from pyjelly_spark.streaming.jobs import run_stream_enrich_batchmode
+
+    return run_stream_enrich_batchmode(
+        spark, f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"
+    )
+
+
+SQL_STREAM_ENRICH = """
+SELECT c.c_nationkey AS nationkey, e.event_type,
+       count(*)::BIGINT AS n_events,
+       sum(floor(e.value * 100)::BIGINT)::BIGINT AS sum_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join: views and purchases read as two
     independent file streams, inner-joined on user with an event-time
@@ -3650,6 +3672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_join": q_stream_join,
     "embedding_pq": q_embedding_pq,
     "kg_sparql_typed": q_kg_sparql_typed,
+    "stream_enrich": q_stream_enrich,
 }
 
 ORACLES: dict[str, str] = {
@@ -3740,4 +3763,5 @@ ORACLES: dict[str, str] = {
     "stream_join": SQL_STREAM_JOIN,
     "embedding_pq": SQL_EMBEDDING_PQ,
     "kg_sparql_typed": SQL_KG_SPARQL_TYPED,
+    "stream_enrich": SQL_STREAM_ENRICH,
 }

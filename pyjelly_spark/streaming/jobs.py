@@ -332,3 +332,54 @@ def run_stream_join_batchmode(spark: SparkSession, events_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def enriched_nation_counts(
+    events: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment: the unbounded event stream inner-joins
+    the static customer dimension (user -> nation), then aggregates per
+    (nation, event type) — the standard dimension-join shape of a
+    streaming ingest path.
+
+    The static side is planned per micro-batch (Spark re-resolves it
+    each trigger, so a dimension refresh is picked up without restarting
+    the query) and is broadcast while it fits — no stream-side state is
+    needed for a stream-static inner join, so this composes freely with
+    downstream stateful aggregation. Value sums are exact integer cents
+    (floor-scaled) so the batch oracle compares bit-exactly.
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("nationkey", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+    )
+
+
+def run_stream_enrich_batchmode(
+    spark: SparkSession, events_dir: str, customer_path: str
+) -> DataFrame:
+    """Drain the event backlog through the stream-static enrichment with
+    availableNow; must equal the batch join+aggregate."""
+    ev = read_event_stream(spark, events_dir)
+    customer = spark.read.parquet(customer_path)
+    result = enriched_nation_counts(ev, customer)
+    name = "stream_enrich_sink"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
