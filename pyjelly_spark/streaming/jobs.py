@@ -2,9 +2,12 @@
 
 The reference's "streaming" is bounded-memory incremental iteration
 (SURVEY.md §2.8) — no event time, no watermarks. These jobs are the
-Spark-native generalization the driver brief asks for: event-time
-windowed aggregation with watermarks for late data, plus a custom
-stateful operator via ``applyInPandasWithState``.
+Spark-native generalization the driver brief asks for, covering the
+five canonical Structured Streaming shapes: event-time windowed
+aggregation with watermarks for late data, a custom stateful operator
+via ``applyInPandasWithState`` (sessionization), watermarked
+exactly-once ingest dedup, a stream-stream event-time range join, and
+stream-static dimension enrichment.
 
 All jobs read the events parquet directory as a file stream
 (``readStream``) and can run incrementally (``availableNow`` drains the
