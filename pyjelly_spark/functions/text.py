@@ -646,3 +646,75 @@ def bm25_scores(
             F.sum(F.expr("tf * idf_x1000")).cast("long").alias("score"),
         )
     )
+
+
+def remove_dup_spans(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Corpus-level exact-substring span removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    word whose surrounding ``n``-gram also occurs in another document is
+    cut, EXCEPT in the gram's canonical document (the smallest doc_id
+    containing it), which keeps its copy — so exactly one occurrence of
+    each duplicated span survives the corpus.
+
+    Returns (doc_id, n_words, n_removed, cleaned_sha) — the cleaned
+    text's sha256 stands in for the text (portable via the
+    ``doc_fingerprint``-proven sha parity; keeps the gate narrow).
+    Documents shorter than ``n`` words pass through untouched.
+
+    Scale shape: the gram dictionary (distinct-doc count + canonical
+    doc) is a map-side-combined groupBy — REDUCED before the join back,
+    so a hot boilerplate gram costs one dictionary row and df join
+    matches, never a df-sized per-row state (the collect_set-over-window
+    alternative materializes the doc set on every row of a hot gram);
+    a second keyed exchange re-groups flagged gram positions per doc;
+    the span-coverage mask and text rebuild are pure Catalyst array
+    expressions (``exists``/``zip_with``/``filter``), no Python.
+    """
+    base = docs.select(
+        "doc_id", words(normalized(F.col("text"))).alias("ws")
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("ws"), n)).alias("pos", "gram"),
+    )
+    gram_dict = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("canon"),
+    ).where(F.col("n_docs") >= 2)
+    flagged = (
+        grams.join(gram_dict, "gram")
+        .where(F.col("doc_id") != F.col("canon"))
+        .select("doc_id", "pos")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("pos")).alias("flag_pos")
+    )
+    # word i (0-based) is covered iff some flagged gram start j lies in
+    # [i - n + 1, i]; dropped words rebuild into the cleaned text
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "ws",
+        F.coalesce("flag_pos", F.array().cast("array<int>")).alias("fp"),
+    )
+    covered = F.expr(
+        f"transform(ws, (w, i) -> exists(fp, j -> j between i - {n} + 1 and i))"
+    )
+    masked = joined.select(
+        "doc_id", "ws", covered.alias("cov")
+    )
+    return masked.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.expr("cast(size(filter(cov, c -> c)) as long)").alias("n_removed"),
+        F.sha2(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(filter(zip_with(ws, cov,"
+                    " (w, c) -> struct(w as w, c as c)),"
+                    " s -> not s.c), s -> s.w)"
+                ),
+            ),
+            256,
+        ).alias("cleaned_sha"),
+    )

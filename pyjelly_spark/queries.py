@@ -3201,6 +3201,53 @@ FROM d GROUP BY doc_id
 """
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span removal (Lee et al. 2022): every word inside
+    a corpus-duplicated 5-gram is cut except in the gram's canonical
+    (min-doc_id) document — one surviving occurrence per span. Returns
+    per-doc word counts, removal counts, and the cleaned text's sha256
+    (functions/text.py::remove_dup_spans)."""
+    return T.remove_dup_spans(_t(spark, sf_dir, "documents"), n=5)
+
+
+SQL_DEDUP_SPAN_REMOVAL = rf"""
+WITH f AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS gram
+  FROM f, LATERAL (SELECT unnest(range(1, greatest(len(ws)-3, 1))) AS i) t
+),
+dict AS (
+  SELECT gram, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS canon
+  FROM g GROUP BY gram
+),
+flagged AS (
+  SELECT g.doc_id, g.i FROM g JOIN dict USING (gram)
+  WHERE dict.n_docs >= 2 AND g.doc_id <> dict.canon
+),
+w AS (
+  SELECT doc_id, j, ws[j] AS word, len(ws) AS n_words
+  FROM f, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) t
+),
+cov AS (
+  SELECT w.doc_id, w.j, any_value(w.word) AS word,
+    any_value(w.n_words) AS n_words,
+    bool_or(fl.i IS NOT NULL) AS c
+  FROM w LEFT JOIN flagged fl
+    ON fl.doc_id = w.doc_id AND fl.i BETWEEN w.j - 4 AND w.j
+  GROUP BY w.doc_id, w.j
+)
+SELECT doc_id,
+  any_value(n_words)::BIGINT AS n_words,
+  sum(CASE WHEN c THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+  sha256(coalesce(
+    string_agg(word, ' ' ORDER BY j) FILTER (WHERE NOT c), ''
+  )) AS cleaned_sha
+FROM cov GROUP BY doc_id
+"""
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 forecasting-revenue-change: the canonical predicate-
     pushdown showcase — every filter reaches the parquet scan
@@ -3673,6 +3720,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pq": q_embedding_pq,
     "kg_sparql_typed": q_kg_sparql_typed,
     "stream_enrich": q_stream_enrich,
+    "dedup_span_removal": q_dedup_span_removal,
 }
 
 ORACLES: dict[str, str] = {
@@ -3764,4 +3812,5 @@ ORACLES: dict[str, str] = {
     "embedding_pq": SQL_EMBEDDING_PQ,
     "kg_sparql_typed": SQL_KG_SPARQL_TYPED,
     "stream_enrich": SQL_STREAM_ENRICH,
+    "dedup_span_removal": SQL_DEDUP_SPAN_REMOVAL,
 }

@@ -60,6 +60,10 @@ def main() -> int:
                     help="output directory for Jelly streams + manifest")
     ap.add_argument("--rows-per-stream", type=int, default=25_000)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="timed repetitions inside ONE session (best-of-N "
+                    "reported; executors on a real cluster are long-lived, "
+                    "so steady state is the cluster-relevant number)")
     ap.add_argument("--build-zip", metavar="DEST",
                     help="just build the --py-files zip and exit")
     args = ap.parse_args()
@@ -79,25 +83,32 @@ def main() -> int:
     from pyjelly_spark.pipeline import PipelineConfig, run_pipeline
     from pyjelly_spark.sources.source_repos import generate_source_files
 
+    import shutil
+
     out = args.output or os.path.join("/tmp", f"kg_submit_{os.getpid()}")
     files = generate_source_files(spark, args.n_files)
-    t0 = time.time()
-    manifest = run_pipeline(
-        spark,
-        files,
-        PipelineConfig(
-            out_dir=out,
-            rows_per_stream=args.rows_per_stream,
-            resume=not args.no_resume,
-        ),
-    )
-    wall = time.time() - t0
+    walls = []
+    for rep in range(max(args.reps, 1)):
+        if rep:
+            shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        manifest = run_pipeline(
+            spark,
+            files,
+            PipelineConfig(
+                out_dir=out,
+                rows_per_stream=args.rows_per_stream,
+                resume=not args.no_resume,
+            ),
+        )
+        walls.append(round(time.time() - t0, 2))
     print(json.dumps({
         "n_files": args.n_files,
         "triples": int(manifest["n_statements"].sum()),
         "streams": len(manifest),
         "output": out,
-        "wall_sec": round(wall, 2),
+        "wall_sec": min(walls),
+        "walls": walls,
     }))
     return 0
 

@@ -945,3 +945,36 @@ def test_pq_topk_recall_and_exactness(spark):
     assert books.shape == (8, 32, 8)
     flat = books.transpose(1, 0, 2).reshape(32, 64)
     assert all((imat == row).all(axis=1).any() for row in flat)
+
+
+def test_remove_dup_spans_closed_form(spark):
+    """Span removal on a hand-built corpus: the shared 5-word span
+    survives only in the canonical (min doc_id) document; unique text
+    is untouched; short docs pass through."""
+    import hashlib
+
+    from pyjelly_spark.functions.text import remove_dup_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"{shared} unique one tail words here"),
+        (2, f"prefix bits {shared} other trailing text"),
+        (3, "totally original content with no overlap at all"),
+        (4, "tiny doc"),  # < 5 words: no grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_dup_spans(df, n=5).collect()}
+
+    def sha(s):
+        return hashlib.sha256(s.encode()).hexdigest()
+
+    # doc 1 is canonical for the shared grams -> keeps everything
+    assert out[1]["n_removed"] == 0
+    assert out[1]["cleaned_sha"] == sha(rows[0][1])
+    # doc 2 loses exactly the 5 shared words
+    assert out[2]["n_removed"] == 5
+    assert out[2]["cleaned_sha"] == sha("prefix bits other trailing text")
+    # untouched docs
+    assert out[3]["n_removed"] == 0 and out[4]["n_removed"] == 0
+    assert out[4]["cleaned_sha"] == sha("tiny doc")
+    assert out[2]["n_words"] == 10  # original count, before removal
