@@ -621,3 +621,49 @@ def bfs_reachable(
         reached = reached.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return reached
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected edge
+    frame: coeff = 2*T / (d*(d-1)) with T the node's triangle count and
+    d its degree — the standard graph-density feature next to
+    :func:`triangle_count` (which provides T via the degree-oriented
+    wedge join). Integer-exact: floor-scaled x10000, so the oracle
+    compares bit-for-bit. Nodes of degree < 2 have no defined
+    coefficient and are absent by contract.
+
+    Scale shape: degree is one map-side-combined aggregation over the
+    canonical edge set; the expensive part is triangle_count's bounded
+    wedge join (E^{3/2}); the final join is degree-frame x triangle
+    frame on node.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_count(
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                "(2 * coalesce(triangles, 0) * 10000)"
+                " div (degree * (degree - 1))"
+            ).alias("coeff_x10000"),
+        )
+        .where(F.col("degree") >= 2)
+    )

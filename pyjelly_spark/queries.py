@@ -494,6 +494,69 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(pairs)
 
 
+def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file local clustering coefficient in the shared-symbol
+    co-definition graph (operators/components.py::
+    clustering_coefficient): triangles via the degree-oriented wedge
+    join, degrees via one aggregation, coeff floor-scaled x10000 —
+    integer-exact vs the declarative 3-way self-join oracle."""
+    from pyjelly_spark.operators.components import clustering_coefficient
+
+    files = derived_source_files(spark, sf_dir)
+    sdefs = files.select(
+        X.file_iri(F.col("repo"), F.col("path")).alias("file"),
+        F.explode(
+            F.regexp_extract_all("content", F.lit(X.DEF_RE), F.lit(1))
+        ).alias("symbol"),
+    ).where(F.col("symbol").startswith("shared_"))
+    pairs = (
+        sdefs.alias("x")
+        .join(
+            sdefs.alias("y"),
+            (F.col("x.symbol") == F.col("y.symbol"))
+            & (F.col("x.file") < F.col("y.file")),
+        )
+        .select(F.col("x.file").alias("src"), F.col("y.file").alias("dst"))
+    )
+    return clustering_coefficient(pairs)
+
+
+SQL_KG_CLUSTERING = f"""
+WITH {SRC_SQL},
+sdefs AS (
+  SELECT file_iri, 'shared_' || (doc_id % 50) AS symbol
+  FROM files WHERE doc_id % 2 = 0
+),
+pairs AS (
+  SELECT DISTINCT x.file_iri AS u, y.file_iri AS v
+  FROM sdefs x JOIN sdefs y
+    ON x.symbol = y.symbol AND x.file_iri < y.file_iri
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tpn AS (
+  SELECT node, count(*)::BIGINT AS triangles
+  FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+  GROUP BY node
+)
+SELECT d.node, d.degree,
+  coalesce(t.triangles, 0)::BIGINT AS triangles,
+  (2 * coalesce(t.triangles, 0) * 10000)
+    // (d.degree * (d.degree - 1)) AS coeff_x10000
+FROM deg d LEFT JOIN tpn t USING (node)
+WHERE d.degree >= 2
+"""
+
+
 SQL_KG_TRIANGLES = f"""
 WITH {SRC_SQL},
 sdefs AS (
@@ -3721,6 +3784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_typed": q_kg_sparql_typed,
     "stream_enrich": q_stream_enrich,
     "dedup_span_removal": q_dedup_span_removal,
+    "kg_clustering": q_kg_clustering,
 }
 
 ORACLES: dict[str, str] = {
@@ -3813,4 +3877,5 @@ ORACLES: dict[str, str] = {
     "kg_sparql_typed": SQL_KG_SPARQL_TYPED,
     "stream_enrich": SQL_STREAM_ENRICH,
     "dedup_span_removal": SQL_DEDUP_SPAN_REMOVAL,
+    "kg_clustering": SQL_KG_CLUSTERING,
 }

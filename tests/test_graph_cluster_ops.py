@@ -208,3 +208,20 @@ class TestSsspInt:
                 for r in sssp_int(df, src, rounds=rounds + 1).collect()
             }
             assert again == got
+
+
+def test_clustering_coefficient_closed_form(spark):
+    """Triangle + pendant graph: a-b-c triangle (each coeff 1.0), d
+    attached to a (a's coeff drops to 2*1/(3*2)=0.3333, d excluded
+    with degree 1)."""
+    from pyjelly_spark.operators.components import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")], ["src", "dst"]
+    )
+    out = {r["node"]: r for r in clustering_coefficient(edges).collect()}
+    assert set(out) == {"a", "b", "c"}  # d has degree 1
+    assert out["a"]["degree"] == 3 and out["a"]["triangles"] == 1
+    assert out["a"]["coeff_x10000"] == 3333
+    for n in ("b", "c"):
+        assert out[n]["degree"] == 2 and out[n]["coeff_x10000"] == 10000
