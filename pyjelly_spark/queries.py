@@ -3692,6 +3692,145 @@ FROM events GROUP BY event_type
 """
 
 
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+
+#: Deterministic code ontology for the RDFS materialization gate: the
+#: instance vocabulary the extractor emits, arranged into two-level
+#: property and three-level class hierarchies with domain/range axioms
+#: (including one declared on a SUPERproperty, so the oracle checks the
+#: spp-composition of domains, not just direct declarations).
+CODE_ONTOLOGY: list[tuple[str, str, str]] = [
+    (NS + "imports", _RDFS + "subPropertyOf", NS + "references"),
+    (NS + "calls", _RDFS + "subPropertyOf", NS + "references"),
+    (NS + "references", _RDFS + "subPropertyOf", NS + "relatesTo"),
+    (NS + "contains", _RDFS + "subPropertyOf", NS + "relatesTo"),
+    (NS + "File", _RDFS + "subClassOf", NS + "CodeUnit"),
+    (NS + "Module", _RDFS + "subClassOf", NS + "CodeUnit"),
+    (NS + "Symbol", _RDFS + "subClassOf", NS + "CodeEntity"),
+    (NS + "CodeUnit", _RDFS + "subClassOf", NS + "CodeEntity"),
+    (NS + "CodeEntity", _RDFS + "subClassOf", NS + "Resource"),
+    (NS + "Repository", _RDFS + "subClassOf", NS + "Resource"),
+    (NS + "contains", _RDFS + "domain", NS + "Repository"),
+    (NS + "contains", _RDFS + "range", NS + "File"),
+    (NS + "imports", _RDFS + "domain", NS + "File"),
+    (NS + "imports", _RDFS + "range", NS + "Module"),
+    (NS + "defines", _RDFS + "domain", NS + "File"),
+    (NS + "defines", _RDFS + "range", NS + "Symbol"),
+    (NS + "calls", _RDFS + "domain", NS + "File"),
+    (NS + "calls", _RDFS + "range", NS + "Symbol"),
+]
+
+
+def q_kg_rdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS materialization over the extracted code KG
+    (operators/inference.py::rdfs_materialize): subClass/subProperty
+    transitivity, property inheritance (rdfs7), domain/range typing
+    (rdfs2/3) and type inheritance (rdfs9) under CODE_ONTOLOGY, all as
+    broadcast joins against the (tiny) closed schema plus ONE dedup
+    shuffle. The gate pins the full closed graph per predicate: triple
+    count, distinct subjects, and a bit_xor of the portable (s, o)
+    content hash, split by asserted-vs-inferred — any missing, extra or
+    mistyped conclusion flips a row. Oracle is the same stratified rule
+    program written declaratively (recursive CTEs over a VALUES
+    ontology), so the distributed plan is checked against an
+    independent evaluation strategy."""
+    from pyjelly_spark.operators.inference import rdfs_materialize
+
+    graph = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    schema = spark.createDataFrame(CODE_ONTOLOGY, ["s", "p", "o"])
+    closed = rdfs_materialize(graph, schema)
+    h = F.conv(
+        F.substring(F.sha2(F.concat_ws(" ", "s", "o"), 256), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        closed.groupBy("p", "asserted")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("s").alias("n_s"),
+            F.bit_xor(h).alias("xh"),
+        )
+        .orderBy("p", "asserted")
+    )
+
+
+SQL_KG_RDFS = f"""
+WITH RECURSIVE {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+spo AS (
+  SELECT 'http://kg.example/repo/' || repo AS s, '{NS}contains' AS p, file_iri AS o FROM files
+  UNION ALL SELECT file_iri, '{NS}lang', 'python' FROM files
+  UNION ALL SELECT file_iri, '{NS}sha256', sha256(content) FROM files
+  UNION ALL SELECT file_iri, '{NS}imports',
+    'http://kg.example/module/pkg' || (t % 13) || '.mod_' || t FROM imports_gt
+  UNION ALL SELECT file_iri, '{NS}defines',
+    'http://kg.example/symbol/' || symbol FROM defs_gt
+  UNION ALL SELECT file_iri, '{NS}calls',
+    'http://kg.example/symbol/' || symbol FROM calls_gt
+),
+ont(s, p, o) AS (VALUES {", ".join(
+    f"('{s}', '{p}', '{o}')" for s, p, o in CODE_ONTOLOGY
+)}),
+sco(sub, sup) AS (
+  SELECT s, o FROM ont WHERE p = '{_RDFS}subClassOf'
+  UNION
+  SELECT c.sub, o2.o FROM sco c
+  JOIN ont o2 ON o2.s = c.sup AND o2.p = '{_RDFS}subClassOf'
+),
+spp(sub, sup) AS (
+  SELECT s, o FROM ont WHERE p = '{_RDFS}subPropertyOf'
+  UNION
+  SELECT c.sub, o2.o FROM spp c
+  JOIN ont o2 ON o2.s = c.sup AND o2.p = '{_RDFS}subPropertyOf'
+),
+dom_eff AS (
+  SELECT s AS prop, o AS cls FROM ont WHERE p = '{_RDFS}domain'
+  UNION
+  SELECT h.sub, d.o FROM spp h
+  JOIN ont d ON d.s = h.sup AND d.p = '{_RDFS}domain'
+),
+rng_eff AS (
+  SELECT s AS prop, o AS cls FROM ont WHERE p = '{_RDFS}range'
+  UNION
+  SELECT h.sub, r.o FROM spp h
+  JOIN ont r ON r.s = h.sup AND r.p = '{_RDFS}range'
+),
+edges AS (SELECT s, p, o FROM spo WHERE p <> '{_RDF_TYPE}'),
+inherited AS (
+  SELECT e.s, h.sup AS p, e.o FROM edges e JOIN spp h ON e.p = h.sub
+),
+all_edges AS (SELECT * FROM edges UNION ALL SELECT * FROM inherited),
+dom_types AS (
+  SELECT e.s, '{_RDF_TYPE}' AS p, d.cls AS o
+  FROM all_edges e JOIN dom_eff d ON e.p = d.prop
+),
+rng_types AS (
+  SELECT e.o AS s, '{_RDF_TYPE}' AS p, r.cls AS o
+  FROM all_edges e JOIN rng_eff r ON e.p = r.prop
+),
+types0 AS (
+  SELECT s, p, o FROM spo WHERE p = '{_RDF_TYPE}'
+  UNION ALL SELECT * FROM dom_types
+  UNION ALL SELECT * FROM rng_types
+),
+sup_types AS (
+  SELECT t.s, t.p, c.sup AS o FROM types0 t JOIN sco c ON t.o = c.sub
+),
+tagged AS (
+  SELECT s, p, o, TRUE AS asserted FROM spo
+  UNION ALL SELECT s, p, o, FALSE FROM inherited
+  UNION ALL SELECT s, p, o, FALSE FROM dom_types
+  UNION ALL SELECT s, p, o, FALSE FROM rng_types
+  UNION ALL SELECT s, p, o, FALSE FROM sup_types
+),
+closure AS (
+  SELECT s, p, o, max(asserted) AS asserted FROM tagged GROUP BY s, p, o
+)
+SELECT p, asserted, count(*)::BIGINT AS n, count(DISTINCT s)::BIGINT AS n_s,
+  bit_xor(('0x' || substring(sha256(s || ' ' || o), 1, 15))::BIGINT) AS xh
+FROM closure GROUP BY p, asserted ORDER BY p, asserted
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3785,6 +3924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrich": q_stream_enrich,
     "dedup_span_removal": q_dedup_span_removal,
     "kg_clustering": q_kg_clustering,
+    "kg_rdfs": q_kg_rdfs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3878,4 +4018,5 @@ ORACLES: dict[str, str] = {
     "stream_enrich": SQL_STREAM_ENRICH,
     "dedup_span_removal": SQL_DEDUP_SPAN_REMOVAL,
     "kg_clustering": SQL_KG_CLUSTERING,
+    "kg_rdfs": SQL_KG_RDFS,
 }
