@@ -3831,6 +3831,81 @@ FROM closure GROUP BY p, asserted ORDER BY p, asserted
 """
 
 
+def q_kg_shacl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite validation (operators/shacl.py::validate) of the
+    RDFS-CLOSED code graph: cardinality shapes target inferred classes
+    (kg:Module instances exist only via rdfs:range inference, so the
+    gate checks shape/rule interaction), value shapes check pattern /
+    node-kind / enumeration on the hot predicates. The shape mix is
+    chosen so every constraint kind both fires (min_count, max_count,
+    pattern, node_kind) and passes (ShaHex, LangIn contribute zero
+    rows — absence is pinned by the exact row set). Oracle evaluates
+    each shape independently from the ground-truth CTEs, no SHACL
+    machinery on the DuckDB side."""
+    from pyjelly_spark.operators.inference import rdfs_materialize
+    from pyjelly_spark.operators.shacl import Shape, validate
+
+    graph = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    schema = spark.createDataFrame(CODE_ONTOLOGY, ["s", "p", "o"])
+    closed = rdfs_materialize(graph, schema).select("s", "p", "o")
+    shapes = [
+        Shape("FileMinDefines", NS + "defines",
+              target_class=NS + "File", min_count=2),
+        Shape("FileMaxImports", NS + "imports",
+              target_class=NS + "File", max_count=2),
+        Shape("ModuleNoDefines", NS + "defines",
+              target_class=NS + "Module", min_count=1),
+        Shape("FileMaxCalls", NS + "calls",
+              target_class=NS + "File", max_count=4),
+        Shape("ShaHex", NS + "sha256", pattern="^[0-9a-f]{64}$"),
+        Shape("EvenModuleImports", NS + "imports",
+              pattern="mod_[0-9]*[02468]$"),
+        Shape("ShaIsIri", NS + "sha256", node_kind="IRI"),
+        Shape("LangIn", NS + "lang", in_values=("python", "go")),
+    ]
+    return validate(closed, shapes).orderBy(
+        "shape_id", "constraint", "focus", "value"
+    )
+
+
+SQL_KG_SHACL = f"""
+WITH {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+def_counts AS (
+  SELECT file_iri, count(DISTINCT symbol) AS c FROM defs_gt GROUP BY file_iri
+),
+imp_counts AS (
+  SELECT file_iri, count(DISTINCT t) AS c FROM imports_gt GROUP BY file_iri
+),
+call_counts AS (
+  SELECT file_iri, count(DISTINCT symbol) AS c FROM calls_gt GROUP BY file_iri
+),
+modules AS (
+  SELECT DISTINCT 'http://kg.example/module/pkg' || (t % 13) || '.mod_' || t
+    AS module_iri FROM imports_gt
+),
+violations AS (
+  SELECT 'FileMinDefines' AS shape_id, 'min_count' AS "constraint",
+         file_iri AS focus, c::VARCHAR AS value
+  FROM def_counts WHERE c < 2
+  UNION ALL
+  SELECT 'FileMaxImports', 'max_count', file_iri, c::VARCHAR
+  FROM imp_counts WHERE c > 2
+  UNION ALL
+  SELECT 'ModuleNoDefines', 'min_count', module_iri, '0' FROM modules
+  UNION ALL
+  SELECT 'FileMaxCalls', 'max_count', file_iri, c::VARCHAR
+  FROM call_counts WHERE c > 4
+  UNION ALL
+  SELECT DISTINCT 'EvenModuleImports', 'pattern', file_iri,
+    'http://kg.example/module/pkg' || (t % 13) || '.mod_' || t
+  FROM imports_gt WHERE t % 2 = 1
+  UNION ALL
+  SELECT 'ShaIsIri', 'node_kind', file_iri, sha256(content) FROM files
+)
+SELECT * FROM violations ORDER BY shape_id, "constraint", focus, value
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3925,6 +4000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_removal": q_dedup_span_removal,
     "kg_clustering": q_kg_clustering,
     "kg_rdfs": q_kg_rdfs,
+    "kg_shacl": q_kg_shacl,
 }
 
 ORACLES: dict[str, str] = {
@@ -4019,4 +4095,5 @@ ORACLES: dict[str, str] = {
     "dedup_span_removal": SQL_DEDUP_SPAN_REMOVAL,
     "kg_clustering": SQL_KG_CLUSTERING,
     "kg_rdfs": SQL_KG_RDFS,
+    "kg_shacl": SQL_KG_SHACL,
 }
