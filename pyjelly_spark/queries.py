@@ -3906,6 +3906,66 @@ SELECT * FROM violations ORDER BY shape_id, "constraint", focus, value
 """
 
 
+_PROV_ACTIVITY = "http://kg.example/activity/extract-v1"
+
+
+def q_kg_prov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROV-O lineage export (operators/provenance.py::prov_graph): one
+    stream entity per repo with wasDerivedFrom/wasGeneratedBy/used edges
+    and exact per-repo file + triple counts as literals — the pipeline's
+    per-partition lineage materialized as queryable triples. Oracle
+    recomputes the per-repo statistics from the ground-truth CTEs and
+    builds the same five PROV rows per repo declaratively."""
+    from pyjelly_spark.operators.provenance import prov_graph
+
+    graph = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    return prov_graph(
+        graph,
+        contains_pred=NS + "contains",
+        ns=NS,
+        stream_prefix="http://kg.example/stream/",
+        activity_iri=_PROV_ACTIVITY,
+    ).orderBy("s", "p", "o")
+
+
+SQL_KG_PROV = f"""
+WITH {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+imp_n AS (SELECT file_iri, count(*) AS c FROM imports_gt GROUP BY file_iri),
+def_n AS (SELECT file_iri, count(*) AS c FROM defs_gt GROUP BY file_iri),
+call_n AS (SELECT file_iri, count(*) AS c FROM calls_gt GROUP BY file_iri),
+per_file AS (
+  SELECT f.repo, 2 + i.c + d.c + cl.c AS n
+  FROM files f
+  JOIN imp_n i ON i.file_iri = f.file_iri
+  JOIN def_n d ON d.file_iri = f.file_iri
+  JOIN call_n cl ON cl.file_iri = f.file_iri
+),
+repo_stats AS (
+  SELECT repo,
+         'http://kg.example/repo/' || repo AS repo_iri,
+         'http://kg.example/stream/' || repo AS stream_iri,
+         count(*)::BIGINT AS n_files,
+         (sum(n) + count(*))::BIGINT AS n_triples
+  FROM per_file GROUP BY repo
+),
+prov AS (
+  SELECT stream_iri AS s, 'http://www.w3.org/ns/prov#wasDerivedFrom' AS p,
+         repo_iri AS o FROM repo_stats
+  UNION ALL
+  SELECT stream_iri, 'http://www.w3.org/ns/prov#wasGeneratedBy',
+         '{_PROV_ACTIVITY}' FROM repo_stats
+  UNION ALL
+  SELECT '{_PROV_ACTIVITY}', 'http://www.w3.org/ns/prov#used', repo_iri
+  FROM repo_stats
+  UNION ALL
+  SELECT stream_iri, '{NS}nFiles', n_files::VARCHAR FROM repo_stats
+  UNION ALL
+  SELECT stream_iri, '{NS}nTriples', n_triples::VARCHAR FROM repo_stats
+)
+SELECT s, p, o FROM prov ORDER BY s, p, o
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4001,6 +4061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_clustering": q_kg_clustering,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
+    "kg_prov": q_kg_prov,
 }
 
 ORACLES: dict[str, str] = {
@@ -4096,4 +4157,5 @@ ORACLES: dict[str, str] = {
     "kg_clustering": SQL_KG_CLUSTERING,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
+    "kg_prov": SQL_KG_PROV,
 }
