@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "seq_packing",
     "embedding_pq",
     "stream_join",
+    "kg_rdfs",
+    "kg_shacl",
 ]
 
 

@@ -22,23 +22,31 @@ Execution shape (100 TB graph, small ontology — the realistic regime):
 - The schema hierarchies (``subClassOf``/``subPropertyOf``) are closed
   first by iterated self-joins over the *schema only* — a few hundred
   rows, log2(depth) rounds, negligible cost.
-- Every instance-level rule is then a single **broadcast** hash join of
-  the big triples frame against a closed schema table: map-side only,
-  no shuffle of the 10^12-row side, and whole-stage codegen end to end.
-- The only full shuffle in the pass is ONE ``groupBy(s, p, o)`` at the
-  end that simultaneously dedups rule outputs (rdfs2/3 conclusions can
-  coincide with asserted types) and computes the ``asserted`` flag as
-  ``max`` over the tagged rule branches — dedup and provenance
-  annotation share the same exchange instead of a distinct plus a
-  self-join.
+- The ontology is then **compiled into a dispatch table** (the
+  WebPIE/Inferray trick): for every instance predicate the table lists
+  every conclusion an instance triple with that predicate yields —
+  identity, each super-property (rdfs7), each domain/range class
+  *pre-composed with its subclass supers* (rdfs2/3 ∘ rdfs9) — collected
+  into one array per predicate.  A second table maps each class to
+  itself plus its supers (rdfs9 for asserted types).
+- The instance data is scanned exactly TWICE (non-type triples ⋈
+  dispatch, type triples ⋈ class table), each a map-side broadcast
+  left-join + ``explode`` — fan-out happens inside one whole-stage
+  codegen pass, never as plan-level union branches that would rescan a
+  10^12-row input once per rule.
+- The only full shuffle is ONE ``groupBy(s, p, o)`` at the end that
+  simultaneously dedups rule outputs (rdfs2/3 conclusions can coincide
+  with asserted types) and computes the ``asserted`` flag as ``max``
+  over the tagged emissions.
 
 The rule set is stratified (hierarchy closure -> rdfs7 -> rdfs2/3 ->
 rdfs9), which for RDFS is the full fixpoint: property inheritance is
-applied before domain/range (so inherited predicates contribute types)
-and type inheritance runs over asserted + inferred types, after which no
-rule can fire again.  This makes the operator expressible as one
-deterministic DataFrame program — no instance-level iteration — and
-checkable against a declarative recursive-CTE oracle.
+applied before domain/range (so inherited predicates contribute types),
+domain/range classes carry their subclass supers, and asserted types
+get theirs from the class table — after which no rule can fire again.
+This makes the operator one deterministic DataFrame program — no
+instance-level iteration — checkable against a declarative
+recursive-CTE oracle.
 """
 
 from __future__ import annotations
@@ -128,49 +136,109 @@ def rdfs_materialize(
         )
     ).distinct()
 
-    edges = instance.filter(F.col("p") != RDF_TYPE)
-    types = instance.filter(F.col("p") == RDF_TYPE)
+    # --- compile the ontology into per-predicate dispatch arrays ------
+    # Each emission describes one conclusion of an instance triple
+    # (s, p, o): output predicate, which slot feeds the output subject
+    # ('s' or 'o'), and an optional constant object (type conclusions).
+    #   rdfs7:        (p, sup,      's', NULL)
+    #   rdfs2 ∘ rdfs9: (p, rdf:type, 's', class-and-its-supers)
+    #   rdfs3 ∘ rdfs9: (p, rdf:type, 'o', class-and-its-supers)
+    cls_up = sco  # alias for readability: class -> strict super
+    dom_all = domain_eff.unionByName(
+        domain_eff.join(
+            F.broadcast(cls_up), domain_eff["cls"] == cls_up["sub"]
+        ).select("prop", cls_up["sup"].alias("cls"))
+    ).distinct()
+    rng_all = range_eff.unionByName(
+        range_eff.join(
+            F.broadcast(cls_up), range_eff["cls"] == cls_up["sub"]
+        ).select("prop", cls_up["sup"].alias("cls"))
+    ).distinct()
 
-    # --- rdfs7: property inheritance (broadcast the closed hierarchy) -
-    inherited = edges.join(
-        F.broadcast(spp), edges["p"] == spp["sub"]
-    ).select("s", spp["sup"].alias("p"), "o")
-    all_edges = edges.select("s", "p", "o").unionByName(inherited)
-
-    # --- rdfs2/3: domain and range over asserted + inherited edges ----
-    dom_types = all_edges.join(
-        F.broadcast(domain_eff), all_edges["p"] == domain_eff["prop"]
-    ).select("s", F.lit(RDF_TYPE).alias("p"), F.col("cls").alias("o"))
-    rng_types = all_edges.join(
-        F.broadcast(range_eff), all_edges["p"] == range_eff["prop"]
-    ).select(
-        F.col("o").alias("s"), F.lit(RDF_TYPE).alias("p"),
-        F.col("cls").alias("o"),
+    emissions = (
+        spp.select(
+            F.col("sub").alias("p"), F.col("sup").alias("out_p"),
+            F.lit("s").alias("src"), F.lit(None).cast("string").alias("const_o"),
+        )
+        .unionByName(dom_all.select(
+            F.col("prop").alias("p"), F.lit(RDF_TYPE).alias("out_p"),
+            F.lit("s").alias("src"), F.col("cls").alias("const_o"),
+        ))
+        .unionByName(rng_all.select(
+            F.col("prop").alias("p"), F.lit(RDF_TYPE).alias("out_p"),
+            F.lit("o").alias("src"), F.col("cls").alias("const_o"),
+        ))
+        .distinct()
+        .groupBy("p")
+        .agg(F.collect_list(
+            F.struct("out_p", "src", "const_o", F.lit(False).alias("asserted"))
+        ).alias("emits"))
     )
-    types0 = types.select("s", "p", "o").unionByName(dom_types).unionByName(
-        rng_types
+    # Class table: every class maps to its strict supers (the identity
+    # conclusion is synthesized instance-side so unknown classes pass
+    # through untouched).
+    cls_arr = sco.groupBy(F.col("sub").alias("cls")).agg(
+        F.collect_list("sup").alias("supers")
     )
 
-    # --- rdfs9: type inheritance over all types so far -----------------
-    sup_types = types0.join(
-        F.broadcast(sco), types0["o"] == sco["sub"]
-    ).select("s", "p", sco["sup"].alias("o"))
-
-    # One exchange: dedup + asserted-flag in the same groupBy.  Branch
-    # tags: the two slices of the input frame are asserted, every rule
-    # output is derived; a derived triple that also appears asserted
-    # keeps asserted=true via max().
-    def _tag(df: DataFrame, flag: bool) -> DataFrame:
-        return df.select("s", "p", "o", F.lit(flag).alias("asserted"))
-
-    tagged = (
-        _tag(edges, True)
-        .unionByName(_tag(types, True))
-        .unionByName(_tag(inherited, False))
-        .unionByName(_tag(dom_types, False))
-        .unionByName(_tag(rng_types, False))
-        .unionByName(_tag(sup_types, False))
+    # --- instance pass 1: non-type triples ⋈ dispatch ------------------
+    edges = instance.filter(F.col("p") != RDF_TYPE).select("s", "p", "o")
+    identity = F.struct(
+        F.col("p").alias("out_p"), F.lit("s").alias("src"),
+        F.lit(None).cast("string").alias("const_o"),
+        F.lit(True).alias("asserted"),
     )
-    return tagged.groupBy("s", "p", "o").agg(
+    emit_t = (
+        "array<struct<out_p:string,src:string,const_o:string,asserted:boolean>>"
+    )
+    edge_out = (
+        edges.join(F.broadcast(emissions), "p", "left")
+        .select(
+            "s", "o",
+            F.explode(
+                F.concat(
+                    F.array(identity),
+                    F.coalesce("emits", F.array().cast(emit_t)),
+                )
+            ).alias("e"),
+        )
+        .select(
+            F.when(F.col("e.src") == "s", F.col("s"))
+            .otherwise(F.col("o")).alias("s"),
+            F.col("e.out_p").alias("p"),
+            F.coalesce("e.const_o", "o").alias("o"),
+            F.col("e.asserted").alias("asserted"),
+        )
+    )
+
+    # --- instance pass 2: type triples ⋈ class supers ------------------
+    types = instance.filter(F.col("p") == RDF_TYPE).select("s", "p", "o")
+    type_out = (
+        types.join(F.broadcast(cls_arr), types["o"] == cls_arr["cls"], "left")
+        .select(
+            "s",
+            F.explode(
+                F.concat(
+                    F.array(F.struct(
+                        F.col("o").alias("c"), F.lit(True).alias("asserted")
+                    )),
+                    F.transform(
+                        F.coalesce("supers", F.array().cast("array<string>")),
+                        lambda c: F.struct(
+                            c.alias("c"), F.lit(False).alias("asserted")
+                        ),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select(
+            "s", F.lit(RDF_TYPE).alias("p"),
+            F.col("e.c").alias("o"), F.col("e.asserted").alias("asserted"),
+        )
+    )
+
+    # One exchange: dedup + asserted-flag in the same groupBy.  A
+    # derived triple that also appears asserted keeps asserted=true.
+    return edge_out.unionByName(type_out).groupBy("s", "p", "o").agg(
         F.max("asserted").alias("asserted")
     )

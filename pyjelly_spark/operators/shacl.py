@@ -21,15 +21,19 @@ Here the same checks run distributed, where the graph lives.
 
 Execution shape (100 TB graph, handful of shapes):
 
-- The shape table is a broadcast on every path: value constraints are a
-  single map-side broadcast-join + filter over the triples scan (no
-  shuffle at all).
-- Cardinality constraints aggregate ``groupBy(s, p).count()`` once for
-  ALL count shapes together (one shuffle keyed by subject), then join
-  the focus set — also keyed by subject, so AQE plans it shuffle-local.
-  ``minCount`` needs the focus set (an absent path never appears in the
-  aggregate); focus extraction is a broadcast-joined filter of the type
-  triples.
+- ALL value constraints run in ONE pass: the shape table is aggregated
+  into a per-path array, broadcast, left-joined to the triples scan,
+  and exploded — every pattern/node-kind/enumeration check for every
+  shape happens inside a single whole-stage-codegen projection, zero
+  shuffles, and the input is scanned exactly once no matter how many
+  shapes are declared (never one union branch per shape, which would
+  rescan a 10^12-row input per shape).
+- ALL cardinality constraints share one ``groupBy(s, p).count()`` over
+  the constrained/target predicates (partial aggregation map-side, one
+  shuffle keyed by subject), re-aggregated to one row per subject
+  (path→count map + type set) and cross-checked against the broadcast
+  shape list — ``minCount`` violations fall out of the map lookup
+  defaulting to 0, no separate focus-set join.
 """
 
 from __future__ import annotations
@@ -92,87 +96,127 @@ def validate(data: DataFrame, shapes: list[Shape]) -> DataFrame:
     out: list[DataFrame] = []
 
     if value_shapes:
+        # Compile every value shape into one array per path: the scan is
+        # joined once and each (triple, shape, constraint-kind) check
+        # happens inside the same codegen stage.
         vs = spark.createDataFrame(
             [
-                (s.shape_id, s.path, s.pattern, s.node_kind,
+                (s.path, s.shape_id, s.pattern, s.node_kind,
                  list(s.in_values) if s.in_values else None)
             for s in value_shapes],
-            "shape_id string, path string, pattern string, "
+            "path string, shape_id string, pattern string, "
             "node_kind string, in_values array<string>",
+        ).groupBy("path").agg(
+            F.collect_list(
+                F.struct("shape_id", "pattern", "node_kind", "in_values")
+            ).alias("shapes")
         )
-        joined = triples.join(F.broadcast(vs), triples["p"] == vs["path"])
-        bad_pattern = F.col("pattern").isNotNull() & ~F.regexp_like(
-            F.col("o"), F.col("pattern")
+        o = F.col("o")
+        per_shape = triples.join(
+            F.broadcast(vs), triples["p"] == vs["path"]
+        ).select("s", "o", F.explode("shapes").alias("sh"))
+        checks = F.filter(
+            F.array(
+                F.struct(
+                    F.lit("pattern").alias("constraint"),
+                    (F.col("sh.pattern").isNotNull()
+                     & ~F.regexp_like(o, F.col("sh.pattern"))).alias("bad"),
+                ),
+                F.struct(
+                    F.lit("node_kind").alias("constraint"),
+                    (F.col("sh.node_kind").isNotNull() & (
+                        ((F.col("sh.node_kind") == "IRI") & ~_is_iri(o))
+                        | ((F.col("sh.node_kind") == "Literal") & _is_iri(o))
+                    )).alias("bad"),
+                ),
+                F.struct(
+                    F.lit("in").alias("constraint"),
+                    (F.col("sh.in_values").isNotNull()
+                     & ~F.array_contains(F.col("sh.in_values"), o)).alias("bad"),
+                ),
+            ),
+            lambda c: c["bad"],
         )
-        bad_kind = F.col("node_kind").isNotNull() & (
-            ((F.col("node_kind") == "IRI") & ~_is_iri(F.col("o")))
-            | ((F.col("node_kind") == "Literal") & _is_iri(F.col("o")))
-        )
-        bad_in = F.col("in_values").isNotNull() & ~F.array_contains(
-            F.col("in_values"), F.col("o")
-        )
-        for cname, cond in (
-            ("pattern", bad_pattern),
-            ("node_kind", bad_kind),
-            ("in", bad_in),
-        ):
-            out.append(
-                joined.filter(cond).select(
-                    "shape_id",
-                    F.lit(cname).alias("constraint"),
-                    F.col("s").alias("focus"),
-                    F.col("o").alias("value"),
-                )
+        out.append(
+            per_shape.select(
+                F.col("sh.shape_id").alias("shape_id"),
+                F.explode(checks).alias("c"),
+                F.col("s").alias("focus"),
+                F.col("o").alias("value"),
+            ).select(
+                "shape_id", F.col("c.constraint").alias("constraint"),
+                "focus", "value",
             )
+        )
 
     if count_shapes:
+        cs_rows = [
+            (s.shape_id, s.path, s.target_class, s.target_subjects_of,
+             s.min_count, s.max_count)
+            for s in count_shapes
+        ]
         cs = spark.createDataFrame(
-            [
-                (s.shape_id, s.path, s.target_class, s.target_subjects_of,
-                 s.min_count, s.max_count)
-            for s in count_shapes],
+            cs_rows,
             "shape_id string, path string, target_class string, "
             "target_subjects_of string, min_count int, max_count int",
         )
-        types = triples.filter(F.col("p") == RDF_TYPE)
-        focus_by_class = types.join(
-            F.broadcast(cs.filter(F.col("target_class").isNotNull())),
-            types["o"] == F.col("target_class"),
-        ).select("shape_id", "path", "min_count", "max_count",
-                 F.col("s").alias("focus"))
-        focus_by_subj = triples.join(
-            F.broadcast(cs.filter(F.col("target_subjects_of").isNotNull())),
-            triples["p"] == F.col("target_subjects_of"),
-        ).select("shape_id", "path", "min_count", "max_count",
-                 F.col("s").alias("focus")).distinct()
-        focus = focus_by_class.unionByName(focus_by_subj)
-
-        paths = sorted({s.path for s in count_shapes})
-        counts = (
-            triples.filter(F.col("p").isin(paths))
-            .groupBy(F.col("s").alias("focus"), F.col("p").alias("path"))
-            .agg(F.count("*").alias("cnt"))
+        relevant = sorted(
+            {s.path for s in count_shapes}
+            | {s.target_subjects_of for s in count_shapes
+               if s.target_subjects_of}
+            | {RDF_TYPE}
         )
-        with_counts = focus.join(counts, ["focus", "path"], "left").select(
-            "shape_id", "min_count", "max_count", "focus",
-            F.coalesce("cnt", F.lit(0)).alias("cnt"),
-        )
-        out.append(
-            with_counts.filter(
-                F.col("min_count").isNotNull()
-                & (F.col("cnt") < F.col("min_count"))
-            ).select(
-                "shape_id", F.lit("min_count").alias("constraint"),
-                "focus", F.col("cnt").cast("string").alias("value"),
+        # One row per subject: path->count map plus the subject's type
+        # set. Partial-aggregated map-side; the per-subject row count is
+        # bounded by the number of relevant predicates.
+        per_sp = (
+            triples.filter(F.col("p").isin(relevant))
+            .groupBy("s", "p")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.collect_set(
+                    F.when(F.col("p") == RDF_TYPE, F.col("o"))
+                ).alias("classes"),
             )
         )
+        per_s = per_sp.groupBy("s").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("p", "cnt"))
+            ).alias("pcnt"),
+            F.flatten(F.collect_list("classes")).alias("classes"),
+        )
+        checked = per_s.join(F.broadcast(cs)).filter(
+            (F.col("target_class").isNotNull()
+             & F.array_contains("classes", F.col("target_class")))
+            | (F.col("target_subjects_of").isNotNull()
+               & F.col("pcnt")[F.col("target_subjects_of")].isNotNull())
+        ).select(
+            "shape_id", "min_count", "max_count",
+            F.col("s").alias("focus"),
+            F.coalesce(F.col("pcnt")[F.col("path")], F.lit(0)).alias("cnt"),
+        )
+        bounds = F.filter(
+            F.array(
+                F.struct(
+                    F.lit("min_count").alias("constraint"),
+                    (F.col("min_count").isNotNull()
+                     & (F.col("cnt") < F.col("min_count"))).alias("bad"),
+                ),
+                F.struct(
+                    F.lit("max_count").alias("constraint"),
+                    (F.col("max_count").isNotNull()
+                     & (F.col("cnt") > F.col("max_count"))).alias("bad"),
+                ),
+            ),
+            lambda c: c["bad"],
+        )
         out.append(
-            with_counts.filter(
-                F.col("max_count").isNotNull()
-                & (F.col("cnt") > F.col("max_count"))
+            checked.select(
+                "shape_id", F.explode(bounds).alias("c"), "focus",
+                F.col("cnt").cast("string").alias("value"),
             ).select(
-                "shape_id", F.lit("max_count").alias("constraint"),
-                "focus", F.col("cnt").cast("string").alias("value"),
+                "shape_id", F.col("c.constraint").alias("constraint"),
+                "focus", "value",
             )
         )
 
