@@ -102,6 +102,24 @@ def rdfs_materialize(
     ``asserted`` boolean column (false = derived by some rule and not
     asserted in the input).
     """
+    # Meta-ontologies (rdf:type participating in the property hierarchy,
+    # or domain/range declared ON rdf:type) would need type conclusions
+    # to re-enter the edge pass — the compiled dispatch doesn't iterate,
+    # so refuse loudly instead of silently under-closing. The schema is
+    # tiny by contract, so this probe is one trivial job.
+    meta = schema.filter(
+        ((F.col("p") == RDFS_SUBPROP)
+         & ((F.col("s") == RDF_TYPE) | (F.col("o") == RDF_TYPE)))
+        | (F.col("p").isin([RDFS_DOMAIN, RDFS_RANGE])
+           & (F.col("s") == RDF_TYPE))
+    )
+    if meta.limit(1).count():
+        raise ValueError(
+            "rdfs_materialize: rdf:type may not appear in the "
+            "subPropertyOf hierarchy or carry domain/range axioms "
+            "(meta-ontology is unsupported)"
+        )
+
     # --- close the two hierarchies (schema-only, tiny) ---------------
     sco = transitive_closure_small(
         schema.filter(F.col("p") == RDFS_SUBCLASS).select(

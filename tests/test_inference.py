@@ -134,6 +134,15 @@ class TestRdfsRules:
         closed = _closure(spark, [("x", "p", "y")], [])
         assert _rows(closed) == {("x", "p", "y", True)}
 
+    def test_meta_ontology_refused(self, spark):
+        for bad_schema in (
+            [("p", RDFS_SUBPROP, RDF_TYPE)],
+            [(RDF_TYPE, RDFS_SUBPROP, "q")],
+            [(RDF_TYPE, RDFS_DOMAIN, "C")],
+        ):
+            with pytest.raises(ValueError, match="meta-ontology"):
+                _closure(spark, [("x", "p", "y")], bad_schema).collect()
+
     def test_duplicate_assertions_collapse(self, spark):
         closed = _closure(
             spark, [("x", "p", "y"), ("x", "p", "y")], []
@@ -168,3 +177,73 @@ def test_schema_empty_instance(spark):
         spark, [], [("A", RDFS_SUBCLASS, "B")]
     )
     assert closed.count() == 0
+
+
+def _naive_fixpoint(instance, schema):
+    """Independent evaluator: apply the one-step RDFS rules repeatedly
+    until nothing new appears (transitivity emerges from iteration, not
+    from a precomputed hierarchy closure — a genuinely different
+    evaluation strategy than the operator's compiled dispatch)."""
+    spp = {(s, o) for s, p, o in schema if p == RDFS_SUBPROP}
+    sco = {(s, o) for s, p, o in schema if p == RDFS_SUBCLASS}
+    dom = {(s, o) for s, p, o in schema if p == RDFS_DOMAIN}
+    rng = {(s, o) for s, p, o in schema if p == RDFS_RANGE}
+    triples = set(instance)
+    while True:
+        new = set()
+        for s, p, o in triples:
+            if p == RDF_TYPE:
+                for c1, c2 in sco:
+                    if o == c1:
+                        new.add((s, RDF_TYPE, c2))
+            else:
+                for p1, p2 in spp:
+                    if p == p1:
+                        new.add((s, p2, o))
+                for pr, c in dom:
+                    if p == pr:
+                        new.add((s, RDF_TYPE, c))
+                for pr, c in rng:
+                    if p == pr:
+                        new.add((o, RDF_TYPE, c))
+        if new <= triples:
+            return triples
+        triples |= new
+
+
+def test_rdfs_differential_random(spark):
+    """Seeded random instance graphs + random ontologies: the compiled
+    broadcast-dispatch operator must equal the naive rule-iteration
+    fixpoint on the full (s, p, o, asserted) relation."""
+    import random
+
+    rng = random.Random(1234)
+    preds = [f"p{i}" for i in range(6)]
+    classes = [f"C{i}" for i in range(6)]
+    nodes = [f"n{i}" for i in range(12)]
+    for trial in range(12):
+        schema = set()
+        for _ in range(rng.randint(0, 8)):
+            kind = rng.random()
+            if kind < 0.35:
+                schema.add((rng.choice(preds), RDFS_SUBPROP, rng.choice(preds)))
+            elif kind < 0.6:
+                schema.add((rng.choice(classes), RDFS_SUBCLASS, rng.choice(classes)))
+            elif kind < 0.8:
+                schema.add((rng.choice(preds), RDFS_DOMAIN, rng.choice(classes)))
+            else:
+                schema.add((rng.choice(preds), RDFS_RANGE, rng.choice(classes)))
+        instance = set()
+        for _ in range(rng.randint(1, 25)):
+            if rng.random() < 0.2:
+                instance.add((rng.choice(nodes), RDF_TYPE, rng.choice(classes)))
+            else:
+                instance.add(
+                    (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+                )
+        expected = {
+            (s, p, o, (s, p, o) in instance)
+            for s, p, o in _naive_fixpoint(instance, schema)
+        }
+        got = _rows(_closure(spark, sorted(instance), sorted(schema)))
+        assert got == expected, f"trial {trial}: schema={sorted(schema)}"
