@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
 RDFS_SUBPROP = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
 RDFS_DOMAIN = "http://www.w3.org/2000/01/rdf-schema#domain"
@@ -259,4 +260,51 @@ def rdfs_materialize(
     # derived triple that also appears asserted keeps asserted=true.
     return edge_out.unionByName(type_out).groupBy("s", "p", "o").agg(
         F.max("asserted").alias("asserted")
+    )
+
+
+def sameas_smush(
+    instance: DataFrame,
+    *,
+    sameas_pred: str = OWL_SAMEAS,
+    max_rounds: int = 25,
+) -> DataFrame:
+    """owl:sameAs smushing: rewrite the graph onto canonical nodes.
+
+    The sameAs edges form equivalence classes; connected components
+    (the same large-star/small-star operator the KG canonicalization
+    uses, ``operators/components.py``) elects the lexicographically
+    smallest member as representative, and every subject/object in the
+    rest of the graph is replaced by its class representative.  The
+    sameAs triples themselves are consumed (post-smushing they would
+    all be reflexive).  Output is a SET (duplicates merged by the
+    final distinct — two aliases calling the same target collapse).
+
+    Scale shape: the assignment table is one row per node occurring in
+    a sameAs class — typically orders of magnitude smaller than the
+    graph — so the two rewrite joins broadcast while it fits and fall
+    back to hash joins keyed s / o otherwise; AQE decides per run.
+    """
+    edges = instance.filter(F.col("p") == sameas_pred).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    from pyjelly_spark.operators.components import connected_components
+
+    assignment = connected_components(edges, max_rounds=max_rounds)
+    rest = instance.filter(F.col("p") != sameas_pred).select("s", "p", "o")
+    s_map = assignment.select(
+        F.col("node").alias("s"), F.col("component").alias("s_rep")
+    )
+    o_map = assignment.select(
+        F.col("node").alias("o"), F.col("component").alias("o_rep")
+    )
+    return (
+        rest.join(s_map, "s", "left")
+        .join(o_map, "o", "left")
+        .select(
+            F.coalesce("s_rep", "s").alias("s"),
+            "p",
+            F.coalesce("o_rep", "o").alias("o"),
+        )
+        .distinct()
     )

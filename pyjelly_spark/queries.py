@@ -3966,6 +3966,83 @@ SELECT s, p, o FROM prov ORDER BY s, p, o
 """
 
 
+def q_kg_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs smushing (operators/inference.py::sameas_smush):
+    every file defining two symbols asserts them owl:sameAs (its own
+    f_* symbol aliases the shared_* symbol), the alias classes close
+    over distributed connected components, and the defines+calls graph
+    is rewritten onto the lexicographically-smallest representative.
+    The gate pins the full smushed graph per predicate (count, distinct
+    subjects/objects, bit_xor content hash). Oracle rebuilds the alias
+    classes in closed form (star clusters around each shared symbol, so
+    no recursion is needed) and rewrites declaratively."""
+    from pyjelly_spark.operators.inference import OWL_SAMEAS, sameas_smush
+
+    files = derived_source_files(spark, sf_dir)
+    defs = _spo(X.extract_defs(files))
+    calls = _spo(X.extract_calls(files))
+    sameas = (
+        defs.groupBy("s")
+        .agg(F.collect_list("o").alias("syms"))
+        .filter(F.size("syms") == 2)
+        .select(
+            F.array_min("syms").alias("s"),
+            F.lit(OWL_SAMEAS).alias("p"),
+            F.array_max("syms").alias("o"),
+        )
+    )
+    smushed = sameas_smush(defs.unionByName(calls).unionByName(sameas))
+    h = F.conv(
+        F.substring(F.sha2(F.concat_ws(" ", "s", "o"), 256), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        smushed.groupBy("p")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("s").alias("n_s"),
+            F.countDistinct("o").alias("n_o"),
+            F.bit_xor(h).alias("xh"),
+        )
+        .orderBy("p")
+    )
+
+
+SQL_KG_SAMEAS = f"""
+WITH {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+members AS (
+  SELECT doc_id % 50 AS k,
+         'http://kg.example/symbol/f_' || doc_id || '_0' AS member
+  FROM files WHERE doc_id % 2 = 0
+),
+reps AS (
+  SELECT k,
+         least(min(member), 'http://kg.example/symbol/shared_' || k) AS rep
+  FROM members GROUP BY k
+),
+mapping AS (
+  SELECT m.member AS node, r.rep FROM members m JOIN reps r USING (k)
+  UNION ALL
+  SELECT 'http://kg.example/symbol/shared_' || k, rep FROM reps
+),
+spo AS (
+  SELECT file_iri AS s, '{NS}defines' AS p,
+         'http://kg.example/symbol/' || symbol AS o FROM defs_gt
+  UNION ALL
+  SELECT file_iri, '{NS}calls', 'http://kg.example/symbol/' || symbol
+  FROM calls_gt
+),
+smushed AS (
+  SELECT DISTINCT t.s, t.p, coalesce(m.rep, t.o) AS o
+  FROM spo t LEFT JOIN mapping m ON t.o = m.node
+)
+SELECT p, count(*)::BIGINT AS n,
+       count(DISTINCT s)::BIGINT AS n_s,
+       count(DISTINCT o)::BIGINT AS n_o,
+       bit_xor(('0x' || substring(sha256(s || ' ' || o), 1, 15))::BIGINT) AS xh
+FROM smushed GROUP BY p ORDER BY p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4062,6 +4139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
+    "kg_sameas": q_kg_sameas,
 }
 
 ORACLES: dict[str, str] = {
@@ -4158,4 +4236,5 @@ ORACLES: dict[str, str] = {
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,
+    "kg_sameas": SQL_KG_SAMEAS,
 }

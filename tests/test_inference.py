@@ -179,6 +179,56 @@ def test_schema_empty_instance(spark):
     assert closed.count() == 0
 
 
+class TestSameasSmush:
+    def _smush(self, spark, triples):
+        from pyjelly_spark.operators.inference import sameas_smush
+
+        return {
+            tuple(r)
+            for r in sameas_smush(
+                spark.createDataFrame(triples, _SPO)
+            ).collect()
+        }
+
+    def test_chain_closes_transitively(self, spark):
+        from pyjelly_spark.operators.inference import OWL_SAMEAS
+
+        got = self._smush(
+            spark,
+            [
+                ("b", OWL_SAMEAS, "c"),
+                ("c", OWL_SAMEAS, "a"),  # class {a,b,c} -> rep "a"
+                ("x", "calls", "b"),
+                ("c", "defines", "y"),  # subject side rewrites too
+                ("u", "calls", "v"),    # untouched
+            ],
+        )
+        assert got == {
+            ("x", "calls", "a"),
+            ("a", "defines", "y"),
+            ("u", "calls", "v"),
+        }
+
+    def test_aliases_collapse_duplicates(self, spark):
+        from pyjelly_spark.operators.inference import OWL_SAMEAS
+
+        got = self._smush(
+            spark,
+            [
+                ("a", OWL_SAMEAS, "b"),
+                ("x", "calls", "a"),
+                ("x", "calls", "b"),  # same triple after smushing
+            ],
+        )
+        assert got == {("x", "calls", "a")}
+
+    def test_no_sameas_is_identity_set(self, spark):
+        got = self._smush(
+            spark, [("x", "p", "y"), ("x", "p", "y")]
+        )
+        assert got == {("x", "p", "y")}
+
+
 def test_closure_roundtrips_through_jelly(spark, tmp_path):
     """The inferred graph is a first-class citizen of the engine: the
     RDFS closure serializes through the distributed Jelly writer and
