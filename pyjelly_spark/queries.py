@@ -4043,6 +4043,121 @@ FROM smushed GROUP BY p ORDER BY p
 """
 
 
+_OWL_NS = "http://www.w3.org/2002/07/owl#"
+_FI_SQL = (
+    "'http://kg.example/file/repo-0' || ({i} % 7) || '/src/pkg' || "
+    "({i} % 13) || '/mod_' || {i} || '.py'"
+)
+
+
+def _owl_file_iri(i):
+    return F.concat(
+        F.lit("http://kg.example/file/repo-0"), (i % 7).cast("string"),
+        F.lit("/src/pkg"), (i % 13).cast("string"),
+        F.lit("/mod_"), i.cast("string"), F.lit(".py"),
+    )
+
+
+def q_kg_owl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-Horst materialization (operators/inference.py::
+    owl_horst_materialize): a transitive kg:follows chain (doc i ->
+    i+7, which stays inside one repo since repo = id % 7), its inverse
+    kg:precedes, super-property kg:related, a symmetric kg:pairedWith,
+    and domain typing lifted through the class hierarchy. The
+    distributed path-doubling closure + compiled template passes must
+    reproduce the closed-form oracle: chain reachability is exactly the
+    same-residue ordered pairs, so the oracle needs NO recursion — an
+    independent evaluation of a genuinely iterative distributed
+    computation. Gate pins the closure per (predicate, asserted)."""
+    from pyjelly_spark.operators.inference import (
+        OWL_INVERSE, OWL_SYMMETRIC, OWL_TRANSITIVE, RDF_TYPE,
+        owl_horst_materialize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    i = F.col("doc_id")
+    follows = docs.filter(i + 7 < n).select(
+        _owl_file_iri(i).alias("s"),
+        F.lit(NS + "follows").alias("p"),
+        _owl_file_iri(i + 7).alias("o"),
+    )
+    paired = docs.filter(i % 2 == 0).select(
+        _owl_file_iri(i).alias("s"),
+        F.lit(NS + "pairedWith").alias("p"),
+        _owl_file_iri((i + 50) % n).alias("o"),
+    )
+    _RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+    schema = spark.createDataFrame(
+        [
+            (NS + "follows", RDF_TYPE, OWL_TRANSITIVE),
+            (NS + "follows", _RDFS_NS + "subPropertyOf", NS + "related"),
+            (NS + "precedes", OWL_INVERSE, NS + "follows"),
+            (NS + "pairedWith", RDF_TYPE, OWL_SYMMETRIC),
+            (NS + "follows", _RDFS_NS + "domain", NS + "File"),
+            (NS + "File", _RDFS_NS + "subClassOf", NS + "CodeUnit"),
+        ],
+        ["s", "p", "o"],
+    )
+    closed = owl_horst_materialize(follows.unionByName(paired), schema)
+    h = F.conv(
+        F.substring(F.sha2(F.concat_ws(" ", "s", "o"), 256), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        closed.groupBy("p", "asserted")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("s").alias("n_s"),
+            F.countDistinct("o").alias("n_o"),
+            F.bit_xor(h).alias("xh"),
+        )
+        .orderBy("p", "asserted")
+    )
+
+
+SQL_KG_OWL = f"""
+WITH docs AS (SELECT doc_id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+fp AS (  -- transitive closure of the +7 chain, closed form
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM docs a JOIN docs b
+    ON b.doc_id > a.doc_id AND (b.doc_id - a.doc_id) % 7 = 0
+),
+pw AS (
+  SELECT doc_id AS i, (doc_id + 50) % n AS j FROM docs, nn WHERE doc_id % 2 = 0
+),
+tagged AS (
+  SELECT {_FI_SQL.format(i="i")} AS s, '{NS}follows' AS p,
+         {_FI_SQL.format(i="j")} AS o, (j - i = 7) AS asserted FROM fp
+  UNION ALL
+  SELECT {_FI_SQL.format(i="j")}, '{NS}precedes',
+         {_FI_SQL.format(i="i")}, FALSE FROM fp
+  UNION ALL
+  SELECT {_FI_SQL.format(i="i")}, '{NS}related',
+         {_FI_SQL.format(i="j")}, FALSE FROM fp
+  UNION ALL
+  SELECT {_FI_SQL.format(i="i")}, '{NS}pairedWith',
+         {_FI_SQL.format(i="j")}, TRUE FROM pw
+  UNION ALL
+  SELECT {_FI_SQL.format(i="j")}, '{NS}pairedWith',
+         {_FI_SQL.format(i="i")}, FALSE FROM pw
+  UNION ALL  -- domain typing of every follows subject, + subclass lift
+  SELECT {_FI_SQL.format(i="i")},
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', c, FALSE
+  FROM (SELECT DISTINCT i FROM fp),
+       (VALUES ('{NS}File'), ('{NS}CodeUnit')) t(c)
+),
+closure AS (
+  SELECT s, p, o, max(asserted) AS asserted FROM tagged GROUP BY s, p, o
+)
+SELECT p, asserted, count(*)::BIGINT AS n,
+       count(DISTINCT s)::BIGINT AS n_s,
+       count(DISTINCT o)::BIGINT AS n_o,
+       bit_xor(('0x' || substring(sha256(s || ' ' || o), 1, 15))::BIGINT) AS xh
+FROM closure GROUP BY p, asserted ORDER BY p, asserted
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4140,6 +4255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
     "kg_sameas": q_kg_sameas,
+    "kg_owl": q_kg_owl,
 }
 
 ORACLES: dict[str, str] = {
@@ -4237,4 +4353,5 @@ ORACLES: dict[str, str] = {
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,
     "kg_sameas": SQL_KG_SAMEAS,
+    "kg_owl": SQL_KG_OWL,
 }
