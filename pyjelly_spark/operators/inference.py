@@ -20,8 +20,9 @@ distributed DataFrame program over the triples the pipeline emits.
 Execution shape (100 TB graph, small ontology — the realistic regime):
 
 - The schema hierarchies (``subClassOf``/``subPropertyOf``) are closed
-  first by iterated self-joins over the *schema only* — a few hundred
-  rows, log2(depth) rounds, negligible cost.
+  first over the *schema only* — a few hundred rows, compiled
+  driver-side (running them as Spark jobs would cost ~10 tiny shuffles
+  of pure scheduling latency for zero benefit).
 - The ontology is then **compiled into a dispatch table** (the
   WebPIE/Inferray trick): for every instance predicate the table lists
   every conclusion an instance triple with that predicate yields —
@@ -92,8 +93,6 @@ def transitive_closure_small(
 def rdfs_materialize(
     instance: DataFrame,
     schema: DataFrame,
-    *,
-    max_hierarchy_rounds: int = 8,
 ) -> DataFrame:
     """Return the RDFS closure of ``instance`` under ``schema``.
 
@@ -102,165 +101,15 @@ def rdfs_materialize(
     ``instance`` holds the data.  Output is the closed graph with an
     ``asserted`` boolean column (false = derived by some rule and not
     asserted in the input).
+
+    RDFS is exactly OWL-Horst with no OWL constructs, so this delegates
+    to :func:`owl_horst_materialize` — the ontology compiles driver-side
+    (it is tiny by contract; doing the hierarchy closure as Spark jobs
+    costs ~10 tiny shuffles of pure scheduling latency for zero
+    benefit), and the instance-side plan is the same two-scan broadcast
+    dispatch + one groupBy.
     """
-    # Meta-ontologies (rdf:type participating in the property hierarchy,
-    # or domain/range declared ON rdf:type) would need type conclusions
-    # to re-enter the edge pass — the compiled dispatch doesn't iterate,
-    # so refuse loudly instead of silently under-closing. The schema is
-    # tiny by contract, so this probe is one trivial job.
-    meta = schema.filter(
-        ((F.col("p") == RDFS_SUBPROP)
-         & ((F.col("s") == RDF_TYPE) | (F.col("o") == RDF_TYPE)))
-        | (F.col("p").isin([RDFS_DOMAIN, RDFS_RANGE])
-           & (F.col("s") == RDF_TYPE))
-    )
-    if meta.limit(1).count():
-        raise ValueError(
-            "rdfs_materialize: rdf:type may not appear in the "
-            "subPropertyOf hierarchy or carry domain/range axioms "
-            "(meta-ontology is unsupported)"
-        )
-
-    # --- close the two hierarchies (schema-only, tiny) ---------------
-    sco = transitive_closure_small(
-        schema.filter(F.col("p") == RDFS_SUBCLASS).select(
-            F.col("s").alias("sub"), F.col("o").alias("sup")
-        ),
-        max_hierarchy_rounds,
-    )
-    spp = transitive_closure_small(
-        schema.filter(F.col("p") == RDFS_SUBPROP).select(
-            F.col("s").alias("sub"), F.col("o").alias("sup")
-        ),
-        max_hierarchy_rounds,
-    )
-    domain = schema.filter(F.col("p") == RDFS_DOMAIN).select(
-        F.col("s").alias("prop"), F.col("o").alias("cls")
-    )
-    rng = schema.filter(F.col("p") == RDFS_RANGE).select(
-        F.col("s").alias("prop"), F.col("o").alias("cls")
-    )
-
-    # Domain/range axioms apply to every subproperty of the declared
-    # property too (rdfs7 then rdfs2/3); pre-compose them schema-side so
-    # the instance pass stays one join per rule.
-    domain_eff = domain.unionByName(
-        spp.join(F.broadcast(domain), spp["sup"] == domain["prop"]).select(
-            spp["sub"].alias("prop"), domain["cls"].alias("cls")
-        )
-    ).distinct()
-    range_eff = rng.unionByName(
-        spp.join(F.broadcast(rng), spp["sup"] == rng["prop"]).select(
-            spp["sub"].alias("prop"), rng["cls"].alias("cls")
-        )
-    ).distinct()
-
-    # --- compile the ontology into per-predicate dispatch arrays ------
-    # Each emission describes one conclusion of an instance triple
-    # (s, p, o): output predicate, which slot feeds the output subject
-    # ('s' or 'o'), and an optional constant object (type conclusions).
-    #   rdfs7:        (p, sup,      's', NULL)
-    #   rdfs2 ∘ rdfs9: (p, rdf:type, 's', class-and-its-supers)
-    #   rdfs3 ∘ rdfs9: (p, rdf:type, 'o', class-and-its-supers)
-    cls_up = sco  # alias for readability: class -> strict super
-    dom_all = domain_eff.unionByName(
-        domain_eff.join(
-            F.broadcast(cls_up), domain_eff["cls"] == cls_up["sub"]
-        ).select("prop", cls_up["sup"].alias("cls"))
-    ).distinct()
-    rng_all = range_eff.unionByName(
-        range_eff.join(
-            F.broadcast(cls_up), range_eff["cls"] == cls_up["sub"]
-        ).select("prop", cls_up["sup"].alias("cls"))
-    ).distinct()
-
-    emissions = (
-        spp.select(
-            F.col("sub").alias("p"), F.col("sup").alias("out_p"),
-            F.lit("s").alias("src"), F.lit(None).cast("string").alias("const_o"),
-        )
-        .unionByName(dom_all.select(
-            F.col("prop").alias("p"), F.lit(RDF_TYPE).alias("out_p"),
-            F.lit("s").alias("src"), F.col("cls").alias("const_o"),
-        ))
-        .unionByName(rng_all.select(
-            F.col("prop").alias("p"), F.lit(RDF_TYPE).alias("out_p"),
-            F.lit("o").alias("src"), F.col("cls").alias("const_o"),
-        ))
-        .distinct()
-        .groupBy("p")
-        .agg(F.collect_list(
-            F.struct("out_p", "src", "const_o", F.lit(False).alias("asserted"))
-        ).alias("emits"))
-    )
-    # Class table: every class maps to its strict supers (the identity
-    # conclusion is synthesized instance-side so unknown classes pass
-    # through untouched).
-    cls_arr = sco.groupBy(F.col("sub").alias("cls")).agg(
-        F.collect_list("sup").alias("supers")
-    )
-
-    # --- instance pass 1: non-type triples ⋈ dispatch ------------------
-    edges = instance.filter(F.col("p") != RDF_TYPE).select("s", "p", "o")
-    identity = F.struct(
-        F.col("p").alias("out_p"), F.lit("s").alias("src"),
-        F.lit(None).cast("string").alias("const_o"),
-        F.lit(True).alias("asserted"),
-    )
-    emit_t = (
-        "array<struct<out_p:string,src:string,const_o:string,asserted:boolean>>"
-    )
-    edge_out = (
-        edges.join(F.broadcast(emissions), "p", "left")
-        .select(
-            "s", "o",
-            F.explode(
-                F.concat(
-                    F.array(identity),
-                    F.coalesce("emits", F.array().cast(emit_t)),
-                )
-            ).alias("e"),
-        )
-        .select(
-            F.when(F.col("e.src") == "s", F.col("s"))
-            .otherwise(F.col("o")).alias("s"),
-            F.col("e.out_p").alias("p"),
-            F.coalesce("e.const_o", "o").alias("o"),
-            F.col("e.asserted").alias("asserted"),
-        )
-    )
-
-    # --- instance pass 2: type triples ⋈ class supers ------------------
-    types = instance.filter(F.col("p") == RDF_TYPE).select("s", "p", "o")
-    type_out = (
-        types.join(F.broadcast(cls_arr), types["o"] == cls_arr["cls"], "left")
-        .select(
-            "s",
-            F.explode(
-                F.concat(
-                    F.array(F.struct(
-                        F.col("o").alias("c"), F.lit(True).alias("asserted")
-                    )),
-                    F.transform(
-                        F.coalesce("supers", F.array().cast("array<string>")),
-                        lambda c: F.struct(
-                            c.alias("c"), F.lit(False).alias("asserted")
-                        ),
-                    ),
-                )
-            ).alias("e"),
-        )
-        .select(
-            "s", F.lit(RDF_TYPE).alias("p"),
-            F.col("e.c").alias("o"), F.col("e.asserted").alias("asserted"),
-        )
-    )
-
-    # One exchange: dedup + asserted-flag in the same groupBy.  A
-    # derived triple that also appears asserted keeps asserted=true.
-    return edge_out.unionByName(type_out).groupBy("s", "p", "o").agg(
-        F.max("asserted").alias("asserted")
-    )
+    return owl_horst_materialize(instance, schema)
 
 
 OWL_INVERSE = "http://www.w3.org/2002/07/owl#inverseOf"

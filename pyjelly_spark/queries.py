@@ -3847,7 +3847,15 @@ def q_kg_shacl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     graph = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
     schema = spark.createDataFrame(CODE_ONTOLOGY, ["s", "p", "o"])
-    closed = rdfs_materialize(graph, schema).select("s", "p", "o")
+    # Validation scans its input more than once (value pass + count
+    # pass); checkpoint the closure so it materializes a single time —
+    # the same "stage the published closure, then validate it" shape a
+    # production pipeline would use.
+    closed = (
+        rdfs_materialize(graph, schema)
+        .select("s", "p", "o")
+        .localCheckpoint(eager=False)
+    )
     shapes = [
         Shape("FileMinDefines", NS + "defines",
               target_class=NS + "File", min_count=2),
