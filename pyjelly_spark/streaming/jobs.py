@@ -88,6 +88,34 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+class _drain_partitions:
+    """Temporarily lower ``spark.sql.shuffle.partitions`` while a
+    bounded availableNow drain starts.
+
+    Stateful streaming operators create one state-store instance per
+    shuffle partition, and every micro-batch pays a per-partition commit
+    (snapshot + WAL) regardless of how little state lives there — at the
+    batch-job default (2x cores) an attribution join over 40k buffered
+    rows spends ~10x longer committing 64 near-empty stores than joining.
+    The partition count is captured when the query STARTS (it is baked
+    into the state checkpoint), so setting it before ``.start()`` and
+    restoring after the drain affects only the streaming query. A real
+    long-lived stream sizes this to keys x retention instead; 8 is right
+    for the bounded drains the tests and oracle gate run.
+    """
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_windowed_counts_batchmode(
     spark: SparkSession, events_dir: str, window: str = "1 hour"
 ) -> DataFrame:
@@ -95,14 +123,15 @@ def run_windowed_counts_batchmode(
     return the final result table (used by tests and the oracle gate)."""
     result = windowed_counts(read_event_stream(spark, events_dir), window=window)
     name = "windowed_counts_sink"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -203,8 +232,9 @@ def run_sessionized_batchmode(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = writer.start()
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -246,14 +276,15 @@ def run_stream_dedup_batchmode(
     redelivered = ev.where(F.col("event_id") % 3 == 0)
     result = deduped_type_counts(ev.unionByName(redelivered))
     name = "stream_dedup_sink"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -326,14 +357,15 @@ def run_stream_join_batchmode(spark: SparkSession, events_dir: str) -> DataFrame
     )
     result = view_purchase_pairs(views, purchases)
     name = "stream_join_sink"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -377,12 +409,13 @@ def run_stream_enrich_batchmode(
     customer = spark.read.parquet(customer_path)
     result = enriched_nation_counts(ev, customer)
     name = "stream_enrich_sink"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
