@@ -607,19 +607,23 @@ def bfs_reachable(
         .localCheckpoint(eager=True)
     )
     frontier = reached.select("node")
-    for depth in range(1, max_depth + 1):
-        nxt = (
-            e.join(frontier.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(reached.select("node"), "node", "left_anti")
-            .select("node", F.lit(depth).cast("long").alias("depth"))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.count() == 0:
-            break
-        reached = reached.unionByName(nxt).localCheckpoint(eager=False)
-        frontier = nxt.select("node")
+    with _round_shuffles(e.sparkSession, e.count()):
+        for depth in range(1, max_depth + 1):
+            # Lazy checkpoint + count(): ONE job per round materializes the
+            # frontier AND answers the emptiness test (an eager checkpoint
+            # followed by count() would schedule two).
+            nxt = (
+                e.join(frontier.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(reached.select("node"), "node", "left_anti")
+                .select("node", F.lit(depth).cast("long").alias("depth"))
+                .localCheckpoint(eager=False)
+            )
+            if nxt.count() == 0:
+                break
+            reached = reached.unionByName(nxt).localCheckpoint(eager=False)
+            frontier = nxt.select("node")
     return reached
 
 
