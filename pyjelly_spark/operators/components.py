@@ -246,28 +246,29 @@ def pagerank_int(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     base = (scale * (100 - damping_pct) // 100) // n
     pr = nodes.withColumn("pr", F.lit(scale // n).cast("long"))
-    for _ in range(iterations):
-        sums = (
-            e.join(pr, e["src"] == pr["node"])
-            .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("pr div outdeg").alias("c"),
+    with _round_shuffles(e.sparkSession, e.count()):
+        for _ in range(iterations):
+            sums = (
+                e.join(pr, e["src"] == pr["node"])
+                .join(outdeg, "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("pr div outdeg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        pr = (
-            nodes.join(sums, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
-                ).alias("pr"),
+            pr = (
+                nodes.join(sums, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
-        )
     return pr
 
 
@@ -377,30 +378,31 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
         eager=False
     )
-    for _ in range(iterations):
-        neigh = (
-            und.join(
-                labels.select(
-                    F.col("node").alias("src"), F.col("label")
-                ),
-                "src",
+    with _round_shuffles(und.sparkSession, und.count()):
+        for _ in range(iterations):
+            neigh = (
+                und.join(
+                    labels.select(
+                        F.col("node").alias("src"), F.col("label")
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        best = neigh.groupBy("node").agg(
-            F.min(
-                F.struct((-F.col("cnt")).alias("neg"), F.col("label"))
-            ).getField("label").alias("new_label")
-        )
-        labels = (
-            labels.join(best, "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            best = neigh.groupBy("node").agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("neg"), F.col("label"))
+                ).getField("label").alias("new_label")
             )
-            .localCheckpoint(eager=False)
-        )
+            labels = (
+                labels.join(best, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+                )
+                .localCheckpoint(eager=False)
+            )
     return labels
 
 

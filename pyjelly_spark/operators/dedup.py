@@ -129,16 +129,22 @@ def _minhash_params(num_hashes: int) -> list:
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 3, num_hashes: int = 32
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, j, minhash) — affine-permutation MinHash over shingles.
 
     h_j(s) = (a_j * H(s) + b_j) mod M with H the portable 60-bit sha hash
     reduced mod M = 2^31-1; (a_j, b_j) from :func:`_minhash_params`.
     Fully deterministic; a*h stays < 2^62 so the arithmetic is exact in
-    64-bit longs.
+    64-bit longs. Pass a precomputed/materialized ``shingles`` frame to
+    share the corpus tokenize+explode pass with other consumers.
     """
-    sh = doc_shingles(docs, n=n).withColumn(
+    if shingles is None:
+        shingles = doc_shingles(docs, n=n)
+    sh = shingles.withColumn(
         "h", hex_hash(F.col("shingle"), mod=MERSENNE31)
     )
     # all num_hashes minima in ONE groupBy(doc_id) pass (same shape as
@@ -180,7 +186,15 @@ def minhash_pairs(
     :func:`ngram_jaccard_pairs` (recall ~= 1 - (1-t^r)^b).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, n=n, num_hashes=num_hashes)
+    # The shingle table feeds THREE consumers (the signature aggregation
+    # and both sides of the candidate verify); materialize it once so the
+    # tokenize+explode pass over the corpus — the dominant scan at scale —
+    # runs once instead of three times. Same for band_keys, which would
+    # otherwise recompute the whole signature pipeline on each side of
+    # its self-join (Catalyst does not reuse the exchange across the
+    # aliased branches here).
+    shingles = doc_shingles(docs, n=n).localCheckpoint(eager=False)
+    sig = minhash_signatures(docs, n=n, num_hashes=num_hashes, shingles=shingles)
     band_keys = (
         sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
@@ -190,6 +204,7 @@ def minhash_pairs(
             F.sha2(F.to_json(F.struct("band", "sig")), 256),
         )
         .select("doc_id", "band_key")
+        .localCheckpoint(eager=False)
     )
     cand = (
         band_keys.alias("x")
@@ -203,7 +218,6 @@ def minhash_pairs(
     # exact-verify ONLY the candidates: intersections are counted by
     # walking candidate pairs through the shingle table twice — never the
     # full all-shared-shingle pair join (that would defeat LSH at scale)
-    shingles = doc_shingles(docs, n=n)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(shingles.select(F.col("doc_id").alias("a"), "shingle"), "a")
