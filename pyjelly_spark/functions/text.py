@@ -718,3 +718,110 @@ def remove_dup_spans(docs: DataFrame, n: int = 5) -> DataFrame:
             256,
         ).alias("cleaned_sha"),
     )
+
+
+def length_histogram(docs: DataFrame, bucket_width: int = 16) -> DataFrame:
+    """Per-(lang, bucket) whitespace-token-length histogram: bucket =
+    ``n_tokens div bucket_width``. The fixed-width integer histogram is
+    the scale-right primitive for corpus length reporting — one narrow
+    map over the text plus one map-side-combined aggregation whose
+    output is O(langs x buckets), independent of corpus size. Quantiles
+    derive from it (:func:`length_quantiles`) without ever sorting the
+    per-document lengths globally (an exact percentile over 10^12 docs
+    would need that sort; the histogram trades bucket_width resolution
+    for a shuffle that fits in one executor's hand).
+    """
+    toks = docs.select(
+        "lang", F.size(words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return (
+        toks.select("lang", F.expr(f"n_tokens div {bucket_width}").alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def length_quantiles(
+    docs: DataFrame,
+    bucket_width: int = 16,
+    quantiles: tuple = (50, 90, 99),
+) -> DataFrame:
+    """Per-language token-length quantiles computed FROM the histogram:
+    p{q} is the lower token bound of the first bucket whose cumulative
+    count reaches q% of the language's documents (integer comparison
+    ``cum * 100 >= q * total`` — no floats, so the result is exactly
+    engine-portable). Resolution is ``bucket_width`` tokens by
+    construction; the window + final aggregation run over the tiny
+    histogram, not the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    hist = length_histogram(docs, bucket_width=bucket_width)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "bucket",
+        F.sum("n_docs").over(w).alias("cum"),
+        F.sum("n_docs").over(tot).alias("total"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.lit(q) * F.col("total"),
+                F.col("bucket") * bucket_width,
+            )
+        ).cast("long").alias(f"p{q}_lo")
+        for q in quantiles
+    ]
+    return cum.groupBy("lang").agg(
+        F.max("total").cast("long").alias("n_docs"), *aggs
+    )
+
+
+def inverted_index(
+    docs: DataFrame, max_postings: int = 8, min_df: int = 2
+) -> DataFrame:
+    """Capped inverted index: per term, document frequency + the first
+    ``max_postings`` doc_ids as a comma-joined posting string.
+
+    Within-document dedup happens in the map (``array_distinct`` over
+    the token array — no extra shuffle); the posting CAP is applied with
+    a row_number window BEFORE the list is collected, so a hot term
+    ("the" at corpus scale) never materializes an unbounded array in one
+    task — the skew guard that keeps the build viable at 100 TB. doc_freq
+    is the uncapped count from the same (term, doc) stream.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(words(normalized(F.col("text"))))).alias(
+            "term"
+        ),
+    ).where(F.col("term") != "")
+    df_counts = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    rn = Window.partitionBy("term").orderBy("doc_id")
+    top = pairs.withColumn("rn", F.row_number().over(rn)).where(
+        F.col("rn") <= max_postings
+    )
+    postings = top.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return (
+        df_counts.where(F.col("doc_freq") >= min_df)
+        .join(postings, "term")
+        .select("term", "doc_freq", "postings")
+    )

@@ -1877,6 +1877,75 @@ SELECT lang, term, doc_freq, total_count, rank FROM r WHERE rank <= 5
 """
 
 
+def q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length quantiles (p50/p90/p99 lower bucket
+    bounds) computed FROM a fixed-width integer histogram — never a
+    global sort of per-document lengths (functions/text.py::
+    length_quantiles). Integer cumulative comparison makes the result
+    bit-identical to the oracle's identical histogram recurrence."""
+    return T.length_quantiles(_t(spark, sf_dir, "documents")).orderBy("lang")
+
+
+SQL_DOC_LENGTH_STATS = rf"""
+WITH t AS (
+  SELECT lang,
+    len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))::BIGINT AS n
+  FROM documents
+),
+h AS (
+  SELECT lang, n // 16 AS bucket, count(*)::BIGINT AS n_docs
+  FROM t GROUP BY 1, 2
+),
+c AS (
+  SELECT lang, bucket, n_docs,
+    sum(n_docs) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+    sum(n_docs) OVER (PARTITION BY lang) AS total
+  FROM h
+)
+SELECT lang, max(total)::BIGINT AS n_docs,
+  min(CASE WHEN cum * 100 >= 50 * total THEN bucket * 16 END)::BIGINT AS p50_lo,
+  min(CASE WHEN cum * 100 >= 90 * total THEN bucket * 16 END)::BIGINT AS p90_lo,
+  min(CASE WHEN cum * 100 >= 99 * total THEN bucket * 16 END)::BIGINT AS p99_lo
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index over the documents table: per term the
+    uncapped document frequency + the first 8 doc_ids as a posting
+    string (functions/text.py::inverted_index — the posting cap is a
+    pre-collect row_number window, the hot-term skew guard). Restricted
+    to terms appearing in >= 25 docs to keep the gated surface the
+    high-df head."""
+    return (
+        T.inverted_index(_t(spark, sf_dir, "documents"), max_postings=8, min_df=25)
+        .orderBy("term")
+    )
+
+
+SQL_INVERTED_INDEX = rf"""
+WITH p AS (
+  SELECT DISTINCT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term
+  FROM documents
+),
+p2 AS (SELECT doc_id, term FROM p WHERE term <> ''),
+d AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p2 GROUP BY 1),
+r AS (
+  SELECT term, doc_id,
+    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM p2
+),
+pl AS (
+  SELECT term, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+  FROM r WHERE rn <= 8 GROUP BY term
+)
+SELECT d.term, d.doc_freq, pl.postings
+FROM d JOIN pl USING (term)
+WHERE d.doc_freq >= 25
+ORDER BY d.term
+"""
+
+
 def q_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality quota: keep the top-5 docs per lang by quality
     score (doc_id tiebreak) — the 'data mixing' selection step of a
@@ -4205,6 +4274,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "train_val_split": q_train_val_split,
     "term_stats": q_term_stats,
+    "doc_length_stats": q_doc_length_stats,
+    "inverted_index": q_inverted_index,
     "data_mixing": q_data_mixing,
     "pii_scrub": q_pii_scrub,
     "doc_repetition": q_doc_repetition,
@@ -4301,6 +4372,8 @@ ORACLES: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "term_stats": SQL_TERM_STATS,
+    "doc_length_stats": SQL_DOC_LENGTH_STATS,
+    "inverted_index": SQL_INVERTED_INDEX,
     "data_mixing": SQL_DATA_MIXING,
     "pii_scrub": SQL_PII_SCRUB,
     "doc_repetition": SQL_DOC_REPETITION,

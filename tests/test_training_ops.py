@@ -978,3 +978,65 @@ def test_remove_dup_spans_closed_form(spark):
     assert out[3]["n_removed"] == 0 and out[4]["n_removed"] == 0
     assert out[4]["cleaned_sha"] == sha("tiny doc")
     assert out[2]["n_words"] == 10  # original count, before removal
+
+
+# --- length histogram / quantiles / inverted index --------------------------
+
+
+def test_length_histogram_counts_match_python(docs):
+    from pyjelly_spark.functions.text import length_histogram
+
+    got = {
+        (r["lang"], r["bucket"]): r["n_docs"]
+        for r in length_histogram(docs, bucket_width=16).collect()
+    }
+    want: dict = {}
+    for row in docs.collect():
+        n = len(re.sub(r"\s+", " ", row["text"]).strip().split(" "))
+        key = (row["lang"], n // 16)
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+def test_length_quantiles_from_histogram(docs):
+    from pyjelly_spark.functions.text import length_quantiles
+
+    rows = {r["lang"]: r for r in length_quantiles(docs).collect()}
+    lengths: dict = {}
+    for row in docs.collect():
+        n = len(re.sub(r"\s+", " ", row["text"]).strip().split(" "))
+        lengths.setdefault(row["lang"], []).append(n)
+    for lang, ns in lengths.items():
+        ns.sort()
+        got = rows[lang]
+        assert got["n_docs"] == len(ns)
+        for q in (50, 90, 99):
+            # smallest bucket lower-bound whose cumulative count reaches q%
+            import math as _m
+
+            k = _m.ceil(q * len(ns) / 100)
+            exact = ns[k - 1]
+            lo = got[f"p{q}_lo"]
+            assert lo <= exact < lo + 16  # same bucket as the exact quantile
+
+
+def test_inverted_index_caps_and_df(docs):
+    from pyjelly_spark.functions.text import inverted_index
+
+    out = inverted_index(docs, max_postings=4, min_df=2).collect()
+    assert out, "expected some repeated terms"
+    # python recomputation of df + first-4 postings
+    post: dict = {}
+    for row in docs.collect():
+        terms = set(
+            t
+            for t in re.sub(r"\s+", " ", row["text"]).strip().lower().split(" ")
+            if t
+        )
+        for t in terms:
+            post.setdefault(t, []).append(row["doc_id"])
+    for r in out:
+        ids = sorted(post[r["term"]])
+        assert r["doc_freq"] == len(ids)
+        assert r["postings"] == ",".join(str(i) for i in ids[:4])
+        assert len(r["postings"].split(",")) <= 4
