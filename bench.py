@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "seq_packing",
     "embedding_pq",
     "stream_join",
+    "stream_sessions",
+    "doc_length_stats",
+    "inverted_index",
     "kg_rdfs",
     "kg_shacl",
 ]

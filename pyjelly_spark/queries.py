@@ -3733,6 +3733,51 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator gate: applyInPandasWithState
+    sessionization (30-min gap, state carried across micro-batches)
+    drained with availableNow must reproduce the batch sessionization —
+    minus each user's final session, which stays OPEN in the state store
+    and is never emitted in append mode (part of the operator contract:
+    a real stream would close it by timeout). Single-file drain keeps
+    the event order deterministic (streaming/jobs.py::_sessionize)."""
+    from pyjelly_spark.streaming.jobs import run_sessionized_batchmode
+
+    return run_sessionized_batchmode(
+        spark, f"{sf_dir}/events.parquet"
+    ).select("user_id", "session_id", "n_events")
+
+
+# Batch recurrence minus each user's last (still-open) session; the
+# streaming operator numbers closed sessions from 0 = batch idx - 1.
+SQL_STREAM_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING
+    ) AS session_idx
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, session_idx, count(*)::BIGINT AS n_events
+  FROM sessions GROUP BY user_id, session_idx
+),
+last AS (SELECT user_id, max(session_idx) AS mx FROM agg GROUP BY user_id)
+SELECT a.user_id, (a.session_idx - 1)::BIGINT AS session_id, a.n_events
+FROM agg a JOIN last l USING (user_id)
+WHERE a.session_idx < l.mx
+"""
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join: views and purchases read as two
     independent file streams, inner-joined on user with an event-time
@@ -4319,6 +4364,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q6": q_tpch_q6,
     "events_retention": q_events_retention,
     "stream_dedup": q_stream_dedup,
+    "stream_sessions": q_stream_sessions,
     "events_funnel": q_events_funnel,
     "dedup_incremental": q_dedup_incremental,
     "seq_packing": q_seq_packing,
@@ -4419,6 +4465,7 @@ ORACLES: dict[str, str] = {
     "tpch_q6": SQL_TPCH_Q6,
     "events_retention": SQL_EVENTS_RETENTION,
     "stream_dedup": SQL_STREAM_DEDUP,
+    "stream_sessions": SQL_STREAM_SESSIONS,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "seq_packing": SQL_SEQ_PACKING,
