@@ -673,3 +673,90 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("degree") >= 2)
     )
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 4,
+) -> DataFrame:
+    """Bounded-depth BFS from MANY seeds at once over a directed edge
+    frame ``(src, dst)``: min-hop distance per (seed, node) pair.
+
+    ``seeds`` is a one-column DataFrame ``(seed)``. Returns
+    ``(seed, node, depth)`` with depth 0 for the seed itself; (seed,
+    node) pairs farther than ``max_depth`` are absent. The frontier is
+    keyed by (seed, node), so ALL seeds advance in the same per-round
+    edge join — k seeds cost one BFS's round count, not k of them
+    (state is O(sum of reach sets), the standard labeled-BFS trade).
+    Same per-round shape as :func:`bfs_reachable`: one equi-join on
+    ``src`` + distinct + left-anti against the visited pairs, one job
+    per round (lazy checkpoint materialized by the emptiness count).
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reached = (
+        seeds.select(
+            F.col("seed"),
+            F.col("seed").alias("node"),
+            F.lit(0).cast("long").alias("depth"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = reached.select("seed", "node")
+    with _round_shuffles(e.sparkSession, e.count()):
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                e.join(frontier.withColumnRenamed("node", "src"), "src")
+                .select("seed", F.col("dst").alias("node"))
+                .distinct()
+                .join(reached.select("seed", "node"), ["seed", "node"], "left_anti")
+                .select(
+                    "seed", "node", F.lit(depth).cast("long").alias("depth")
+                )
+                .localCheckpoint(eager=False)
+            )
+            if nxt.count() == 0:
+                break
+            reached = reached.unionByName(nxt).localCheckpoint(eager=False)
+            frontier = nxt.select("seed", "node")
+    return reached
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 4,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Bounded-depth closeness centrality for a seed set: per seed the
+    number of nodes within ``max_depth`` hops (excluding itself) and the
+    integer-scaled harmonic-free closeness ``n_reached * scale div
+    sum_dist`` (Wasserman-Faust without the component normalization —
+    the bounded-reach variant that stays computable on one BFS).
+    Integer division keeps the score engine-portable. Seeds reaching
+    nothing are absent (closeness undefined).
+
+    Scale shape: :func:`multi_source_bfs` (k seeds, one labeled BFS) +
+    one map-side-combined aggregation over the reach pairs.
+    """
+    dist = multi_source_bfs(edges, seeds, max_depth=max_depth)
+    return (
+        dist.where(F.col("depth") > 0)
+        .groupBy(F.col("seed").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("depth").cast("long").alias("sum_dist"),
+        )
+        .select(
+            "node",
+            "n_reached",
+            "sum_dist",
+            F.expr(f"n_reached * {scale} div sum_dist").alias("closeness_x1e6"),
+        )
+    )

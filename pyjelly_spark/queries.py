@@ -787,6 +787,70 @@ GROUP BY node ORDER BY depth, node
 """
 
 
+CLOSENESS_SEEDS = 8
+CLOSENESS_DEPTH = 4
+
+
+def q_kg_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth closeness centrality for the top-8 out-degree files
+    of the resolved import graph: one labeled multi-source BFS carries
+    all seeds through the same per-round edge join
+    (operators/components.py::multi_source_bfs), then one aggregation
+    over the (seed, node, depth) reach pairs. Integer-scaled closeness
+    so the distributed result is bit-identical to the oracle's bounded
+    recursive-CTE closure."""
+    from pyjelly_spark.operators.components import closeness_centrality
+
+    edges = q_kg_imports_resolved(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    w = Window.orderBy(F.desc("outdeg"), F.asc("src"))
+    seeds = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= CLOSENESS_SEEDS)
+        .select(F.col("src").alias("seed"))
+    )
+    return closeness_centrality(
+        edges, seeds, max_depth=CLOSENESS_DEPTH
+    ).orderBy("node")
+
+
+SQL_KG_CLOSENESS = f"""
+WITH RECURSIVE {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+reach_edges AS (
+  SELECT DISTINCT file_iri AS src,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS dst
+  FROM imports_gt
+  WHERE file_iri <> 'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg'
+      || (t % 13) || '/mod_' || t || '.py'
+),
+seeds AS (
+  SELECT src AS seed FROM (
+    SELECT src, row_number() OVER (ORDER BY count(*) DESC, src ASC) AS rank
+    FROM reach_edges GROUP BY src
+  ) WHERE rank <= {CLOSENESS_SEEDS}
+),
+reach(seed, node, depth) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT r.seed, e.dst, r.depth + 1
+  FROM reach r JOIN reach_edges e ON e.src = r.node
+  WHERE r.depth < {CLOSENESS_DEPTH}
+),
+mind AS (
+  SELECT seed, node, min(depth) AS depth FROM reach GROUP BY seed, node
+)
+SELECT seed AS node, count(*)::BIGINT AS n_reached,
+       sum(depth)::BIGINT AS sum_dist,
+       (count(*) * 1000000 // sum(depth))::BIGINT AS closeness_x1e6
+FROM mind WHERE depth > 0
+GROUP BY seed ORDER BY seed
+"""
+
+
 def q_kg_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kg_bgp solution set expressed as SPARQL TEXT and run through
     the front-end parser (operators/sparql.py) instead of the
@@ -4332,6 +4396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_selective": q_kg_bgp_selective,
     "kg_bgp_optional": q_kg_bgp_optional,
     "kg_reachable": q_kg_reachable,
+    "kg_closeness": q_kg_closeness,
     "kg_incremental": q_kg_incremental,
     "kg_sparql": q_kg_sparql,
     "kg_sparql_agg": q_kg_sparql_agg,
@@ -4431,6 +4496,7 @@ ORACLES: dict[str, str] = {
     "kg_bgp_selective": SQL_KG_BGP_SELECTIVE,
     "kg_bgp_optional": SQL_KG_BGP_OPTIONAL,
     "kg_reachable": SQL_KG_REACHABLE,
+    "kg_closeness": SQL_KG_CLOSENESS,
     "kg_incremental": SQL_KG_INCREMENTAL,
     "kg_sparql": SQL_KG_BGP,
     "kg_sparql_agg": SQL_KG_SPARQL_AGG,

@@ -135,6 +135,38 @@ def test_bfs_reachable_multi_source_and_isolated(spark):
     assert out == {"a": 0, "x": 0, "b": 1, "y": 1}
 
 
+def test_multi_source_bfs_and_closeness(spark):
+    from pyjelly_spark.operators.components import (
+        closeness_centrality,
+        multi_source_bfs,
+    )
+
+    # a -> b -> c -> d, shortcut a -> c; x -> y disconnected from a's side
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y")],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("a",), ("x",)], ["seed"])
+    out = {
+        (r["seed"], r["node"]): r["depth"]
+        for r in multi_source_bfs(edges, seeds, max_depth=3).collect()
+    }
+    assert out == {
+        ("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 1, ("a", "d"): 2,
+        ("x", "x"): 0, ("x", "y"): 1,
+    }
+    # python brute force of the closeness contract
+    cl = {r["node"]: r for r in closeness_centrality(edges, seeds, max_depth=3).collect()}
+    assert cl["a"]["n_reached"] == 3 and cl["a"]["sum_dist"] == 4
+    assert cl["a"]["closeness_x1e6"] == 3 * 10**6 // 4
+    assert cl["x"]["n_reached"] == 1 and cl["x"]["sum_dist"] == 1
+    # depth bound: from a with max_depth=1, d is absent
+    capped = multi_source_bfs(edges, seeds, max_depth=1)
+    assert ("a", "d") not in {
+        (r["seed"], r["node"]) for r in capped.collect()
+    }
+
+
 def test_incremental_delta_file_level(spark):
     from pyjelly_spark.operators.incremental import incremental_delta
 
