@@ -2985,6 +2985,73 @@ FROM events
 """
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: every user's activity resampled onto a
+    dense 1-hour grid from their first to their last event hour, hours
+    with no events filled with n_events = 0 and the running total
+    forward-filled.
+
+    Spark-first shape: the grid is ``sequence()`` + ``explode`` built
+    FROM the per-user bounds aggregate (no driver loop, no cross join —
+    grid size is data-dependent per user), one equi-join back to the
+    hourly aggregate, one window cumsum. Exact integer cents so the
+    forward-fill is engine-portable."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.sum(F.coalesce("cents", F.lit(0))).over(w).cast("long").alias(
+            "running_cents"
+        ),
+    )
+
+
+SQL_EVENTS_GAPFILL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         count(*)::BIGINT AS n_events,
+         sum(floor(value * 100)::BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(hour) AS mn, max(hour) AS mx FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+)
+SELECT g.user_id,
+  strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+  coalesce(h.n_events, 0)::BIGINT AS n_events,
+  sum(coalesce(h.cents, 0)) OVER (
+    PARTITION BY g.user_id ORDER BY g.hour
+    ROWS UNBOUNDED PRECEDING
+  )::BIGINT AS running_cents
+FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+"""
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join, bucketed: events tagged with the closed-form
     maintenance window containing them (windows = 1h slices every 7h).
@@ -4375,6 +4442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json": q_events_json,
     "events_pivot": q_events_pivot,
     "events_asof": q_events_asof,
+    "events_gapfill": q_events_gapfill,
     "events_range_join": q_events_range_join,
     "cust_no_orders": q_cust_no_orders,
     "part_setops": q_part_setops,
@@ -4475,6 +4543,7 @@ ORACLES: dict[str, str] = {
     "events_json": SQL_EVENTS_JSON,
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_gapfill": SQL_EVENTS_GAPFILL,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "cust_no_orders": SQL_CUST_NO_ORDERS,
     "part_setops": SQL_PART_SETOPS,
