@@ -2363,6 +2363,43 @@ FROM documents
 """
 
 
+def q_vocab_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 BPE merge candidates (first training iteration): adjacent
+    character pairs of BPE-pretokenized words, weighted by word
+    frequency. The one corpus-sized pass of tokenizer training —
+    everything downstream of it in operators/vocab.py runs on the
+    compressed distinct-word table. Integer counts, deterministic
+    (cnt desc, pair asc) ranking."""
+    from pyjelly_spark.operators import vocab as V
+
+    return V.bpe_merge_candidates(_t(spark, sf_dir, "documents"), top=50)
+
+
+SQL_VOCAB_BPE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '{T.BPE_TOKEN_RE}')) AS word
+  FROM documents
+),
+wf AS (SELECT word, count(*) AS freq FROM toks GROUP BY 1),
+pairs AS (
+  -- scalar range() (a list) instead of the lateral table function:
+  -- DuckDB's table-valued range() cannot take per-row bounds
+  SELECT unnest(list_transform(range(1, len(word)),
+           i -> substring(word, i, 1) || ' ' || substring(word, i + 1, 1)
+         )) AS pair,
+         freq
+  FROM wf
+  WHERE len(word) >= 2
+),
+counts AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM pairs GROUP BY 1)
+SELECT pair, cnt,
+       row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+FROM counts
+ORDER BY cnt DESC, pair
+LIMIT 50
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprints(_t(spark, sf_dir, "documents"))
 
@@ -4449,6 +4486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
+    "vocab_bpe": q_vocab_bpe,
     "train_val_split": q_train_val_split,
     "term_stats": q_term_stats,
     "doc_length_stats": q_doc_length_stats,
@@ -4550,6 +4588,7 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
+    "vocab_bpe": SQL_VOCAB_BPE,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "term_stats": SQL_TERM_STATS,
     "doc_length_stats": SQL_DOC_LENGTH_STATS,
