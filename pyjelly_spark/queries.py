@@ -462,6 +462,46 @@ SQL_KG_COMMUNITIES = _lpa_sql(3).format(
 )
 
 
+def q_kg_node_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-neighborhood Jaccard similarity between files of the resolved
+    import graph ("these two files import the same modules") — the
+    graph-side entity-resolution / link-prediction primitive
+    (operators/components.py::node_similarity). Candidates via ONE
+    self-join on the shared neighbor (never all-pairs); integer-exact
+    floor-scaled Jaccard. Run uncapped here so the oracle is exact; at
+    web scale ``hub_cap`` cuts the indeg^2 hub blow-up."""
+    from pyjelly_spark.operators.components import node_similarity
+
+    edges = q_kg_imports_resolved(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    return node_similarity(edges, min_shared=1)
+
+
+SQL_KG_NODE_SIM = f"""
+WITH {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+e AS (
+  SELECT DISTINCT file_iri AS src,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS dst
+  FROM imports_gt
+  WHERE file_iri <> 'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg'
+      || (t % 13) || '/mod_' || t || '.py'
+),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+shared AS (
+  SELECT x.src AS a, y.src AS b, count(*)::BIGINT AS shared
+  FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+  GROUP BY 1, 2
+)
+SELECT a, b, shared, da.deg AS deg_a, db.deg AS deg_b,
+       shared * 10000 // (da.deg + db.deg - shared) AS jaccard_x10000
+FROM shared
+JOIN deg da ON shared.a = da.src
+JOIN deg db ON shared.b = db.src
+"""
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file triangle participation in the shared-symbol
     co-definition graph: files defining the same ``shared_*`` symbol are
@@ -1736,6 +1776,61 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: per user, flag events whose
+    value deviates by more than 2 sigma from the trailing-8 window.
+    Entirely in integer arithmetic — with cents c, trailing sum S and
+    sum-of-squares Q over n=8 rows, |z| > 2 iff (8c - S)^2 > 4(8Q - S^2)
+    — so the flag is bit-exact across engines (no float variance). The
+    window is a per-user in-partition scan: one hash exchange on
+    user_id, no driver state, skew-free (users are uniform)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-8, -1)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        cents.alias("cents"),
+    ).select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum("cents").over(w).alias("s8"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("q8"),
+    )
+    dev = 8 * F.col("cents") - F.col("s8")
+    var8 = 8 * F.col("q8") - F.col("s8") * F.col("s8")
+    return (
+        base.where(F.col("n_prev") == 8)
+        .where(dev * dev > 4 * var8)
+        .select("user_id", "event_id", "cents", "s8", "q8")
+    )
+
+
+SQL_EVENTS_ANOMALY = """
+WITH base AS (
+  SELECT user_id, event_id,
+    floor(value * 100)::BIGINT AS cents,
+    count(*) OVER w AS n_prev,
+    sum(floor(value * 100)::BIGINT) OVER w AS s8,
+    sum(floor(value * 100)::BIGINT * floor(value * 100)::BIGINT) OVER w AS q8
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, cents, s8, q8
+FROM base
+WHERE n_prev = 8
+  AND (8 * cents - s8) * (8 * cents - s8) > 4 * (8 * q8 - s8 * s8)
 """
 
 
@@ -4475,6 +4570,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cube": q_events_cube,
     "events_sliding": q_events_sliding,
     "events_moving_avg": q_events_moving_avg,
+    "events_anomaly": q_events_anomaly,
     "events_median": q_events_median,
     "events_json": q_events_json,
     "events_pivot": q_events_pivot,
@@ -4547,6 +4643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrich": q_stream_enrich,
     "dedup_span_removal": q_dedup_span_removal,
     "kg_clustering": q_kg_clustering,
+    "kg_node_sim": q_kg_node_sim,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -4577,6 +4674,7 @@ ORACLES: dict[str, str] = {
     "events_cube": SQL_EVENTS_CUBE,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
+    "events_anomaly": SQL_EVENTS_ANOMALY,
     "events_median": SQL_EVENTS_MEDIAN,
     "events_json": SQL_EVENTS_JSON,
     "events_pivot": SQL_EVENTS_PIVOT,
@@ -4651,6 +4749,7 @@ ORACLES: dict[str, str] = {
     "stream_enrich": SQL_STREAM_ENRICH,
     "dedup_span_removal": SQL_DEDUP_SPAN_REMOVAL,
     "kg_clustering": SQL_KG_CLUSTERING,
+    "kg_node_sim": SQL_KG_NODE_SIM,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,
