@@ -3996,6 +3996,20 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator gate #2: the rolling z-score anomaly
+    detector (applyInPandasWithState, last-8 ring carried across
+    micro-batches) drained with availableNow must equal the BATCH
+    window query bit-for-bit — the rule is the same integer
+    rearrangement (8c - S)^2 > 4(8Q - S^2), so the oracle is
+    SQL_EVENTS_ANOMALY verbatim (streaming/jobs.py::_rolling_anomaly)."""
+    from pyjelly_spark.streaming.jobs import run_stream_anomaly_batchmode
+
+    return run_stream_anomaly_batchmode(
+        spark, f"{sf_dir}/events.parquet"
+    ).select("user_id", "event_id", "cents", "s8", "q8")
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator gate: applyInPandasWithState
     sessionization (30-min gap, state carried across micro-batches)
@@ -4632,6 +4646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "stream_dedup": q_stream_dedup,
     "stream_sessions": q_stream_sessions,
+    "stream_anomaly": q_stream_anomaly,
     "events_funnel": q_events_funnel,
     "dedup_incremental": q_dedup_incremental,
     "seq_packing": q_seq_packing,
@@ -4738,6 +4753,7 @@ ORACLES: dict[str, str] = {
     "events_retention": SQL_EVENTS_RETENTION,
     "stream_dedup": SQL_STREAM_DEDUP,
     "stream_sessions": SQL_STREAM_SESSIONS,
+    "stream_anomaly": SQL_EVENTS_ANOMALY,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "seq_packing": SQL_SEQ_PACKING,

@@ -419,3 +419,122 @@ def run_stream_enrich_batchmode(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+ANOMALY_STATE_SCHEMA = StructType(
+    [
+        # trailing window of the last <=8 cents values, oldest first
+        StructField("ring", StringType(), False),
+    ]
+)
+
+ANOMALY_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("cents", LongType(), False),
+        StructField("s8", LongType(), False),
+        StructField("q8", LongType(), False),
+    ]
+)
+
+ANOMALY_WINDOW = 8
+
+
+def _rolling_anomaly(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: rolling z-score anomaly detection with
+    a fixed ring of the user's last 8 values carried across
+    micro-batches.
+
+    Vectorized: one lexsort per batch (ts, event_id — the deterministic
+    event order), rolling sums as cumsum differences over
+    [carried ring || batch]. The 2-sigma test is the integer
+    rearrangement (8c - S)^2 > 4(8Q - S^2), identical to the batch
+    query/oracle (queries.py::SQL_EVENTS_ANOMALY), so the drained
+    stream is gated bit-exactly against the batch rule. The ring is
+    serialized as a comma string (state rows don't support arrays in
+    the Arrow state codec across all versions).
+    """
+    import numpy as np
+
+    if state.exists and state.get[0]:
+        ring = np.array(
+            [int(x) for x in state.get[0].split(",")], dtype="int64"
+        )
+    else:
+        ring = np.empty(0, dtype="int64")
+    w = ANOMALY_WINDOW
+    outs = []
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        order = np.lexsort(
+            (
+                pdf["event_id"].to_numpy(dtype="int64"),
+                pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64"),
+            )
+        )
+        cents = np.floor(
+            pdf["value"].to_numpy(dtype="float64")[order] * 100
+        ).astype("int64")
+        eid = pdf["event_id"].to_numpy(dtype="int64")[order]
+        full = np.concatenate([ring, cents])
+        cs = np.concatenate(([0], np.cumsum(full)))
+        qs = np.concatenate(([0], np.cumsum(full * full)))
+        idx = np.arange(len(ring), len(full))
+        has_window = idx >= w
+        lo = np.maximum(idx - w, 0)
+        s8 = cs[idx] - cs[lo]
+        q8 = qs[idx] - qs[lo]
+        dev = w * full[idx] - s8
+        flag = has_window & (dev * dev > 4 * (w * q8 - s8 * s8))
+        if flag.any():
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(
+                            int(flag.sum()), key[0], dtype="int64"
+                        ),
+                        "event_id": eid[flag],
+                        "cents": full[idx][flag],
+                        "s8": s8[flag],
+                        "q8": q8[flag],
+                    }
+                )
+            )
+        ring = full[-w:] if len(full) >= w else full
+    state.update((",".join(str(int(x)) for x in ring),))
+    yield from outs
+
+
+def anomaly_flags(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState rolling z-score anomaly stream."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _rolling_anomaly,
+        outputStructType=ANOMALY_OUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_anomaly_batchmode(
+    spark: SparkSession, events_dir: str
+) -> DataFrame:
+    """Drain the backlog through the stateful anomaly detector; must
+    equal the batch window query (SQL_EVENTS_ANOMALY)."""
+    events = read_event_stream(spark, events_dir)
+    name = "stream_anomaly_sink"
+    with _drain_partitions(spark):
+        q = (
+            anomaly_flags(events)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

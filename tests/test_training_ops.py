@@ -1040,3 +1040,78 @@ def test_inverted_index_caps_and_df(docs):
         assert r["doc_freq"] == len(ids)
         assert r["postings"] == ",".join(str(i) for i in ids[:4])
         assert len(r["postings"].split(",")) <= 4
+
+
+def test_stream_anomaly_matches_batch_rule(spark):
+    """Drained stateful anomaly stream == the batch window query (the
+    driver gate runs the same comparison against SQL_EVENTS_ANOMALY)."""
+    import duckdb
+
+    from pyjelly_spark.queries import SQL_EVENTS_ANOMALY
+    from pyjelly_spark.streaming.jobs import run_stream_anomaly_batchmode
+
+    got = {
+        (r["user_id"], r["event_id"], r["cents"], r["s8"], r["q8"])
+        for r in run_stream_anomaly_batchmode(
+            spark, f"{SF_DIR}/events.parquet"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    want = {
+        tuple(int(v) for v in row)
+        for row in con.execute(SQL_EVENTS_ANOMALY).fetchall()
+    }
+    assert got == want
+    assert want, "expected at least one anomaly in the test data"
+
+
+def test_rolling_anomaly_state_carries_across_batches():
+    """Splitting a user's (time-ordered) events across micro-batches
+    must give the same flags as one batch: the last-8 ring carries."""
+    import numpy as np
+    import pandas as pd
+
+    from pyjelly_spark.streaming.jobs import _rolling_anomaly
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    rng = np.random.RandomState(7)
+    n = 60
+    vals = rng.uniform(0, 10, n)
+    vals[25] = 500.0  # an obvious spike
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime(np.arange(n), unit="s"),
+            "user_id": np.full(n, 1, dtype="int64"),
+            "value": vals,
+        }
+    )
+
+    def run(batches):
+        st = FakeState()
+        out = []
+        for b in batches:
+            out.extend(_rolling_anomaly((1,), iter([b]), st))
+        return pd.concat(out) if out else pd.DataFrame()
+
+    whole = run([pdf])
+    split = run([pdf.iloc[:20], pdf.iloc[20:41], pdf.iloc[41:]])
+    assert len(whole)
+    pd.testing.assert_frame_equal(
+        whole.reset_index(drop=True), split.reset_index(drop=True)
+    )
