@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "inverted_index",
     "kg_rdfs",
     "kg_shacl",
+    "vocab_bpe",
+    "kg_node_sim",
+    "events_anomaly",
 ]
 
 
