@@ -1122,6 +1122,85 @@ GROUP BY repo ORDER BY g
 """
 
 
+def q_kg_sparql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES + FILTER NOT EXISTS gate: inline-data restriction
+    of the repo variable plus an anti-join on a two-triple sub-pattern
+    with a constant subject — "definitions of three chosen repos never
+    called from repo-00". VALUES compiles to a broadcast inner join on
+    the inline frame; NOT EXISTS to a left-anti join on the evaluated
+    sub-pattern (operators/sparql.py)."""
+    from pyjelly_spark.operators.sparql import sparql_query
+
+    graph = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    return sparql_query(
+        graph,
+        """
+        PREFIX kg: <http://kg.example/ns#>
+        SELECT ?repo_iri ?def_file ?sym WHERE {
+          VALUES ?repo_iri {
+            <http://kg.example/repo/repo-00>
+            <http://kg.example/repo/repo-02>
+            <http://kg.example/repo/repo-04>
+          }
+          ?repo_iri kg:contains ?def_file .
+          ?def_file kg:defines ?sym .
+          FILTER NOT EXISTS {
+            <http://kg.example/repo/repo-00> kg:contains ?caller .
+            ?caller kg:calls ?sym
+          }
+        }
+        """,
+    )
+
+
+SQL_KG_SPARQL_EXISTS = f"""
+WITH {SRC_SQL.strip()}, {MENTIONS_SQL.strip()}
+SELECT 'http://kg.example/repo/' || d.repo AS repo_iri,
+       d.file_iri AS def_file,
+       'http://kg.example/symbol/' || d.symbol AS sym
+FROM defs_gt d
+WHERE d.repo IN ('repo-00', 'repo-02', 'repo-04')
+  AND d.symbol NOT IN (SELECT symbol FROM calls_gt WHERE repo = 'repo-00')
+"""
+
+
+def q_kg_sparql_subselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL subquery gate: a nested ``{ SELECT ?def_file (COUNT(?caller)
+    AS ?n) ... GROUP BY ?def_file }`` evaluated bottom-up, its projected
+    solution frame joined into the outer pattern on the shared variable
+    — per-definition-file inbound-call fan-in annotated with the owning
+    repo (operators/sparql.py subquery folding)."""
+    from pyjelly_spark.operators.sparql import sparql_query
+
+    graph = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    return sparql_query(
+        graph,
+        """
+        PREFIX kg: <http://kg.example/ns#>
+        SELECT ?repo_iri ?def_file ?n WHERE {
+          ?repo_iri kg:contains ?def_file .
+          { SELECT ?def_file (COUNT(?caller) AS ?n) WHERE {
+              ?def_file kg:defines ?sym .
+              ?caller kg:calls ?sym
+            } GROUP BY ?def_file }
+        }
+        """,
+    )
+
+
+SQL_KG_SPARQL_SUBSELECT = f"""
+WITH {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+fanin AS (
+  SELECT d.file_iri AS def_file, count(*)::BIGINT AS n
+  FROM defs_gt d JOIN calls_gt c ON c.symbol = d.symbol
+  GROUP BY 1
+)
+SELECT 'http://kg.example/repo/' || f.repo AS repo_iri,
+       fanin.def_file AS def_file, fanin.n AS n
+FROM fanin JOIN files f ON f.file_iri = fanin.def_file
+"""
+
+
 def q_kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL UPDATE through the front-end: a DELETE/INSERT WHERE that
     renames the calls predicate to invokes and an INSERT WHERE that
@@ -4655,6 +4734,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_join": q_stream_join,
     "embedding_pq": q_embedding_pq,
     "kg_sparql_typed": q_kg_sparql_typed,
+    "kg_sparql_exists": q_kg_sparql_exists,
+    "kg_sparql_subselect": q_kg_sparql_subselect,
     "stream_enrich": q_stream_enrich,
     "dedup_span_removal": q_dedup_span_removal,
     "kg_clustering": q_kg_clustering,
@@ -4762,6 +4843,8 @@ ORACLES: dict[str, str] = {
     "stream_join": SQL_STREAM_JOIN,
     "embedding_pq": SQL_EMBEDDING_PQ,
     "kg_sparql_typed": SQL_KG_SPARQL_TYPED,
+    "kg_sparql_exists": SQL_KG_SPARQL_EXISTS,
+    "kg_sparql_subselect": SQL_KG_SPARQL_SUBSELECT,
     "stream_enrich": SQL_STREAM_ENRICH,
     "dedup_span_removal": SQL_DEDUP_SPAN_REMOVAL,
     "kg_clustering": SQL_KG_CLUSTERING,
