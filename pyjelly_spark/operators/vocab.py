@@ -204,7 +204,12 @@ def bpe_encode(
     out = docs.select(
         F.col(id_col), F.explode_outer(toks).alias("word"),
         F.monotonically_increasing_id().alias("ord"),
-    ).withColumn("symbols", F.expr("split(word, '')"))
+    ).withColumn(
+        # token-less documents surface as a null word from explode_outer;
+        # they must encode to [] rather than poison the fold with nulls
+        "symbols",
+        F.coalesce(F.expr("split(word, '')"), F.array().cast("array<string>")),
+    )
     folded = out
     for left, right, _ in merges:
         merged = left + right

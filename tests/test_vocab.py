@@ -148,3 +148,18 @@ def test_bpe_encode_applies_merges(spark, docs):
             assert consumed == len(word)
             for a, b in zip(group, group[1:]):
                 assert not (a == left and b == right)
+
+
+def test_bpe_encode_tokenless_doc(spark):
+    """A document with no BPE tokens encodes to an empty token array,
+    not nulls."""
+    from pyjelly_spark.operators.vocab import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bpe_encode(df, []).collect()}
+    assert rows[2]["tokens"] == [] and rows[2]["n_tokens"] == 0
+    assert rows[3]["tokens"] == [] and rows[3]["n_tokens"] == 0
+    assert "".join(rows[1]["tokens"]) == "helloworld"
