@@ -36,7 +36,19 @@ def _n_exchanges(df) -> int:
     return plan.count("Exchange")
 
 
-def test_bucketed_join_plans_without_shuffle(spark, warehouse, source_files_500):
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force the sort-merge path: a broadcast join would bypass bucketing
+    entirely on these (deliberately small) test tables — at 100 TB both
+    sides are far past any broadcast threshold and SMJ-over-buckets is
+    the plan being proven here."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_plans_without_shuffle(spark, warehouse, no_broadcast, source_files_500):
     from pyjelly_spark.operators.extract import extract_all
 
     spo = extract_all(source_files_500).select(
@@ -55,7 +67,9 @@ def test_bucketed_join_plans_without_shuffle(spark, warehouse, source_files_500)
     b = spark.table(f"{warehouse}.spo_b")
 
     joined = a.join(b, "s")
-    assert _n_exchanges(joined) == 0, "bucketed join must not shuffle"
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert _n_exchanges(joined) == 0, f"bucketed join must not shuffle:\n{plan}"
+    assert "Bucketed: true" in plan
     # and it computes the same thing as the shuffling plan
     plain = spark.createDataFrame(a.collect(), a.schema).join(
         spark.createDataFrame(b.collect(), b.schema), "s"
@@ -64,7 +78,7 @@ def test_bucketed_join_plans_without_shuffle(spark, warehouse, source_files_500)
     assert joined.count() == plain.count()
 
 
-def test_bucketed_aggregation_avoids_exchange(spark, warehouse):
+def test_bucketed_aggregation_avoids_exchange(spark, warehouse, no_broadcast):
     df = spark.range(0, 10_000).select(
         (F.col("id") % 97).alias("k"), F.col("id").alias("v")
     )
