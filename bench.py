@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "vocab_bpe",
     "kg_node_sim",
     "events_anomaly",
+    "doc_familiarity",
 ]
 
 

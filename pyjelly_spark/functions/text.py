@@ -825,3 +825,51 @@ def inverted_index(
         .join(postings, "term")
         .select("term", "doc_freq", "postings")
     )
+
+
+def familiarity_scores(docs: DataFrame, min_count: int = 3) -> DataFrame:
+    """Corpus n-gram familiarity — the integer-exact stand-in for LM
+    perplexity filtering: a document whose word bigrams rarely occur
+    elsewhere in the corpus is "surprising" (OCR noise, boilerplate
+    soup, wrong language), one whose bigrams are common is "familiar".
+
+    Per document: ``(doc_id, n_bigrams, n_familiar, familiarity_x10000)``
+    where a bigram is familiar iff its CORPUS occurrence count is
+    >= ``min_count``, and the score is ``floor(10000 * n_familiar /
+    n_bigrams)`` — all integers, so the driver oracle compares exactly
+    (no cross-engine log()/float summation anywhere, unlike a real LM
+    logprob). Documents with fewer than 2 words have no bigrams and are
+    absent by contract.
+
+    Scale shape: ONE corpus-sized explode feeding two aggregations —
+    bigram counts (map-side partials absorb the Zipf head) and the
+    per-doc score join. The familiar-set join is an equi-join on the
+    bigram string; hot bigrams ("of the") are exactly the ones AQE's
+    skew-join splitting handles, and the count side is pre-reduced (one
+    row per distinct bigram) so no row multiplication is possible.
+    """
+    ws = words(normalized(F.col("text")))
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(ws, 2)).alias("bigram")
+    )
+    counts = grams.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    scored = (
+        grams.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum((F.col("cnt") >= min_count).cast("long"))
+            .cast("long")
+            .alias("n_familiar"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_familiar",
+        F.expr("n_familiar * 10000 div n_bigrams").alias(
+            "familiarity_x10000"
+        ),
+    )

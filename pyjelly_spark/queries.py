@@ -2537,6 +2537,35 @@ FROM documents
 """
 
 
+def q_doc_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram familiarity scoring — the integer-exact analogue of
+    LM-perplexity quality filtering (functions/text.py::
+    familiarity_scores): one corpus explode, Zipf-head-safe count
+    aggregation, equi-join back, floor-scaled integer score."""
+    return T.familiarity_scores(_t(spark, sf_dir, "documents"), min_count=3)
+
+
+SQL_DOC_FAMILIARITY = f"""
+WITH ws AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM ws WHERE len(w) >= 2
+),
+counts AS (SELECT bigram, count(*)::BIGINT AS cnt FROM grams GROUP BY 1)
+SELECT g.doc_id AS doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       sum(CASE WHEN c.cnt >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_familiar,
+       sum(CASE WHEN c.cnt >= 3 THEN 1 ELSE 0 END)::BIGINT * 10000
+         // count(*)::BIGINT AS familiarity_x10000
+FROM grams g JOIN counts c ON g.bigram = c.bigram
+GROUP BY 1
+"""
+
+
 def q_vocab_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 BPE merge candidates (first training iteration): adjacent
     character pairs of BPE-pretokenized words, weighted by word
@@ -4676,6 +4705,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "vocab_bpe": q_vocab_bpe,
+    "doc_familiarity": q_doc_familiarity,
     "train_val_split": q_train_val_split,
     "term_stats": q_term_stats,
     "doc_length_stats": q_doc_length_stats,
@@ -4783,6 +4813,7 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "vocab_bpe": SQL_VOCAB_BPE,
+    "doc_familiarity": SQL_DOC_FAMILIARITY,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "term_stats": SQL_TERM_STATS,
     "doc_length_stats": SQL_DOC_LENGTH_STATS,
