@@ -244,7 +244,13 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     word occurrence. Ratios are floor-scaled to 4 decimals (the proven
     engine-portable rounding).
     """
-    ws = words(normalized(F.col("text")))
+    # materialize the words array first: every lambda below would
+    # otherwise embed (and re-evaluate) the whole normalize+split tree
+    # per element — O(words) re-tokenizations per row
+    base = docs.select(
+        "doc_id", words(normalized(F.col("text"))).alias("ws")
+    )
+    ws = F.col("ws")
     n_words = F.size(ws)
     bigrams = word_ngrams(ws, 2)
     top_cnt = F.array_max(
@@ -257,7 +263,7 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     def r4(c: Column) -> Column:
         return F.floor(c * 10000) / 10000
 
-    return docs.select(
+    return base.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
         r4(F.size(F.array_distinct(ws)) / n_words).alias("distinct_word_ratio"),
