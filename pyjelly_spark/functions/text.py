@@ -302,7 +302,13 @@ def gopher_filter(
     map over the text column (the shape you want in front of a 100 TB
     tokenization pipeline). Flags are 0/1 ints for oracle portability.
     """
-    ws = words(normalized(F.col("text")))
+    # materialized words column: the lambdas below reference ws many
+    # times and would otherwise re-evaluate normalize+split per element
+    base = docs.select(
+        "doc_id", words(normalized(F.col("text"))).alias("ws"),
+        normalized(F.col("text")).alias("norm"),
+    )
+    ws = F.col("ws")
     n_words = F.size(ws).cast("long")
     chars = F.aggregate(
         F.transform(ws, lambda w: F.length(w).cast("long")),
@@ -325,7 +331,7 @@ def gopher_filter(
     top_x10k = F.floor((top_cnt * 10000) / F.greatest(n_words, F.lit(1))).cast(
         "long"
     )
-    n_stop = F.regexp_count(normalized(F.col("text")), F.lit(ALL_STOPWORDS_RE))
+    n_stop = F.regexp_count(F.col("norm"), F.lit(ALL_STOPWORDS_RE))
     p_count = (
         (n_words >= min_words) & (n_words <= max_words)
     ).cast("long")
@@ -336,7 +342,7 @@ def gopher_filter(
     p_distinct = (distinct_x10k >= min_distinct_ratio_x10k).cast("long")
     p_top = (top_x10k <= max_top_term_ratio_x10k).cast("long")
     p_stop = (n_stop >= min_stopwords).cast("long")
-    return docs.select(
+    return base.select(
         "doc_id",
         n_words.alias("n_words"),
         mean_len_x10k.alias("mean_word_len_x10k"),
