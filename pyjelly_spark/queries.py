@@ -2688,6 +2688,51 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dump near-dup detection: the pass a real corpus build runs
+    BETWEEN ingests ("which of the new crawl's documents already exist
+    in the other dumps?") — the exact-verified MinHash-LSH pair stream
+    restricted to pairs whose documents come from DIFFERENT ``source``
+    values, with both sources attached. The source attach is two
+    equi-joins of the (tiny) pair stream against the (doc_id, source)
+    projection — broadcast-sized at any corpus scale because pairs, not
+    documents, are the left side."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_pairs(docs, threshold=JACCARD_THRESHOLD)
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("a"), F.col("source").alias("source_a")
+            ),
+            "a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("b"), F.col("source").alias("source_b")
+            ),
+            "b",
+        )
+        .where(F.col("source_a") != F.col("source_b"))
+        .select("a", "b", "source_a", "source_b", "jaccard")
+    )
+
+
+SQL_DEDUP_CROSS_SOURCE = f"""
+WITH {SHINGLES_SQL.strip()},
+pairs AS (
+  SELECT a, b, floor(jaccard * 10000) / 10000 AS jaccard
+  FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+)
+SELECT p.a AS a, p.b AS b,
+       da.source AS source_a, db.source AS source_b, p.jaccard AS jaccard
+FROM pairs p
+JOIN documents da ON p.a = da.doc_id
+JOIN documents db ON p.b = db.doc_id
+WHERE da.source <> db.source
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(_t(spark, sf_dir, "documents"), max_distance=3)
 
@@ -4734,6 +4779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_cross_source": q_dedup_cross_source,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_pipeline": q_dedup_pipeline,
@@ -4842,6 +4888,7 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash": SQL_DEDUP_JACCARD,  # LSH verified == exact pairs
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_cross_source": SQL_DEDUP_CROSS_SOURCE,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
     "dedup_pipeline": SQL_DEDUP_PIPELINE,
