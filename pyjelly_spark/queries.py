@@ -1201,6 +1201,43 @@ FROM fanin JOIN files f ON f.file_iri = fanin.def_file
 """
 
 
+def q_kg_sparql_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL path-alternation gate: ``?f (kg:defines|kg:calls) ?sym``
+    compiles to ONE scan with an IN-set predicate filter (never a
+    union of two scans — operators/sparql.py folds the alternation
+    into a single pattern unit); aggregated per file with distinct
+    symbol counts."""
+    from pyjelly_spark.operators.sparql import sparql_query
+
+    graph = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    sols = sparql_query(
+        graph,
+        """
+        PREFIX kg: <http://kg.example/ns#>
+        SELECT ?f ?sym WHERE { ?f (kg:defines|kg:calls) ?sym }
+        """,
+    )
+    return sols.groupBy("f").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("sym").alias("n_syms"),
+    )
+
+
+SQL_KG_SPARQL_ALT = f"""
+WITH {SRC_SQL.strip()}, {MENTIONS_SQL.strip()},
+m AS (
+  SELECT file_iri AS f, 'http://kg.example/symbol/' || symbol AS sym
+  FROM defs_gt
+  UNION ALL
+  SELECT file_iri AS f, 'http://kg.example/symbol/' || symbol AS sym
+  FROM calls_gt
+)
+SELECT f, count(*)::BIGINT AS n_mentions,
+       count(DISTINCT sym)::BIGINT AS n_syms
+FROM m GROUP BY f
+"""
+
+
 def q_kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL UPDATE through the front-end: a DELETE/INSERT WHERE that
     renames the calls predicate to invokes and an INSERT WHERE that
@@ -4811,6 +4848,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pq": q_embedding_pq,
     "kg_sparql_typed": q_kg_sparql_typed,
     "kg_sparql_exists": q_kg_sparql_exists,
+    "kg_sparql_alt": q_kg_sparql_alt,
     "kg_sparql_subselect": q_kg_sparql_subselect,
     "stream_enrich": q_stream_enrich,
     "dedup_span_removal": q_dedup_span_removal,
@@ -4922,6 +4960,7 @@ ORACLES: dict[str, str] = {
     "embedding_pq": SQL_EMBEDDING_PQ,
     "kg_sparql_typed": SQL_KG_SPARQL_TYPED,
     "kg_sparql_exists": SQL_KG_SPARQL_EXISTS,
+    "kg_sparql_alt": SQL_KG_SPARQL_ALT,
     "kg_sparql_subselect": SQL_KG_SPARQL_SUBSELECT,
     "stream_enrich": SQL_STREAM_ENRICH,
     "dedup_span_removal": SQL_DEDUP_SPAN_REMOVAL,

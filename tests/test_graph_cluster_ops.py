@@ -225,3 +225,31 @@ def test_clustering_coefficient_closed_form(spark):
     assert out["a"]["coeff_x10000"] == 3333
     for n in ("b", "c"):
         assert out[n]["degree"] == 2 and out[n]["coeff_x10000"] == 10000
+
+
+def test_node_similarity_hub_cap(spark):
+    """hub_cap excludes high-in-degree neighbors from candidate
+    generation: pairs meeting ONLY at the hub disappear; pairs sharing a
+    non-hub neighbor keep their non-hub intersection count."""
+    from pyjelly_spark.operators.components import node_similarity
+
+    edges = []
+    # hub h imported by a,b,c,d; a,b also share private neighbor p
+    for s in ("a", "b", "c", "d"):
+        edges.append((s, "h"))
+    edges += [("a", "p"), ("b", "p")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    full = {
+        (r["a"], r["b"]): r["shared"]
+        for r in node_similarity(df, min_shared=1).collect()
+    }
+    capped = {
+        (r["a"], r["b"]): (r["shared"], r["deg_a"], r["deg_b"])
+        for r in node_similarity(df, min_shared=1, hub_cap=3).collect()
+    }
+    # uncapped: all 6 pairs of {a,b,c,d} meet at h; (a,b) shares 2
+    assert full[("a", "b")] == 2 and len(full) == 6
+    # capped at 3 (< indeg(h)=4): only (a,b) survives via p, shared=1;
+    # degrees are also computed on the capped edge set
+    assert capped == {("a", "b"): (1, 1, 1)}
