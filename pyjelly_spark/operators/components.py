@@ -821,3 +821,68 @@ def node_similarity(
             ).alias("jaccard_x10000"),
         )
     )
+
+
+def graph_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    salt: str = "walk",
+) -> DataFrame:
+    """Deterministic hash-seeded random walks — the corpus-prep operator
+    for DeepWalk/node2vec-style graph embeddings, made reproducible
+    (and oracle-computable) by replacing the RNG with a content hash:
+    from node v at step k the walk moves to neighbor with 1-based rank
+    ``1 + H(seed:k:v) % outdeg(v)`` where neighbors are ranked by dst
+    ascending and H is the portable sha-derived 60-bit hash
+    (functions/text.py::hex_hash). One walk starts from every node with
+    at least one out-edge; a walk ends early at a sink node.
+
+    Returns (seed, step, node): step 0 is the seed itself.
+
+    Scale shape: the adjacency (dst-ranked, outdeg attached) is built
+    once with one window pass and checkpointed; each of the
+    ``walk_len`` steps is ONE equi-join of the frontier against it —
+    k-step walks over E edges cost k joins, never a closure. Identical
+    recurrence is expressible as unrolled SQL joins, which is what the
+    driver oracle runs.
+    """
+    from pyspark.sql.window import Window
+
+    from pyjelly_spark.functions.text import hex_hash
+
+    e = edges.select("src", "dst").distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        e.select(
+            "src",
+            "dst",
+            F.row_number().over(w).cast("long").alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).cast("long").alias("outdeg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = adj.select(F.col("src").alias("seed")).distinct().select(
+        "seed", F.lit(0).cast("long").alias("step"), F.col("seed").alias("node")
+    )
+    out = [frontier]
+    for k in range(1, walk_len + 1):
+        pick = hex_hash(
+            F.concat(
+                F.lit(salt + ":"), F.col("seed"), F.lit(f":{k}:"), F.col("node")
+            )
+        )
+        nxt = (
+            out[-1]
+            .join(adj, F.col("node") == F.col("src"))
+            .where(F.col("r") == 1 + F.pmod(pick, F.col("outdeg")))
+            .select(
+                "seed",
+                F.lit(k).cast("long").alias("step"),
+                F.col("dst").alias("node"),
+            )
+        )
+        out.append(nxt)
+    result = out[0]
+    for part in out[1:]:
+        result = result.unionByName(part)
+    return result

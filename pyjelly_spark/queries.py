@@ -502,6 +502,67 @@ JOIN deg db ON shared.b = db.src
 """
 
 
+def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-seeded random walks over the resolved import
+    graph — DeepWalk/node2vec corpus prep with the RNG replaced by the
+    portable content hash, so the distributed k-join recurrence is
+    bit-identical to the oracle's unrolled joins
+    (operators/components.py::graph_walks)."""
+    from pyjelly_spark.operators.components import graph_walks
+
+    edges = q_kg_imports_resolved(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    return graph_walks(edges, walk_len=4)
+
+
+def _walks_sql(walk_len: int = 4) -> str:
+    h = (
+        "('0x' || substring(sha256('walk:' || w{prev}.seed || ':{k}:' "
+        "|| w{prev}.node), 1, 15))::BIGINT"
+    )
+    steps = []
+    for k in range(1, walk_len + 1):
+        pick = h.format(prev=k - 1, k=k)
+        steps.append(f"""
+w{k} AS (
+  SELECT w{k - 1}.seed AS seed, {k}::BIGINT AS step, a.dst AS node
+  FROM w{k - 1} JOIN adj a ON w{k - 1}.node = a.src
+  WHERE a.r = 1 + {pick} % a.outdeg
+)""".strip())
+    unions = "\nUNION ALL\n".join(
+        f"SELECT seed, step, node FROM w{k}" for k in range(walk_len + 1)
+    )
+    joined = ",\n".join(steps)
+    return f"""
+WITH {{src}}, {{mentions}},
+e AS (
+  SELECT DISTINCT file_iri AS src,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS dst
+  FROM imports_gt
+  WHERE file_iri <> 'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg'
+      || (t % 13) || '/mod_' || t || '.py'
+),
+adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) AS r,
+         count(*) OVER (PARTITION BY src) AS outdeg
+  FROM e
+),
+w0 AS (
+  SELECT DISTINCT src AS seed, 0::BIGINT AS step, src AS node FROM adj
+),
+{joined}
+{unions}
+"""
+
+
+SQL_KG_WALKS = _walks_sql(4).format(
+    src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip()
+)
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file triangle participation in the shared-symbol
     co-definition graph: files defining the same ``shared_*`` symbol are
@@ -4854,6 +4915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_removal": q_dedup_span_removal,
     "kg_clustering": q_kg_clustering,
     "kg_node_sim": q_kg_node_sim,
+    "kg_walks": q_kg_walks,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -4966,6 +5028,7 @@ ORACLES: dict[str, str] = {
     "dedup_span_removal": SQL_DEDUP_SPAN_REMOVAL,
     "kg_clustering": SQL_KG_CLUSTERING,
     "kg_node_sim": SQL_KG_NODE_SIM,
+    "kg_walks": SQL_KG_WALKS,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,
