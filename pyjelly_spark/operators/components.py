@@ -886,3 +886,37 @@ def graph_walks(
     for part in out[1:]:
         result = result.unionByName(part)
     return result
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) pair counts from a walk corpus —
+    the training-pair step that follows ``graph_walks`` in a
+    DeepWalk/node2vec embedding pipeline: within each walk, every
+    ordered node pair at step distance 1..``window`` is one training
+    example, and the output is the global pair histogram
+    (center, context, cnt).
+
+    Scale shape: pairs are emitted with ``lead()`` over ONE window
+    spec (partitionBy seed, orderBy step) — both directions of every
+    offset derive in-row from the same sort, so there is no self-join
+    over the walk corpus and no pair-stream shuffle; the only exchange
+    beyond the walk sort is the final (center, context) count, whose
+    keys are nodes (bounded fan-in per key at any corpus size).
+    """
+    w = Window.partitionBy("seed").orderBy("step")
+    leads = walks.select(
+        "node",
+        *[F.lead("node", d).over(w).alias(f"ahead_{d}") for d in range(1, window + 1)],
+    )
+    cols = []
+    for d in range(1, window + 1):
+        ahead = F.col(f"ahead_{d}")
+        cols.append(F.struct(F.col("node").alias("center"), ahead.alias("context")))
+        cols.append(F.struct(ahead.alias("center"), F.col("node").alias("context")))
+    return (
+        leads.select(F.explode(F.array(*cols)).alias("p"))
+        .select("p.center", "p.context")
+        .where(F.col("context").isNotNull() & F.col("center").isNotNull())
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

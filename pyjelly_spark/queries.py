@@ -516,7 +516,7 @@ def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_walks(edges, walk_len=4)
 
 
-def _walks_sql(walk_len: int = 4) -> str:
+def _walks_sql(walk_len: int = 4, body: str | None = None) -> str:
     h = (
         "('0x' || substring(sha256('walk:' || w{prev}.seed || ':{k}:' "
         "|| w{prev}.node), 1, 15))::BIGINT"
@@ -534,6 +534,10 @@ w{k} AS (
         f"SELECT seed, step, node FROM w{k}" for k in range(walk_len + 1)
     )
     joined = ",\n".join(steps)
+    if body is not None:
+        tail = f"walks AS (\n{unions}\n)\n{body.strip()}"
+    else:
+        tail = unions
     return f"""
 WITH {{src}}, {{mentions}},
 e AS (
@@ -553,14 +557,37 @@ adj AS (
 w0 AS (
   SELECT DISTINCT src AS seed, 0::BIGINT AS step, src AS node FROM adj
 ),
-{joined}
-{unions}
+{joined}{"," if body is not None else ""}
+{tail}
 """
 
 
 SQL_KG_WALKS = _walks_sql(4).format(
     src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip()
 )
+
+
+SQL_KG_SKIPGRAMS = _walks_sql(
+    4,
+    body="""
+SELECT a.node AS center, b.node AS context, count(*)::BIGINT AS cnt
+FROM walks a JOIN walks b
+  ON a.seed = b.seed AND a.step <> b.step AND abs(a.step - b.step) <= 2
+GROUP BY 1, 2
+""",
+).format(src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip())
+
+
+def q_kg_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair histogram over the deterministic
+    walk corpus — the node2vec training-pair generation step
+    (operators/components.py::skipgram_pairs). The Spark path emits
+    pairs in-row via lead() over one walk sort (no self-join); the
+    oracle closes the same window-2 pair set with a declarative
+    walks-to-walks join."""
+    from pyjelly_spark.operators.components import skipgram_pairs
+
+    return skipgram_pairs(q_kg_walks(spark, sf_dir), window=2)
 
 
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4916,6 +4943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_clustering": q_kg_clustering,
     "kg_node_sim": q_kg_node_sim,
     "kg_walks": q_kg_walks,
+    "kg_skipgrams": q_kg_skipgrams,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5029,6 +5057,7 @@ ORACLES: dict[str, str] = {
     "kg_clustering": SQL_KG_CLUSTERING,
     "kg_node_sim": SQL_KG_NODE_SIM,
     "kg_walks": SQL_KG_WALKS,
+    "kg_skipgrams": SQL_KG_SKIPGRAMS,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

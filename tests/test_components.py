@@ -319,3 +319,39 @@ def test_label_propagation_two_cliques_bridge(spark):
     assert got == _lpa_oracle(edges, 3)
     # within the 'a' triangle the minimum label wins
     assert got["b"] == "a" and got["c"] == "a"
+
+
+def _skipgram_oracle(walks, window):
+    # walks: list of (seed, [node0, node1, ...]) ordered by step
+    from collections import Counter
+
+    pairs = Counter()
+    for _seed, nodes in walks:
+        for i, a in enumerate(nodes):
+            for j, b in enumerate(nodes):
+                if i != j and abs(i - j) <= window:
+                    pairs[(a, b)] += 1
+    return dict(pairs)
+
+
+def test_skipgram_pairs_matches_bruteforce(spark):
+    from pyjelly_spark.operators.components import skipgram_pairs
+
+    walks = [
+        ("s1", ["a", "b", "c", "d", "e"]),
+        ("s2", ["b", "a", "b", "a"]),      # repeats within a walk
+        ("s3", ["x"]),                      # lone node: no pairs
+        ("s4", ["c", "d"]),
+    ]
+    rows = [
+        (seed, step, node)
+        for seed, nodes in walks
+        for step, node in enumerate(nodes)
+    ]
+    df = spark.createDataFrame(rows, "seed: string, step: long, node: string")
+    for window in (1, 2, 3):
+        got = {
+            (r["center"], r["context"]): r["cnt"]
+            for r in skipgram_pairs(df, window=window).collect()
+        }
+        assert got == _skipgram_oracle(walks, window)
