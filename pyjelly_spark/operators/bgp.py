@@ -270,3 +270,51 @@ def bgp_match(
     if markers:
         acc = acc.drop(*markers)
     return acc.distinct() if distinct else acc
+
+
+def characteristic_sets(triples: DataFrame) -> DataFrame:
+    """Characteristic sets over an (s, p, o) relation — the per-subject
+    predicate-set statistics RDF engines keep for BGP cardinality
+    estimation (Neumann & Moerkotte, "Characteristic Sets: Accurate
+    Cardinality Estimation for RDF Queries with Multiple Joins",
+    ICDE 2011). Each subject's signature is its sorted distinct
+    predicate list; the output is one row per signature with the
+    subject count and total triple count.
+
+    Scale shape: ONE exchange on subject produces both the signature
+    (sort_array over collect_set) and the per-subject triple count;
+    the follow-up groupBy keys on signatures, whose cardinality is
+    bounded by the schema (2^|predicates| worst case, tiny in
+    practice), so the second shuffle is negligible at any data size.
+    """
+    per_subj = triples.groupBy("s").agg(
+        F.array_join(F.array_sort(F.collect_set("p")), ",").alias("charset"),
+        F.count(F.lit(1)).alias("nt"),
+    )
+    return (
+        per_subj.groupBy("charset")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_subjects"),
+            F.sum("nt").cast("long").alias("n_triples"),
+        )
+        .orderBy("charset")
+    )
+
+
+def void_stats(triples: DataFrame) -> DataFrame:
+    """W3C VoID property-partition statistics over an (s, p, o)
+    relation: per predicate, the triple count and distinct subject /
+    object counts (void:triples, void:distinctSubjects,
+    void:distinctObjects). One aggregation keyed by predicate; the
+    two count-distincts share the expand-based plan Catalyst builds
+    for multi-distinct aggregates — no joins, no driver collection.
+    """
+    return (
+        triples.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.countDistinct("s").cast("long").alias("n_subjects"),
+            F.countDistinct("o").cast("long").alias("n_objects"),
+        )
+        .orderBy("p")
+    )

@@ -241,6 +241,67 @@ FROM calls_gt
 """
 
 
+# The full extract_all triple union (structural + imports + defs + calls)
+# as a reusable oracle CTE — the declarative dual of
+# `_spo(X.extract_all(...))`.
+ALL_TRIPLES_CTE = f"""
+triples AS (
+  SELECT 'http://kg.example/repo/' || repo AS s, '{NS}contains' AS p, file_iri AS o FROM files
+  UNION ALL SELECT file_iri, '{NS}lang', 'python' FROM files
+  UNION ALL SELECT file_iri, '{NS}sha256', sha256(content) FROM files
+  UNION ALL SELECT file_iri, '{NS}imports',
+    'http://kg.example/module/pkg' || (t % 13) || '.mod_' || t FROM imports_gt
+  UNION ALL SELECT file_iri, '{NS}defines',
+    'http://kg.example/symbol/' || symbol FROM defs_gt
+  UNION ALL SELECT file_iri, '{NS}calls',
+    'http://kg.example/symbol/' || symbol FROM calls_gt
+)
+""".strip()
+
+
+def q_kg_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic-set statistics over the constructed KG — the
+    per-subject predicate-signature histogram BGP optimizers use for
+    multi-join cardinality estimation (operators/bgp.py::
+    characteristic_sets, after Neumann & Moerkotte ICDE 2011)."""
+    from pyjelly_spark.operators.bgp import characteristic_sets
+
+    return characteristic_sets(
+        _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    )
+
+
+SQL_KG_CHARSETS = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+{ALL_TRIPLES_CTE},
+ps AS (SELECT DISTINCT s, p FROM triples),
+cs AS (SELECT s, string_agg(p, ',' ORDER BY p) AS charset FROM ps GROUP BY s),
+nt AS (SELECT s, count(*)::BIGINT AS nt FROM triples GROUP BY s)
+SELECT charset, count(*)::BIGINT AS n_subjects, sum(nt)::BIGINT AS n_triples
+FROM cs JOIN nt USING (s)
+GROUP BY charset ORDER BY charset
+"""
+
+
+def q_kg_void(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3C VoID property-partition descriptors for the constructed KG:
+    per predicate, void:triples / void:distinctSubjects /
+    void:distinctObjects (operators/bgp.py::void_stats)."""
+    from pyjelly_spark.operators.bgp import void_stats
+
+    return void_stats(_spo(X.extract_all(derived_source_files(spark, sf_dir))))
+
+
+SQL_KG_VOID = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+{ALL_TRIPLES_CTE}
+SELECT p, count(*)::BIGINT AS n_triples,
+       count(DISTINCT s)::BIGINT AS n_subjects,
+       count(DISTINCT o)::BIGINT AS n_objects
+FROM triples GROUP BY p ORDER BY p
+"""
+
+
 def _mention_frames(spark: SparkSession, sf_dir: str):
     files = derived_source_files(spark, sf_dir)
     calls = files.select(
@@ -4944,6 +5005,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_node_sim": q_kg_node_sim,
     "kg_walks": q_kg_walks,
     "kg_skipgrams": q_kg_skipgrams,
+    "kg_charsets": q_kg_charsets,
+    "kg_void": q_kg_void,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5058,6 +5121,8 @@ ORACLES: dict[str, str] = {
     "kg_node_sim": SQL_KG_NODE_SIM,
     "kg_walks": SQL_KG_WALKS,
     "kg_skipgrams": SQL_KG_SKIPGRAMS,
+    "kg_charsets": SQL_KG_CHARSETS,
+    "kg_void": SQL_KG_VOID,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

@@ -246,3 +246,34 @@ def test_bgp_differential_random(spark):
             tuple(r[c] for c in sorted(out.columns)) for r in out.collect()
         )
         assert got == expected, (case, rows, patterns)
+
+
+def test_characteristic_sets_hand_graph(spark):
+    from pyjelly_spark.operators.bgp import characteristic_sets
+
+    triples = spark.createDataFrame(
+        [
+            ("s1", "name", "a"), ("s1", "age", "1"),
+            ("s2", "age", "2"), ("s2", "name", "b"), ("s2", "name", "c"),
+            ("s3", "name", "d"),
+        ],
+        "s: string, p: string, o: string",
+    )
+    got = {r["charset"]: (r["n_subjects"], r["n_triples"])
+           for r in characteristic_sets(triples).collect()}
+    assert got == {"age,name": (2, 5), "name": (1, 1)}
+
+
+def test_void_stats_hand_graph(spark):
+    from pyjelly_spark.operators.bgp import void_stats
+
+    triples = spark.createDataFrame(
+        [
+            ("s1", "name", "a"), ("s2", "name", "a"), ("s2", "name", "b"),
+            ("s1", "age", "1"),
+        ],
+        "s: string, p: string, o: string",
+    )
+    got = {r["p"]: (r["n_triples"], r["n_subjects"], r["n_objects"])
+           for r in void_stats(triples).collect()}
+    assert got == {"name": (3, 2, 2), "age": (1, 1, 1)}
