@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "kg_node_sim",
     "events_anomaly",
     "doc_familiarity",
+    "kg_skipgrams",
+    "kg_charsets",
+    "kg_void",
 ]
 
 

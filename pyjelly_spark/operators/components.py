@@ -880,6 +880,13 @@ def graph_walks(
                 F.lit(k).cast("long").alias("step"),
                 F.col("dst").alias("node"),
             )
+            # per-step lineage truncation: without it, the k-th union
+            # branch re-plans (and re-executes) the whole k-1 prefix
+            # chain — O(k^2) joins for a k-step walk. Checkpointing each
+            # frontier keeps it at one join per step (CC-round style),
+            # which is what lets real node2vec walk lengths (k ~ 80)
+            # stay linear.
+            .localCheckpoint(eager=True)
         )
         out.append(nxt)
     result = out[0]
