@@ -187,7 +187,7 @@ def _compile_pattern(triples: DataFrame, pattern: Pattern, index: int) -> _Scan:
 
 
 def bgp_match(
-    triples: DataFrame,
+    triples: DataFrame | Sequence[DataFrame],
     patterns: Sequence[Pattern],
     *,
     optional: Sequence[Pattern] = (),
@@ -197,7 +197,12 @@ def bgp_match(
 ) -> DataFrame:
     """Match a conjunction of triple patterns against ``triples``.
 
-    ``triples`` must expose string columns ``s``, ``p``, ``o``.  Each
+    ``triples`` is one (s, p, o) DataFrame shared by every pattern, or a
+    sequence of ``len(patterns) + len(optional)`` DataFrames giving each
+    pattern its own scan — how the predicate-partitioned store
+    (sources/kg_store.py) feeds partition-pruned scans into the same
+    join planner.  Each graph must expose string columns ``s``, ``p``,
+    ``o``.  Each
     pattern term is either a constant or a ``?name`` variable; the result
     has one column per distinct variable and one row per solution
     mapping (bag semantics; ``distinct=True`` for set semantics).
@@ -215,7 +220,19 @@ def bgp_match(
     """
     if not patterns:
         raise ValueError("bgp_match requires at least one pattern")
-    scans = [_compile_pattern(triples, p, i) for i, p in enumerate(patterns)]
+    if isinstance(triples, DataFrame):
+        graphs = [triples] * (len(patterns) + len(optional))
+    else:
+        graphs = list(triples)
+        if len(graphs) != len(patterns) + len(optional):
+            raise ValueError(
+                f"per-pattern graphs: got {len(graphs)} DataFrames for "
+                f"{len(patterns)} + {len(optional)} patterns"
+            )
+    scans = [
+        _compile_pattern(g, p, i)
+        for i, (g, p) in enumerate(zip(graphs, patterns))
+    ]
 
     # Greedy join order: anchor on the most selective pattern, then
     # repeatedly take the pattern sharing the most variables with the
@@ -254,7 +271,7 @@ def bgp_match(
     # case) shares >= 1 variable; one sharing none would cross every
     # solution with the pattern's matches, so reject it loudly.
     for i, pat in enumerate(optional):
-        sc = _compile_pattern(triples, pat, len(patterns) + i)
+        sc = _compile_pattern(graphs[len(patterns) + i], pat, len(patterns) + i)
         shared = sorted(sc.variables & bound)
         if not shared:
             raise ValueError(

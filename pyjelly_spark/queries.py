@@ -893,6 +893,45 @@ ORDER BY repo_iri, def_file
 """
 
 
+def q_kg_store_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP over the predicate-partitioned KG store
+    (sources/kg_store.py): the full triple union is laid out as parquet
+    partitioned by predicate token, then the selective 2-constant
+    pattern runs through partition-pruned scans — each constant-
+    predicate pattern reads ONLY its predicate's files (PartitionFilters
+    at planning time; the collision-guard residual filter keeps pruning
+    an optimization, never the correctness boundary). Same solution set
+    as kg_bgp_selective, so the oracle is shared."""
+    import shutil
+    import tempfile
+
+    from pyjelly_spark.sources.kg_store import bgp_match_store, write_kg_store
+
+    triples = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    out_dir = tempfile.mkdtemp(prefix="kg_store_")
+    try:
+        write_kg_store(triples, out_dir)
+        sols = bgp_match_store(
+            spark,
+            out_dir,
+            [
+                ("?def_file", NS + "defines", "http://kg.example/symbol/shared_8"),
+                ("?repo_iri", NS + "contains", "?def_file"),
+            ],
+        )
+        result = (
+            sols.select("repo_iri", "def_file")
+            .orderBy("repo_iri", "def_file")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return result
+
+
+SQL_KG_STORE_BGP = SQL_KG_BGP_SELECTIVE
+
+
 def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIONAL + FILTER through the BGP compiler: every defined symbol
     with its caller count, callers outside the defining file only —
@@ -5007,6 +5046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_skipgrams": q_kg_skipgrams,
     "kg_charsets": q_kg_charsets,
     "kg_void": q_kg_void,
+    "kg_store_bgp": q_kg_store_bgp,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5123,6 +5163,7 @@ ORACLES: dict[str, str] = {
     "kg_skipgrams": SQL_KG_SKIPGRAMS,
     "kg_charsets": SQL_KG_CHARSETS,
     "kg_void": SQL_KG_VOID,
+    "kg_store_bgp": SQL_KG_STORE_BGP,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

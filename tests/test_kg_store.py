@@ -1,0 +1,90 @@
+"""Predicate-partitioned KG store: pruning, collision safety, BGP parity."""
+
+import io
+import shutil
+import tempfile
+from contextlib import redirect_stdout
+
+import pytest
+
+TRIPLES = [
+    ("s1", "http://ex/defines", "sym1"),
+    ("s2", "http://ex/defines", "sym2"),
+    ("s1", "http://ex/calls", "sym2"),
+    ("s3", "http://ex/calls", "sym1"),
+    ("r1", "http://ex/contains", "s1"),
+    ("r1", "http://ex/contains", "s2"),
+    ("r2", "http://ex/contains", "s3"),
+]
+
+
+@pytest.fixture()
+def store(spark):
+    from pyjelly_spark.sources.kg_store import write_kg_store
+
+    df = spark.createDataFrame(TRIPLES, "s: string, p: string, o: string")
+    path = tempfile.mkdtemp(prefix="kg_store_test_")
+    write_kg_store(df, path)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_scan_pattern_prunes_partitions(spark, store):
+    from pyjelly_spark.sources.kg_store import scan_pattern
+
+    scan = scan_pattern(spark, store, "http://ex/defines")
+    rows = {(r["s"], r["o"]) for r in scan.collect()}
+    assert rows == {("s1", "sym1"), ("s2", "sym2")}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        scan.explain(True)
+    plan = buf.getvalue()
+    # the p_part equality must reach the file index, not a post-scan filter
+    assert "PartitionFilters" in plan
+    assert "p_part" in plan.split("PartitionFilters", 1)[1][:120]
+    assert "http___ex_defines" in plan
+
+
+def test_token_collision_is_correctness_safe(spark):
+    from pyjelly_spark.sources.kg_store import (
+        predicate_token,
+        scan_pattern,
+        write_kg_store,
+    )
+
+    # two predicates folding to the same hive-safe token
+    assert predicate_token("a:b") == predicate_token("a.b") == "a_b"
+    df = spark.createDataFrame(
+        [("s1", "a:b", "x"), ("s2", "a.b", "y")],
+        "s: string, p: string, o: string",
+    )
+    path = tempfile.mkdtemp(prefix="kg_store_coll_")
+    try:
+        write_kg_store(df, path)
+        got_colon = [(r["s"], r["o"]) for r in scan_pattern(spark, path, "a:b").collect()]
+        got_dot = [(r["s"], r["o"]) for r in scan_pattern(spark, path, "a.b").collect()]
+        assert got_colon == [("s1", "x")]
+        assert got_dot == [("s2", "y")]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_bgp_match_store_parity(spark, store):
+    from pyjelly_spark.operators.bgp import bgp_match
+    from pyjelly_spark.sources.kg_store import bgp_match_store
+
+    graph = spark.createDataFrame(TRIPLES, "s: string, p: string, o: string")
+    patterns = [
+        ("?repo", "http://ex/contains", "?file"),
+        ("?file", "http://ex/defines", "?sym"),
+    ]
+    optional = [("?caller", "http://ex/calls", "?sym")]
+    want = {
+        tuple(sorted(r.asDict().items()))
+        for r in bgp_match(graph, patterns, optional=optional).collect()
+    }
+    got = {
+        tuple(sorted(r.asDict().items()))
+        for r in bgp_match_store(spark, store, patterns, optional=optional).collect()
+    }
+    assert got == want and len(got) == 2
