@@ -186,6 +186,82 @@ def _compile_pattern(triples: DataFrame, pattern: Pattern, index: int) -> _Scan:
     return _Scan(projected, set(var_slots), n_constants, index)
 
 
+def estimate_cardinality(pattern: Pattern, stats: dict) -> int:
+    """Estimated result rows for one triple pattern from VoID-style
+    per-predicate statistics (``{p: (n_triples, n_subjects,
+    n_objects)}`` — exactly the ``void_stats`` output). The classic
+    RDF-engine model: a constant predicate selects its partition's
+    triple count; a constant subject/object divides by the partition's
+    distinct-subject/object count (uniformity assumption). Non-string
+    slot terms (quoted patterns, alternations, negated sets) and
+    unknown predicates estimate conservatively (no division).
+    """
+    s, p, o = pattern[0], pattern[1], pattern[2]
+    ns = no = None
+    if isinstance(p, str) and not is_var(p):
+        if p in stats:
+            nt, ns, no = stats[p]
+        else:
+            nt = 0  # predicate absent from the graph: empty scan
+    else:
+        nt = sum(v[0] for v in stats.values())
+    est = int(nt)
+    if isinstance(s, str) and not is_var(s) and ns:
+        est //= max(1, int(ns))
+    if isinstance(o, str) and not is_var(o) and no:
+        est //= max(1, int(no))
+    return max(est, 0)
+
+
+def _join_order(scans: list, ests: dict[int, int] | None) -> list:
+    """Join order over compiled pattern scans.
+
+    Without estimates (``ests is None``): the constant-count greedy —
+    anchor on the most-constant pattern, then repeatedly take the
+    pattern sharing the most bound variables. With per-scan cardinality
+    estimates (keyed by scan index): anchor on the cheapest scan, then
+    repeatedly take the cheapest *connected* pattern — the textbook
+    selectivity-first order that characteristic-set/VoID statistics
+    exist to drive. Disconnected patterns are deferred (cross joins
+    last) in both modes.
+    """
+    remaining = list(scans)
+    if ests is None:
+        remaining.sort(key=lambda sc: (-sc.n_constants, sc.index))
+        order = [remaining.pop(0)]
+        bound = set(order[0].variables)
+        while remaining:
+            best = max(
+                range(len(remaining)),
+                key=lambda k: (
+                    len(remaining[k].variables & bound),
+                    remaining[k].n_constants,
+                    -remaining[k].index,
+                ),
+            )
+            nxt = remaining.pop(best)
+            order.append(nxt)
+            bound |= nxt.variables
+        return order
+    remaining.sort(key=lambda sc: (ests[sc.index], -sc.n_constants, sc.index))
+    order = [remaining.pop(0)]
+    bound = set(order[0].variables)
+    while remaining:
+        best = min(
+            range(len(remaining)),
+            key=lambda k: (
+                0 if remaining[k].variables & bound else 1,
+                ests[remaining[k].index],
+                -remaining[k].n_constants,
+                remaining[k].index,
+            ),
+        )
+        nxt = remaining.pop(best)
+        order.append(nxt)
+        bound |= nxt.variables
+    return order
+
+
 def bgp_match(
     triples: DataFrame | Sequence[DataFrame],
     patterns: Sequence[Pattern],
@@ -194,6 +270,7 @@ def bgp_match(
     filters: Sequence[str] = (),
     distinct: bool = False,
     broadcast_constants: int = 2,
+    stats: DataFrame | dict | None = None,
 ) -> DataFrame:
     """Match a conjunction of triple patterns against ``triples``.
 
@@ -217,6 +294,12 @@ def bgp_match(
     Patterns with at least ``broadcast_constants`` constant slots are
     broadcast into their join (selective scans — shuffle-free on the big
     side); pass ``broadcast_constants=4`` to disable broadcasting.
+
+    ``stats`` switches join ordering from the constant-count heuristic
+    to selectivity-first: pass the ``void_stats`` DataFrame (collected
+    driver-side — one row per predicate, bounded by the schema) or a
+    ``{p: (n_triples, n_subjects, n_objects)}`` mapping. Result bags are
+    identical either way; only the join tree changes.
     """
     if not patterns:
         raise ValueError("bgp_match requires at least one pattern")
@@ -234,31 +317,27 @@ def bgp_match(
         for i, (g, p) in enumerate(zip(graphs, patterns))
     ]
 
-    # Greedy join order: anchor on the most selective pattern, then
-    # repeatedly take the pattern sharing the most variables with the
-    # bound set (ties -> more constants, then original order).  Patterns
-    # sharing no variables only ever cross-join after no connected
-    # pattern remains.
-    remaining = sorted(
-        scans, key=lambda sc: (-sc.n_constants, sc.index)
-    )
+    ests: dict[int, int] | None = None
+    if stats is not None:
+        if isinstance(stats, DataFrame):
+            stats = {
+                r["p"]: (r["n_triples"], r["n_subjects"], r["n_objects"])
+                for r in stats.collect()
+            }
+        ests = {
+            i: estimate_cardinality(p, stats) for i, p in enumerate(patterns)
+        }
+
+    ordered = _join_order(scans, ests)
+
     def _maybe_broadcast(sc: _Scan) -> DataFrame:
         if sc.n_constants >= broadcast_constants:
             return F.broadcast(sc.df)
         return sc.df
 
-    first = remaining.pop(0)
+    first = ordered[0]
     acc, bound = _maybe_broadcast(first), set(first.variables)
-    while remaining:
-        best = max(
-            range(len(remaining)),
-            key=lambda k: (
-                len(remaining[k].variables & bound),
-                remaining[k].n_constants,
-                -remaining[k].index,
-            ),
-        )
-        nxt = remaining.pop(best)
+    for nxt in ordered[1:]:
         shared = sorted(nxt.variables & bound)
         right = _maybe_broadcast(nxt)
         if shared:

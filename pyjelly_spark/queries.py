@@ -867,6 +867,41 @@ FROM sol GROUP BY repo_iri ORDER BY repo_iri
 """
 
 
+def q_kg_bgp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kg_bgp solution computed under statistics-driven join
+    ordering: per-predicate VoID statistics are collected driver-side
+    (one row per predicate) and handed to bgp_match, which anchors on
+    the estimated-cheapest pattern instead of the constant-count
+    heuristic (operators/bgp.py::_join_order). Result bags are
+    order-independent, so the oracle is SQL_KG_BGP verbatim — the gate
+    proves the selectivity-first plan computes the identical bag."""
+    from pyjelly_spark.operators.bgp import bgp_match, void_stats
+
+    graph = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    sols = bgp_match(
+        graph,
+        [
+            ("?repo_iri", NS + "contains", "?def_file"),
+            ("?def_file", NS + "defines", "?sym"),
+            ("?caller", NS + "calls", "?sym"),
+        ],
+        stats=void_stats(graph),
+    )
+    return (
+        sols.groupBy("repo_iri")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("def_file").alias("n_def_files"),
+            F.countDistinct("caller").alias("n_callers"),
+            F.countDistinct("sym").alias("n_syms"),
+        )
+        .orderBy("repo_iri")
+    )
+
+
+SQL_KG_BGP_STATS = SQL_KG_BGP
+
+
 def q_kg_bgp_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-lookup BGP: `?def_file defines <symbol/shared_8> . ?repo_iri
     contains ?def_file`. The 2-constant pattern anchors the plan and is
@@ -5047,6 +5082,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_charsets": q_kg_charsets,
     "kg_void": q_kg_void,
     "kg_store_bgp": q_kg_store_bgp,
+    "kg_bgp_stats": q_kg_bgp_stats,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5164,6 +5200,7 @@ ORACLES: dict[str, str] = {
     "kg_charsets": SQL_KG_CHARSETS,
     "kg_void": SQL_KG_VOID,
     "kg_store_bgp": SQL_KG_STORE_BGP,
+    "kg_bgp_stats": SQL_KG_BGP_STATS,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

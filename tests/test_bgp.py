@@ -277,3 +277,75 @@ def test_void_stats_hand_graph(spark):
     got = {r["p"]: (r["n_triples"], r["n_subjects"], r["n_objects"])
            for r in void_stats(triples).collect()}
     assert got == {"name": (3, 2, 2), "age": (1, 1, 1)}
+
+
+def test_estimate_cardinality_model():
+    from pyjelly_spark.operators.bgp import estimate_cardinality
+
+    stats = {"defines": (1000, 100, 500), "calls": (10, 5, 5)}
+    # constant predicate -> its partition count
+    assert estimate_cardinality(("?s", "defines", "?o"), stats) == 1000
+    # constant subject divides by distinct subjects
+    assert estimate_cardinality(("s1", "defines", "?o"), stats) == 10
+    # constant object divides by distinct objects
+    assert estimate_cardinality(("?s", "defines", "o1"), stats) == 2
+    # variable predicate -> total triples
+    assert estimate_cardinality(("?s", "?p", "?o"), stats) == 1010
+    # unknown predicate -> empty scan
+    assert estimate_cardinality(("?s", "nope", "?o"), stats) == 0
+
+
+def test_stats_join_order_anchors_on_cheapest(spark):
+    from pyjelly_spark.operators.bgp import (
+        _compile_pattern,
+        _join_order,
+        estimate_cardinality,
+    )
+
+    graph = spark.createDataFrame(
+        [("s", "p", "o")], "s: string, p: string, o: string"
+    )
+    # pattern 0 has 2 constants (default heuristic anchors it) but a huge
+    # estimated partition; pattern 1 has 1 constant over a tiny partition
+    patterns = [
+        ("?f", "big", "const"),
+        ("?f", "tiny", "?sym"),
+        ("?caller", "mid", "?sym"),
+    ]
+    stats = {"big": (10_000_000, 10, 10), "tiny": (10, 10, 10),
+             "mid": (1000, 10, 10)}
+    scans = [_compile_pattern(graph, p, i) for i, p in enumerate(patterns)]
+    default_order = [sc.index for sc in _join_order(scans, None)]
+    assert default_order[0] == 0  # constant-count heuristic anchors big
+    ests = {i: estimate_cardinality(p, stats) for i, p in enumerate(patterns)}
+    stats_order = [sc.index for sc in _join_order(scans, ests)]
+    # selectivity-first: tiny anchor, then mid (connected via ?sym),
+    # then big (connected via ?f)
+    assert stats_order == [1, 2, 0]
+
+
+def test_bgp_match_with_stats_same_bag(spark):
+    from pyjelly_spark.operators.bgp import bgp_match, void_stats
+
+    triples = spark.createDataFrame(
+        [
+            ("r1", "contains", "f1"), ("r1", "contains", "f2"),
+            ("f1", "defines", "x"), ("f2", "defines", "y"),
+            ("f2", "calls", "x"),
+        ],
+        "s: string, p: string, o: string",
+    )
+    patterns = [
+        ("?repo", "contains", "?file"),
+        ("?file", "defines", "?sym"),
+        ("?caller", "calls", "?sym"),
+    ]
+    want = sorted(
+        tuple(sorted(r.asDict().items()))
+        for r in bgp_match(triples, patterns).collect()
+    )
+    got = sorted(
+        tuple(sorted(r.asDict().items()))
+        for r in bgp_match(triples, patterns, stats=void_stats(triples)).collect()
+    )
+    assert got == want and len(got) == 1
