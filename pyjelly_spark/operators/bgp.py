@@ -32,11 +32,38 @@ Scale notes (100 TB graph):
 from __future__ import annotations
 
 from collections.abc import Sequence
+from contextlib import contextmanager
+from contextvars import ContextVar
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 Pattern = tuple[str, str, str]
+
+# Ambient statistics scope: lets front-ends (the SPARQL evaluator) turn
+# on selectivity-first ordering for every bgp_match in their dynamic
+# extent without threading a parameter through the recursive evaluator —
+# the same ContextVar side-channel shape the reference uses for frame
+# metadata (/root/reference/pyjelly/integrations/generic/parse.py:186).
+_STATS_CTX: ContextVar[dict | None] = ContextVar("bgp_stats", default=None)
+
+
+@contextmanager
+def bgp_stats(stats: DataFrame | dict | None):
+    """Scope per-predicate statistics over every ``bgp_match`` call in
+    the block. Accepts the ``void_stats`` DataFrame (collected once,
+    driver-side — one row per predicate) or a ``{p: (n_triples,
+    n_subjects, n_objects)}`` mapping; ``None`` is a no-op."""
+    if isinstance(stats, DataFrame):
+        stats = {
+            r["p"]: (r["n_triples"], r["n_subjects"], r["n_objects"])
+            for r in stats.collect()
+        }
+    token = _STATS_CTX.set(stats)
+    try:
+        yield
+    finally:
+        _STATS_CTX.reset(token)
 
 _SLOTS = ("s", "p", "o", "g")
 
@@ -318,6 +345,8 @@ def bgp_match(
     ]
 
     ests: dict[int, int] | None = None
+    if stats is None:
+        stats = _STATS_CTX.get()
     if stats is not None:
         if isinstance(stats, DataFrame):
             stats = {

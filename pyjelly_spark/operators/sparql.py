@@ -1582,19 +1582,31 @@ def _eval_describe(
 
 
 def sparql_query(
-    triples: DataFrame, query: str, *, max_closure_rounds: int = 25
+    triples: DataFrame,
+    query: str,
+    *,
+    max_closure_rounds: int = 25,
+    stats: DataFrame | dict | None = None,
 ) -> DataFrame:
     """Run a SPARQL query (supported subset above) against a triples
     DataFrame with string columns ``s``, ``p``, ``o``. SELECT returns
     one column per projected variable; ASK returns a single boolean row
     (column ``ask``); CONSTRUCT returns a deduplicated ``(s, p, o)``
-    triples DataFrame built from the template."""
+    triples DataFrame built from the template.
+
+    ``stats`` (the ``void_stats`` frame or a per-predicate mapping)
+    scopes selectivity-first BGP join ordering over the whole
+    evaluation, including subqueries and EXISTS/MINUS sub-patterns —
+    solution bags are unchanged, only join trees."""
     from pyspark.sql import functions as F
 
+    from pyjelly_spark.operators.bgp import bgp_stats
+
     plan = parse_sparql(query)
-    if plan["form"] == "DESCRIBE":
-        return _eval_describe(triples, plan, max_closure_rounds)
-    return _eval_select_plan(triples, plan, max_closure_rounds)
+    with bgp_stats(stats):
+        if plan["form"] == "DESCRIBE":
+            return _eval_describe(triples, plan, max_closure_rounds)
+        return _eval_select_plan(triples, plan, max_closure_rounds)
 
 
 def _eval_select_plan(

@@ -970,3 +970,43 @@ def test_optional_dot_after_filter_and_bind(typed_triples):
         'FILTER(isNumeric(?v)) . BIND(xsd:integer(?v) AS ?n) . }',
     ).collect()
     assert sorted(r["s"] for r in out) == ["f1", "f2"]
+
+
+def test_sparql_query_with_stats_same_bag(spark):
+    from pyjelly_spark.operators.bgp import void_stats
+    from pyjelly_spark.operators.sparql import sparql_query
+
+    triples = spark.createDataFrame(
+        [
+            ("r1", "http://ex/contains", "f1"),
+            ("f1", "http://ex/defines", "x"),
+            ("f2", "http://ex/calls", "x"),
+        ],
+        "s: string, p: string, o: string",
+    )
+    q = """
+    SELECT ?repo ?caller WHERE {
+      ?repo <http://ex/contains> ?file .
+      ?file <http://ex/defines> ?sym .
+      ?caller <http://ex/calls> ?sym .
+    }
+    """
+    want = sorted(map(tuple, sparql_query(triples, q).collect()))
+    got = sorted(
+        map(tuple, sparql_query(triples, q, stats=void_stats(triples)).collect())
+    )
+    assert got == want == [("r1", "f2")]
+
+
+def test_bgp_stats_context_scopes_and_resets(spark):
+    from pyjelly_spark.operators.bgp import _STATS_CTX, bgp_match, bgp_stats
+
+    triples = spark.createDataFrame(
+        [("s", "p", "o")], "s: string, p: string, o: string"
+    )
+    assert _STATS_CTX.get() is None
+    with bgp_stats({"p": (1, 1, 1)}):
+        assert _STATS_CTX.get() == {"p": (1, 1, 1)}
+        rows = bgp_match(triples, [("?x", "p", "?y")]).collect()
+        assert [(r["x"], r["y"]) for r in rows] == [("s", "o")]
+    assert _STATS_CTX.get() is None
