@@ -349,3 +349,40 @@ def test_bgp_match_with_stats_same_bag(spark):
         for r in bgp_match(triples, patterns, stats=void_stats(triples)).collect()
     )
     assert got == want and len(got) == 1
+
+
+def test_stats_plan_bag_equivalence_randomized(spark):
+    """Property: for random graphs/BGPs/stats, the selectivity-first
+    plan computes the same solution bag as the default plan."""
+    import random
+
+    from pyjelly_spark.operators.bgp import bgp_match, void_stats
+
+    rng = random.Random(7)
+    preds = ["a", "b", "c"]
+    nodes = [f"n{i}" for i in range(12)]
+    triples = [
+        (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+        for _ in range(80)
+    ]
+    graph = spark.createDataFrame(triples, "s: string, p: string, o: string")
+    stats_df = void_stats(graph)
+    for trial in range(4):
+        k = rng.randint(2, 3)
+        vars_ = ["?x", "?y", "?z"]
+        patterns = []
+        for i in range(k):
+            s = rng.choice(vars_ + [rng.choice(nodes)])
+            o = rng.choice(vars_ + [rng.choice(nodes)])
+            patterns.append((s, rng.choice(preds), o))
+        if not any(p[0].startswith("?") or p[2].startswith("?") for p in patterns):
+            patterns[0] = ("?x", patterns[0][1], patterns[0][2])
+        want = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in bgp_match(graph, patterns).collect()
+        )
+        got = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in bgp_match(graph, patterns, stats=stats_df).collect()
+        )
+        assert got == want, f"trial {trial}: {patterns}"
