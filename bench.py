@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "kg_skipgrams",
     "kg_charsets",
     "kg_void",
+    "events_cdc",
 ]
 
 

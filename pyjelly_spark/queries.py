@@ -4970,6 +4970,64 @@ FROM closure GROUP BY p, asserted ORDER BY p, asserted
 """
 
 
+def q_events_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE semantics over a derived change log
+    (operators/cdc.py): events become per-user upserts ('error' rows
+    are deletes) applied onto a base snapshot (users with event_id %
+    5 == 0). merge_snapshot injects the base as the oldest log segment
+    and compacts in ONE key-window exchange — no join. Last writer per
+    user wins under the (ts, event_id) total order; deleted users
+    vanish. Oracle replays the same MERGE declaratively with a
+    row_number window."""
+    from pyjelly_spark.operators.cdc import merge_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.where(F.col("event_id") % 5 != 0).select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "ts",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.floor(F.col("value") * 100).cast("long").alias("val_cents"),
+    )
+    base = (
+        ev.where(F.col("event_id") % 5 == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn("state", F.lit("base"))
+        .withColumn("val_cents", F.lit(0).cast("long"))
+    )
+    merged = merge_snapshot(
+        base, changes, keys=["user_id"], order_cols=["ts", "event_id"]
+    )
+    return merged.select("user_id", "state", "val_cents").orderBy("user_id")
+
+
+SQL_EVENTS_CDC = """
+WITH changes AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         ts, event_id, event_type AS state,
+         floor(value * 100)::BIGINT AS val_cents
+  FROM events WHERE event_id % 5 <> 0
+),
+base AS (
+  SELECT DISTINCT user_id, 'U' AS op, NULL::TIMESTAMP AS ts,
+         NULL::BIGINT AS event_id, 'base' AS state, 0::BIGINT AS val_cents
+  FROM events WHERE event_id % 5 = 0
+),
+log AS (SELECT * FROM changes UNION ALL SELECT * FROM base),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+  FROM log
+)
+SELECT user_id, state, val_cents
+FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5083,6 +5141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_void": q_kg_void,
     "kg_store_bgp": q_kg_store_bgp,
     "kg_bgp_stats": q_kg_bgp_stats,
+    "events_cdc": q_events_cdc,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5201,6 +5260,7 @@ ORACLES: dict[str, str] = {
     "kg_void": SQL_KG_VOID,
     "kg_store_bgp": SQL_KG_STORE_BGP,
     "kg_bgp_stats": SQL_KG_BGP_STATS,
+    "events_cdc": SQL_EVENTS_CDC,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

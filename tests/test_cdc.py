@@ -1,0 +1,50 @@
+"""CDC log compaction and snapshot MERGE semantics."""
+
+
+def test_compact_log_last_writer_and_deletes(spark):
+    from pyjelly_spark.operators.cdc import compact_log
+
+    changes = spark.createDataFrame(
+        [
+            # k1: upsert then delete -> absent
+            ("k1", "U", 1, "a"),
+            ("k1", "D", 2, None),
+            # k2: delete then upsert -> present with latest payload
+            ("k2", "D", 1, None),
+            ("k2", "U", 2, "b"),
+            ("k2", "U", 3, "c"),
+            # k3: single upsert
+            ("k3", "U", 1, "d"),
+        ],
+        "k: string, op: string, seq: long, payload: string",
+    )
+    got = {
+        r["k"]: r["payload"]
+        for r in compact_log(changes, keys=["k"], order_cols=["seq"]).collect()
+    }
+    assert got == {"k2": "c", "k3": "d"}
+
+
+def test_merge_snapshot_base_loses_to_any_change(spark):
+    from pyjelly_spark.operators.cdc import merge_snapshot
+
+    base = spark.createDataFrame(
+        [("k1", "base"), ("k2", "base"), ("k3", "base")],
+        "k: string, payload: string",
+    )
+    changes = spark.createDataFrame(
+        [
+            ("k1", "U", 5, "new"),   # overrides base
+            ("k2", "D", 5, None),    # deletes base row
+            ("k9", "U", 1, "ins"),   # insert (not in base)
+        ],
+        "k: string, op: string, seq: long, payload: string",
+    )
+    got = {
+        r["k"]: r["payload"]
+        for r in merge_snapshot(
+            base, changes, keys=["k"], order_cols=["seq"]
+        ).collect()
+    }
+    # k3 untouched survives from base
+    assert got == {"k1": "new", "k3": "base", "k9": "ins"}
