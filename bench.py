@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "kg_charsets",
     "kg_void",
     "events_cdc",
+    "events_scd2",
 ]
 
 

@@ -74,3 +74,30 @@ def merge_snapshot(
     return compact_log(
         aligned.unionByName(changes), keys, order_cols, op_col, delete_op
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log:
+    every upsert opens an interval valid from its own first order
+    column until the NEXT change for the key (lead over the full
+    order — a delete closes the prior interval and opens none);
+    ``is_current`` marks still-open intervals. Same one-key-window
+    exchange shape as ``compact_log``; the two compose (compacted
+    state == the is_current slice of the history, minus deletes).
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    return (
+        changes.withColumn("valid_to", F.lead(F.col(order_cols[0])).over(w))
+        .where(F.col(op_col) != delete_op)
+        .withColumnRenamed(order_cols[0], "valid_from")
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(op_col)
+    )

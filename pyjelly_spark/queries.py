@@ -5028,6 +5028,62 @@ FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id
 """
 
 
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history over the same derived change log as
+    events_cdc (operators/cdc.py::scd2_history): every upsert opens an
+    interval until the key's next change (deletes close intervals
+    without opening one); is_current marks open intervals. Bounds are
+    exported as epoch microseconds so the comparison is integer-exact.
+    One key-window exchange; the oracle replays it with a lead()
+    window."""
+    from pyjelly_spark.operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.where(F.col("event_id") % 5 != 0).select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "ts",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.floor(F.col("value") * 100).cast("long").alias("val_cents"),
+    )
+    hist = scd2_history(changes, keys=["user_id"], order_cols=["ts", "event_id"])
+    # microseconds since the corpus epoch, computed NTZ-to-NTZ so the
+    # result is identical under any driver session timezone
+    epoch0 = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+    return hist.select(
+        "user_id",
+        "state",
+        "val_cents",
+        F.expr(f"timestampdiff(MICROSECOND, {epoch0}, valid_from)").alias("from_us"),
+        F.expr(f"timestampdiff(MICROSECOND, {epoch0}, valid_to)").alias("to_us"),
+        "is_current",
+    ).orderBy("user_id", "from_us")
+
+
+SQL_EVENTS_SCD2 = """
+WITH changes AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         ts, event_id, event_type AS state,
+         floor(value * 100)::BIGINT AS val_cents
+  FROM events WHERE event_id % 5 <> 0
+),
+hist AS (
+  SELECT *, lead(ts) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM changes
+)
+SELECT user_id, state, val_cents,
+       (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))::BIGINT
+         AS from_us,
+       (epoch_us(valid_to) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))::BIGINT
+         AS to_us,
+       (valid_to IS NULL) AS is_current
+FROM hist WHERE op <> 'D' ORDER BY user_id, from_us
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5142,6 +5198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_store_bgp": q_kg_store_bgp,
     "kg_bgp_stats": q_kg_bgp_stats,
     "events_cdc": q_events_cdc,
+    "events_scd2": q_events_scd2,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5261,6 +5318,7 @@ ORACLES: dict[str, str] = {
     "kg_store_bgp": SQL_KG_STORE_BGP,
     "kg_bgp_stats": SQL_KG_BGP_STATS,
     "events_cdc": SQL_EVENTS_CDC,
+    "events_scd2": SQL_EVENTS_SCD2,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

@@ -48,3 +48,47 @@ def test_merge_snapshot_base_loses_to_any_change(spark):
     }
     # k3 untouched survives from base
     assert got == {"k1": "new", "k3": "base", "k9": "ins"}
+
+
+def test_scd2_history_intervals(spark):
+    from pyjelly_spark.operators.cdc import scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            ("k1", "U", 1, "a"),
+            ("k1", "U", 3, "b"),
+            ("k1", "D", 5, None),   # closes b's interval, opens none
+            ("k2", "U", 2, "x"),    # never superseded -> current
+        ],
+        "k: string, op: string, seq: long, payload: string",
+    )
+    rows = {
+        (r["k"], r["payload"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(changes, keys=["k"], order_cols=["seq"]).collect()
+    }
+    assert rows == {
+        ("k1", "a"): (1, 3, False),
+        ("k1", "b"): (3, 5, False),
+        ("k2", "x"): (2, None, True),
+    }
+
+
+def test_scd2_current_slice_equals_compacted_state(spark):
+    import random
+
+    from pyjelly_spark.operators.cdc import compact_log, scd2_history
+
+    rng = random.Random(3)
+    changes = [
+        (f"k{rng.randint(0, 9)}", rng.choice("UUUD"), seq, f"p{seq}")
+        for seq in range(60)
+    ]
+    df = spark.createDataFrame(changes, "k: string, op: string, seq: long, payload: string")
+    current = {
+        (r["k"], r["payload"])
+        for r in scd2_history(df, ["k"], ["seq"]).where("is_current").collect()
+    }
+    compacted = {
+        (r["k"], r["payload"]) for r in compact_log(df, ["k"], ["seq"]).collect()
+    }
+    assert current == compacted
