@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "kg_void",
     "events_cdc",
     "events_scd2",
+    "kg_fuzzy_link",
 ]
 
 

@@ -155,3 +155,53 @@ def resolved_call_triples(linked: DataFrame) -> DataFrame:
             "o"
         ),
     )
+
+
+def _deletion_variants(col: Column) -> Column:
+    """The string itself plus every single-character deletion — the
+    SymSpell neighborhood for edit distance 1, built with pure Catalyst
+    array expressions (sequence + substring concat, no UDF)."""
+    deletes = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            F.substring(col, F.lit(1), i - 1),
+            col.substr(i + 1, F.length(col)),
+        ),
+    )
+    # sequence(1, 0) DESCENDS in Spark, so the empty string needs its
+    # own branch (its only variant is itself)
+    return F.when(F.length(col) == 0, F.array(col)).otherwise(
+        F.array_union(F.array(col), deletes)
+    )
+
+
+def fuzzy_pairs(terms: DataFrame, col: str = "term") -> DataFrame:
+    """Distinct unordered pairs of terms at Levenshtein distance <= 1 —
+    the typo-tolerant entity-matching primitive, via symmetric-delete
+    (SymSpell) blocking instead of the all-pairs cross join.
+
+    Scale shape: each term emits len+1 deletion variants; candidate
+    pairs come from ONE equi-join on the variant key (two terms within
+    distance 1 always share a variant — SymSpell's guarantee), and the
+    exact ``levenshtein`` filter then removes the blocking's false
+    positives (e.g. transpositions at distance 2 that share a variant).
+    No quadratic stage anywhere: the join fan-out per variant key is
+    the vocabulary's neighborhood density, not its size. The oracle
+    closes the same pair set with the quadratic cross join DuckDB can
+    afford at gate scale.
+    """
+    t = terms.select(F.col(col).alias("term")).where(
+        F.col("term").isNotNull()
+    ).distinct()
+    variants = t.select(
+        "term", F.explode(_deletion_variants(F.col("term"))).alias("v")
+    )
+    a = variants.select(F.col("term").alias("term_a"), "v")
+    b = variants.select(F.col("term").alias("term_b"), "v")
+    return (
+        a.join(b, "v")
+        .where(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b")
+        .distinct()
+        .where(F.levenshtein("term_a", "term_b") <= 1)
+    )

@@ -5084,6 +5084,32 @@ FROM hist WHERE op <> 'D' ORDER BY user_id, from_us
 """
 
 
+def q_kg_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity matching over the defined-symbol vocabulary
+    (operators/linking.py::fuzzy_pairs): all unordered symbol pairs at
+    Levenshtein distance <= 1, found via symmetric-delete (SymSpell)
+    blocking — one equi-join on deletion variants plus the exact
+    distance filter, never a quadratic stage. The oracle affords the
+    cross join at gate scale."""
+    from pyjelly_spark.operators.linking import fuzzy_pairs
+
+    defs = _spo(X.extract_defs(derived_source_files(spark, sf_dir)))
+    vocab = defs.select(
+        F.regexp_extract("o", r"symbol/(.*)$", 1).alias("term")
+    )
+    return fuzzy_pairs(vocab).orderBy("term_a", "term_b")
+
+
+SQL_KG_FUZZY_LINK = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+vocab AS (SELECT DISTINCT symbol FROM defs_gt)
+SELECT a.symbol AS term_a, b.symbol AS term_b
+FROM vocab a JOIN vocab b
+  ON a.symbol < b.symbol AND levenshtein(a.symbol, b.symbol) <= 1
+ORDER BY term_a, term_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5199,6 +5225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_stats": q_kg_bgp_stats,
     "events_cdc": q_events_cdc,
     "events_scd2": q_events_scd2,
+    "kg_fuzzy_link": q_kg_fuzzy_link,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5319,6 +5346,7 @@ ORACLES: dict[str, str] = {
     "kg_bgp_stats": SQL_KG_BGP_STATS,
     "events_cdc": SQL_EVENTS_CDC,
     "events_scd2": SQL_EVENTS_SCD2,
+    "kg_fuzzy_link": SQL_KG_FUZZY_LINK,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

@@ -620,3 +620,19 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     manifest = pd.DataFrame(rows)
     assert int(manifest["n_statements"].sum()) == summary["triples"]
     assert summary["streams"] == len(manifest)
+
+
+def test_fuzzy_pairs_symspell_blocking(spark):
+    from pyjelly_spark.operators.linking import fuzzy_pairs
+
+    terms = ["cat", "cats", "bat", "ct", "dog", "gdo", "", "x"]
+    df = spark.createDataFrame([(t,) for t in terms], "term: string")
+    got = {
+        (r["term_a"], r["term_b"]) for r in fuzzy_pairs(df).collect()
+    }
+    # insertion (cat/cats), substitution (cat/bat), deletion (cat/ct),
+    # empty-vs-1-char; NOT the transposition dog/gdo (distance 2 —
+    # shares a deletion variant but the exact filter removes it)
+    assert got == {
+        ("cat", "cats"), ("bat", "cat"), ("cat", "ct"), ("", "x"),
+    }
