@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "events_cdc",
     "events_scd2",
     "kg_fuzzy_link",
+    "kg_summary",
 ]
 
 

@@ -397,6 +397,52 @@ def bgp_match(
     return acc.distinct() if distinct else acc
 
 
+def subject_charsets(triples: DataFrame) -> DataFrame:
+    """Per-subject characteristic-set signature: (s, charset, nt) where
+    charset is the sorted distinct predicate list and nt the subject's
+    triple count — one subject-keyed exchange, shared by the histogram
+    (``characteristic_sets``) and the quotient graph
+    (``summarize_graph``)."""
+    return triples.groupBy("s").agg(
+        F.array_join(F.array_sort(F.collect_set("p")), ",").alias("charset"),
+        F.count(F.lit(1)).alias("nt"),
+    )
+
+
+def summarize_graph(triples: DataFrame) -> DataFrame:
+    """SchemEX-style graph summary: the quotient graph over
+    characteristic-set classes. Every subject maps to its charset
+    class; each triple becomes an edge (src_class, p, dst_class) where
+    dst_class is the object's class, or the leaf marker ``<lit>`` for
+    objects that are not subjects. Output: one row per summary edge
+    with its multiplicity — the compile-time schema graph engines use
+    for source selection and query pruning.
+
+    Scale shape: the class map keys on subject, so the src join
+    co-partitions with the map's own exchange; the dst side is a left
+    join on the same map (object-keyed exchange). Two joins + one
+    count aggregation, all equi-keyed — no driver state; the summary
+    itself is schema-bounded (|classes|^2 * |preds| worst case).
+    """
+    classes = subject_charsets(triples).select("s", "charset")
+    src = triples.join(
+        classes.withColumnRenamed("charset", "src_class"), "s"
+    )
+    dst_map = classes.select(
+        F.col("s").alias("o"), F.col("charset").alias("dst_class")
+    )
+    edges = src.join(dst_map, "o", "left").select(
+        "src_class",
+        "p",
+        F.coalesce("dst_class", F.lit("<lit>")).alias("dst_class"),
+    )
+    return (
+        edges.groupBy("src_class", "p", "dst_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .orderBy("src_class", "p", "dst_class")
+    )
+
+
 def characteristic_sets(triples: DataFrame) -> DataFrame:
     """Characteristic sets over an (s, p, o) relation — the per-subject
     predicate-set statistics RDF engines keep for BGP cardinality
@@ -412,10 +458,7 @@ def characteristic_sets(triples: DataFrame) -> DataFrame:
     bounded by the schema (2^|predicates| worst case, tiny in
     practice), so the second shuffle is negligible at any data size.
     """
-    per_subj = triples.groupBy("s").agg(
-        F.array_join(F.array_sort(F.collect_set("p")), ",").alias("charset"),
-        F.count(F.lit(1)).alias("nt"),
-    )
+    per_subj = subject_charsets(triples)
     return (
         per_subj.groupBy("charset")
         .agg(

@@ -283,6 +283,31 @@ GROUP BY charset ORDER BY charset
 """
 
 
+def q_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SchemEX-style quotient graph of the constructed KG: summary
+    edges between characteristic-set classes, with objects that are not
+    subjects collapsing to the ``<lit>`` leaf class
+    (operators/bgp.py::summarize_graph)."""
+    from pyjelly_spark.operators.bgp import summarize_graph
+
+    return summarize_graph(_spo(X.extract_all(derived_source_files(spark, sf_dir))))
+
+
+SQL_KG_SUMMARY = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+{ALL_TRIPLES_CTE},
+ps AS (SELECT DISTINCT s, p FROM triples),
+cls AS (SELECT s, string_agg(p, ',' ORDER BY p) AS charset FROM ps GROUP BY s)
+SELECT c1.charset AS src_class, t.p,
+       coalesce(c2.charset, '<lit>') AS dst_class,
+       count(*)::BIGINT AS n_edges
+FROM triples t
+JOIN cls c1 ON t.s = c1.s
+LEFT JOIN cls c2 ON t.o = c2.s
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 def q_kg_void(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3C VoID property-partition descriptors for the constructed KG:
     per predicate, void:triples / void:distinctSubjects /
@@ -5226,6 +5251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cdc": q_events_cdc,
     "events_scd2": q_events_scd2,
     "kg_fuzzy_link": q_kg_fuzzy_link,
+    "kg_summary": q_kg_summary,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5347,6 +5373,7 @@ ORACLES: dict[str, str] = {
     "events_cdc": SQL_EVENTS_CDC,
     "events_scd2": SQL_EVENTS_SCD2,
     "kg_fuzzy_link": SQL_KG_FUZZY_LINK,
+    "kg_summary": SQL_KG_SUMMARY,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

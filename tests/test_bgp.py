@@ -386,3 +386,27 @@ def test_stats_plan_bag_equivalence_randomized(spark):
             for r in bgp_match(graph, patterns, stats=stats_df).collect()
         )
         assert got == want, f"trial {trial}: {patterns}"
+
+
+def test_summarize_graph_hand_quotient(spark):
+    from pyjelly_spark.operators.bgp import summarize_graph
+
+    triples = spark.createDataFrame(
+        [
+            # class A = "knows,name": s1, s2; class B = "name": s3
+            ("s1", "name", "lit1"), ("s1", "knows", "s3"),
+            ("s2", "name", "lit2"), ("s2", "knows", "s1"),
+            ("s3", "name", "lit3"),
+        ],
+        "s: string, p: string, o: string",
+    )
+    got = {
+        (r["src_class"], r["p"], r["dst_class"]): r["n_edges"]
+        for r in summarize_graph(triples).collect()
+    }
+    assert got == {
+        ("knows,name", "name", "<lit>"): 2,
+        ("knows,name", "knows", "name"): 1,       # s1 -> s3
+        ("knows,name", "knows", "knows,name"): 1,  # s2 -> s1
+        ("name", "name", "<lit>"): 1,
+    }
