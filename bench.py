@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "events_scd2",
     "kg_fuzzy_link",
     "kg_summary",
+    "kg_negatives",
 ]
 
 

@@ -927,3 +927,51 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def negative_samples(edges: DataFrame, k: int = 2, salt: str = "neg") -> DataFrame:
+    """Deterministic negative sampling for link-prediction training:
+    for every positive edge, ``k`` corrupted tails drawn by content
+    hash over a global node dictionary — the (src, dst, j, neg_node)
+    stream that pairs with ``skipgram_pairs`` output to train graph
+    embeddings. The hash replaces the RNG (same device as
+    ``graph_walks``), so the sample is a pure function of the graph and
+    reproducible on any engine/cluster size; accidental positives are
+    kept (standard practice — they are rare and unbiased) so the
+    output needs no membership join.
+
+    Scale shape: the node dictionary is ONE global sort (row_number
+    over the distinct node set — the same static dictionary an
+    embedding trainer builds anyway); sample rows then join the
+    dictionary by index, an equi-join on a uniformly distributed key.
+    """
+    from pyjelly_spark.functions.text import hex_hash
+    from pyspark.sql.window import Window
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dict_df = nodes.select(
+        "node",
+        (F.row_number().over(Window.orderBy("node")) - 1).cast("long").alias("idx"),
+    )
+    n_nodes = dict_df.count()
+    one = edges.select("src", "dst").distinct()
+    samples = None
+    for j in range(1, k + 1):
+        pick = F.pmod(
+            hex_hash(
+                F.concat(F.lit(f"{salt}:{j}:"), F.col("src"), F.lit(":"), F.col("dst"))
+            ),
+            F.lit(n_nodes),
+        )
+        part = one.select(
+            "src", "dst", F.lit(j).cast("long").alias("j"), pick.alias("idx")
+        )
+        samples = part if samples is None else samples.unionByName(part)
+    return (
+        samples.join(dict_df, "idx")
+        .select("src", "dst", "j", F.col("node").alias("neg_node"))
+    )

@@ -676,6 +676,48 @@ def q_kg_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(q_kg_walks(spark, sf_dir), window=2)
 
 
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over the resolved import graph —
+    the link-prediction training pairs that complete the embedding-prep
+    chain (walks -> skipgrams -> negatives). The RNG is the portable
+    content hash over a global node dictionary, so the sample is a pure
+    function of the graph (operators/components.py::negative_samples);
+    the oracle rebuilds dictionary and draws declaratively."""
+    from pyjelly_spark.operators.components import negative_samples
+
+    edges = q_kg_imports_resolved(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    return negative_samples(edges, k=2).orderBy("src", "dst", "j")
+
+
+SQL_KG_NEGATIVES = f"""
+WITH {{src}}, {{mentions}},
+e AS (
+  SELECT DISTINCT file_iri AS src,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS dst
+  FROM imports_gt
+  WHERE file_iri <> 'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg'
+      || (t % 13) || '/mod_' || t || '.py'
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+dict AS (
+  SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx FROM nodes
+),
+one AS (SELECT DISTINCT src, dst FROM e),
+samples AS (
+  SELECT src, dst, j,
+    ('0x' || substring(sha256('neg:' || j || ':' || src || ':' || dst), 1, 15))::BIGINT
+      % (SELECT count(*) FROM dict) AS idx
+  FROM one CROSS JOIN (SELECT 1::BIGINT AS j UNION ALL SELECT 2::BIGINT) js
+)
+SELECT s.src, s.dst, s.j, d.node AS neg_node
+FROM samples s JOIN dict d USING (idx)
+ORDER BY src, dst, j
+""".format(src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip())
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file triangle participation in the shared-symbol
     co-definition graph: files defining the same ``shared_*`` symbol are
@@ -5252,6 +5294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_scd2": q_events_scd2,
     "kg_fuzzy_link": q_kg_fuzzy_link,
     "kg_summary": q_kg_summary,
+    "kg_negatives": q_kg_negatives,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5374,6 +5417,7 @@ ORACLES: dict[str, str] = {
     "events_scd2": SQL_EVENTS_SCD2,
     "kg_fuzzy_link": SQL_KG_FUZZY_LINK,
     "kg_summary": SQL_KG_SUMMARY,
+    "kg_negatives": SQL_KG_NEGATIVES,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

@@ -355,3 +355,22 @@ def test_skipgram_pairs_matches_bruteforce(spark):
             for r in skipgram_pairs(df, window=window).collect()
         }
         assert got == _skipgram_oracle(walks, window)
+
+
+def test_negative_samples_deterministic_and_in_dictionary(spark):
+    from pyjelly_spark.operators.components import negative_samples
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "src: string, dst: string",
+    )
+    got1 = sorted(map(tuple, negative_samples(edges, k=3).collect()))
+    got2 = sorted(map(tuple, negative_samples(edges, k=3).collect()))
+    assert got1 == got2                       # pure function of the graph
+    assert len(got1) == 4 * 3                 # k per distinct edge
+    nodes = {"a", "b", "c", "d"}
+    assert all(neg in nodes for (_s, _d, _j, neg) in got1)
+    # j indices complete per edge
+    from collections import Counter
+    per_edge = Counter((s, d) for (s, d, _j, _n) in got1)
+    assert set(per_edge.values()) == {3}
