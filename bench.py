@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "kg_fuzzy_link",
     "kg_summary",
     "kg_negatives",
+    "kg_linking_pr",
 ]
 
 

@@ -205,3 +205,43 @@ def fuzzy_pairs(terms: DataFrame, col: str = "term") -> DataFrame:
         .distinct()
         .where(F.levenshtein("term_a", "term_b") <= 1)
     )
+
+
+def precision_recall(
+    predicted: DataFrame, actual: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Set precision/recall of ``predicted`` vs ``actual`` over the key
+    columns — the evaluation operator behind the north rule's
+    "P/R >= 0.95 vs reference" criterion. One full-outer join on the
+    keys and one aggregation; ratios are floor-scaled per-myriad
+    integers so the result is engine-exact. Returns one row
+    (tp, fp, fn, precision_x10000, recall_x10000).
+    """
+    p = predicted.select(*keys).distinct().withColumn("__p", F.lit(1))
+    a = actual.select(*keys).distinct().withColumn("__a", F.lit(1))
+    j = p.join(a, keys, "full")
+    return (
+        j.agg(
+            F.sum(
+                F.when(F.col("__p").isNotNull() & F.col("__a").isNotNull(), 1)
+                .otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when(F.col("__p").isNotNull() & F.col("__a").isNull(), 1)
+                .otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when(F.col("__p").isNull() & F.col("__a").isNotNull(), 1)
+                .otherwise(0)
+            ).cast("long").alias("fn"),
+        )
+        .select(
+            "tp",
+            "fp",
+            "fn",
+            F.floor(F.col("tp") * 10000 / (F.col("tp") + F.col("fp")))
+            .cast("long").alias("precision_x10000"),
+            F.floor(F.col("tp") * 10000 / (F.col("tp") + F.col("fn")))
+            .cast("long").alias("recall_x10000"),
+        )
+    )

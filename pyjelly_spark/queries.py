@@ -374,6 +374,107 @@ SELECT repo, path, symbol, def_repo, def_path, link_score FROM win WHERE rn = 1
 """
 
 
+def _closed_form_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic ground-truth winner links — the Spark twin of
+    SQL_KG_LINKED's CTEs, derived purely from doc_id arithmetic with no
+    regex extraction anywhere, so comparing it against the pipeline
+    measures the pipeline (extract + dictionary linking) and not
+    itself."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    i = F.col("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.concat(F.lit("repo-0"), (i % 7).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/pkg"), (i % 13).cast("string"),
+            F.lit("/mod_"), i.cast("string"), F.lit(".py"),
+        ).alias("path"),
+    )
+    f_sym = F.concat(F.lit("f_"), i.cast("string"), F.lit("_0"))
+    defs = base.select("doc_id", "repo", "path", f_sym.alias("symbol")).unionByName(
+        base.where(i % 2 == 0).select(
+            "doc_id", "repo", "path",
+            F.concat(F.lit("shared_"), (i % 50).cast("string")).alias("symbol"),
+        )
+    )
+    calls = None
+    for off, gate in ((10, None), (17, 1), (24, 2), (31, 3)):
+        t = (i * 13 + off) % n
+        part = base.select(
+            "doc_id", "repo", "path",
+            F.concat(F.lit("f_"), t.cast("string"), F.lit("_0")).alias("symbol"),
+        )
+        if gate is not None:
+            part = part.where(i % 4 >= gate)
+        calls = part if calls is None else calls.unionByName(part)
+    calls = calls.unionByName(
+        base.select(
+            "doc_id", "repo", "path",
+            F.concat(F.lit("shared_"), ((i + 1) % 50).cast("string")).alias("symbol"),
+        )
+    )
+    cand = calls.alias("c").join(defs.alias("d"), "symbol").select(
+        F.col("c.repo").alias("repo"),
+        F.col("c.path").alias("path"),
+        F.col("symbol"),
+        F.col("d.repo").alias("def_repo"),
+        F.col("d.path").alias("def_path"),
+        (
+            F.when(F.col("c.repo") == F.col("d.repo"), 100).otherwise(0)
+            + F.when(F.col("c.doc_id") % 13 == F.col("d.doc_id") % 13, 10).otherwise(0)
+        ).cast("long").alias("link_score"),
+    )
+    w = Window.partitionBy("repo", "path", "symbol").orderBy(
+        F.col("link_score").desc(), F.col("def_repo").asc(), F.col("def_path").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("repo", "path", "symbol", "def_repo", "def_path")
+    )
+
+
+def q_kg_linking_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's P/R criterion as a first-class gated artifact:
+    precision/recall of the full extract+link pipeline's winner set
+    against arithmetic ground truth computed with NO shared code path
+    (operators/linking.py::precision_recall). The oracle knows the
+    winner count in closed form and pins P = R = 1.0 (10000
+    per-myriad) — any extraction or linking regression flips this gate
+    before it shows anywhere else."""
+    from pyjelly_spark.operators.linking import link_mentions, precision_recall
+
+    calls, defs = _mention_frames(spark, sf_dir)
+    predicted = link_mentions(calls, defs, broadcast_dictionary=True)
+    actual = _closed_form_links(spark, sf_dir)
+    return precision_recall(
+        predicted, actual, ["repo", "path", "symbol", "def_repo", "def_path"]
+    )
+
+
+SQL_KG_LINKING_PR = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+cand AS (
+  SELECT c.repo, c.path, c.symbol,
+         d.repo AS def_repo, d.path AS def_path,
+         (CASE WHEN c.repo = d.repo THEN 100 ELSE 0 END
+          + CASE WHEN (c.doc_id % 13) = (d.doc_id % 13) THEN 10 ELSE 0 END)::BIGINT AS link_score
+  FROM calls_gt c JOIN defs_gt d ON c.symbol = d.symbol
+),
+win AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path, symbol
+    ORDER BY link_score DESC, def_repo ASC, def_path ASC
+  ) AS rn FROM cand
+),
+sys AS (SELECT DISTINCT repo, path, symbol, def_repo, def_path FROM win WHERE rn = 1)
+SELECT count(*)::BIGINT AS tp, 0::BIGINT AS fp, 0::BIGINT AS fn,
+       10000::BIGINT AS precision_x10000, 10000::BIGINT AS recall_x10000
+FROM sys
+"""
+
+
 def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalization stage: colliding def sites -> connected components
     -> (def_site, canonical, component) triples."""
@@ -5295,6 +5396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_fuzzy_link": q_kg_fuzzy_link,
     "kg_summary": q_kg_summary,
     "kg_negatives": q_kg_negatives,
+    "kg_linking_pr": q_kg_linking_pr,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5418,6 +5520,7 @@ ORACLES: dict[str, str] = {
     "kg_fuzzy_link": SQL_KG_FUZZY_LINK,
     "kg_summary": SQL_KG_SUMMARY,
     "kg_negatives": SQL_KG_NEGATIVES,
+    "kg_linking_pr": SQL_KG_LINKING_PR,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

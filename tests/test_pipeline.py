@@ -636,3 +636,26 @@ def test_fuzzy_pairs_symspell_blocking(spark):
     assert got == {
         ("cat", "cats"), ("bat", "cat"), ("cat", "ct"), ("", "x"),
     }
+
+
+def test_precision_recall_imperfect_sets(spark):
+    from pyjelly_spark.operators.linking import precision_recall
+
+    predicted = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("x", 9)], "k: string, v: long"
+    )
+    actual = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("m", 7), ("n", 8)], "k: string, v: long"
+    )
+    row = precision_recall(predicted, actual, ["k", "v"]).collect()[0]
+    assert (row["tp"], row["fp"], row["fn"]) == (2, 2, 2)
+    assert row["precision_x10000"] == 5000 and row["recall_x10000"] == 5000
+    # floor scaling: 1/3 -> 3333
+    row2 = precision_recall(
+        predicted.limit(0).unionByName(
+            spark.createDataFrame([("a", 1), ("y", 5), ("z", 6)], "k: string, v: long")
+        ),
+        actual,
+        ["k", "v"],
+    ).collect()[0]
+    assert row2["precision_x10000"] == 3333 and row2["recall_x10000"] == 2500
