@@ -308,6 +308,75 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_kg_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned KG store with time travel
+    (sources/kg_store.py): commit the v1 and v2 triple sets as
+    immutable snapshots (manifest-log commit point), then diff them at
+    the triple level — the adds are v2's new sha256/import rows, the
+    dels everything belonging to deleted files plus superseded shas.
+    The oracle reconstructs both snapshots in closed form and closes
+    the delta with EXCEPTs."""
+    import shutil
+    import tempfile
+
+    from pyjelly_spark.sources.kg_store import diff_snapshots, write_kg_snapshot
+
+    v1 = _spo(X.extract_all(derived_source_files(spark, sf_dir)))
+    v2 = _spo(X.extract_all(derived_source_files_v2(spark, sf_dir)))
+    path = tempfile.mkdtemp(prefix="kg_snap_")
+    try:
+        assert write_kg_snapshot(v1, path) == 1
+        assert write_kg_snapshot(v2, path) == 2
+        result = (
+            diff_snapshots(spark, path, 1, 2)
+            .orderBy("op", "s", "p", "o")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+SQL_KG_TIMETRAVEL = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+{ALL_TRIPLES_CTE},
+files2 AS (
+  SELECT doc_id, n, repo, path, file_iri,
+    CASE WHEN doc_id % 10 = 0
+      THEN content || chr(10) || 'import pkg' || (((doc_id*7 + 5) % n) % 13)
+           || '.mod_' || ((doc_id*7 + 5) % n)
+      ELSE content END AS content
+  FROM files WHERE doc_id % 17 <> 3
+),
+surv AS (SELECT file_iri FROM files WHERE doc_id % 17 <> 3),
+imports2 AS (
+  SELECT i.file_iri, i.t
+  FROM imports_gt i JOIN surv s ON i.file_iri = s.file_iri
+  UNION
+  SELECT file_iri, (doc_id*7 + 5) % n AS t FROM files2 WHERE doc_id % 10 = 0
+),
+triples2 AS (
+  SELECT 'http://kg.example/repo/' || repo AS s, '{NS}contains' AS p, file_iri AS o FROM files2
+  UNION ALL SELECT file_iri, '{NS}lang', 'python' FROM files2
+  UNION ALL SELECT file_iri, '{NS}sha256', sha256(content) FROM files2
+  UNION ALL SELECT file_iri, '{NS}imports',
+    'http://kg.example/module/pkg' || (t % 13) || '.mod_' || t FROM imports2
+  UNION ALL SELECT d.file_iri, '{NS}defines',
+    'http://kg.example/symbol/' || d.symbol
+    FROM defs_gt d JOIN surv s ON d.file_iri = s.file_iri
+  UNION ALL SELECT c.file_iri, '{NS}calls',
+    'http://kg.example/symbol/' || c.symbol
+    FROM calls_gt c JOIN surv s ON c.file_iri = s.file_iri
+),
+added AS (SELECT s, p, o FROM triples2 EXCEPT SELECT s, p, o FROM triples),
+removed AS (SELECT s, p, o FROM triples EXCEPT SELECT s, p, o FROM triples2)
+SELECT 'add' AS op, s, p, o FROM added
+UNION ALL
+SELECT 'del' AS op, s, p, o FROM removed
+ORDER BY op, s, p, o
+"""
+
+
 def q_kg_void(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3C VoID property-partition descriptors for the constructed KG:
     per predicate, void:triples / void:distinctSubjects /
@@ -5397,6 +5466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_summary": q_kg_summary,
     "kg_negatives": q_kg_negatives,
     "kg_linking_pr": q_kg_linking_pr,
+    "kg_timetravel": q_kg_timetravel,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5521,6 +5591,7 @@ ORACLES: dict[str, str] = {
     "kg_summary": SQL_KG_SUMMARY,
     "kg_negatives": SQL_KG_NEGATIVES,
     "kg_linking_pr": SQL_KG_LINKING_PR,
+    "kg_timetravel": SQL_KG_TIMETRAVEL,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

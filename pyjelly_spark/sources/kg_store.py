@@ -101,3 +101,99 @@ def bgp_match_store(
     all_patterns = list(patterns) + list(kwargs.get("optional", ()))
     graphs = [graph_for(p) for (_s, p, _o) in all_patterns]
     return bgp_match(graphs, patterns, **kwargs)
+
+
+# --- snapshot versioning (Iceberg-style time travel) -----------------------
+#
+# A versioned store is a directory of immutable snapshot layouts plus a
+# tiny manifest log:
+#   <path>/snap=<id>/...          predicate-partitioned parquet (immutable)
+#   <path>/_snapshots/<id>.json   commit record (row count, parent)
+# Readers resolve "latest" from the manifest log, never by mtime, so
+# concurrent writers on a shared store commit atomically (the manifest
+# write is the commit point — a crashed writer leaves an orphan data
+# dir that no reader ever resolves). All metadata I/O goes through
+# pyarrow.fs like the jelly writers, so executors/drivers on different
+# machines see the same store.
+
+
+def _snap_fs(path: str):
+    from pyjelly_spark.sources.jelly_io import _fs_for
+
+    return _fs_for(path)
+
+
+def snapshots(path: str) -> list[int]:
+    """Committed snapshot ids, ascending."""
+    from pyjelly_spark.sources.jelly_io import _fs_listdir
+
+    filesystem, local = _snap_fs(path)
+    out = []
+    for p in _fs_listdir(filesystem, f"{local.rstrip('/')}/_snapshots"):
+        name = p.rsplit("/", 1)[-1]
+        if name.endswith(".json"):
+            out.append(int(name[: -len(".json")]))
+    return sorted(out)
+
+
+def write_kg_snapshot(
+    triples: DataFrame, path: str, snapshot_id: int | None = None
+) -> int:
+    """Commit a new immutable snapshot of the store; returns its id.
+
+    The data directory is written first, the manifest record last —
+    the manifest IS the commit (readers only resolve manifested ids).
+    """
+    import json
+
+    existing = snapshots(path)
+    sid = snapshot_id if snapshot_id is not None else (
+        existing[-1] + 1 if existing else 1
+    )
+    if sid in existing:
+        raise ValueError(f"snapshot {sid} already committed")
+    base = path.rstrip("/")
+    write_kg_store(triples, f"{base}/snap={sid}", mode="errorifexists")
+    filesystem, local = _snap_fs(path)
+    meta_dir = f"{local.rstrip('/')}/_snapshots"
+    filesystem.create_dir(meta_dir, recursive=True)
+    record = json.dumps(
+        {"snapshot": sid, "parent": existing[-1] if existing else None}
+    ).encode()
+    with filesystem.open_output_stream(f"{meta_dir}/{sid}.json") as out:
+        out.write(record)
+    return sid
+
+
+def read_kg_snapshot(
+    spark: SparkSession, path: str, snapshot: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot (default: latest) — time travel is
+    just naming an older id."""
+    ids = snapshots(path)
+    if not ids:
+        raise ValueError(f"no committed snapshots under {path}")
+    sid = ids[-1] if snapshot is None else snapshot
+    if sid not in ids:
+        raise ValueError(f"snapshot {sid} not committed (have {ids})")
+    return read_kg_store(spark, f"{path.rstrip('/')}/snap={sid}")
+
+
+def diff_snapshots(
+    spark: SparkSession, path: str, old: int, new: int
+) -> DataFrame:
+    """Triple-level delta between two snapshots: (op, s, p, o) with op
+    'add' (in new only) or 'del' (in old only). Two left-anti joins on
+    the full key — no window, no collect; at scale both sides are
+    partition-pruned scans of immutable data."""
+    # set semantics (a store is a triple SET): dedupe both sides so the
+    # delta matches EXCEPT, not per-row anti-join multiplicities
+    a = read_kg_snapshot(spark, path, old).select("s", "p", "o").distinct()
+    b = read_kg_snapshot(spark, path, new).select("s", "p", "o").distinct()
+    added = b.join(a, ["s", "p", "o"], "left_anti").select(
+        F.lit("add").alias("op"), "s", "p", "o"
+    )
+    removed = a.join(b, ["s", "p", "o"], "left_anti").select(
+        F.lit("del").alias("op"), "s", "p", "o"
+    )
+    return added.unionByName(removed)

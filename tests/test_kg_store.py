@@ -88,3 +88,44 @@ def test_bgp_match_store_parity(spark, store):
         for r in bgp_match_store(spark, store, patterns, optional=optional).collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_snapshot_commit_timetravel_and_diff(spark):
+    import pytest as _pytest
+
+    from pyjelly_spark.sources.kg_store import (
+        diff_snapshots,
+        read_kg_snapshot,
+        snapshots,
+        write_kg_snapshot,
+    )
+
+    path = tempfile.mkdtemp(prefix="kg_snap_test_")
+    try:
+        v1 = spark.createDataFrame(
+            [("s1", "p", "a"), ("s2", "p", "b")], "s: string, p: string, o: string"
+        )
+        v2 = spark.createDataFrame(
+            [("s1", "p", "a"), ("s3", "q", "c")], "s: string, p: string, o: string"
+        )
+        assert snapshots(path) == []
+        assert write_kg_snapshot(v1, path) == 1
+        assert write_kg_snapshot(v2, path) == 2
+        assert snapshots(path) == [1, 2]
+        # time travel: snapshot 1 is immutable and still readable
+        old = {(r["s"], r["o"]) for r in read_kg_snapshot(spark, path, 1).collect()}
+        assert old == {("s1", "a"), ("s2", "b")}
+        # latest by default
+        new = {(r["s"], r["o"]) for r in read_kg_snapshot(spark, path).collect()}
+        assert new == {("s1", "a"), ("s3", "c")}
+        got = {
+            (r["op"], r["s"], r["o"])
+            for r in diff_snapshots(spark, path, 1, 2).collect()
+        }
+        assert got == {("add", "s3", "c"), ("del", "s2", "b")}
+        with _pytest.raises(ValueError):
+            write_kg_snapshot(v1, path, snapshot_id=2)  # double commit
+        with _pytest.raises(ValueError):
+            read_kg_snapshot(spark, path, 9)            # unknown snapshot
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
