@@ -197,3 +197,38 @@ def diff_snapshots(
         F.lit("del").alias("op"), "s", "p", "o"
     )
     return added.unionByName(removed)
+
+
+def vacuum(path: str) -> list[str]:
+    """Remove snapshot data directories not referenced by any committed
+    manifest — the garbage a crashed writer leaves behind (its data dir
+    exists, its commit record does not). Never touches committed
+    snapshots; returns the removed directory names."""
+    from pyjelly_spark.sources.jelly_io import _fs_listdir
+
+    committed = {f"snap={sid}" for sid in snapshots(path)}
+    filesystem, local = _snap_fs(path)
+    removed = []
+    for p in _fs_listdir(filesystem, local.rstrip("/")):
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith("snap=") and name not in committed:
+            filesystem.delete_dir(p)
+            removed.append(name)
+    return removed
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    snapshot: int | None = None,
+    files_per_predicate: int = 1,
+) -> int:
+    """Small-file compaction: rewrite a snapshot's triples into a NEW
+    committed snapshot with ``files_per_predicate`` files per predicate
+    partition (repartitioned by predicate so each partition's rows
+    coalesce), leaving the source snapshot immutable for time travel.
+    Returns the new snapshot id — readers following "latest" pick up
+    the compacted layout on their next resolve."""
+    df = read_kg_snapshot(spark, path, snapshot).select("s", "p", "o")
+    balanced = df.repartition(files_per_predicate, "p")
+    return write_kg_snapshot(balanced, path)

@@ -129,3 +129,45 @@ def test_snapshot_commit_timetravel_and_diff(spark):
             read_kg_snapshot(spark, path, 9)            # unknown snapshot
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_vacuum_and_compaction(spark):
+    import glob
+    import os
+
+    from pyjelly_spark.sources.kg_store import (
+        compact_snapshot,
+        read_kg_snapshot,
+        snapshots,
+        vacuum,
+        write_kg_snapshot,
+    )
+
+    path = tempfile.mkdtemp(prefix="kg_vac_test_")
+    try:
+        df = spark.createDataFrame(
+            [(f"s{i}", "p" if i % 2 else "q", f"o{i}") for i in range(40)],
+            "s: string, p: string, o: string",
+        )
+        assert write_kg_snapshot(df.repartition(8), path) == 1
+        # simulate a crashed writer: data dir without a commit record
+        os.makedirs(os.path.join(path, "snap=99", "p_part=zz"), exist_ok=True)
+        assert vacuum(path) == ["snap=99"]
+        assert not os.path.exists(os.path.join(path, "snap=99"))
+        assert snapshots(path) == [1]  # committed snapshot untouched
+
+        sid = compact_snapshot(spark, path, files_per_predicate=1)
+        assert sid == 2
+        before = {
+            tuple(r) for r in read_kg_snapshot(spark, path, 1).select("s", "p", "o").collect()
+        }
+        after = {
+            tuple(r) for r in read_kg_snapshot(spark, path, 2).select("s", "p", "o").collect()
+        }
+        assert before == after  # content identical
+        # compaction reduced per-partition file counts to 1
+        n1 = len(glob.glob(os.path.join(path, "snap=1", "p_part=p", "*.parquet")))
+        n2 = len(glob.glob(os.path.join(path, "snap=2", "p_part=p", "*.parquet")))
+        assert n1 > 1 and n2 == 1
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
