@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "kg_summary",
     "kg_negatives",
     "kg_linking_pr",
+    "kg_ivm",
 ]
 
 

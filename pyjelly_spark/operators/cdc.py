@@ -101,3 +101,34 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop(op_col)
     )
+
+
+def maintain_counts(
+    view: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    count_col: str = "n",
+    op_col: str = "op",
+    add_op: str = "add",
+) -> DataFrame:
+    """Incremental view maintenance for count aggregates: apply a
+    (op, keys) delta stream to a materialized per-key count view
+    without recomputing from base data — adds contribute +1, every
+    other op -1, groups that reach zero vanish. One groupBy over the
+    (small) delta plus one full-outer join against the view: cost
+    scales with |delta| + |view|, never with the base relation, which
+    is the whole point of IVM at 100 TB."""
+    d = delta.groupBy(*keys).agg(
+        F.sum(
+            F.when(F.col(op_col) == add_op, F.lit(1)).otherwise(F.lit(-1))
+        ).cast("long").alias("__d")
+    )
+    merged = view.join(d, list(keys), "full")
+    new_n = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(
+        F.col("__d"), F.lit(0)
+    )
+    return (
+        merged.withColumn(count_col, new_n.cast("long"))
+        .where(F.col(count_col) > 0)
+        .drop("__d")
+    )

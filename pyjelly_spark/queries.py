@@ -377,6 +377,55 @@ ORDER BY op, s, p, o
 """
 
 
+def q_kg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-predicate triple-count
+    view of KG v1, maintained to v2 by applying ONLY the snapshot
+    delta (operators/cdc.py::maintain_counts over the diff_snapshots-
+    shaped add/del stream) — never rescanning the base. The oracle
+    recomputes v2's counts from scratch in closed form; the gate
+    proves maintained == recomputed."""
+    from pyjelly_spark.operators.cdc import maintain_counts
+
+    v1 = _spo(X.extract_all(derived_source_files(spark, sf_dir))).distinct()
+    v2 = _spo(X.extract_all(derived_source_files_v2(spark, sf_dir))).distinct()
+    view = v1.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    delta = (
+        v2.join(v1, ["s", "p", "o"], "left_anti")
+        .select(F.lit("add").alias("op"), "p")
+        .unionByName(
+            v1.join(v2, ["s", "p", "o"], "left_anti")
+            .select(F.lit("del").alias("op"), "p")
+        )
+    )
+    return maintain_counts(view, delta, ["p"]).orderBy("p")
+
+
+SQL_KG_IVM = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+files2 AS (
+  SELECT doc_id, n, repo, path, file_iri, content
+  FROM files WHERE doc_id % 17 <> 3
+),
+imports2 AS (
+  SELECT i.file_iri, i.t
+  FROM imports_gt i JOIN files2 f ON i.file_iri = f.file_iri
+  UNION
+  SELECT file_iri, (doc_id*7 + 5) % n AS t FROM files2 WHERE doc_id % 10 = 0
+),
+counts2 AS (
+  SELECT '{NS}contains' AS p, count(*) AS n FROM files2
+  UNION ALL SELECT '{NS}lang', count(*) FROM files2
+  UNION ALL SELECT '{NS}sha256', count(*) FROM files2
+  UNION ALL SELECT '{NS}imports', count(*) FROM imports2
+  UNION ALL SELECT '{NS}defines', count(*)
+    FROM defs_gt d JOIN files2 f ON d.file_iri = f.file_iri
+  UNION ALL SELECT '{NS}calls', count(*)
+    FROM calls_gt c JOIN files2 f ON c.file_iri = f.file_iri
+)
+SELECT p, n::BIGINT AS n FROM counts2 WHERE n > 0 ORDER BY p
+"""
+
+
 def q_kg_void(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3C VoID property-partition descriptors for the constructed KG:
     per predicate, void:triples / void:distinctSubjects /
@@ -5467,6 +5516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_negatives": q_kg_negatives,
     "kg_linking_pr": q_kg_linking_pr,
     "kg_timetravel": q_kg_timetravel,
+    "kg_ivm": q_kg_ivm,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5592,6 +5642,7 @@ ORACLES: dict[str, str] = {
     "kg_negatives": SQL_KG_NEGATIVES,
     "kg_linking_pr": SQL_KG_LINKING_PR,
     "kg_timetravel": SQL_KG_TIMETRAVEL,
+    "kg_ivm": SQL_KG_IVM,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

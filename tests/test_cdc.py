@@ -92,3 +92,35 @@ def test_scd2_current_slice_equals_compacted_state(spark):
         (r["k"], r["payload"]) for r in compact_log(df, ["k"], ["seq"]).collect()
     }
     assert current == compacted
+
+
+def test_maintain_counts_matches_recompute_randomized(spark):
+    import random
+
+    from pyjelly_spark.operators.cdc import maintain_counts
+
+    rng = random.Random(5)
+    base = [(f"k{rng.randint(0, 6)}",) for _ in range(50)]
+    view_rows = {}
+    for (k,) in base:
+        view_rows[k] = view_rows.get(k, 0) + 1
+    # delta: removals only of existing rows, plus arbitrary adds
+    removable = list(base)
+    rng.shuffle(removable)
+    dels = removable[:15]
+    adds = [(f"k{rng.randint(0, 9)}",) for _ in range(20)]
+    delta = [("del", k) for (k,) in dels] + [("add", k) for (k,) in adds]
+    final = dict(view_rows)
+    for op, k in delta:
+        final[k] = final.get(k, 0) + (1 if op == "add" else -1)
+    expected = {k: n for k, n in final.items() if n > 0}
+
+    view_df = spark.createDataFrame(
+        [(k, n) for k, n in view_rows.items()], "k: string, n: long"
+    )
+    delta_df = spark.createDataFrame(delta, "op: string, k: string")
+    got = {
+        r["k"]: r["n"]
+        for r in maintain_counts(view_df, delta_df, ["k"]).collect()
+    }
+    assert got == expected

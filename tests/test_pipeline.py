@@ -659,3 +659,37 @@ def test_precision_recall_imperfect_sets(spark):
         ["k", "v"],
     ).collect()[0]
     assert row2["precision_x10000"] == 3333 and row2["recall_x10000"] == 2500
+
+
+def test_fuzzy_pairs_matches_bruteforce_randomized(spark):
+    """Property: SymSpell blocking + exact filter == brute-force
+    levenshtein(<=1) pairs, over random short strings where deletion
+    neighborhoods overlap heavily."""
+    import itertools
+    import random
+
+    from pyjelly_spark.operators.linking import fuzzy_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(11)
+    vocab = sorted({
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 4)))
+        for _ in range(40)
+    })
+    want = {
+        (a, b) for a, b in itertools.combinations(vocab, 2) if lev(a, b) <= 1
+    }
+    df = spark.createDataFrame([(t,) for t in vocab], "term: string")
+    got = {(r["term_a"], r["term_b"]) for r in fuzzy_pairs(df).collect()}
+    assert got == want and len(want) > 20
