@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "kg_negatives",
     "kg_linking_pr",
     "kg_ivm",
+    "sample_exact",
 ]
 
 

@@ -903,3 +903,36 @@ def familiarity_scores(docs: DataFrame, min_count: int = 3) -> DataFrame:
             "familiarity_x10000"
         ),
     )
+
+
+def stratified_sample_exact(
+    docs: DataFrame,
+    sizes: dict[str, int],
+    default_size: int = 0,
+    salt: str = "exact_sample",
+) -> DataFrame:
+    """Exact-size deterministic stratified sampling — eval-set
+    construction, where "about 10%" is not good enough: for each
+    stratum (language) keep exactly ``sizes[lang]`` documents (fewer
+    only if the stratum is smaller), chosen as the lowest content
+    hashes so membership is a pure function of the corpus. Unlike
+    ``stratified_sample``'s rate gate (shuffle-free, approximate
+    sizes), this ranks within each stratum: ONE hash exchange on the
+    stratum key, with ties on identical content broken by doc_id so
+    the cut is total.
+
+    Returns (doc_id, lang, rank) for the kept rows.
+    """
+    from pyspark.sql.window import Window
+
+    h = hex_hash(F.concat(normalized(F.col("text")), F.lit(":" + salt)))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    size = F.lit(default_size)
+    for lang, k in sizes.items():
+        size = F.when(F.col("lang") == lang, F.lit(k)).otherwise(size)
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= size)
+        .select("doc_id", "lang", "rank")
+    )

@@ -4554,6 +4554,38 @@ FROM f GROUP BY 1, 2
 """
 
 
+EXACT_SAMPLE_SIZES = {"en": 120, "de": 60, "fr": 30}
+
+
+def q_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic stratified sampling
+    (functions/text.py::stratified_sample_exact): keep exactly k docs
+    per language, chosen as the lowest content hashes — eval-set
+    construction where approximate rates are not acceptable. One hash
+    exchange on the stratum key."""
+    return T.stratified_sample_exact(
+        _t(spark, sf_dir, "documents"), EXACT_SAMPLE_SIZES, default_size=10
+    ).orderBy("lang", "rank")
+
+
+SQL_SAMPLE_EXACT = rf"""
+WITH f AS (
+  SELECT doc_id, lang,
+    ('0x' || substring(sha256({{norm}} || ':exact_sample'), 1, 15))::BIGINT AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+  FROM f
+)
+SELECT doc_id, lang, rank::BIGINT AS rank FROM r
+WHERE rank <= CASE lang WHEN 'en' THEN 120 WHEN 'de' THEN 60
+                        WHEN 'fr' THEN 30 ELSE 10 END
+ORDER BY lang, rank
+""".format(norm=NORM_SQL)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion dedup (operators/dedup.py::incremental_dedup):
     a deterministic incoming batch — every doc_id % 5 == 0 doc
@@ -5517,6 +5549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_linking_pr": q_kg_linking_pr,
     "kg_timetravel": q_kg_timetravel,
     "kg_ivm": q_kg_ivm,
+    "sample_exact": q_sample_exact,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5643,6 +5676,7 @@ ORACLES: dict[str, str] = {
     "kg_linking_pr": SQL_KG_LINKING_PR,
     "kg_timetravel": SQL_KG_TIMETRAVEL,
     "kg_ivm": SQL_KG_IVM,
+    "sample_exact": SQL_SAMPLE_EXACT,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,
