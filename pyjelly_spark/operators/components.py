@@ -958,19 +958,23 @@ def negative_samples(edges: DataFrame, k: int = 2, salt: str = "neg") -> DataFra
         (F.row_number().over(Window.orderBy("node")) - 1).cast("long").alias("idx"),
     )
     n_nodes = dict_df.count()
-    one = edges.select("src", "dst").distinct()
-    samples = None
-    for j in range(1, k + 1):
-        pick = F.pmod(
-            hex_hash(
-                F.concat(F.lit(f"{salt}:{j}:"), F.col("src"), F.lit(":"), F.col("dst"))
-            ),
-            F.lit(n_nodes),
-        )
-        part = one.select(
-            "src", "dst", F.lit(j).cast("long").alias("j"), pick.alias("idx")
-        )
-        samples = part if samples is None else samples.unionByName(part)
+    # one explode over the j values instead of k union branches: the
+    # edge derivation plans (and scans) once, not k times
+    one = edges.select("src", "dst").distinct().select(
+        "src",
+        "dst",
+        F.explode(F.array(*[F.lit(j).cast("long") for j in range(1, k + 1)])).alias("j"),
+    )
+    pick = F.pmod(
+        hex_hash(
+            F.concat(
+                F.lit(salt + ":"), F.col("j").cast("string"), F.lit(":"),
+                F.col("src"), F.lit(":"), F.col("dst"),
+            )
+        ),
+        F.lit(n_nodes),
+    )
+    samples = one.select("src", "dst", "j", pick.alias("idx"))
     return (
         samples.join(dict_df, "idx")
         .select("src", "dst", "j", F.col("node").alias("neg_node"))
