@@ -509,28 +509,31 @@ def _closed_form_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("/mod_"), i.cast("string"), F.lit(".py"),
         ).alias("path"),
     )
+    # explode of conditional branches instead of per-branch unions: the
+    # base derivation plans once (same trick as negative_samples)
     f_sym = F.concat(F.lit("f_"), i.cast("string"), F.lit("_0"))
-    defs = base.select("doc_id", "repo", "path", f_sym.alias("symbol")).unionByName(
-        base.where(i % 2 == 0).select(
-            "doc_id", "repo", "path",
-            F.concat(F.lit("shared_"), (i % 50).cast("string")).alias("symbol"),
-        )
+    shared_def = F.when(
+        i % 2 == 0, F.concat(F.lit("shared_"), (i % 50).cast("string"))
     )
-    calls = None
-    for off, gate in ((10, None), (17, 1), (24, 2), (31, 3)):
-        t = (i * 13 + off) % n
-        part = base.select(
-            "doc_id", "repo", "path",
-            F.concat(F.lit("f_"), t.cast("string"), F.lit("_0")).alias("symbol"),
-        )
-        if gate is not None:
-            part = part.where(i % 4 >= gate)
-        calls = part if calls is None else calls.unionByName(part)
-    calls = calls.unionByName(
+    defs = (
         base.select(
             "doc_id", "repo", "path",
-            F.concat(F.lit("shared_"), ((i + 1) % 50).cast("string")).alias("symbol"),
+            F.explode(F.array(f_sym, shared_def)).alias("symbol"),
         )
+        .where(F.col("symbol").isNotNull())
+    )
+    call_branches = []
+    for off, gate in ((10, None), (17, 1), (24, 2), (31, 3)):
+        t = (i * 13 + off) % n
+        sym = F.concat(F.lit("f_"), t.cast("string"), F.lit("_0"))
+        call_branches.append(sym if gate is None else F.when(i % 4 >= gate, sym))
+    call_branches.append(F.concat(F.lit("shared_"), ((i + 1) % 50).cast("string")))
+    calls = (
+        base.select(
+            "doc_id", "repo", "path",
+            F.explode(F.array(*call_branches)).alias("symbol"),
+        )
+        .where(F.col("symbol").isNotNull())
     )
     cand = calls.alias("c").join(defs.alias("d"), "symbol").select(
         F.col("c.repo").alias("repo"),
