@@ -4744,6 +4744,38 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "cents", "s8", "q8")
 
 
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator gate #3: the streaming MERGE
+    (applyInPandasWithState last-writer-wins per user, state carried
+    across micro-batches) drained with availableNow must equal batch
+    change-log compaction over the same derived log — same (ts,
+    event_id) total order, same delete semantics
+    (streaming/jobs.py::cdc_view)."""
+    from pyjelly_spark.streaming.jobs import run_stream_cdc_batchmode
+
+    return run_stream_cdc_batchmode(
+        spark, f"{sf_dir}/events.parquet"
+    ).orderBy("user_id")
+
+
+SQL_STREAM_CDC = """
+WITH changes AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         ts, event_id, event_type AS state,
+         floor(value * 100)::BIGINT AS val_cents
+  FROM events WHERE event_id % 5 <> 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM changes
+)
+SELECT user_id, state, val_cents
+FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id
+"""
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator gate: applyInPandasWithState
     sessionization (30-min gap, state carried across micro-batches)
@@ -5553,6 +5585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_timetravel": q_kg_timetravel,
     "kg_ivm": q_kg_ivm,
     "sample_exact": q_sample_exact,
+    "stream_cdc": q_stream_cdc,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5680,6 +5713,7 @@ ORACLES: dict[str, str] = {
     "kg_timetravel": SQL_KG_TIMETRAVEL,
     "kg_ivm": SQL_KG_IVM,
     "sample_exact": SQL_SAMPLE_EXACT,
+    "stream_cdc": SQL_STREAM_CDC,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

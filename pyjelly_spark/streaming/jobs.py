@@ -538,3 +538,112 @@ def run_stream_anomaly_batchmode(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+# --- streaming CDC: last-writer-wins upsert view ---------------------------
+
+CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_us", LongType(), True),
+        StructField("event_id", LongType(), True),
+        StructField("st", StringType(), True),
+        StructField("val", LongType(), True),
+        StructField("op", StringType(), True),
+        StructField("ver", LongType(), True),
+    ]
+)
+
+CDC_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("ver", LongType(), False),
+        StructField("op", StringType(), False),
+        StructField("state", StringType(), True),
+        StructField("val_cents", LongType(), True),
+    ]
+)
+
+
+def _cdc_state(key, batches, state):
+    """Per-key last-writer-wins under the (ts, event_id) total order,
+    carried across micro-batches; emits the running winner once per
+    batch the key appears in, with a monotonically increasing version
+    so downstream keeps only each key's final emission. Deterministic
+    under ANY file->micro-batch split: the state compares the batch
+    winner against the carried winner on the same total order the
+    batch oracle uses."""
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        ts_us, eid, st, val, op, ver = state.get
+    else:
+        ts_us, eid, st, val, op, ver = -1, -1, None, None, None, 0
+    outs = []
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        t = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        e = pdf["event_id"].to_numpy(dtype="int64")
+        i = int(np.lexsort((e, t))[-1])  # batch winner under (ts, event_id)
+        if (int(t[i]), int(e[i])) > (ts_us, eid):
+            ts_us, eid = int(t[i]), int(e[i])
+            et = str(pdf["event_type"].iloc[i])
+            op = "D" if et == "error" else "U"
+            st = et
+            val = int(np.floor(float(pdf["value"].iloc[i]) * 100))
+        ver += 1
+        outs.append(
+            pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "ver": [ver],
+                    "op": [op],
+                    "state": [st],
+                    "val_cents": [val],
+                }
+            )
+        )
+    state.update((ts_us, eid, st, val, op, ver))
+    yield from outs
+
+
+def cdc_view(changes: DataFrame) -> DataFrame:
+    """applyInPandasWithState streaming MERGE: the per-user running
+    winner stream (filter to each key's max ``ver`` and drop op='D'
+    rows to materialize the current upsert view)."""
+    return changes.groupBy("user_id").applyInPandasWithState(
+        _cdc_state,
+        outputStructType=CDC_OUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_cdc_batchmode(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Drain the change log through the stateful MERGE; the final
+    emission per key (max ver), minus deletes, must equal batch
+    compact_log over the same log."""
+    from pyspark.sql.window import Window
+
+    events = read_event_stream(spark, events_dir)
+    changes = events.where(F.col("event_id") % 5 != 0)
+    name = "stream_cdc_sink"
+    with _drain_partitions(spark):
+        q = (
+            cdc_view(changes)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    emitted = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("ver").desc())
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("op") != "D"))
+        .select("user_id", "state", "val_cents")
+    )

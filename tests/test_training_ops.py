@@ -1115,3 +1115,51 @@ def test_rolling_anomaly_state_carries_across_batches():
     pd.testing.assert_frame_equal(
         whole.reset_index(drop=True), split.reset_index(drop=True)
     )
+
+
+def test_cdc_state_carries_across_batches():
+    """The streaming MERGE's final state per key must not depend on the
+    file->micro-batch split: the carried (ts, event_id) winner makes
+    out-of-order batch delivery converge to the batch answer."""
+    import numpy as np
+    import pandas as pd
+
+    from pyjelly_spark.streaming.jobs import _cdc_state
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    n = 30
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime(np.arange(n), unit="s"),
+            "user_id": np.full(n, 1, dtype="int64"),
+            "event_type": ["click"] * (n - 1) + ["view"],
+            "value": np.linspace(1.0, 4.0, n),
+        }
+    )
+
+    def final(batches):
+        st = FakeState()
+        out = []
+        for b in batches:
+            out.extend(_cdc_state((1,), iter([b]), st))
+        allout = pd.concat(out)
+        return tuple(allout.sort_values("ver").iloc[-1][["op", "state", "val_cents"]])
+
+    whole = final([pdf])
+    split = final([pdf.iloc[:10], pdf.iloc[10:25], pdf.iloc[25:]])
+    # out-of-order delivery: the later batch arrives first
+    ooo = final([pdf.iloc[15:], pdf.iloc[:15]])
+    assert whole == split == ooo == ("U", "view", 400)
