@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "kg_linking_pr",
     "kg_ivm",
     "sample_exact",
+    "stream_cdc",
 ]
 
 
