@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "kg_ivm",
     "sample_exact",
     "stream_cdc",
+    "events_grouping_sets",
 ]
 
 

@@ -5463,6 +5463,46 @@ ORDER BY term_a, term_b
 """
 
 
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond cube/rollup: the exact aggregation lattice
+    ((type, hour), (type), ()) with per-column GROUPING() indicators —
+    one pass, Spark's expand-based plan. Hours are integer offsets from
+    the corpus epoch computed NTZ-to-NTZ (timezone-independent); the
+    oracle runs the identical lattice in DuckDB."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_gs_v")
+    return spark.sql("""
+        SELECT event_type, hr_off,
+               grouping(event_type) AS g_type, grouping(hr_off) AS g_hr,
+               count(*) AS n, sum(cents) AS sum_cents
+        FROM (
+          SELECT event_type,
+                 timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)
+                   AS hr_off,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events_gs_v
+        )
+        GROUP BY GROUPING SETS ((event_type, hr_off), (event_type), ())
+        ORDER BY g_type, g_hr, event_type, hr_off
+    """)
+
+
+SQL_EVENTS_GROUPING_SETS = """
+WITH f AS (
+  SELECT event_type,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+           // 3600000000 AS hr_off,
+         floor(value * 100)::BIGINT AS cents
+  FROM events
+)
+SELECT event_type, hr_off,
+       grouping(event_type)::INT AS g_type, grouping(hr_off)::INT AS g_hr,
+       count(*)::BIGINT AS n, sum(cents)::BIGINT AS sum_cents
+FROM f
+GROUP BY GROUPING SETS ((event_type, hr_off), (event_type), ())
+ORDER BY g_type, g_hr, event_type, hr_off
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5586,6 +5626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ivm": q_kg_ivm,
     "sample_exact": q_sample_exact,
     "stream_cdc": q_stream_cdc,
+    "events_grouping_sets": q_events_grouping_sets,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5714,6 +5755,7 @@ ORACLES: dict[str, str] = {
     "kg_ivm": SQL_KG_IVM,
     "sample_exact": SQL_SAMPLE_EXACT,
     "stream_cdc": SQL_STREAM_CDC,
+    "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,
