@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "sample_exact",
     "stream_cdc",
     "events_grouping_sets",
+    "events_cep",
 ]
 
 

@@ -5463,6 +5463,60 @@ ORDER BY term_a, term_b
 """
 
 
+def q_events_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained sequence matching (operators/cep.py::
+    match_sequence): users whose view -> click -> purchase chain
+    completes with each step within 48 hours of the previous, under
+    greedy earliest extension — the MATCH_RECOGNIZE / Flink-CEP
+    analogue beside the unbounded-time funnel. Timestamps exported as
+    NTZ-computed epoch microseconds; the oracle unrolls the same
+    greedy recurrence."""
+    from pyjelly_spark.operators.cep import match_sequence
+
+    m = match_sequence(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        within_s=172800,
+    )
+    epoch0 = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+    return m.select(
+        "user_id",
+        *[
+            F.expr(f"timestampdiff(MICROSECOND, {epoch0}, t_{i})").alias(f"t{i}_us")
+            for i in (1, 2, 3)
+        ],
+    ).orderBy("user_id")
+
+
+SQL_EVENTS_CEP = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 172800 SECOND
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 172800 SECOND
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+  (epoch_us(t1) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))::BIGINT AS t1_us,
+  (epoch_us(t2) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))::BIGINT AS t2_us,
+  (epoch_us(t3) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))::BIGINT AS t3_us
+FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+JOIN s3 ON s1.user_id = s3.user_id
+ORDER BY s1.user_id
+"""
+
+
 def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS beyond cube/rollup: the exact aggregation lattice
     ((type, hour), (type), ()) with per-column GROUPING() indicators —
@@ -5627,6 +5681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_exact": q_sample_exact,
     "stream_cdc": q_stream_cdc,
     "events_grouping_sets": q_events_grouping_sets,
+    "events_cep": q_events_cep,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5756,6 +5811,7 @@ ORACLES: dict[str, str] = {
     "sample_exact": SQL_SAMPLE_EXACT,
     "stream_cdc": SQL_STREAM_CDC,
     "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
+    "events_cep": SQL_EVENTS_CEP,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

@@ -55,6 +55,7 @@ AUDITED = [
     "kg_ivm",
     "sample_exact",
     "events_grouping_sets",
+    "events_cep",
 ]
 # kg_sameas and kg_owl are additionally excluded from the audit for the
 # same reason as kg_reachable: connected components / path-doubling

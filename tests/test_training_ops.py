@@ -1163,3 +1163,36 @@ def test_cdc_state_carries_across_batches():
     # out-of-order delivery: the later batch arrives first
     ooo = final([pdf.iloc[15:], pdf.iloc[:15]])
     assert whole == split == ooo == ("U", "view", 400)
+
+
+def test_match_sequence_greedy_and_window(spark):
+    import datetime as dt
+
+    from pyjelly_spark.operators.cep import match_sequence
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, typ, sec):
+        return (uid, typ, t0 + dt.timedelta(seconds=sec))
+
+    rows = [
+        # u1: full chain inside the window
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 15),
+        # u2: click arrives too late after the first view -> no match,
+        # even though a later view (at 100) would have qualified:
+        # greedy anchors at the EARLIEST view (documented semantics)
+        ev(2, "view", 0), ev(2, "view", 100), ev(2, "click", 105),
+        ev(2, "purchase", 110),
+        # u3: step order violated (purchase before click)
+        ev(3, "view", 0), ev(3, "purchase", 5), ev(3, "click", 10),
+        # u4: boundary - click exactly at the window edge qualifies (<=)
+        ev(4, "view", 0), ev(4, "click", 30), ev(4, "purchase", 60),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, event_type: string, ts: timestamp_ntz")
+    got = {
+        r["user_id"]: (r["t_1"], r["t_2"], r["t_3"])
+        for r in match_sequence(df, ["view", "click", "purchase"], within_s=30).collect()
+    }
+    assert set(got) == {1, 4}
+    assert got[1] == (t0, t0 + dt.timedelta(seconds=10), t0 + dt.timedelta(seconds=15))
+    assert got[4][1] == t0 + dt.timedelta(seconds=30)  # inclusive edge
