@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "stream_cdc",
     "events_grouping_sets",
     "events_cep",
+    "doc_curation",
 ]
 
 

@@ -3043,6 +3043,85 @@ FROM v
 """
 
 
+def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE gated artifact — exact
+    dedup (keep lowest doc_id per content fingerprint) -> Gopher
+    quality filter -> PII redaction counting -> content-hash train/val
+    split, aggregated per (lang, split). Every stage is an
+    already-gated operator; this gate proves they COMPOSE (the 100 TB
+    product is the chain, not the pieces). Plan shape: one fingerprint
+    exchange for dedup, then three narrow maps joined on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = (
+        T.fingerprints(docs)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(canon, "doc_id")
+    gf = T.gopher_filter(kept).where(F.col("keep") == 1).select("doc_id", "n_words")
+    pii = T.pii_scrub(kept).select(
+        "doc_id",
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_secret")).alias("n_red"),
+    )
+    sp = T.train_val_split(kept).select("doc_id", "lang", "split")
+    return (
+        gf.join(pii, "doc_id")
+        .join(sp, "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("sum_words"),
+            F.sum("n_red").cast("long").alias("sum_redactions"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+_FSV_KEPT = (
+    SQL_DOC_FILTER.split("\nSELECT doc_id,", 1)[0]
+    .strip()[len("WITH "):]
+    .replace("FROM documents", "FROM kept", 1)
+)
+
+SQL_DOC_CURATION = rf"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256({NORM_SQL})
+),
+kept AS (SELECT d.* FROM documents d JOIN canon USING (doc_id)),
+{_FSV_KEPT},
+verdict AS (
+  SELECT doc_id, n_words,
+    ((CASE WHEN n_words BETWEEN 30 AND 100000 THEN 1 ELSE 0 END)
+     * (CASE WHEN mean_word_len_x10k BETWEEN 30000 AND 100000 THEN 1 ELSE 0 END)
+     * (CASE WHEN distinct_ratio_x10k >= 3500 THEN 1 ELSE 0 END)
+     * (CASE WHEN top_term_ratio_x10k <= 1500 THEN 1 ELSE 0 END)
+     * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)) AS keep
+  FROM v
+),
+pii AS (
+  SELECT doc_id,
+    (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+     + len(regexp_extract_all(text, '{_PII_IPV4}'))
+     + len(regexp_extract_all(text, '{_PII_SECRET}')))::BIGINT AS n_red
+  FROM kept
+),
+sp AS (
+  SELECT doc_id, lang,
+    CASE WHEN ('0x' || substring(sha256({NORM_SQL}), 1, 15))::BIGINT % 100 < 90
+      THEN 'train' ELSE 'val' END AS split
+  FROM kept
+)
+SELECT sp.lang, sp.split,
+       count(*)::BIGINT AS n_docs,
+       sum(verdict.n_words)::BIGINT AS sum_words,
+       sum(pii.n_red)::BIGINT AS sum_redactions
+FROM verdict JOIN pii USING (doc_id) JOIN sp USING (doc_id)
+WHERE verdict.keep = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs sharing any word 5-gram with
     the val split (functions/text.py::decontaminate)."""
@@ -5682,6 +5761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cdc": q_stream_cdc,
     "events_grouping_sets": q_events_grouping_sets,
     "events_cep": q_events_cep,
+    "doc_curation": q_doc_curation,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5812,6 +5892,7 @@ ORACLES: dict[str, str] = {
     "stream_cdc": SQL_STREAM_CDC,
     "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
     "events_cep": SQL_EVENTS_CEP,
+    "doc_curation": SQL_DOC_CURATION,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

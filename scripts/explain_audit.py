@@ -56,6 +56,7 @@ AUDITED = [
     "sample_exact",
     "events_grouping_sets",
     "events_cep",
+    "doc_curation",
 ]
 # kg_sameas and kg_owl are additionally excluded from the audit for the
 # same reason as kg_reachable: connected components / path-doubling
