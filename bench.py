@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "events_grouping_sets",
     "events_cep",
     "doc_curation",
+    "events_twap",
+    "events_ohlc",
 ]
 
 

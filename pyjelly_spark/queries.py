@@ -5596,6 +5596,113 @@ ORDER BY s1.user_id
 """
 
 
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation
+    weighted by its holding interval (microseconds until the user's
+    next event; the open last interval is excluded). Integer-exact —
+    numerator/denominator sums and the floor-divided x100 average are
+    all int64, so the gate is bit-exact. One user-keyed window."""
+    ev = _t(spark, sf_dir, "events")
+    epoch0 = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(f"timestampdiff(MICROSECOND, {epoch0}, ts)").alias("off_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("off_us", "event_id")
+    with_dt = base.withColumn("dt_us", F.lead("off_us").over(w) - F.col("off_us"))
+    return (
+        with_dt.where(F.col("dt_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dt_us")).cast("long").alias("num"),
+            F.sum("dt_us").cast("long").alias("den"),
+        )
+        .select(
+            "user_id",
+            "num",
+            "den",
+            F.floor(F.col("num") / F.col("den")).cast("long").alias("twap_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_EVENTS_TWAP = """
+WITH base AS (
+  SELECT user_id, event_id,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))::BIGINT
+           AS off_us,
+         floor(value * 100)::BIGINT AS cents
+  FROM events
+),
+d AS (
+  SELECT *, lead(off_us) OVER (
+    PARTITION BY user_id ORDER BY off_us, event_id) - off_us AS dt_us
+  FROM base
+)
+SELECT user_id, sum(cents * dt_us)::BIGINT AS num, sum(dt_us)::BIGINT AS den,
+       (sum(cents * dt_us) // sum(dt_us))::BIGINT AS twap_cents
+FROM d WHERE dt_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling: per (event_type, hour) the open/high/low/
+    close of the integer cents series, with open/close selected by
+    max_by/min_by over a collision-free composite (time, event_id) key
+    (decimal in Spark, HUGEINT in DuckDB — same total order). One
+    aggregation, no window over the stream."""
+    ev = _t(spark, sf_dir, "events")
+    epoch0 = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+    base = ev.select(
+        "event_type",
+        F.expr(f"timestampdiff(MICROSECOND, {epoch0}, ts)").alias("off_us"),
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn(
+        "okey",
+        F.expr("cast(off_us as decimal(38,0)) * 1000000 + event_id"),
+    )
+    return (
+        base.withColumn("hr_off", (F.col("off_us") / 3_600_000_000).cast("long"))
+        .groupBy("event_type", "hr_off")
+        .agg(
+            F.expr("min_by(cents, okey)").alias("open"),
+            F.max("cents").alias("high"),
+            F.min("cents").alias("low"),
+            F.expr("max_by(cents, okey)").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type", "hr_off")
+    )
+
+
+SQL_EVENTS_OHLC = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))::BIGINT
+           AS off_us,
+         event_id, floor(value * 100)::BIGINT AS cents
+  FROM events
+),
+k AS (
+  SELECT *, off_us::HUGEINT * 1000000 + event_id AS okey,
+         off_us // 3600000000 AS hr_off
+  FROM base
+)
+SELECT event_type, hr_off,
+       arg_min(cents, okey)::BIGINT AS open,
+       max(cents)::BIGINT AS high,
+       min(cents)::BIGINT AS low,
+       arg_max(cents, okey)::BIGINT AS close,
+       count(*)::BIGINT AS n
+FROM k GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS beyond cube/rollup: the exact aggregation lattice
     ((type, hour), (type), ()) with per-column GROUPING() indicators —
@@ -5762,6 +5869,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_grouping_sets": q_events_grouping_sets,
     "events_cep": q_events_cep,
     "doc_curation": q_doc_curation,
+    "events_twap": q_events_twap,
+    "events_ohlc": q_events_ohlc,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -5893,6 +6002,8 @@ ORACLES: dict[str, str] = {
     "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
     "events_cep": SQL_EVENTS_CEP,
     "doc_curation": SQL_DOC_CURATION,
+    "events_twap": SQL_EVENTS_TWAP,
+    "events_ohlc": SQL_EVENTS_OHLC,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

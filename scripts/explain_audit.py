@@ -57,6 +57,8 @@ AUDITED = [
     "events_grouping_sets",
     "events_cep",
     "doc_curation",
+    "events_twap",
+    "events_ohlc",
 ]
 # kg_sameas and kg_owl are additionally excluded from the audit for the
 # same reason as kg_reachable: connected components / path-doubling
