@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "doc_curation",
     "events_twap",
     "events_ohlc",
+    "kg_truss",
 ]
 
 

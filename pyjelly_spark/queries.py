@@ -940,6 +940,73 @@ ORDER BY src, dst, j
 """.format(src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip())
 
 
+def q_kg_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=3) over the f_-symbol co-call graph — cohesive-
+    subgraph mining one refinement past triangle counting: iterative
+    support peeling keeps only edges closing >= 1 triangle in the
+    surviving subgraph, cascades included
+    (operators/components.py::truss_edges, degree-oriented wedges per
+    round). The oracle unrolls the same peeling recurrence; fixpoints
+    agree because extra unrolled rounds are no-ops once stable."""
+    from pyjelly_spark.operators.components import truss_edges
+
+    calls = _spo(X.extract_calls(derived_source_files(spark, sf_dir)))
+    sym = calls.select(
+        F.col("s").alias("file"),
+        F.regexp_extract("o", r"symbol/(.*)$", 1).alias("symbol"),
+    ).where(F.col("symbol").startswith("f_"))
+    pairs = (
+        sym.alias("x")
+        .join(
+            sym.alias("y"),
+            (F.col("x.symbol") == F.col("y.symbol"))
+            & (F.col("x.file") < F.col("y.file")),
+        )
+        .select(F.col("x.file").alias("src"), F.col("y.file").alias("dst"))
+    )
+    return truss_edges(pairs, k=3, max_rounds=10).orderBy("u", "v")
+
+
+def _truss_sql(k: int, rounds: int) -> str:
+    parts = []
+    for r in range(rounds):
+        parts.append(f"""
+t{r} AS MATERIALIZED (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM e{r} x JOIN e{r} y ON x.v = y.u
+  JOIN e{r} z ON z.u = x.u AND z.v = y.v
+),
+s{r} AS MATERIALIZED (
+  SELECT u, v, count(*)::BIGINT AS support FROM (
+    SELECT a AS u, b AS v FROM t{r}
+    UNION ALL SELECT b AS u, c AS v FROM t{r}
+    UNION ALL SELECT a AS u, c AS v FROM t{r}
+  ) GROUP BY u, v
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v, coalesce(s.support, 0)::BIGINT AS support
+  FROM e{r} e LEFT JOIN s{r} s ON e.u = s.u AND e.v = s.v
+  WHERE coalesce(s.support, 0) >= {k - 2}
+)""".strip())
+    chain = ",\n".join(parts)
+    return f"""
+WITH {{src}}, {{mentions}},
+e0 AS MATERIALIZED (
+  SELECT DISTINCT c1.file_iri AS u, c2.file_iri AS v
+  FROM calls_gt c1 JOIN calls_gt c2
+    ON c1.symbol = c2.symbol AND c1.file_iri < c2.file_iri
+  WHERE starts_with(c1.symbol, 'f_')
+),
+{chain}
+SELECT u, v, support FROM e{rounds} ORDER BY u, v
+"""
+
+
+SQL_KG_TRUSS = _truss_sql(3, 6).format(
+    src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip()
+)
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file triangle participation in the shared-symbol
     co-definition graph: files defining the same ``shared_*`` symbol are
@@ -5871,6 +5938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_curation": q_doc_curation,
     "events_twap": q_events_twap,
     "events_ohlc": q_events_ohlc,
+    "kg_truss": q_kg_truss,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -6004,6 +6072,7 @@ ORACLES: dict[str, str] = {
     "doc_curation": SQL_DOC_CURATION,
     "events_twap": SQL_EVENTS_TWAP,
     "events_ohlc": SQL_EVENTS_OHLC,
+    "kg_truss": SQL_KG_TRUSS,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

@@ -374,3 +374,41 @@ def test_negative_samples_deterministic_and_in_dictionary(spark):
     from collections import Counter
     per_edge = Counter((s, d) for (s, d, _j, _n) in got1)
     assert set(per_edge.values()) == {3}
+
+
+def _truss_oracle(edges, k):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        adj = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        sup = {
+            (u, v): len(adj[u] & adj[v]) for (u, v) in es
+        }
+        keep = {e for e in es if sup[e] >= k - 2}
+        if keep == es:
+            return {e: sup[e] for e in es}
+        es = keep
+
+
+def test_truss_edges_matches_bruteforce(spark):
+    import random
+
+    from pyjelly_spark.operators.components import truss_edges
+
+    rng = random.Random(13)
+    nodes = [f"n{i:02d}" for i in range(16)]
+    # a 5-clique (survives k=4) + random sparse edges (peeled away)
+    clique = [(nodes[i], nodes[j]) for i in range(5) for j in range(i + 1, 5)]
+    sparse = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(25)]
+    edges = clique + sparse
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    for k in (3, 4, 5):
+        got = {
+            (r["u"], r["v"]): r["support"]
+            for r in truss_edges(df, k=k).collect()
+        }
+        assert got == _truss_oracle(edges, k), f"k={k}"
+    # k above the clique size: everything peels away
+    assert truss_edges(df, k=7).count() == 0
