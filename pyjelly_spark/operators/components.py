@@ -207,6 +207,7 @@ def pagerank_int(
     iterations: int = 8,
     scale: int = 10**12,
     damping_pct: int = 85,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge DataFrame (src, dst) —
     GraphFrames-style iterative joins, in INTEGER arithmetic.
@@ -244,8 +245,32 @@ def pagerank_int(
     if n == 0:
         return nodes.withColumn("pr", F.lit(0).cast("long"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    base = (scale * (100 - damping_pct) // 100) // n
-    pr = nodes.withColumn("pr", F.lit(scale // n).cast("long"))
+    if seeds is None:
+        base_col = F.lit((scale * (100 - damping_pct) // 100) // n)
+        pr = nodes.withColumn("pr", F.lit(scale // n).cast("long"))
+    else:
+        # personalized PageRank: teleport mass goes ONLY to the seed
+        # set (initial mass likewise) — the relatedness/recommendation
+        # variant; identical integer recurrence otherwise, so the
+        # oracle unrolls the same CTEs with a seed-gated base term.
+        marks = seeds.select(F.col("node")).distinct().withColumn(
+            "__seed", F.lit(1)
+        )
+        nodes = nodes.join(marks, "node", "left").localCheckpoint(eager=True)
+        ns = nodes.where(F.col("__seed").isNotNull()).count()
+        if ns == 0:
+            raise ValueError("personalized pagerank requires >= 1 seed in the graph")
+        base_s = (scale * (100 - damping_pct) // 100) // ns
+        base_col = F.when(F.col("__seed").isNotNull(), F.lit(base_s)).otherwise(
+            F.lit(0)
+        )
+        pr = nodes.select(
+            "node",
+            F.when(F.col("__seed").isNotNull(), F.lit(scale // ns))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pr"),
+        )
     with _round_shuffles(e.sparkSession, e.count()):
         for _ in range(iterations):
             sums = (
@@ -263,13 +288,13 @@ def pagerank_int(
                 .select(
                     "node",
                     (
-                        F.lit(base)
+                        base_col
                         + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
-                    ).alias("pr"),
+                    ).cast("long").alias("pr"),
                 )
                 .localCheckpoint(eager=False)
             )
-    return pr
+    return pr.select("node", "pr")
 
 
 def connected_components(

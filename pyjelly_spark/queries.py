@@ -1173,6 +1173,93 @@ SQL_KG_PAGERANK = _pagerank_sql().format(
 )
 
 
+PPR_SEED_RE = r"/mod_\d*0\.py$"
+
+
+def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the resolved import graph: teleport
+    mass restricted to the seed set (files whose module id ends in 0) —
+    the relatedness/recommendation variant of kg_pagerank, same integer
+    recurrence with a seed-gated base term
+    (operators/components.py::pagerank_int(seeds=...)). Top-20 by
+    (pr, node)."""
+    from pyjelly_spark.operators.components import pagerank_int
+    from pyspark.sql.window import Window as W
+
+    edges = q_kg_imports_resolved(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node").rlike(PPR_SEED_RE))
+    pr = pagerank_int(edges, iterations=8, seeds=seeds)
+    w = W.orderBy(F.desc("pr"), F.asc("node"))
+    return (
+        pr.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select("node", "pr", "rank")
+    )
+
+
+def _ppr_sql(iterations: int = 8, scale: int = 10**12) -> str:
+    """Unrolled personalized-PageRank oracle: the kg_pagerank recurrence
+    with initial mass and teleport base restricted to the seed set."""
+    its = []
+    for k in range(1, iterations + 1):
+        its.append(f"""
+it{k} AS (
+  SELECT n0.node,
+    (CASE WHEN n0.seed THEN ({scale} * 15 // 100) // ns.n ELSE 0 END)
+      + (85 * COALESCE(s.c, 0)) // 100 AS pr
+  FROM seeded n0 CROSS JOIN ns
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr // o.outdeg)::BIGINT AS c
+    FROM pr_edges e JOIN it{k - 1} p ON e.src = p.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON n0.node = s.node
+)""".strip())
+    joined_its = ",\n".join(its)
+    return f"""
+WITH {{src}}, {{mentions}},
+pr_edges AS (
+  SELECT DISTINCT file_iri AS src,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS dst
+  FROM imports_gt
+  WHERE file_iri <> 'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg'
+      || (t % 13) || '/mod_' || t || '.py'
+),
+pr_nodes AS (
+  SELECT src AS node FROM pr_edges UNION SELECT dst FROM pr_edges
+),
+seeded AS (
+  SELECT node, regexp_matches(node, '/mod_[0-9]*0\\.py$') AS seed
+  FROM pr_nodes
+),
+ns AS (SELECT count(*)::BIGINT AS n FROM seeded WHERE seed),
+outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM pr_edges GROUP BY src),
+it0 AS (
+  SELECT node, CASE WHEN seed THEN {scale} // ns.n ELSE 0 END AS pr
+  FROM seeded CROSS JOIN ns
+),
+{joined_its}
+SELECT node, pr::BIGINT AS pr, rank FROM (
+  SELECT node, pr,
+         row_number() OVER (ORDER BY pr DESC, node ASC) AS rank
+  FROM it{iterations}
+) WHERE rank <= 20
+"""
+
+
+SQL_KG_PPR = _ppr_sql().format(
+    src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip()
+)
+
+
 def q_kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-style BGP over the constructed KG: `?repo contains
     ?def_file . ?def_file defines ?sym . ?caller calls ?sym` compiled to
@@ -5939,6 +6026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_twap": q_events_twap,
     "events_ohlc": q_events_ohlc,
     "kg_truss": q_kg_truss,
+    "kg_ppr": q_kg_ppr,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -6073,6 +6161,7 @@ ORACLES: dict[str, str] = {
     "events_twap": SQL_EVENTS_TWAP,
     "events_ohlc": SQL_EVENTS_OHLC,
     "kg_truss": SQL_KG_TRUSS,
+    "kg_ppr": SQL_KG_PPR,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,
