@@ -59,7 +59,11 @@ AUDITED = [
     "doc_curation",
     "events_twap",
     "events_ohlc",
+    "kg_ppr",
 ]
+# kg_truss is excluded like kg_reachable: support peeling runs
+# data-dependent cascade rounds (actions) inside the callable; its
+# constituent wedge-join stage shape is audited via kg_triangles.
 # kg_sameas and kg_owl are additionally excluded from the audit for the
 # same reason as kg_reachable: connected components / path-doubling
 # closure run bounded actions inside the callable, so "explain" would
