@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "events_twap",
     "events_ohlc",
     "kg_truss",
+    "kg_ppr",
+    "events_ewma",
+    "events_kmv",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Sequential time-series recurrences that Catalyst windows can't express.
+
+An EWMA with per-step integer floor division is a *data-dependent
+recurrence*: m_t = (a*c_t + (d-a)*m_{t-1}) // d has no closed form once
+each step floors, so it cannot be rewritten as a window aggregate the
+way the trailing z-score (queries.py::q_events_anomaly) can. The
+correct distributed shape is therefore: one hash exchange on the series
+key, then a per-key sequential scan inside an Arrow-batched
+``applyInPandas`` — parallelism comes *across* keys (billions of users
+at 100 TB), while each key's scan is inherently serial and short.
+
+Because every step is integer arithmetic, the result is bit-exact and
+the DuckDB oracle can unroll the identical recurrence as a recursive
+CTE (queries.py::SQL_EVENTS_EWMA) — no float variance between engines.
+
+Reference parity note: the reference pipeline (pyjelly) has no
+time-series surface; this extends the engine for training-data
+curation workloads (smoothed activity signals for sampling weights).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ewma_int(
+    events: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+) -> DataFrame:
+    """Integer-exact EWMA of ``value`` cents per user, ordered by
+    (ts, event_id).
+
+    m_1 = c_1;  m_t = (alpha_num*c_t + (alpha_den-alpha_num)*m_{t-1})
+    // alpha_den.  With the default alpha = 1/4 each step is
+    (c + 3*m) // 4.  All int64: cents fit in ~2^26 and the recurrence
+    is a convex combination, so no overflow is possible.
+
+    Plan shape: project to 4 columns -> one hash exchange on user_id ->
+    per-group Arrow batch -> sequential numpy scan. The Python-level
+    loop is per *key*, not per row-at-a-time UDF calls: Arrow moves the
+    whole group in one batch and the loop body is 3 integer ops. At
+    100 TB the exchange is the cost and it is the minimum possible one
+    (the recurrence forces co-location of each key's history).
+    """
+    a, d = alpha_num, alpha_den
+    if not (0 < a < d):
+        raise ValueError("require 0 < alpha_num < alpha_den")
+    b = d - a
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        c = pdf["cents"].to_numpy(dtype=np.int64)
+        m = np.empty_like(c)
+        if len(c):
+            acc = int(c[0])
+            m[0] = acc
+            for i in range(1, len(c)):
+                acc = (a * int(c[i]) + b * acc) // d
+                m[i] = acc
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "cents": c,
+                "ewma": m,
+            }
+        )
+
+    base = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return base.groupBy("user_id").applyInPandas(
+        compute, "user_id long, event_id long, cents long, ewma long"
+    )

@@ -5857,6 +5857,73 @@ FROM k GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact EWMA (alpha=1/4) of value cents per user — a
+    per-step-floored recurrence no window frame can express, run as a
+    per-key sequential scan inside Arrow-batched applyInPandas
+    (operators/timeseries.py). One hash exchange on user_id; the oracle
+    unrolls the identical integer recurrence as a recursive CTE, so the
+    gate is bit-exact."""
+    from pyjelly_spark.operators.timeseries import ewma_int
+
+    return ewma_int(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_EWMA = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         floor(value * 100)::BIGINT AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), ew AS (
+  SELECT user_id, event_id, rn, cents, cents AS ewma
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn, s.cents,
+         ((s.cents + 3 * e.ewma) // 4)::BIGINT AS ewma
+  FROM seq s JOIN ew e ON s.user_id = e.user_id AND s.rn = e.rn + 1
+)
+SELECT user_id, event_id, cents, ewma FROM ew
+"""
+
+
+def q_events_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user sketch per event_type —
+    k=12 smallest portable 60-bit hashes; integer estimate
+    (k-1)*2^60 // kth_hash (operators/sketches.py). Because the hash is
+    sha256-derived (not engine-specific HLL), the DuckDB oracle
+    reproduces the *sketch itself* bit-exactly, not just its error
+    band. The operator's HLL-threshold prune bounds the per-group sort
+    to ~8k rows regardless of group cardinality. k=12 so even sf0.001
+    (15 distinct users/type) yields a sketch per group."""
+    from pyjelly_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", k=12
+    ).orderBy("event_type")
+
+
+SQL_EVENTS_KMV = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substring(sha256(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), e AS (
+  SELECT event_type, count(*)::BIGINT AS exact_n
+  FROM (SELECT DISTINCT event_type, user_id FROM events) GROUP BY 1
+)
+SELECT r.event_type, r.h AS kth_hash,
+       (12682136550675316736::HUGEINT // r.h)::BIGINT AS est_distinct,
+       e.exact_n
+FROM r JOIN e USING (event_type) WHERE rn = 12
+ORDER BY r.event_type
+"""
+
+
 def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS beyond cube/rollup: the exact aggregation lattice
     ((type, hour), (type), ()) with per-column GROUPING() indicators —
@@ -6025,6 +6092,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_curation": q_doc_curation,
     "events_twap": q_events_twap,
     "events_ohlc": q_events_ohlc,
+    "events_ewma": q_events_ewma,
+    "events_kmv": q_events_kmv,
     "kg_truss": q_kg_truss,
     "kg_ppr": q_kg_ppr,
     "kg_rdfs": q_kg_rdfs,
@@ -6160,6 +6229,8 @@ ORACLES: dict[str, str] = {
     "doc_curation": SQL_DOC_CURATION,
     "events_twap": SQL_EVENTS_TWAP,
     "events_ohlc": SQL_EVENTS_OHLC,
+    "events_ewma": SQL_EVENTS_EWMA,
+    "events_kmv": SQL_EVENTS_KMV,
     "kg_truss": SQL_KG_TRUSS,
     "kg_ppr": SQL_KG_PPR,
     "kg_rdfs": SQL_KG_RDFS,

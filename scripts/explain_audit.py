@@ -60,6 +60,8 @@ AUDITED = [
     "events_twap",
     "events_ohlc",
     "kg_ppr",
+    "events_ewma",
+    "events_kmv",
 ]
 # kg_truss is excluded like kg_reachable: support peeling runs
 # data-dependent cascade rounds (actions) inside the callable; its

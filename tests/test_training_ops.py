@@ -1196,3 +1196,75 @@ def test_match_sequence_greedy_and_window(spark):
     assert set(got) == {1, 4}
     assert got[1] == (t0, t0 + dt.timedelta(seconds=10), t0 + dt.timedelta(seconds=15))
     assert got[4][1] == t0 + dt.timedelta(seconds=30)  # inclusive edge
+
+
+def test_ewma_int_closed_form(spark):
+    import datetime as dt
+
+    from pyjelly_spark.operators.timeseries import ewma_int
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: m1=400, m2=(800+3*400)//4=500, m3=(4+3*500)//4=376
+        (1, 1, t0, 4.00),
+        (1, 2, t0 + dt.timedelta(seconds=1), 8.00),
+        (1, 3, t0 + dt.timedelta(seconds=2), 0.04),
+        # u2: same ts -> event_id tiebreak decides the order
+        (2, 5, t0, 1.00),
+        (2, 4, t0, 3.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, event_id: long, ts: timestamp_ntz, value: double"
+    )
+    got = {r["event_id"]: r["ewma"] for r in ewma_int(df).collect()}
+    assert got == {1: 400, 2: 500, 3: 376, 4: 300, 5: (100 + 3 * 300) // 4}
+
+
+def test_ewma_int_rejects_bad_alpha(spark):
+    import pytest as _pytest
+
+    from pyjelly_spark.operators.timeseries import ewma_int
+
+    df = spark.createDataFrame(
+        [], "user_id: long, event_id: long, ts: timestamp_ntz, value: double"
+    )
+    with _pytest.raises(ValueError):
+        ewma_int(df, alpha_num=4, alpha_den=4)
+
+
+def _sha60(x) -> int:
+    import hashlib
+
+    return int(hashlib.sha256(str(x).encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_matches_python_kth(spark):
+    from pyjelly_spark.operators.sketches import kmv_distinct
+
+    rows = [("a", i) for i in range(200)] + [("b", i) for i in range(40)]
+    rows += [("a", 7)] * 5  # duplicates must not shift the kth hash
+    df = spark.createDataFrame(rows, "grp: string, key: long")
+    got = {r["grp"]: r for r in kmv_distinct(df, "grp", "key", k=16).collect()}
+    for grp, n in [("a", 200), ("b", 40)]:
+        kth = sorted(_sha60(i) for i in range(n))[15]
+        assert got[grp]["kth_hash"] == kth
+        assert got[grp]["est_distinct"] == (15 * (1 << 60)) // kth
+        assert got[grp]["exact_n"] == n
+
+
+def test_kmv_small_group_omitted_and_starved_fallback(spark):
+    from pyjelly_spark.operators.sketches import kmv_distinct
+
+    rows = [("big", i) for i in range(100)] + [("tiny", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp: string, key: long")
+    # prune_margin=0 with prune_min=0 -> threshold 0 starves every
+    # group; the fallback must still produce the exact kth for "big",
+    # and "tiny" (< k distinct) is omitted by definition.
+    out = {
+        r["grp"]: r["kth_hash"]
+        for r in kmv_distinct(
+            df, "grp", "key", k=16, prune_margin=0, prune_min=0
+        ).collect()
+    }
+    assert set(out) == {"big"}
+    assert out["big"] == sorted(_sha60(i) for i in range(100))[15]
