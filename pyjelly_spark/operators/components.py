@@ -297,6 +297,88 @@ def pagerank_int(
     return pr.select("node", "pr")
 
 
+def hits_int(
+    edges: DataFrame,
+    iterations: int = 4,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Fixed-iteration HITS (hubs & authorities) in integer arithmetic.
+
+    Per round: auth_raw(v) = sum of hub over in-neighbors, renormalized
+    to ``auth = auth_raw * scale div max(auth_raw)``; then hub_raw(v) =
+    sum of auth over out-neighbors, renormalized the same way. Integer
+    max is order-insensitive and floor division is deterministic, so —
+    like pagerank_int — the whole recurrence is bit-exact across
+    engines and the DuckDB oracle unrolls the identical CTEs (the usual
+    L2 normalization would not be: sqrt is float).
+
+    Score frames stay SPARSE (only nodes with in-/out-edges appear;
+    absent = 0); the final result left-joins onto the node set. The
+    per-round max enters as a broadcast 1-row cross join, keeping each
+    round a single plan: join + groupBy + broadcast-nest — one shuffle
+    per half-round, partitioning reused across rounds.
+
+    Overflow contract: with in/out-degrees below ~10^6 and scale 10^6,
+    raw sums stay <= 10^12 and the rescale product <= 10^18 < 2^63.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # hubs start at `scale` on every node that has an out-edge (sparse)
+    hub = e.select(F.col("src").alias("node")).distinct().withColumn(
+        "h", F.lit(scale).cast("long")
+    )
+    auth = None
+    with _round_shuffles(e.sparkSession, e.count()):
+        for _ in range(iterations):
+            a_raw = (
+                e.join(hub, e["src"] == hub["node"])
+                .groupBy(F.col("dst").alias("anode"))
+                .agg(F.sum("h").alias("raw"))
+            )
+            a_max = a_raw.agg(F.max("raw").alias("mx"))
+            auth = (
+                a_raw.crossJoin(F.broadcast(a_max))
+                .select(
+                    F.col("anode").alias("node"),
+                    F.expr(f"(raw * {scale}) div mx").cast("long").alias("a"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            h_raw = (
+                e.join(auth, e["dst"] == auth["node"])
+                .groupBy(F.col("src").alias("hnode"))
+                .agg(F.sum("a").alias("raw"))
+            )
+            h_max = h_raw.agg(F.max("raw").alias("mx"))
+            hub = (
+                h_raw.crossJoin(F.broadcast(h_max))
+                .select(
+                    F.col("hnode").alias("node"),
+                    F.expr(f"(raw * {scale}) div mx").cast("long").alias("h"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_rounds: int = 25,

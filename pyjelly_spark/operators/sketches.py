@@ -119,3 +119,102 @@ def kmv_distinct(
             "exact_n",
         )
     )
+
+
+def cms_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-Min sketch frequency estimates of ``key_col``.
+
+    Build: each row hashes into one bucket per sketch row j (portable
+    sha-60 of ``j:key`` mod width); the sketch is the (j, bucket) count
+    matrix — at most depth*width cells, so the groupBy collapses
+    map-side to O(depth*width) rows PER TASK regardless of input size
+    (that bounded partial-agg state is the whole point of CMS at
+    100 TB: the shuffle moves a few hundred rows per task, never the
+    keys). Probe: estimate(key) = min over j of its bucket's count —
+    >= true count always, with the classic (e/width, 1-1/e^depth)
+    overcount guarantee.
+
+    Returns (key, est_n, exact_n); exact_n is carried for the
+    correctness gate / error inspection. Both sides are integer counts
+    on a portable hash, so the DuckDB oracle reproduces the sketch
+    matrix — and therefore every estimate — bit-exactly.
+    """
+    key = F.col(key_col).cast("string")
+    rows = df.select(key.alias("k_"))
+    hashed = rows.select(
+        "k_", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    ).select(
+        "k_",
+        "j",
+        F.pmod(
+            hex_hash(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("k_"))),
+            F.lit(width),
+        ).alias("b"),
+    )
+    cms = hashed.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+    probe = hashed.distinct()
+    est = (
+        probe.join(F.broadcast(cms), ["j", "b"])
+        .groupBy("k_")
+        .agg(F.min("c").cast("long").alias("est_n"))
+    )
+    exact = rows.groupBy("k_").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    return est.join(exact, "k_").select(
+        F.col("k_").alias("key"), "est_n", "exact_n"
+    )
+
+
+def bloom_semi_join(
+    build: DataFrame,
+    probe: DataFrame,
+    key_col: str,
+    bits: int = 1024,
+    hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter semi-join: keep probe keys whose ``hashes`` buckets
+    are ALL occupied by the build side's key set.
+
+    The filter is represented as the distinct occupied-bucket set
+    (<= ``bits`` rows — broadcastable at any build cardinality), so the
+    probe side is pruned with a broadcast join instead of shuffling
+    against the build table: the standard runtime-filter pattern for
+    star joins at scale, here as an explicit, *oracle-reproducible*
+    operator (the sha-60 bucket function is engine-portable, so even
+    the false-positive set is deterministic and gateable).
+
+    Returns (key, is_member): every probe key passing the filter, with
+    the exact-membership flag so false positives are observable.
+    """
+    def bucketed(df: DataFrame) -> DataFrame:
+        key = F.col(key_col).cast("string").alias("k_")
+        return df.select(key).distinct().select(
+            "k_", F.explode(F.sequence(F.lit(0), F.lit(hashes - 1))).alias("j")
+        ).select(
+            "k_",
+            "j",
+            F.pmod(
+                F.expr(f"conv(substring(sha2(concat(j, '|', k_), 256), 1, 15), 16, 10)").cast("long"),
+                F.lit(bits),
+            ).alias("b"),
+        )
+
+    occupied = bucketed(build).select("b").distinct()
+    members = build.select(
+        F.col(key_col).cast("string").alias("k_")
+    ).distinct().withColumn("__m", F.lit(1))
+    passing = (
+        bucketed(probe)
+        .join(F.broadcast(occupied), "b")
+        .groupBy("k_")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .where(F.col("nhit") == hashes)
+    )
+    return passing.join(members, "k_", "left").select(
+        F.col("k_").alias("key"),
+        F.col("__m").isNotNull().alias("is_member"),
+    )

@@ -1260,6 +1260,84 @@ SQL_KG_PPR = _ppr_sql().format(
 )
 
 
+def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the resolved import graph
+    (operators/components.py::hits_int): integer renormalization by
+    per-round max instead of float L2 — deterministic, so the oracle
+    unrolls the identical recurrence. Top-20 by (auth, node)."""
+    from pyjelly_spark.operators.components import hits_int
+    from pyspark.sql.window import Window as W
+
+    edges = q_kg_imports_resolved(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    res = hits_int(edges, iterations=4)
+    w = W.orderBy(F.desc("auth"), F.asc("node"))
+    return (
+        res.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select("node", "hub", "auth", "rank")
+    )
+
+
+def _hits_sql(iterations: int = 4, scale: int = 10**6) -> str:
+    """Unrolled HITS oracle: per round, authority = in-sum of hubs
+    rescaled by (x * scale // max), then hub = out-sum of authorities
+    rescaled the same way; sparse CTEs, absent node = 0."""
+    its = []
+    for k in range(1, iterations + 1):
+        # max via a whole-frame window, NOT a scalar subquery: a
+        # subquery would reference each CTE level twice and DuckDB
+        # inlines CTEs, doubling the expression tree per level
+        # (exponential re-evaluation); the window keeps the chain
+        # strictly linear.
+        its.append(f"""
+a{k} AS (
+  SELECT node, ((raw * {scale}) // max(raw) OVER ())::BIGINT AS a FROM (
+    SELECT e.dst AS node, sum(h.h)::BIGINT AS raw
+    FROM he e JOIN h{k - 1} h ON e.src = h.node GROUP BY 1
+  )
+),
+h{k} AS (
+  SELECT node, ((raw * {scale}) // max(raw) OVER ())::BIGINT AS h FROM (
+    SELECT e.src AS node, sum(a.a)::BIGINT AS raw
+    FROM he e JOIN a{k} a ON e.dst = a.node GROUP BY 1
+  )
+)""".strip())
+    joined_its = ",\n".join(its)
+    return f"""
+WITH {{src}}, {{mentions}},
+he AS (
+  SELECT DISTINCT file_iri AS src,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS dst
+  FROM imports_gt
+  WHERE file_iri <> 'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg'
+      || (t % 13) || '/mod_' || t || '.py'
+),
+hits_nodes AS (
+  SELECT src AS node FROM he UNION SELECT dst FROM he
+),
+h0 AS (SELECT DISTINCT src AS node, {scale}::BIGINT AS h FROM he),
+{joined_its}
+SELECT node, hub, auth, rank FROM (
+  SELECT n.node,
+         COALESCE(h.h, 0)::BIGINT AS hub,
+         COALESCE(a.a, 0)::BIGINT AS auth,
+         row_number() OVER (
+           ORDER BY COALESCE(a.a, 0) DESC, n.node ASC) AS rank
+  FROM hits_nodes n
+  LEFT JOIN h{iterations} h ON n.node = h.node
+  LEFT JOIN a{iterations} a ON n.node = a.node
+) WHERE rank <= 20
+"""
+
+
+SQL_KG_HITS = _hits_sql().format(
+    src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip()
+)
+
+
 def q_kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-style BGP over the constructed KG: `?repo contains
     ?def_file . ?def_file defines ?sym . ?caller calls ?sym` compiled to
@@ -4822,6 +4900,47 @@ ORDER BY lang, rank
 """.format(norm=NORM_SQL)
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: priority =
+    hash div weight (the integer analogue of A-ES exponential-clock
+    sampling — doubling an item's weight halves its expected priority),
+    keep the k=100 lowest priorities. Because the priority is a pure
+    column expression, Spark executes the top-k as TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows) — NO global sort at
+    any input size. The oracle is the same ORDER BY/LIMIT."""
+    ev = _t(spark, sf_dir, "events")
+    # zero-value events get the floor weight 1 (still sampleable, just
+    # minimum-probability) — also keeps the integer division total
+    base = ev.select(
+        "event_id",
+        F.greatest(F.floor(F.col("value") * 100).cast("long"), F.lit(1)).alias(
+            "cents"
+        ),
+        T.hex_hash(
+            F.concat(F.col("event_id").cast("string"), F.lit(":wsample"))
+        ).alias("h"),
+    )
+    return (
+        base.select(
+            "event_id", "cents", F.expr("h div cents").cast("long").alias("priority")
+        )
+        .orderBy("priority", "event_id")
+        .limit(100)
+    )
+
+
+SQL_SAMPLE_WEIGHTED = """
+WITH f AS (
+  SELECT event_id, greatest(floor(value * 100)::BIGINT, 1) AS cents,
+    ('0x' || substring(sha256(event_id::VARCHAR || ':wsample'), 1, 15))::BIGINT
+      AS h
+  FROM events
+)
+SELECT event_id, cents, (h // cents)::BIGINT AS priority
+FROM f ORDER BY priority, event_id LIMIT 100
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion dedup (operators/dedup.py::incremental_dedup):
     a deterministic incoming batch — every doc_id % 5 == 0 doc
@@ -5924,6 +6043,201 @@ ORDER BY r.event_type
 """
 
 
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user journey strings: the first 8 events' types in
+    (ts, event_id) order joined with '>' — funnel/path mining prep.
+    Order inside the aggregate is pinned by sorting an array of
+    (time, id, type) structs, NOT by relying on collect_list order
+    (which is partitioning-dependent): one hash exchange, deterministic
+    at any parallelism. Oracle: string_agg ORDER BY over the same
+    rank-limited rows."""
+    ev = _t(spark, sf_dir, "events")
+    epoch0 = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+    w = Window.partitionBy("user_id").orderBy("off_us", "event_id")
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(f"timestampdiff(MICROSECOND, {epoch0}, ts)").alias("off_us"),
+    ).withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.where(F.col("rn") <= 8)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("off_us", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+SQL_EVENTS_PATHS = """
+WITH r AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY rn) AS path,
+       count(*)::BIGINT AS n
+FROM r WHERE rn <= 8 GROUP BY 1
+"""
+
+
+def q_events_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch user-frequency estimates (depth 4 x width 64,
+    portable sha-60 bucketing; operators/sketches.py::cms_estimates).
+    The sketch matrix is at most 256 cells, so the build collapses
+    map-side to O(1) rows per task at any input size; the oracle
+    reproduces the matrix — and every min-estimate — bit-exactly."""
+    from pyjelly_spark.operators.sketches import cms_estimates
+
+    return cms_estimates(_t(spark, sf_dir, "events"), "user_id").orderBy("key")
+
+
+SQL_EVENTS_CMS = """
+WITH ks AS (SELECT user_id::VARCHAR AS k_ FROM events),
+b AS (
+  SELECT j, k_,
+         ('0x' || substring(sha256(j::VARCHAR || ':' || k_), 1, 15))::BIGINT
+           % 64 AS b
+  FROM ks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+),
+cms AS (SELECT j, b, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+probe AS (SELECT DISTINCT j, k_, b FROM b),
+est AS (
+  SELECT p.k_, min(c.c)::BIGINT AS est_n
+  FROM probe p JOIN cms c USING (j, b) GROUP BY 1
+),
+exact AS (SELECT k_, count(*)::BIGINT AS exact_n FROM ks GROUP BY 1)
+SELECT est.k_ AS key, est.est_n, exact.exact_n
+FROM est JOIN exact USING (k_) ORDER BY est.k_
+"""
+
+
+def q_events_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join (1024 bits, 3 hashes): prune viewer keys
+    against the purchaser set via a broadcast occupied-bucket join —
+    the runtime-filter pattern — with the exact-membership flag so the
+    (deterministic, sha-bucketed) false-positive set is itself gated
+    (operators/sketches.py::bloom_semi_join)."""
+    from pyjelly_spark.operators.sketches import bloom_semi_join
+
+    ev = _t(spark, sf_dir, "events")
+    build = ev.where(F.col("event_type") == "purchase").select("user_id")
+    probe = ev.where(F.col("event_type") == "view").select("user_id")
+    return bloom_semi_join(build, probe, "user_id").orderBy("key")
+
+
+SQL_EVENTS_BLOOM = """
+WITH build AS (
+  SELECT DISTINCT user_id::VARCHAR AS k_ FROM events
+  WHERE event_type = 'purchase'
+),
+probe AS (
+  SELECT DISTINCT user_id::VARCHAR AS k_ FROM events WHERE event_type = 'view'
+),
+occ AS (
+  SELECT DISTINCT
+    ('0x' || substring(sha256(j::VARCHAR || '|' || k_), 1, 15))::BIGINT
+      % 1024 AS b
+  FROM build CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j)
+),
+pb AS (
+  SELECT k_, j,
+    ('0x' || substring(sha256(j::VARCHAR || '|' || k_), 1, 15))::BIGINT
+      % 1024 AS b
+  FROM probe CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j)
+),
+passing AS (
+  SELECT pb.k_ FROM pb JOIN occ USING (b) GROUP BY 1 HAVING count(*) = 3
+)
+SELECT p.k_ AS key, (b.k_ IS NOT NULL) AS is_member
+FROM passing p LEFT JOIN build b ON p.k_ = b.k_ ORDER BY p.k_
+"""
+
+
+def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (word Jaccard >= 4/5) via
+    PPJoin prefix + length filtering (operators/dedup.py::ppjoin_pairs)
+    — the deterministic complement to the probabilistic MinHash path:
+    candidates only ever join on each doc's rarest tokens (skew-free by
+    construction), verified with integer cross-multiplication. Gated as
+    a per-doc rollup (partner count + best partner by exact score) so
+    the result stays compact while pinning the full pair set; the
+    oracle brute-forces all pairs."""
+    from pyjelly_spark.operators.dedup import ppjoin_pairs
+
+    pairs = ppjoin_pairs(_t(spark, sf_dir, "documents"), 4, 5)
+    scored = pairs.select(
+        "a",
+        "b",
+        F.expr("(inter * 1000000000) div (sa + sb - inter)").alias("score"),
+    )
+    sym = scored.unionByName(
+        scored.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "score"
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("score"), F.asc("b"))
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .groupBy("a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sim"),
+            F.max(F.when(F.col("rk") == 1, F.col("b"))).alias("best_b"),
+            F.max(F.when(F.col("rk") == 1, F.col("score"))).cast("long").alias(
+                "best_score"
+            ),
+        )
+        .select(F.col("a").alias("doc_id"), "n_sim", "best_b", "best_score")
+    )
+
+
+SQL_DEDUP_PPJOIN = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split({NORM_SQL}, ' '),
+                                   t -> t <> '')) AS w
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(w) AS token FROM w),
+sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i
+  FROM t x JOIN t y USING (token)
+  WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b, ((i * 1000000000) // (sa.sz + sb.sz - i))::BIGINT AS score
+  FROM inter
+  JOIN sz sa ON inter.a = sa.doc_id
+  JOIN sz sb ON inter.b = sb.doc_id
+  WHERE 9 * i >= 4 * (sa.sz + sb.sz)
+),
+sym AS (
+  SELECT a, b, score FROM pairs
+  UNION ALL SELECT b AS a, a AS b, score FROM pairs
+),
+rk AS (
+  SELECT a, b, score,
+         row_number() OVER (PARTITION BY a ORDER BY score DESC, b ASC) AS rk
+  FROM sym
+)
+SELECT a AS doc_id, count(*)::BIGINT AS n_sim,
+       max(CASE WHEN rk = 1 THEN b END) AS best_b,
+       max(CASE WHEN rk = 1 THEN score END)::BIGINT AS best_score
+FROM rk GROUP BY 1
+"""
+
+
 def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS beyond cube/rollup: the exact aggregation lattice
     ((type, hour), (type), ()) with per-column GROUPING() indicators —
@@ -6094,8 +6408,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ohlc": q_events_ohlc,
     "events_ewma": q_events_ewma,
     "events_kmv": q_events_kmv,
+    "events_cms": q_events_cms,
+    "events_bloom": q_events_bloom,
+    "dedup_ppjoin": q_dedup_ppjoin,
+    "sample_weighted": q_sample_weighted,
+    "events_paths": q_events_paths,
     "kg_truss": q_kg_truss,
     "kg_ppr": q_kg_ppr,
+    "kg_hits": q_kg_hits,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -6231,8 +6551,14 @@ ORACLES: dict[str, str] = {
     "events_ohlc": SQL_EVENTS_OHLC,
     "events_ewma": SQL_EVENTS_EWMA,
     "events_kmv": SQL_EVENTS_KMV,
+    "events_cms": SQL_EVENTS_CMS,
+    "events_bloom": SQL_EVENTS_BLOOM,
+    "dedup_ppjoin": SQL_DEDUP_PPJOIN,
+    "sample_weighted": SQL_SAMPLE_WEIGHTED,
+    "events_paths": SQL_EVENTS_PATHS,
     "kg_truss": SQL_KG_TRUSS,
     "kg_ppr": SQL_KG_PPR,
+    "kg_hits": SQL_KG_HITS,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

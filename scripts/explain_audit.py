@@ -62,6 +62,12 @@ AUDITED = [
     "kg_ppr",
     "events_ewma",
     "events_kmv",
+    "events_cms",
+    "events_bloom",
+    "kg_hits",
+    "dedup_ppjoin",
+    "sample_weighted",
+    "events_paths",
 ]
 # kg_truss is excluded like kg_reachable: support peeling runs
 # data-dependent cascade rounds (actions) inside the callable; its

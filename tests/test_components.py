@@ -452,3 +452,46 @@ def test_personalized_pagerank_matches_recurrence(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pagerank_int(df, seeds=spark.createDataFrame([("zz",)], "node: string"))
+
+
+def _hits_oracle(edges, iterations=4, scale=10**6):
+    """Pure-python unroll of the hits_int integer recurrence."""
+    outn, inn = {}, {}
+    for s, d in set(edges):
+        if s == d:
+            continue
+        outn.setdefault(s, set()).add(d)
+        inn.setdefault(d, set()).add(s)
+    hub = {n: scale for n in outn}
+    auth = {}
+    for _ in range(iterations):
+        raw_a = {
+            v: sum(hub.get(u, 0) for u in us) for v, us in inn.items()
+        }
+        mx = max(raw_a.values())
+        auth = {v: (r * scale) // mx for v, r in raw_a.items()}
+        raw_h = {
+            u: sum(auth.get(v, 0) for v in vs) for u, vs in outn.items()
+        }
+        mx = max(raw_h.values())
+        hub = {u: (r * scale) // mx for u, r in raw_h.items()}
+    nodes = set(outn) | set(inn)
+    return {n: (hub.get(n, 0), auth.get(n, 0)) for n in nodes}
+
+
+def test_hits_matches_recurrence(spark):
+    from pyjelly_spark.operators.components import hits_int
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"),
+             ("b", "d"), ("e", "a"), ("e", "b"), ("a", "a")]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    got = {
+        r["node"]: (r["hub"], r["auth"]) for r in hits_int(df, iterations=4).collect()
+    }
+    assert got == _hits_oracle(edges, 4)
+    # renormalization pins each round's max to exactly `scale`
+    assert max(h for h, _ in got.values()) == 10**6
+    assert max(a for _, a in got.values()) == 10**6
+    # the self-loop (a, a) must have been dropped: e has no in-edges
+    # from itself and its auth is 0 (nothing points at e)
+    assert got["e"][1] == 0

@@ -1268,3 +1268,73 @@ def test_kmv_small_group_omitted_and_starved_fallback(spark):
     }
     assert set(out) == {"big"}
     assert out["big"] == sorted(_sha60(i) for i in range(100))[15]
+
+
+def test_cms_matches_python_sketch(spark):
+    from pyjelly_spark.operators.sketches import cms_estimates
+
+    rows = [(k,) for k in range(30) for _ in range(k % 5 + 1)]
+    df = spark.createDataFrame(rows, "key_in: long")
+    got = {r["key"]: r for r in cms_estimates(df, "key_in").collect()}
+
+    # python replica of the sketch
+    from collections import Counter
+    exact = Counter(str(k) for k, in rows)
+    cms = Counter()
+    for k, n in exact.items():
+        for j in range(4):
+            cms[(j, _sha60(f"{j}:{k}") % 64)] += n
+    for k, n in exact.items():
+        est = min(cms[(j, _sha60(f"{j}:{k}") % 64)] for j in range(4))
+        assert got[k]["est_n"] == est
+        assert got[k]["exact_n"] == n
+        assert got[k]["est_n"] >= n  # CMS never undercounts
+
+
+def test_bloom_semi_join_passes_members_and_flags_fps(spark):
+    from pyjelly_spark.operators.sketches import bloom_semi_join
+
+    build = spark.createDataFrame([(k,) for k in range(50)], "uid: long")
+    probe = spark.createDataFrame([(k,) for k in range(40, 400)], "uid: long")
+    got = {r["key"]: r["is_member"] for r in bloom_semi_join(build, probe, "uid").collect()}
+
+    occ = {_sha60(f"{j}|{k}") % 1024 for k in range(50) for j in range(3)}
+    expect = {
+        str(k): k < 50
+        for k in range(40, 400)
+        if all(_sha60(f"{j}|{k}") % 1024 in occ for j in range(3))
+    }
+    assert got == expect
+    # every true member in the probe range passes (no false negatives)
+    assert all(str(k) in got for k in range(40, 50))
+
+
+def test_ppjoin_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from pyjelly_spark.operators.dedup import ppjoin_pairs
+
+    docs = [
+        ("d1", "alpha beta gamma delta epsilon"),
+        ("d2", "alpha beta gamma delta zeta"),       # J(d1,d2)=4/6=2/3
+        ("d3", "alpha beta gamma delta epsilon"),    # J(d1,d3)=1
+        ("d4", "omega psi chi phi upsilon"),
+        ("d5", "omega psi chi phi upsilon tau"),     # J(d4,d5)=5/6
+        ("d6", "unrelated words entirely here now"),
+        ("d7", "alpha beta"),                        # small set, J low vs d1
+    ]
+    df = spark.createDataFrame(docs, "doc_id: string, text: string")
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["sa"], r["sb"])
+        for r in ppjoin_pairs(df, 4, 5).collect()
+    }
+    # brute-force expectation at tau = 4/5
+    sets = {d: set(t.split()) for d, t in docs}
+    expect = {}
+    for x, y in combinations(sorted(sets), 2):
+        i = len(sets[x] & sets[y])
+        if 9 * i >= 4 * (len(sets[x]) + len(sets[y])):
+            expect[(x, y)] = (i, len(sets[x]), len(sets[y]))
+    assert got == expect
+    assert ("d4", "d5") in got and ("d1", "d3") in got  # non-trivial
+    assert ("d1", "d2") not in got  # 2/3 < 4/5
