@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "kg_hits",
     "sample_weighted",
     "events_paths",
+    "stream_kmv",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

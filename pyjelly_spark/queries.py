@@ -6043,6 +6043,35 @@ ORDER BY r.event_type
 """
 
 
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator gate: streaming KMV distinct-count
+    sketch (applyInPandasWithState; k smallest portable hashes carried
+    as state across micro-batches). KMV is a *mergeable* synopsis —
+    sketch(A ∪ B) = k-min-merge(sketch(A), sketch(B)) — so the drained
+    final state provably equals the batch sketch regardless of
+    micro-batch boundaries; the oracle is the batch SQL
+    (streaming/jobs.py::kmv_sketches)."""
+    from pyjelly_spark.streaming.jobs import run_stream_kmv_batchmode
+
+    return run_stream_kmv_batchmode(
+        spark, f"{sf_dir}/events.parquet"
+    ).orderBy("event_type")
+
+
+SQL_STREAM_KMV = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substring(sha256(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+)
+SELECT event_type, h AS kth_hash FROM r WHERE rn = 12 ORDER BY event_type
+"""
+
+
 def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user journey strings: the first 8 events' types in
     (ts, event_id) order joined with '>' — funnel/path mining prep.
@@ -6413,6 +6442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ppjoin": q_dedup_ppjoin,
     "sample_weighted": q_sample_weighted,
     "events_paths": q_events_paths,
+    "stream_kmv": q_stream_kmv,
     "kg_truss": q_kg_truss,
     "kg_ppr": q_kg_ppr,
     "kg_hits": q_kg_hits,
@@ -6556,6 +6586,7 @@ ORACLES: dict[str, str] = {
     "dedup_ppjoin": SQL_DEDUP_PPJOIN,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "events_paths": SQL_EVENTS_PATHS,
+    "stream_kmv": SQL_STREAM_KMV,
     "kg_truss": SQL_KG_TRUSS,
     "kg_ppr": SQL_KG_PPR,
     "kg_hits": SQL_KG_HITS,

@@ -647,3 +647,93 @@ def run_stream_cdc_batchmode(spark: SparkSession, events_dir: str) -> DataFrame:
         .where((F.col("__rn") == 1) & (F.col("op") != "D"))
         .select("user_id", "state", "val_cents")
     )
+
+
+# --- streaming KMV distinct-count sketch ------------------------------------
+
+KMV_K = 12
+
+KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("hs", StringType(), True),   # csv of the <=k smallest hashes
+        StructField("ver", LongType(), True),
+    ]
+)
+
+KMV_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("ver", LongType(), False),
+        StructField("n_min", LongType(), False),
+        StructField("kth_hash", LongType(), True),
+    ]
+)
+
+
+def _kmv_update(key, pdfs, state):
+    """Mergeable-synopsis state update: the k smallest distinct portable
+    hashes seen so far. KMV's defining property — the sketch of a union
+    is the k-min merge of the sketches — is what makes the streaming
+    final state provably equal the batch sketch REGARDLESS of
+    micro-batch boundaries; the gate exploits exactly that."""
+    import hashlib
+
+    import pandas as pd
+
+    if state.exists:
+        hs, ver = state.get
+        cur = set(int(x) for x in hs.split(",")) if hs else set()
+    else:
+        cur, ver = set(), 0
+    for pdf in pdfs:
+        for u in set(pdf["user_id"].astype("int64").astype(str)):
+            cur.add(int(hashlib.sha256(u.encode()).hexdigest()[:15], 16))
+    mins = sorted(cur)[:KMV_K]
+    ver += 1
+    state.update((",".join(str(h) for h in mins), ver))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "ver": [ver],
+            "n_min": [len(mins)],
+            "kth_hash": [mins[KMV_K - 1] if len(mins) >= KMV_K else None],
+        }
+    )
+
+
+def kmv_sketches(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState streaming KMV (distinct users per type)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _kmv_update,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_kmv_batchmode(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Drain the backlog through the stateful KMV; the final emission
+    per type (max ver) must equal the batch k-minimum-values sketch
+    over the whole table (merge property, see _kmv_update)."""
+    from pyspark.sql.window import Window
+
+    events = read_event_stream(spark, events_dir)
+    name = "stream_kmv_sink"
+    with _drain_partitions(spark):
+        q = (
+            kmv_sketches(events)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    emitted = spark.table(name)
+    w = Window.partitionBy("event_type").orderBy(F.col("ver").desc())
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & F.col("kth_hash").isNotNull())
+        .select("event_type", "kth_hash")
+    )

@@ -1338,3 +1338,43 @@ def test_ppjoin_matches_bruteforce(spark):
     assert got == expect
     assert ("d4", "d5") in got and ("d1", "d3") in got  # non-trivial
     assert ("d1", "d2") not in got  # 2/3 < 4/5
+
+
+def test_kmv_stream_state_merge_invariance():
+    """KMV's mergeable-synopsis property: the final streamed sketch must
+    be identical for any micro-batch split (including out-of-order)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyjelly_spark.streaming.jobs import KMV_K, _kmv_update
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    pdf = pd.DataFrame({"user_id": np.arange(40, dtype="int64")})
+
+    def final(batches):
+        st = FakeState()
+        out = []
+        for b in batches:
+            out.extend(_kmv_update(("click",), iter([b]), st))
+        allout = pd.concat(out)
+        last = allout.sort_values("ver").iloc[-1]
+        return (last["n_min"], last["kth_hash"])
+
+    whole = final([pdf])
+    split = final([pdf.iloc[:7], pdf.iloc[7:30], pdf.iloc[30:]])
+    ooo = final([pdf.iloc[20:], pdf.iloc[:20]])
+    dup = final([pdf, pdf.iloc[:15]])  # re-delivery must be a no-op
+    expect_kth = sorted(_sha60(i) for i in range(40))[KMV_K - 1]
+    assert whole == split == ooo == dup == (KMV_K, expect_kth)
