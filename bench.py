@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "sample_weighted",
     "events_paths",
     "stream_kmv",
+    "events_concurrency",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

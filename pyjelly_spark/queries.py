@@ -6043,6 +6043,116 @@ ORDER BY r.event_type
 """
 
 
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: how many user sessions (30-min
+    gap rule, half-open [first, last+1)) are simultaneously open at
+    every change point. The running sum over change points is computed
+    as a DISTRIBUTED two-level prefix sum — per-hour-bucket local
+    cumsum plus a tiny bucket-level carry joined back by broadcast —
+    never a single global-order window partition (the classic
+    scalability trap for cumulative metrics; the bucket carry frame has
+    one row per hour, bounded at any input size). Ties are merged into
+    net deltas per timestamp first, so row values are deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    epoch0 = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(f"timestampdiff(MICROSECOND, {epoch0}, ts)").alias("off_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("off_us", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        base.withColumn(
+            "new_session",
+            F.when(
+                F.lag("off_us").over(w).isNull()
+                | (F.col("off_us") - F.lag("off_us").over(w) > 1_800_000_000),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("sidx", F.sum("new_session").over(cum))
+        .groupBy("user_id", "sidx")
+        .agg(
+            F.min("off_us").alias("s_us"),
+            (F.max("off_us") + 1).alias("e_us"),
+        )
+    )
+    deltas = sess.select(F.col("s_us").alias("t_us"), F.lit(1).alias("d")).unionByName(
+        sess.select(F.col("e_us").alias("t_us"), F.lit(-1).alias("d"))
+    )
+    net = deltas.groupBy("t_us").agg(F.sum("d").cast("long").alias("net"))
+    bucketed = net.withColumn("bkt", F.expr("t_us div 3600000000"))
+    carry = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("net").alias("btot"))
+        .withColumn(
+            "carry",
+            F.coalesce(
+                F.sum("btot").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "carry")
+    )
+    wb = Window.partitionBy("bkt").orderBy("t_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        bucketed.join(F.broadcast(carry), "bkt")
+        .select(
+            "t_us",
+            "net",
+            (F.col("carry") + F.sum("net").over(wb)).cast("long").alias(
+                "concurrent"
+            ),
+        )
+    )
+
+
+SQL_EVENTS_CONCURRENCY = """
+WITH base AS (
+  SELECT user_id, event_id,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))::BIGINT
+           AS off_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, off_us,
+    CASE WHEN lag(off_us) OVER w IS NULL
+           OR off_us - lag(off_us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY off_us, event_id)
+),
+s AS (
+  SELECT user_id,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY off_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx,
+         off_us
+  FROM flagged
+),
+spans AS (
+  SELECT user_id, sidx, min(off_us) AS s_us, max(off_us) + 1 AS e_us
+  FROM s GROUP BY 1, 2
+),
+d AS (
+  SELECT s_us AS t_us, 1 AS d FROM spans
+  UNION ALL SELECT e_us, -1 FROM spans
+),
+net AS (SELECT t_us, sum(d)::BIGINT AS net FROM d GROUP BY 1)
+SELECT t_us, net,
+       (sum(net) OVER (ORDER BY t_us ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW))::BIGINT AS concurrent
+FROM net
+"""
+
+
 def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator gate: streaming KMV distinct-count
     sketch (applyInPandasWithState; k smallest portable hashes carried
@@ -6442,6 +6552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ppjoin": q_dedup_ppjoin,
     "sample_weighted": q_sample_weighted,
     "events_paths": q_events_paths,
+    "events_concurrency": q_events_concurrency,
     "stream_kmv": q_stream_kmv,
     "kg_truss": q_kg_truss,
     "kg_ppr": q_kg_ppr,
@@ -6586,6 +6697,7 @@ ORACLES: dict[str, str] = {
     "dedup_ppjoin": SQL_DEDUP_PPJOIN,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "events_paths": SQL_EVENTS_PATHS,
+    "events_concurrency": SQL_EVENTS_CONCURRENCY,
     "stream_kmv": SQL_STREAM_KMV,
     "kg_truss": SQL_KG_TRUSS,
     "kg_ppr": SQL_KG_PPR,

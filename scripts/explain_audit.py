@@ -68,6 +68,7 @@ AUDITED = [
     "dedup_ppjoin",
     "sample_weighted",
     "events_paths",
+    "events_concurrency",
 ]
 # kg_truss is excluded like kg_reachable: support peeling runs
 # data-dependent cascade rounds (actions) inside the callable; its

@@ -1378,3 +1378,44 @@ def test_kmv_stream_state_merge_invariance():
     dup = final([pdf, pdf.iloc[:15]])  # re-delivery must be a no-op
     expect_kth = sorted(_sha60(i) for i in range(40))[KMV_K - 1]
     assert whole == split == ooo == dup == (KMV_K, expect_kth)
+
+
+def test_concurrency_sweep_line_closed_form(spark):
+    """Tiny closed-form check of the two-level prefix-sum sweep: three
+    users, known overlaps, boundary semantics [first, last+1)."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_concurrency
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, sec):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, "click", 1.0, "{}")
+
+    rows = [
+        # u1: one session covering [0us, 60s+1us)
+        ev(1, 1, 0), ev(2, 1, 60),
+        # u2: overlaps u1: [30s, 30s+1us)
+        ev(3, 2, 30),
+        # u3: far later (new sweep region), own session [7200s, 7200s+1us)
+        ev(4, 3, 7200),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp_ntz, user_id: long, "
+        "event_type: string, value: double, props: string",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["t_us"]: (r["net"], r["concurrent"])
+        for r in q_events_concurrency(spark, d).collect()
+    }
+    us = 1_000_000
+    assert got[0] == (1, 1)                      # u1 opens
+    assert got[30 * us] == (1, 2)                # u2 opens -> 2 concurrent
+    assert got[30 * us + 1] == (-1, 1)           # u2's point session closes
+    assert got[60 * us + 1] == (-1, 0)           # u1 closes
+    assert got[7200 * us] == (1, 1)              # u3 in a later bucket
+    assert got[7200 * us + 1] == (-1, 0)
