@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "events_paths",
     "stream_kmv",
     "events_concurrency",
+    "events_kmv_setops",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

@@ -218,3 +218,96 @@ def bloom_semi_join(
         F.col("k_").alias("key"),
         F.col("__m").isNotNull().alias("is_member"),
     )
+
+
+def kmv_set_estimates(
+    set_a: DataFrame,
+    set_b: DataFrame,
+    key_col: str,
+    k: int = 12,
+) -> DataFrame:
+    """Sketch ALGEBRA on KMV synopses: estimate |A ∪ B| and |A ∩ B|
+    from the two sets' k-minimum-values sketches alone.
+
+    Union: the merged sketch M = k smallest of K_A ∪ K_B is exactly the
+    KMV sketch of A ∪ B (mergeability), so est_union =
+    (k-1)*2^60 // M_k. Intersection (theta-sketch style): every hash
+    below M's threshold is a uniform sample of A ∪ B, so the count of
+    M's hashes belonging to BOTH sets estimates the Jaccard fraction:
+    est_inter = matches * est_union // k. All-integer on the portable
+    hash — the oracle reproduces every intermediate.
+
+    At scale each side's sketch build is the kmv_distinct shape (one
+    distinct + bounded k-th selection; see that operator for the
+    HLL-threshold prune); everything after the sketches is O(k).
+
+    Returns one row: (union_kth, est_union, matches, est_inter,
+    exact_union, exact_inter) — the exact counts are carried for the
+    gate / error inspection.
+    """
+    a = set_a.select(
+        hex_hash(F.col(key_col).cast("string")).alias("h"),
+        F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    )
+    b = set_b.select(
+        hex_hash(F.col(key_col).cast("string")).alias("h"),
+        F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"),
+    )
+    flagged = (
+        a.unionByName(b)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wa = Window.orderBy("h")
+    ka = (
+        flagged.where(F.col("in_a") == 1)
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= k)
+        .select("h")
+    )
+    kb = (
+        flagged.where(F.col("in_b") == 1)
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= k)
+        .select("h")
+    )
+    merged = (
+        ka.unionByName(kb)
+        .distinct()
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= k)
+        .join(flagged, "h")
+    )
+    est_num = (k - 1) * _HASH_SPACE
+    stats = merged.agg(
+        F.max("h").alias("union_kth"),
+        F.sum((F.col("in_a") == 1).cast("long") * (F.col("in_b") == 1).cast("long"))
+        .alias("matches"),
+    ).select(
+        "union_kth",
+        F.expr(
+            f"cast(cast({est_num} as decimal(38,0)) div union_kth as bigint)"
+        ).alias("est_union"),
+        F.col("matches").cast("long"),
+    )
+    exact = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(
+            (F.col("in_a") == 1).cast("long") * (F.col("in_b") == 1).cast("long")
+        ).cast("long").alias("exact_inter"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(exact))
+        .select(
+            "union_kth",
+            "est_union",
+            "matches",
+            F.expr("cast((matches * est_union) div " + str(k) + " as bigint)").alias(
+                "est_inter"
+            ),
+            "exact_union",
+            "exact_inter",
+        )
+    )

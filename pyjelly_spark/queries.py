@@ -6043,6 +6043,68 @@ ORDER BY r.event_type
 """
 
 
+def q_events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch ALGEBRA (operators/sketches.py::kmv_set_estimates):
+    estimate |viewers ∪ purchasers| and |viewers ∩ purchasers| from the
+    two k=12 sketches alone — merged-sketch union (mergeability) +
+    theta-style intersection (fraction of below-threshold hashes in
+    both sets). Every intermediate is integer on the portable hash, so
+    the oracle reproduces the estimates bit-exactly; exact counts are
+    carried alongside for error inspection."""
+    from pyjelly_spark.operators.sketches import kmv_set_estimates
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_set_estimates(
+        ev.where(F.col("event_type") == "view").select("user_id"),
+        ev.where(F.col("event_type") == "purchase").select("user_id"),
+        "user_id",
+        k=12,
+    )
+
+
+SQL_EVENTS_KMV_SETOPS = """
+WITH f AS (
+  SELECT ('0x' || substring(sha256(user_id::VARCHAR), 1, 15))::BIGINT AS h,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+),
+ka AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM f WHERE in_a = 1
+  ) WHERE rn <= 12
+),
+kb AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM f WHERE in_b = 1
+  ) WHERE rn <= 12
+),
+m AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+  ) WHERE rn <= 12
+),
+s AS (
+  SELECT max(m.h) AS union_kth, sum(f.in_a * f.in_b)::BIGINT AS matches
+  FROM m JOIN f USING (h)
+),
+e AS (
+  SELECT count(*)::BIGINT AS exact_union,
+         sum(in_a * in_b)::BIGINT AS exact_inter
+  FROM f
+)
+SELECT union_kth,
+       (12682136550675316736::HUGEINT // union_kth)::BIGINT AS est_union,
+       matches,
+       ((matches * (12682136550675316736::HUGEINT // union_kth)) // 12)::BIGINT
+         AS est_inter,
+       exact_union, exact_inter
+FROM s, e
+"""
+
+
 def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line interval concurrency: how many user sessions (30-min
     gap rule, half-open [first, last+1)) are simultaneously open at
@@ -6553,6 +6615,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_weighted": q_sample_weighted,
     "events_paths": q_events_paths,
     "events_concurrency": q_events_concurrency,
+    "events_kmv_setops": q_events_kmv_setops,
     "stream_kmv": q_stream_kmv,
     "kg_truss": q_kg_truss,
     "kg_ppr": q_kg_ppr,
@@ -6698,6 +6761,7 @@ ORACLES: dict[str, str] = {
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "events_paths": SQL_EVENTS_PATHS,
     "events_concurrency": SQL_EVENTS_CONCURRENCY,
+    "events_kmv_setops": SQL_EVENTS_KMV_SETOPS,
     "stream_kmv": SQL_STREAM_KMV,
     "kg_truss": SQL_KG_TRUSS,
     "kg_ppr": SQL_KG_PPR,

@@ -69,6 +69,7 @@ AUDITED = [
     "sample_weighted",
     "events_paths",
     "events_concurrency",
+    "events_kmv_setops",
 ]
 # kg_truss is excluded like kg_reachable: support peeling runs
 # data-dependent cascade rounds (actions) inside the callable; its

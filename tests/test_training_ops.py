@@ -1419,3 +1419,31 @@ def test_concurrency_sweep_line_closed_form(spark):
     assert got[60 * us + 1] == (-1, 0)           # u1 closes
     assert got[7200 * us] == (1, 1)              # u3 in a later bucket
     assert got[7200 * us + 1] == (-1, 0)
+
+
+def test_kmv_set_algebra_matches_python(spark):
+    from pyjelly_spark.operators.sketches import kmv_set_estimates
+
+    k = 12
+    A = list(range(0, 60))
+    B = list(range(40, 120))
+    da = spark.createDataFrame([(x,) for x in A], "uid: long")
+    db = spark.createDataFrame([(x,) for x in B], "uid: long")
+    row = kmv_set_estimates(da, db, "uid", k=k).collect()[0]
+
+    ha = sorted(_sha60(x) for x in A)
+    hb = sorted(_sha60(x) for x in B)
+    merged = sorted(set(ha[:k]) | set(hb[:k]))[:k]
+    union_kth = merged[-1]
+    est_union = ((k - 1) * (1 << 60)) // union_kth
+    both = {_sha60(x) for x in set(A) & set(B)}
+    matches = sum(1 for h in merged if h in both)
+    assert row["union_kth"] == union_kth
+    assert row["est_union"] == est_union
+    assert row["matches"] == matches
+    assert row["est_inter"] == (matches * est_union) // k
+    assert row["exact_union"] == len(set(A) | set(B))
+    assert row["exact_inter"] == len(set(A) & set(B))
+    # merged sketch of the union == sketch built on the union directly
+    hu = sorted(_sha60(x) for x in set(A) | set(B))
+    assert merged == hu[:k]
