@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "stream_kmv",
     "events_concurrency",
     "events_kmv_setops",
+    "events_zorder",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

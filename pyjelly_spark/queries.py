@@ -6043,6 +6043,51 @@ ORDER BY r.event_type
 """
 
 
+def _morton16(xcol: str, ycol: str) -> str:
+    """SQL expression interleaving two 8-bit coordinates into a 16-bit
+    Morton (Z-order) code — identical operator set (& >> << |) in Spark
+    and DuckDB, so the layout key is engine-portable."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (user bucket, hour bucket):
+    the multi-dimensional clustering key used for data-skipping file
+    layout — sorting by zcode makes BOTH a user-range and a time-range
+    predicate prune to O(sqrt) of the files, where sorting by either
+    column alone prunes only its own dimension. Pure bit arithmetic
+    (the interleave expression is generated once and stays inside
+    whole-stage codegen); gated bit-exactly."""
+    ev = _t(spark, sf_dir, "events")
+    epoch0 = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+    base = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(256)).alias("x"),
+        F.pmod(
+            F.expr(f"timestampdiff(HOUR, {epoch0}, ts)"), F.lit(256)
+        ).alias("y"),
+    )
+    return base.select(
+        "event_id", "x", "y", F.expr(_morton16("x", "y")).cast("long").alias("zcode")
+    )
+
+
+SQL_EVENTS_ZORDER = f"""
+WITH base AS (
+  SELECT event_id,
+         user_id % 256 AS x,
+         ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+            // 3600000000) % 256 AS y
+  FROM events
+)
+SELECT event_id, x, y, ({_morton16("x", "y")})::BIGINT AS zcode FROM base
+"""
+
+
 def q_events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch ALGEBRA (operators/sketches.py::kmv_set_estimates):
     estimate |viewers ∪ purchasers| and |viewers ∩ purchasers| from the
@@ -6616,6 +6661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_paths": q_events_paths,
     "events_concurrency": q_events_concurrency,
     "events_kmv_setops": q_events_kmv_setops,
+    "events_zorder": q_events_zorder,
     "stream_kmv": q_stream_kmv,
     "kg_truss": q_kg_truss,
     "kg_ppr": q_kg_ppr,
@@ -6762,6 +6808,7 @@ ORACLES: dict[str, str] = {
     "events_paths": SQL_EVENTS_PATHS,
     "events_concurrency": SQL_EVENTS_CONCURRENCY,
     "events_kmv_setops": SQL_EVENTS_KMV_SETOPS,
+    "events_zorder": SQL_EVENTS_ZORDER,
     "stream_kmv": SQL_STREAM_KMV,
     "kg_truss": SQL_KG_TRUSS,
     "kg_ppr": SQL_KG_PPR,

@@ -70,6 +70,7 @@ AUDITED = [
     "events_paths",
     "events_concurrency",
     "events_kmv_setops",
+    "events_zorder",
 ]
 # kg_truss is excluded like kg_reachable: support peeling runs
 # data-dependent cascade rounds (actions) inside the callable; its

@@ -1447,3 +1447,34 @@ def test_kmv_set_algebra_matches_python(spark):
     # merged sketch of the union == sketch built on the union directly
     hu = sorted(_sha60(x) for x in set(A) | set(B))
     assert merged == hu[:k]
+
+
+def test_zorder_interleave_locality(spark):
+    """Morton codes: bit-interleave correctness + the locality property
+    that motivates the layout (a small (x, y) box maps to a bounded
+    zcode range)."""
+    from pyjelly_spark.queries import _morton16
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x: long, y: long"
+    )
+    from pyspark.sql import functions as F
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", F.expr(_morton16("x", "y")).alias("z")).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x in range(16) for y in range(16)}
+    # locality: any aligned 4x4 box occupies exactly one contiguous
+    # 16-code range (the defining Z-curve property)
+    for bx in range(0, 16, 4):
+        for by in range(0, 16, 4):
+            codes = sorted(got[(x, y)] for x in range(bx, bx + 4) for y in range(by, by + 4))
+            assert codes == list(range(codes[0], codes[0] + 16))
