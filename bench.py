@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "events_concurrency",
     "events_kmv_setops",
     "events_zorder",
+    "events_checksum",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

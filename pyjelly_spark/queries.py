@@ -6054,6 +6054,57 @@ def _morton16(xcol: str, ycol: str) -> str:
     return " | ".join(terms)
 
 
+def q_events_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint for cross-system data
+    validation (the anti-entropy check a replicated lakehouse runs
+    after a migration/backfill): per-shard sum of portable row hashes
+    mod 2^61, plus row count — commutative, so ANY partitioning /
+    scan order / engine produces the same checksums, and two tables
+    can be compared shard-by-shard to localize divergence without
+    moving data. One map-side-combinable aggregation; 64 shards by
+    row-hash, so a single corrupted row flips exactly one shard."""
+    ev = _t(spark, sf_dir, "events")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 100).cast("long").cast("string"),
+    )
+    h = T.hex_hash(row_repr)
+    base = ev.select(
+        h.alias("h"), F.pmod(h, F.lit(64)).alias("shard")
+    )
+    return (
+        base.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            # sum in decimal(38,0): 2^61-sized terms overflow int64 at
+            # ~4 rows; the HUGEINT cast on the oracle side mirrors this
+            F.expr(
+                "cast(sum(cast(h % 2305843009213693952 as decimal(38,0)))"
+                " % 2305843009213693952 as bigint)"
+            ).alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+SQL_EVENTS_CHECKSUM = """
+WITH base AS (
+  SELECT ('0x' || substring(sha256(
+           event_id::VARCHAR || '|' || user_id::VARCHAR || '|' ||
+           event_type || '|' || (floor(value * 100)::BIGINT)::VARCHAR
+         ), 1, 15))::BIGINT AS h
+  FROM events
+)
+SELECT h % 64 AS shard, count(*)::BIGINT AS n_rows,
+       (sum((h % 2305843009213693952)::HUGEINT)
+          % 2305843009213693952)::BIGINT AS checksum
+FROM base GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout keys over (user bucket, hour bucket):
     the multi-dimensional clustering key used for data-skipping file
@@ -6662,6 +6713,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_concurrency": q_events_concurrency,
     "events_kmv_setops": q_events_kmv_setops,
     "events_zorder": q_events_zorder,
+    "events_checksum": q_events_checksum,
     "stream_kmv": q_stream_kmv,
     "kg_truss": q_kg_truss,
     "kg_ppr": q_kg_ppr,
@@ -6809,6 +6861,7 @@ ORACLES: dict[str, str] = {
     "events_concurrency": SQL_EVENTS_CONCURRENCY,
     "events_kmv_setops": SQL_EVENTS_KMV_SETOPS,
     "events_zorder": SQL_EVENTS_ZORDER,
+    "events_checksum": SQL_EVENTS_CHECKSUM,
     "stream_kmv": SQL_STREAM_KMV,
     "kg_truss": SQL_KG_TRUSS,
     "kg_ppr": SQL_KG_PPR,

@@ -71,6 +71,7 @@ AUDITED = [
     "events_concurrency",
     "events_kmv_setops",
     "events_zorder",
+    "events_checksum",
 ]
 # kg_truss is excluded like kg_reachable: support peeling runs
 # data-dependent cascade rounds (actions) inside the callable; its
