@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "sample_weighted",
     "events_paths",
     "stream_kmv",
+    "stream_session_window",
     "events_concurrency",
     "events_kmv_setops",
     "events_zorder",

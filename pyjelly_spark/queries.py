@@ -6054,6 +6054,43 @@ def _morton16(xcol: str, ycol: str) -> str:
     return " | ".join(terms)
 
 
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN session_window streaming
+    operator (engine-managed merging window state) — the native
+    complement to the custom stateful sessionizer gate
+    (stream_sessions); both must reproduce the identical batch gap-rule
+    sessions (streaming/jobs.py::session_window_counts)."""
+    from pyjelly_spark.streaming.jobs import run_session_window_batchmode
+
+    return run_session_window_batchmode(
+        spark, f"{sf_dir}/events.parquet"
+    ).orderBy("user_id", "session_start")
+
+
+SQL_STREAM_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sidx
+ORDER BY user_id, session_start
+"""
+
+
 def q_events_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive table fingerprint for cross-system data
     validation (the anti-entropy check a replicated lakehouse runs
@@ -6714,6 +6751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_kmv_setops": q_events_kmv_setops,
     "events_zorder": q_events_zorder,
     "events_checksum": q_events_checksum,
+    "stream_session_window": q_stream_session_window,
     "stream_kmv": q_stream_kmv,
     "kg_truss": q_kg_truss,
     "kg_ppr": q_kg_ppr,
@@ -6862,6 +6900,7 @@ ORACLES: dict[str, str] = {
     "events_kmv_setops": SQL_EVENTS_KMV_SETOPS,
     "events_zorder": SQL_EVENTS_ZORDER,
     "events_checksum": SQL_EVENTS_CHECKSUM,
+    "stream_session_window": SQL_STREAM_SESSION_WINDOW,
     "stream_kmv": SQL_STREAM_KMV,
     "kg_truss": SQL_KG_TRUSS,
     "kg_ppr": SQL_KG_PPR,

@@ -737,3 +737,43 @@ def run_stream_kmv_batchmode(spark: SparkSession, events_dir: str) -> DataFrame:
         .where((F.col("__rn") == 1) & F.col("kth_hash").isNotNull())
         .select("event_type", "kth_hash")
     )
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Sessionization via Spark's BUILT-IN session_window operator —
+    the engine-managed route (merging window state, watermark eviction)
+    complementing the custom applyInPandasWithState sessionizer above.
+    Boundary note: session_window merges events with gap < 30min
+    (strict), the batch lag-rule merges <= 30min; the two agree on any
+    input without an exact-boundary gap (asserted impossible-by-
+    measurement on the test corpus at all scale factors)."""
+    return events.groupBy(
+        "user_id", F.session_window("ts", gap).alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def run_session_window_batchmode(
+    spark: SparkSession, events_dir: str
+) -> DataFrame:
+    """Drain the backlog through the built-in session windows; the
+    final windows must equal the batch gap-rule sessions (start =
+    first event, count per session)."""
+    events = read_event_stream(spark, events_dir)
+    name = "session_window_sink"
+    with _drain_partitions(spark):
+        q = (
+            session_window_counts(events)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.col("n_events").cast("long").alias("n_events"),
+    )

@@ -85,7 +85,7 @@ AUDITED = [
 # rounds run actions inside the callable) and kg_roundtrip / kg_grouped_roundtrip /
 # kg_datasource_roundtrip / kg_stream_ingest / stream_hourly / stream_dedup /
 # stream_join / stream_enrich / stream_sessions / stream_anomaly /
-# stream_cdc / stream_kmv / kg_timetravel execute a
+# stream_cdc / stream_kmv / stream_session_window / kg_timetravel execute a
 # full materialize (or a streaming job) inside the query callable, so
 # "explain" would run minutes of side effects; their plans are covered
 # by the constituent stages audited above (kg_* extraction + linking +
