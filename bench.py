@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "events_paths",
     "stream_kmv",
     "stream_session_window",
+    "kg_link_ra",
+    "events_markov",
     "events_concurrency",
     "events_kmv_setops",
     "events_zorder",

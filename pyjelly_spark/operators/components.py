@@ -869,6 +869,56 @@ def closeness_centrality(
     )
 
 
+def ra_scores(
+    edges: DataFrame,
+    min_shared: int = 2,
+    hub_cap: int | None = None,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Resource-Allocation link-prediction index: for node pairs
+    sharing out-neighbors, RA(a,b) = sum over shared z of 1/indeg(z) —
+    here the integer-exact ``scale div indeg(z)``, so the score (unlike
+    Adamic-Adar's 1/log deg, which needs floats) is bit-portable and
+    the oracle reproduces it. Rare shared neighbors score high; hubs
+    contribute ~nothing — the built-in down-weighting that plain
+    shared-neighbor counting (node_similarity) lacks.
+
+    Candidates come from ONE self-equi-join on the shared neighbor
+    (never all-pairs) with the same optional ``hub_cap`` cut as
+    node_similarity — consistent recall trade, documented there.
+
+    Returns (a, b, shared, ra_score) for a < b with >= min_shared
+    common out-neighbors.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    if hub_cap is not None:
+        indeg_all = e.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+        hubs = indeg_all.where(F.col("indeg") > hub_cap).select("dst")
+        e = e.join(F.broadcast(hubs), "dst", "left_anti")
+    e = e.localCheckpoint(eager=True)
+    # rename the key: indeg shares lineage with e, so an un-renamed
+    # `dst` would be ambiguous after the x/y self-join
+    indeg = (
+        e.groupBy("dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("indeg"))
+        .select(F.col("dst").alias("zdst"), "indeg")
+    )
+    return (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            (F.col("x.dst") == F.col("y.dst")) & (F.col("x.src") < F.col("y.src")),
+        )
+        .join(indeg, F.col("x.dst") == F.col("zdst"))
+        .groupBy(F.col("x.src").alias("a"), F.col("y.src").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared"),
+            F.sum(F.expr(f"{scale} div indeg")).cast("long").alias("ra_score"),
+        )
+        .where(F.col("shared") >= min_shared)
+    )
+
+
 def node_similarity(
     edges: DataFrame,
     min_shared: int = 2,

@@ -6238,6 +6238,89 @@ FROM s, e
 """
 
 
+def q_kg_link_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link-prediction scores over the resolved
+    import graph (operators/components.py::ra_scores): integer-exact
+    sum of scale div indeg(z) over shared neighbors — the
+    hub-down-weighting similarity that Adamic-Adar approximates with
+    floats; one wedge join, never all-pairs."""
+    from pyjelly_spark.operators.components import ra_scores
+
+    edges = q_kg_imports_resolved(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    return ra_scores(edges, min_shared=2).orderBy("a", "b")
+
+
+SQL_KG_LINK_RA = """
+WITH {src}, {mentions},
+he AS (
+  SELECT DISTINCT file_iri AS src,
+    'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+      || '/mod_' || t || '.py' AS dst
+  FROM imports_gt
+  WHERE file_iri <> 'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg'
+      || (t % 13) || '/mod_' || t || '.py'
+),
+indeg AS (SELECT dst, count(*)::BIGINT AS indeg FROM he GROUP BY 1)
+SELECT x.src AS a, y.src AS b, count(*)::BIGINT AS shared,
+       sum(1000000 // i.indeg)::BIGINT AS ra_score
+FROM he x
+JOIN he y ON x.dst = y.dst AND x.src < y.src
+JOIN indeg i ON x.dst = i.dst
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY 1, 2
+"""
+
+
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream (sequence-modeling prep): counts of consecutive
+    (from_type, to_type) pairs in (ts, event_id) order, with the
+    transition probability floor-scaled to integer millionths
+    (10^6 * c div row_total) so the gate is bit-exact. One user-keyed
+    window + one tiny aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return (
+        counts.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("cast((1000000 * n) div total as bigint)").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+SQL_EVENTS_MARKOV = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT from_type, sum(n) AS total FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n,
+       ((1000000 * c.n) // t.total)::BIGINT AS p_ppm
+FROM c JOIN t USING (from_type)
+ORDER BY 1, 2
+"""
+
+
 def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line interval concurrency: how many user sessions (30-min
     gap rule, half-open [first, last+1)) are simultaneously open at
@@ -6756,6 +6839,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_truss": q_kg_truss,
     "kg_ppr": q_kg_ppr,
     "kg_hits": q_kg_hits,
+    "kg_link_ra": q_kg_link_ra,
+    "events_markov": q_events_markov,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -6905,6 +6990,10 @@ ORACLES: dict[str, str] = {
     "kg_truss": SQL_KG_TRUSS,
     "kg_ppr": SQL_KG_PPR,
     "kg_hits": SQL_KG_HITS,
+    "kg_link_ra": SQL_KG_LINK_RA.format(
+        src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip()
+    ),
+    "events_markov": SQL_EVENTS_MARKOV,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

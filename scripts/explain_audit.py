@@ -72,6 +72,8 @@ AUDITED = [
     "events_kmv_setops",
     "events_zorder",
     "events_checksum",
+    "kg_link_ra",
+    "events_markov",
 ]
 # kg_truss is excluded like kg_reachable: support peeling runs
 # data-dependent cascade rounds (actions) inside the callable; its

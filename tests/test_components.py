@@ -495,3 +495,29 @@ def test_hits_matches_recurrence(spark):
     # the self-loop (a, a) must have been dropped: e has no in-edges
     # from itself and its auth is 0 (nothing points at e)
     assert got["e"][1] == 0
+
+
+def test_ra_scores_closed_form(spark):
+    from pyjelly_spark.operators.components import ra_scores
+
+    # z1 has indeg 3 (a,b,c), z2 indeg 2 (a,b), z3 indeg 1 (a)
+    edges = [("a", "z1"), ("b", "z1"), ("c", "z1"),
+             ("a", "z2"), ("b", "z2"), ("a", "z3")]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    got = {
+        (r["a"], r["b"]): (r["shared"], r["ra_score"])
+        for r in ra_scores(df, min_shared=1).collect()
+    }
+    s = 10**6
+    assert got[("a", "b")] == (2, s // 3 + s // 2)   # z1 + z2
+    assert got[("a", "c")] == (1, s // 3)            # z1 only
+    assert got[("b", "c")] == (1, s // 3)
+    # min_shared=2 keeps only (a, b)
+    only = ra_scores(df, min_shared=2).collect()
+    assert [(r["a"], r["b"]) for r in only] == [("a", "b")]
+    # hub_cap=2 drops z1 entirely: (a,c)/(b,c) vanish, (a,b) loses z1
+    capped = {
+        (r["a"], r["b"]): r["ra_score"]
+        for r in ra_scores(df, min_shared=1, hub_cap=2).collect()
+    }
+    assert capped == {("a", "b"): s // 2}
