@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "stream_session_window",
     "kg_link_ra",
     "events_markov",
+    "doc_hash_features",
     "events_concurrency",
     "events_kmv_setops",
     "events_zorder",

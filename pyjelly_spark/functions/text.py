@@ -936,3 +936,28 @@ def stratified_sample_exact(
         .where(F.col("rank") <= size)
         .select("doc_id", "lang", "rank")
     )
+
+
+def hash_features(docs: DataFrame, buckets: int = 64) -> DataFrame:
+    """Feature hashing (the "hashing trick"): sparse bag-of-words term
+    frequencies folded into a fixed ``buckets``-dimensional space via
+    the portable 60-bit hash — the standard way to featurize unbounded
+    vocabularies without a global dictionary pass (no vocabulary
+    shuffle, no driver-side vocab, collisions accepted by design).
+
+    Emitted SPARSE as (doc_id, bucket, tf) rows for the non-zero
+    buckets — the layout a downstream trainer aggregates from, and the
+    layout the correctness gate can compare exactly. One tokenize +
+    one (doc_id, bucket) aggregation with map-side partial sums.
+    """
+    norm = normalized(F.col("text"))
+    toks = docs.select(
+        "doc_id", F.explode(words(norm)).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.select(
+            "doc_id", F.pmod(hex_hash(F.col("token")), F.lit(buckets)).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )

@@ -6273,6 +6273,30 @@ ORDER BY 1, 2
 """
 
 
+def q_doc_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing ("hashing trick", functions/text.py::
+    hash_features): bag-of-words term frequencies folded into 64
+    buckets via the portable hash — dictionary-free featurization (no
+    vocabulary pass, no driver state), emitted sparse. One tokenize +
+    one map-side-combinable aggregation."""
+    from pyjelly_spark.functions.text import hash_features
+
+    return hash_features(_t(spark, sf_dir, "documents"), buckets=64)
+
+
+SQL_DOC_HASH_FEATURES = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({{norm}}, ' ')) AS token
+  FROM documents
+)
+SELECT doc_id,
+       ('0x' || substring(sha256(token), 1, 15))::BIGINT % 64 AS bucket,
+       count(*)::BIGINT AS tf
+FROM toks WHERE token <> ''
+GROUP BY 1, 2
+""".format(norm="{norm}")
+
+
 def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of event types per user
     stream (sequence-modeling prep): counts of consecutive
@@ -6841,6 +6865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_hits": q_kg_hits,
     "kg_link_ra": q_kg_link_ra,
     "events_markov": q_events_markov,
+    "doc_hash_features": q_doc_hash_features,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -6994,6 +7019,7 @@ ORACLES: dict[str, str] = {
         src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip()
     ),
     "events_markov": SQL_EVENTS_MARKOV,
+    "doc_hash_features": SQL_DOC_HASH_FEATURES.format(norm=NORM_SQL),
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

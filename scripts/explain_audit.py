@@ -74,6 +74,7 @@ AUDITED = [
     "events_checksum",
     "kg_link_ra",
     "events_markov",
+    "doc_hash_features",
 ]
 # kg_truss is excluded like kg_reachable: support peeling runs
 # data-dependent cascade rounds (actions) inside the callable; its
