@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "kg_link_ra",
     "events_markov",
     "doc_hash_features",
+    "vocab_collocations",
+    "events_kth",
     "events_concurrency",
     "events_kmv_setops",
     "events_zorder",

@@ -6273,6 +6273,120 @@ ORDER BY 1, 2
 """
 
 
+def q_events_kth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed order statistic WITHOUT a global sort
+    (operators/selection.py::kth_smallest): the median-rank cents value
+    via iterative histogram bisection — each round one bounded
+    aggregation (<= 256 histogram rows shuffled per task at ANY input
+    size), 2 rounds for this value range, vs the full sort ORDER
+    BY/OFFSET pays. Returns (k, n, kth_value, n_le) with the rank
+    bracket count so the oracle checks the selection property too."""
+    from pyjelly_spark.operators.selection import kth_smallest
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    vals = ev.select(cents.alias("v"))
+    n = vals.count()
+    k = (n + 1) // 2
+    kth = kth_smallest(vals, F.col("v"), k)
+    n_le = vals.where(F.col("v") <= kth).count()
+    return spark.createDataFrame(
+        [(k, n, kth, n_le)], "k: long, n: long, kth_value: long, n_le: long"
+    )
+
+
+SQL_EVENTS_KTH = """
+WITH v AS (SELECT floor(value * 100)::BIGINT AS v FROM events),
+p AS (SELECT count(*)::BIGINT AS n, ((count(*) + 1) // 2)::BIGINT AS k FROM v),
+kv AS (
+  SELECT v AS kth_value FROM v, p
+  ORDER BY v LIMIT 1 OFFSET (SELECT k - 1 FROM p)
+)
+SELECT p.k, p.n, kv.kth_value,
+       (SELECT count(*) FROM v WHERE v.v <= kv.kth_value)::BIGINT AS n_le
+FROM p, kv
+"""
+
+
+def q_vocab_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation (phrase) mining for tokenizer/vocab prep: corpus
+    bigram LIFT scores — lift = P(ab) / (P(a)P(b)) as the integer
+    (n_ab * N * 10^6) div (n_a * n_b) with N the corpus token count —
+    the PMI-family association measure without floats/logs, so the
+    gate is bit-exact. Bigrams with lift >> 10^6 are phrases ("new
+    york"); ~10^6 are chance co-occurrences. One tokenize pass feeds
+    both the unigram and bigram aggregations; min count 5 prunes the
+    tail before the join."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyjelly_spark.functions.text import normalized, word_ngrams, words
+
+    ws = docs.select(
+        "doc_id", words(normalized(F.col("text"))).alias("ws")
+    )
+    uni = (
+        ws.select(F.explode("ws").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_total = uni.agg(F.sum("n").alias("nt"))
+    bi = (
+        ws.select(F.explode(word_ngrams(F.col("ws"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+        .withColumn("wa", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("wb", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("n").alias("n_b"))
+    return (
+        bi.join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "bg",
+            F.col("n_ab").cast("long"),
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            F.expr("cast((n_ab * nt * 1000000) div (n_a * n_b) as bigint)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("lift_ppm"), F.asc("bg"))
+        .limit(50)
+    )
+
+
+SQL_VOCAB_COLLOCATIONS = """
+WITH ws AS (
+  SELECT doc_id, string_split({norm}, ' ') AS ws FROM documents
+),
+uni AS (
+  SELECT w, count(*)::BIGINT AS n FROM (
+    SELECT unnest(ws) AS w FROM ws
+  ) WHERE w <> '' GROUP BY 1
+),
+nt AS (SELECT sum(n)::BIGINT AS nt FROM uni),
+bi AS (
+  SELECT bg, count(*)::BIGINT AS n_ab FROM (
+    SELECT unnest(list_transform(
+      range(1, len(ws) - 0),
+      i -> ws[i] || ' ' || ws[i + 1]
+    )) AS bg
+    FROM ws WHERE len(ws) >= 2
+  ) GROUP BY 1 HAVING count(*) >= 5
+)
+SELECT bg, n_ab, ua.n AS n_a, ub.n AS n_b,
+       ((n_ab * nt.nt * 1000000) // (ua.n * ub.n))::BIGINT AS lift_ppm
+FROM bi
+JOIN uni ua ON string_split(bg, ' ')[1] = ua.w
+JOIN uni ub ON string_split(bg, ' ')[2] = ub.w
+CROSS JOIN nt
+ORDER BY lift_ppm DESC, bg ASC LIMIT 50
+"""
+
+
 def q_doc_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature hashing ("hashing trick", functions/text.py::
     hash_features): bag-of-words term frequencies folded into 64
@@ -6866,6 +6980,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_ra": q_kg_link_ra,
     "events_markov": q_events_markov,
     "doc_hash_features": q_doc_hash_features,
+    "vocab_collocations": q_vocab_collocations,
+    "events_kth": q_events_kth,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -7020,6 +7136,8 @@ ORACLES: dict[str, str] = {
     ),
     "events_markov": SQL_EVENTS_MARKOV,
     "doc_hash_features": SQL_DOC_HASH_FEATURES.format(norm=NORM_SQL),
+    "vocab_collocations": SQL_VOCAB_COLLOCATIONS.format(norm=NORM_SQL),
+    "events_kth": SQL_EVENTS_KTH,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

@@ -75,7 +75,11 @@ AUDITED = [
     "kg_link_ra",
     "events_markov",
     "doc_hash_features",
+    "vocab_collocations",
 ]
+# events_kth is excluded from the audit: histogram-bisection rounds are
+# driver-coordinated actions inside the callable (its per-round plan is a
+# plain bounded aggregation).
 # kg_truss is excluded like kg_reachable: support peeling runs
 # data-dependent cascade rounds (actions) inside the callable; its
 # constituent wedge-join stage shape is audited via kg_triangles.

@@ -1478,3 +1478,23 @@ def test_zorder_interleave_locality(spark):
         for by in range(0, 16, 4):
             codes = sorted(got[(x, y)] for x in range(bx, bx + 4) for y in range(by, by + 4))
             assert codes == list(range(codes[0], codes[0] + 16))
+
+
+def test_kth_smallest_selection(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyjelly_spark.operators.selection import kth_smallest
+
+    rng = random.Random(9)
+    vals = [rng.randrange(-500, 10**7) for _ in range(3000)] + [42] * 50
+    df = spark.createDataFrame([(v,) for v in vals], "v: long")
+    s = sorted(vals)
+    for k in (1, 2, 1000, len(vals) // 2, len(vals) - 1, len(vals)):
+        assert kth_smallest(df, F.col("v"), k) == s[k - 1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kth_smallest(df, F.col("v"), 0)
+    with _pytest.raises(ValueError):
+        kth_smallest(df, F.col("v"), len(vals) + 1)
