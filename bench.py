@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "events_kmv_setops",
     "events_zorder",
     "events_checksum",
+    "events_mad",
+    "events_expectations",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

@@ -6273,6 +6273,154 @@ ORDER BY 1, 2
 """
 
 
+def q_events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (dbt/Great-Expectations style): a
+    declared expectation suite evaluated in ONE conditional-aggregation
+    pass over the table — no per-check scans — then unpivoted to one
+    row per check with the violation metric and pass flag. The shape a
+    10^12-row ingest gate needs: a single map-combinable aggregate,
+    cost independent of how many checks are declared."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_user"),
+        F.sum(
+            ((F.col("value") < 0) | (F.col("value") > 1000)).cast("long")
+        ).alias("value_range"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("event_id"))).alias(
+            "dup_event_id"
+        ),
+        F.sum(
+            (
+                ~F.col("event_type").isin(
+                    "view", "click", "purchase", "signup", "error"
+                )
+            ).cast("long")
+        ).alias("bad_type"),
+        F.sum(
+            (
+                (F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-01 00:00:00'"))
+                | (F.col("ts") >= F.expr("TIMESTAMP_NTZ '2025-01-01 00:00:00'"))
+            ).cast("long")
+        ).alias("ts_window"),
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "'not_null_user_id', null_user, "
+        "'value_in_0_1000', value_range, "
+        "'unique_event_id', dup_event_id, "
+        "'accepted_event_types', bad_type, "
+        "'ts_in_2024', ts_window) AS (check, violations)"
+    ).select(
+        "check",
+        F.col("violations").cast("long"),
+        (F.col("violations") == 0).alias("passed"),
+    ).orderBy("check")
+
+
+SQL_EVENTS_EXPECTATIONS = """
+WITH a AS (
+  SELECT
+    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_user,
+    sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END)::BIGINT
+      AS value_range,
+    (count(*) - count(DISTINCT event_id))::BIGINT AS dup_event_id,
+    sum(CASE WHEN event_type NOT IN
+        ('view', 'click', 'purchase', 'signup', 'error')
+        THEN 1 ELSE 0 END)::BIGINT AS bad_type,
+    sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+              OR ts >= TIMESTAMP '2025-01-01 00:00:00'
+        THEN 1 ELSE 0 END)::BIGINT AS ts_window
+  FROM events
+)
+SELECT "check", violations, violations = 0 AS passed FROM (
+  SELECT 'not_null_user_id' AS "check", null_user AS violations FROM a
+  UNION ALL SELECT 'value_in_0_1000', value_range FROM a
+  UNION ALL SELECT 'unique_event_id', dup_event_id FROM a
+  UNION ALL SELECT 'accepted_event_types', bad_type FROM a
+  UNION ALL SELECT 'ts_in_2024', ts_window FROM a
+) ORDER BY "check"
+"""
+
+
+def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier statistics per event_type: lower-median of cents,
+    MAD (lower-median of absolute deviations), and the count of
+    |x - med| > 3*MAD outliers — the heavy-tail-safe alternative to
+    the z-score (events_anomaly). Lower medians (rank (n+1)//2) keep
+    everything integer, so the gate is bit-exact where interpolated
+    medians would float-diverge. Two window passes, both on the same
+    event_type partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    base = ev.select("event_type", cents.alias("v"))
+    w = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    med = (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("v").alias("med"))
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("v") - F.col("med")).alias("d"), "v"
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("d").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                (F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_MAD = """
+WITH base AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS v FROM events
+),
+med AS (
+  SELECT event_type, v AS med FROM (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM base
+  ) WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT b.event_type, m.med, abs(b.v - m.med) AS d, b.v
+  FROM base b JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, d AS mad FROM (
+    SELECT event_type, d,
+           row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT dev.event_type,
+       max(dev.med)::BIGINT AS med,
+       max(mad.mad)::BIGINT AS mad,
+       sum(CASE WHEN abs(dev.v - dev.med) > 3 * mad.mad THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers,
+       count(*)::BIGINT AS n
+FROM dev JOIN mad USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_events_kth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed order statistic WITHOUT a global sort
     (operators/selection.py::kth_smallest): the median-rank cents value
@@ -6982,6 +7130,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_hash_features": q_doc_hash_features,
     "vocab_collocations": q_vocab_collocations,
     "events_kth": q_events_kth,
+    "events_mad": q_events_mad,
+    "events_expectations": q_events_expectations,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -7138,6 +7288,8 @@ ORACLES: dict[str, str] = {
     "doc_hash_features": SQL_DOC_HASH_FEATURES.format(norm=NORM_SQL),
     "vocab_collocations": SQL_VOCAB_COLLOCATIONS.format(norm=NORM_SQL),
     "events_kth": SQL_EVENTS_KTH,
+    "events_mad": SQL_EVENTS_MAD,
+    "events_expectations": SQL_EVENTS_EXPECTATIONS,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

@@ -76,6 +76,8 @@ AUDITED = [
     "events_markov",
     "doc_hash_features",
     "vocab_collocations",
+    "events_mad",
+    "events_expectations",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

@@ -1498,3 +1498,67 @@ def test_kth_smallest_selection(spark):
         kth_smallest(df, F.col("v"), 0)
     with _pytest.raises(ValueError):
         kth_smallest(df, F.col("v"), len(vals) + 1)
+
+
+def _write_events(spark, rows):
+    """Write a tiny synthetic events.parquet and return its dir."""
+    import os
+    import tempfile
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp_ntz, user_id: long, "
+        "event_type: string, value: double, props: string",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+def test_events_mad_closed_form(spark):
+    """Lower-median / MAD / 3-MAD outlier count on a hand-computed set:
+    cents [100,200,300,400,10000] -> med 300 (rank 3 of 5), deviations
+    [200,100,0,100,9700] -> mad 100, outliers |v-med| > 300 -> only
+    the 10000-cent row."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_mad
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (i + 1, t0, 1, "click", v, "{}")
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])
+    ]
+    got = q_events_mad(spark, _write_events(spark, rows)).collect()
+    assert [tuple(r) for r in got] == [("click", 300, 100, 1, 5)]
+
+
+def test_events_expectations_closed_form(spark):
+    """Each declared check trips exactly once on a crafted row set, and
+    the clean checks report zero violations with passed=True."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_expectations
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        (1, t0, 10, "click", 5.0, "{}"),          # clean
+        (2, t0, None, "view", 5.0, "{}"),         # null user_id
+        (3, t0, 10, "click", -5.0, "{}"),         # value out of range
+        (3, t0, 10, "view", 5.0, "{}"),           # duplicate event_id
+        (4, t0, 10, "refund", 5.0, "{}"),         # bad event_type
+        (5, dt.datetime(2023, 12, 31, 23, 59, 59), 10, "click", 5.0, "{}"),
+    ]
+    got = {
+        r["check"]: (r["violations"], r["passed"])
+        for r in q_events_expectations(spark, _write_events(spark, rows)).collect()
+    }
+    assert got == {
+        "not_null_user_id": (1, False),
+        "value_in_0_1000": (1, False),
+        "unique_event_id": (1, False),
+        "accepted_event_types": (1, False),
+        "ts_in_2024": (1, False),
+    }
