@@ -122,6 +122,20 @@ BENCH_QUERIES = [
     "events_checksum",
     "events_mad",
     "events_expectations",
+    "vocab_kn",
+    "events_seasonal",
+    "events_attribution",
+    "events_quantiles",
+    "kg_butterflies",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "events_rfm",
+    "events_cusum",
+    "events_benford",
+    "events_autocov",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

@@ -6981,6 +6981,926 @@ ORDER BY g_type, g_hr, event_type, hr_off
 """
 
 
+def q_vocab_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation counts — the language-model smoothing
+    statistic: for each word, the number of DISTINCT left-context types
+    N1+(. w) (how many different words precede it), distinct right
+    types N1+(w .), and the continuation probability N1+(. w) / |bigram
+    types| in integer ppm. "francisco" is frequent but has ~one left
+    context; KN down-weights it — exactly what unigram counts miss.
+    One tokenize pass -> distinct bigram pairs (the only big shuffle,
+    partial-deduped map-side) -> two tiny per-word aggs; never
+    materializes per-occurrence rows past the distinct."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyjelly_spark.functions.text import normalized, word_ngrams, words
+
+    ws = docs.select(words(normalized(F.col("text"))).alias("ws"))
+    pairs = (
+        ws.select(F.explode(word_ngrams(F.col("ws"), 2)).alias("bg"))
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("wa"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("wb"),
+        )
+        .where((F.col("wa") != "") & (F.col("wb") != ""))
+        .distinct()
+    )
+    total = pairs.agg(F.count(F.lit(1)).alias("t"))
+    left = pairs.groupBy(F.col("wb").alias("word")).agg(
+        F.count(F.lit(1)).alias("cont_types")
+    )
+    right = pairs.groupBy(F.col("wa").alias("word")).agg(
+        F.count(F.lit(1)).alias("right_types")
+    )
+    return (
+        left.join(right, "word", "full_outer")
+        .select(
+            "word",
+            F.coalesce("cont_types", F.lit(0)).cast("long").alias("cont_types"),
+            F.coalesce("right_types", F.lit(0)).cast("long").alias("right_types"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "cont_types",
+            "right_types",
+            F.expr("cast((cont_types * 1000000) div t as bigint)").alias(
+                "cont_ppm"
+            ),
+        )
+        .orderBy(F.desc("cont_types"), F.asc("word"))
+        .limit(50)
+    )
+
+
+SQL_VOCAB_KN = """
+WITH ws AS (
+  SELECT string_split({norm}, ' ') AS ws FROM documents
+),
+pairs AS (
+  SELECT DISTINCT
+    string_split(bg, ' ')[1] AS wa,
+    string_split(bg, ' ')[2] AS wb
+  FROM (
+    SELECT unnest(list_transform(
+      range(1, len(ws) - 0),
+      i -> ws[i] || ' ' || ws[i + 1]
+    )) AS bg
+    FROM ws WHERE len(ws) >= 2
+  )
+  WHERE string_split(bg, ' ')[1] <> '' AND string_split(bg, ' ')[2] <> ''
+),
+t AS (SELECT count(*)::BIGINT AS t FROM pairs),
+lft AS (SELECT wb AS word, count(*)::BIGINT AS cont_types FROM pairs GROUP BY 1),
+rgt AS (SELECT wa AS word, count(*)::BIGINT AS right_types FROM pairs GROUP BY 1)
+SELECT coalesce(lft.word, rgt.word) AS word,
+       coalesce(cont_types, 0)::BIGINT AS cont_types,
+       coalesce(right_types, 0)::BIGINT AS right_types,
+       ((coalesce(cont_types, 0) * 1000000) // t.t)::BIGINT AS cont_ppm
+FROM lft FULL JOIN rgt ON lft.word = rgt.word
+CROSS JOIN t
+ORDER BY cont_types DESC, word ASC LIMIT 50
+"""
+
+
+def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index per event_type: the ratio of the
+    hour's mean value to the type's overall mean, as the integer
+    (sum_h * n_total * 10^6) div (n_h * sum_total) — the
+    seasonal-decomposition building block (detrend/deseasonalize)
+    without floats. One scan -> one (type, hour) agg (120 groups);
+    type-level totals come from a window over the TINY agg, not a
+    second scan."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.hour("ts").cast("int").alias("hr"),
+            cents.alias("v"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_cents"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        hourly.withColumn("n_tot", F.sum("n").over(w))
+        .withColumn("sum_tot", F.sum("sum_cents").over(w))
+        .select(
+            "event_type",
+            "hr",
+            F.col("n").cast("long"),
+            F.col("sum_cents").cast("long"),
+            F.expr(
+                "cast((sum_cents * n_tot * 1000000)"
+                " div (n * greatest(sum_tot, 1)) as bigint)"
+            ).alias("idx_ppm"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+SQL_EVENTS_SEASONAL = """
+WITH hourly AS (
+  SELECT event_type, hour(ts)::INT AS hr,
+         count(*)::BIGINT AS n,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hr, n, sum_cents,
+       ((sum_cents * sum(n) OVER (PARTITION BY event_type) * 1000000)
+        // (n * greatest(sum(sum_cents) OVER (PARTITION BY event_type), 1))
+       )::BIGINT AS idx_ppm
+FROM hourly ORDER BY 1, 2
+"""
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: every purchase's value is
+    attributed to the user's view/click touches in the 7 days before
+    it — LAST-TOUCH (all cents to the latest touch) and LINEAR (cents
+    div k to each of k touches, remainder to the latest so per-purchase
+    sums stay exact) — then rolled up per touch type. The join is
+    user-keyed EQUI (the natural co-location key; per-user event counts
+    are bounded — hot users would take the same salting as
+    plan_partitions) with the 7-day window as a residual filter, never
+    a nested-loop time join."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        cents.alias("cents"),
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = purchases.join(touches, "user_id").where(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.expr("p_ts - INTERVAL 7 DAYS"))
+    )
+    wp = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy(
+        F.desc("t_ts"), F.desc("t_id")
+    )
+    attributed = (
+        j.withColumn("k", F.count(F.lit(1)).over(wp))
+        .withColumn("rnk", F.row_number().over(wr))
+        .select(
+            "touch_type",
+            "p_id",
+            F.when(F.col("rnk") == 1, F.col("cents"))
+            .otherwise(F.lit(0))
+            .alias("last_cents"),
+            (
+                F.expr("cents div k")
+                + F.when(F.col("rnk") == 1, F.expr("cents % k")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("linear_cents"),
+        )
+    )
+    return (
+        attributed.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.count_distinct("p_id").cast("long").alias("n_purchases"),
+            F.sum("last_cents").cast("long").alias("last_touch_cents"),
+            F.sum("linear_cents").cast("long").alias("linear_cents"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         floor(value * 100)::BIGINT AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p.p_id, p.cents, t.t_id, t.t_ts, t.touch_type,
+         count(*) OVER (PARTITION BY p.p_id) AS k,
+         row_number() OVER (
+           PARTITION BY p.p_id ORDER BY t.t_ts DESC, t.t_id DESC
+         ) AS rnk
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+)
+SELECT touch_type,
+       count(*)::BIGINT AS n_touches,
+       count(DISTINCT p_id)::BIGINT AS n_purchases,
+       sum(CASE WHEN rnk = 1 THEN cents ELSE 0 END)::BIGINT
+         AS last_touch_cents,
+       sum(cents // k + CASE WHEN rnk = 1 THEN cents % k ELSE 0 END)::BIGINT
+         AS linear_cents
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a MERGEABLE synopsis: the deterministic
+    1-in-64 hash sample (portable hex_hash(event_id) % 64 = 0) is a
+    synopsis that commutes with ANY partitioning — the union of
+    per-partition samples IS the global sample (same invariance the KMV
+    sketch family relies on) — so quantiles of a 10^12-row table come
+    from sorting ~n/64 rows, no global sort of the data. Lower-rank
+    selection (rank = max(1, (q*n) div 100)) keeps the gate bit-exact.
+    """
+    from pyjelly_spark.functions.text import hex_hash
+
+    ev = _t(spark, sf_dir, "events")
+    sample = ev.where(
+        hex_hash(F.col("event_id").cast("string"), 64) == 0
+    ).select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("v")
+    )
+    counts = sample.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in (25, 50, 75, 90)])).alias("q")
+    )
+    targets = counts.crossJoin(qs).select(
+        "event_type",
+        F.col("q").cast("int").alias("q"),
+        F.col("n").cast("long").alias("sample_n"),
+        F.greatest(F.lit(1), F.expr("(q * n) div 100")).alias("rnk"),
+    )
+    ranked = sample.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("v")
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(targets), ["event_type", "rnk"])
+        .select(
+            "event_type",
+            "q",
+            F.col("v").alias("est_cents"),
+            "sample_n",
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+SQL_EVENTS_QUANTILES = """
+WITH sample AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS v
+  FROM events
+  WHERE ('0x' || substring(sha256(event_id::VARCHAR), 1, 15))::BIGINT % 64 = 0
+),
+counts AS (
+  SELECT event_type, count(*)::BIGINT AS n FROM sample GROUP BY 1
+),
+targets AS (
+  SELECT event_type, q::INT AS q, n AS sample_n,
+         greatest(1, (q * n) // 100)::BIGINT AS rnk
+  FROM counts CROSS JOIN (SELECT unnest([25, 50, 75, 90]) AS q)
+),
+ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rnk
+  FROM sample
+)
+SELECT r.event_type, t.q, r.v AS est_cents, t.sample_n
+FROM ranked r JOIN targets t USING (event_type, rnk)
+ORDER BY 1, 2
+"""
+
+
+def q_kg_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (bipartite 4-cycle) counting on the file x called-
+    symbol graph — the bipartite motif that underlies fraud/recsys
+    cohesion metrics, where triangles don't exist by construction. A
+    butterfly containing file f is a partner g plus 2 of their c_fg
+    common called symbols, so b_f = sum_g C(c_fg, 2). One symbol-keyed
+    wedge join builds the common counts (identical join shape and
+    exactness contract as kg_triangles — orientation f < g halves the
+    pair space, then each pair credits both endpoints); no all-pairs
+    join anywhere."""
+    files = derived_source_files(spark, sf_dir)
+    scalls = (
+        files.select(
+            X.file_iri(F.col("repo"), F.col("path")).alias("file"),
+            F.explode(
+                F.regexp_extract_all("content", F.lit(X.CALL_RE), F.lit(1))
+            ).alias("symbol"),
+        )
+        .distinct()
+    )
+    pc = (
+        scalls.alias("x")
+        .join(
+            scalls.alias("y"),
+            (F.col("x.symbol") == F.col("y.symbol"))
+            & (F.col("x.file") < F.col("y.file")),
+        )
+        .groupBy(
+            F.col("x.file").alias("f"), F.col("y.file").alias("g")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select(
+            "f", "g", F.expr("(c * (c - 1)) div 2").alias("bf")
+        )
+    )
+    per_file = pc.select(F.col("f").alias("file"), "bf").unionAll(
+        pc.select(F.col("g").alias("file"), "bf")
+    )
+    return (
+        per_file.groupBy("file")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("partners"),
+            F.sum("bf").cast("long").alias("butterflies"),
+        )
+        .orderBy(F.desc("butterflies"), F.asc("file"))
+        .limit(50)
+    )
+
+
+SQL_KG_BUTTERFLIES = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+scalls AS (
+  SELECT DISTINCT file_iri AS file, symbol FROM calls_gt
+),
+pc AS (
+  SELECT x.file AS f, y.file AS g, count(*)::BIGINT AS c
+  FROM scalls x JOIN scalls y
+    ON x.symbol = y.symbol AND x.file < y.file
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+per_file AS (
+  SELECT f AS file, (c * (c - 1)) // 2 AS bf FROM pc
+  UNION ALL
+  SELECT g AS file, (c * (c - 1)) // 2 AS bf FROM pc
+)
+SELECT file, count(*)::BIGINT AS partners, sum(bf)::BIGINT AS butterflies
+FROM per_file GROUP BY 1
+ORDER BY butterflies DESC, file ASC LIMIT 50
+"""
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted to this corpus: the
+    generator has no commit/receipt dates, so the "late lineitem"
+    predicate becomes l_shipdate > o_orderdate + 60 days. The point of
+    Q4 — a decorrelated EXISTS becoming one LEFT SEMI join with the
+    date filter pushed to the orders scan — is preserved verbatim."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations
+    by ship year. Both nation dims broadcast (25 rows); the disjunctive
+    nation-pair predicate is applied AFTER the cheap broadcast joins so
+    the big lineitem->orders->customer path stays one hash-partitioned
+    equi-join chain. Decimal-exact revenue like q1/q3/q5."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    disc = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       sum(l_extendedprice::DECIMAL(18,2)
+           * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    customer for one quarter, top 20. The quarter filter reaches the
+    orders scan; the returnflag filter reaches the lineitem scan; the
+    nation dim broadcasts. Deterministic top-20 via (revenue DESC,
+    c_custkey) — revenue is a decimal-exact sum cast to double, so the
+    order ties out bit-for-bit across engines."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    disc = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       sum(l_extendedprice::DECIMAL(18,2)
+           * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), adapted: this generator's p_type
+    is a flat category so the predicate is p_type = 'PROMO'. The promo
+    share is returned as an INTEGER ppm of exact ten-thousandths —
+    l_extendedprice*(1-l_discount) at decimal scale 4 is integral in
+    units of 10^-4, so (promo * 10^6) div total is a pure integer
+    computation at any scale (decimal(38,0) / HUGEINT intermediates:
+    no int64 overflow at 10^12 rows). One month of lineitem joins the
+    part dim on partkey — dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc4 = (
+        (
+            _dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+        )
+        * F.lit(10000).cast("decimal(18,0)")
+    ).cast("decimal(38,0)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", disc4).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias("promo4"),
+            F.sum(disc4).alias("total4"),
+        )
+        .select(
+            F.col("promo4").cast("double").alias("promo_rev4"),
+            F.col("total4").cast("double").alias("total_rev4"),
+            F.expr(
+                "cast((promo4 * 1000000) div greatest(total4, 1) as bigint)"
+            ).alias("promo_ppm"),
+        )
+    )
+
+
+SQL_TPCH_Q14 = """
+WITH x AS (
+  SELECT (l_extendedprice::DECIMAL(18,2)
+          * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+          * 10000)::HUGEINT AS disc4,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l_shipdate < TIMESTAMP '1996-10-01'
+),
+s AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO' THEN disc4 ELSE 0 END) AS promo4,
+         sum(disc4) AS total4
+  FROM x
+)
+SELECT promo4::DOUBLE AS promo_rev4, total4::DOUBLE AS total_rev4,
+       ((promo4 * 1000000) // greatest(total4, 1))::BIGINT AS promo_ppm
+FROM s
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total quantity
+    exceeds 180, with their customers, top 100 by order value. The
+    HAVING aggregation runs FIRST on lineitem alone (map-side partials
+    on l_orderkey, the table's natural clustering), and only the
+    surviving keys join orders/customer — at 10^12 rows the filter
+    drops ~99% of groups before any wide-row shuffle. Quantities are
+    integral doubles -> exact bigint."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.floor("l_quantity").cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .where(F.col("sum_qty") > 180)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").cast("long").alias("o_orderdate_es"),
+            "o_totalprice",
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, sum(floor(l_quantity)::BIGINT)::BIGINT AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(floor(l_quantity)::BIGINT) > 180
+)
+SELECT c_custkey, c_name, o_orderkey, epoch(o_orderdate)::BIGINT AS o_orderdate_es,
+       o_totalprice, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary), the classic
+    customer-value lattice: per-user stats in one groupBy, then three
+    ntile(5) scores over the TINY user-level table (never the event
+    table), rolled up to segment cells (<=125 rows). Recency in whole
+    days via integer epoch arithmetic; every ntile ordering carries
+    user_id as the total-order tiebreak so bucket assignment is
+    deterministic and engine-portable."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    per_user = ev.select(
+        "user_id", F.unix_timestamp("ts").alias("es"), cents.alias("cents")
+    ).groupBy("user_id").agg(
+        F.max("es").alias("last_es"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("cents").alias("monetary"),
+    )
+    w_all = Window.partitionBy()
+    scored = (
+        per_user.withColumn("max_es", F.max("last_es").over(w_all))
+        .withColumn(
+            "rec_days", F.expr("(max_es - last_es) div 86400").cast("long")
+        )
+        .withColumn(
+            "r_score",
+            F.ntile(5).over(
+                Window.orderBy(F.asc("rec_days"), F.asc("user_id"))
+            ),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(
+                Window.orderBy(F.desc("freq"), F.asc("user_id"))
+            ),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(
+                Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("users"),
+            F.sum("monetary").cast("long").alias("segment_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+SQL_EVENTS_RFM = """
+WITH per_user AS (
+  SELECT user_id, max(floor(epoch(ts)))::BIGINT AS last_es,
+         count(*)::BIGINT AS freq,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS monetary
+  FROM events GROUP BY 1
+),
+rec AS (
+  SELECT *, ((max(last_es) OVER () - last_es) // 86400)::BIGINT AS rec_days
+  FROM per_user
+),
+scored AS (
+  SELECT *,
+    ntile(5) OVER (ORDER BY rec_days ASC, user_id ASC) AS r_score,
+    ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS f_score,
+    ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS m_score
+  FROM rec
+)
+SELECT r_score, f_score, m_score, count(*)::BIGINT AS users,
+       sum(monetary)::BIGINT AS segment_cents
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event_type, fully integer. The
+    one-sided CUSUM recurrence C_i = max(0, C_{i-1} + d_i) is NOT a
+    window function — but its closed form C_i = P_i - min(0, min_{j<=i}
+    P_j) over the prefix sums P IS (prefix sum + running min, one sort
+    each, sharing one event_type partitioning). Deviations are kept
+    integral by scaling: d_i = cents_i * n_type - sum_type (i.e.
+    (x - mean) * n), with the per-type totals joined in from a tiny
+    broadcast agg rather than a full-partition window over the raw
+    table. Output: the max CUSUM, when it peaked (the changepoint),
+    and how many rows ran above target."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        cents.alias("cents"),
+    )
+    totals = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type"),
+        F.sum("cents").alias("sum_type"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        base.join(F.broadcast(totals), "event_type")
+        .withColumn(
+            "d", F.col("cents") * F.col("n_type") - F.col("sum_type")
+        )
+        .withColumn("p", F.sum("d").over(w))
+        .withColumn("runmin", F.min("p").over(w))
+        .withColumn("c", F.col("p") - F.least(F.col("runmin"), F.lit(0)))
+    )
+    wt = Window.partitionBy("event_type")
+    return (
+        cusum.withColumn("mc", F.max("c").over(wt))
+        .groupBy("event_type")
+        .agg(
+            F.max("c").cast("long").alias("max_cusum"),
+            F.min(
+                F.when(F.col("c") == F.col("mc"), F.unix_timestamp("ts"))
+            )
+            .cast("long")
+            .alias("changepoint_es"),
+            F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("pos_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_CUSUM = """
+WITH base AS (
+  SELECT event_type, event_id, ts, floor(value * 100)::BIGINT AS cents
+  FROM events
+),
+totals AS (
+  SELECT event_type, count(*)::BIGINT AS n_type,
+         sum(cents)::BIGINT AS sum_type
+  FROM base GROUP BY 1
+),
+pfx AS (
+  SELECT b.event_type, b.event_id, b.ts,
+         sum(b.cents * t.n_type - t.sum_type) OVER (
+           PARTITION BY b.event_type ORDER BY b.ts, b.event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS p
+  FROM base b JOIN totals t USING (event_type)
+),
+cusum AS (
+  SELECT event_type, ts, p,
+         min(p) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS runmin
+  FROM pfx
+),
+c AS (
+  SELECT event_type, ts, p - least(runmin, 0) AS c FROM cusum
+),
+m AS (
+  SELECT *, max(c) OVER (PARTITION BY event_type) AS mc FROM c
+)
+SELECT event_type, max(c)::BIGINT AS max_cusum,
+       min(CASE WHEN c = mc THEN floor(epoch(ts))::BIGINT END)::BIGINT
+         AS changepoint_es,
+       sum(CASE WHEN c > 0 THEN 1 ELSE 0 END)::BIGINT AS pos_rows
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+# Benford first-digit expectation, log10(1 + 1/d) in ppm, d = 1..9.
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the value column: first-significant-digit
+    distribution vs the log expectation — the standard fraud /
+    data-quality screen for transaction amounts. One scan, one 9-group
+    aggregate; observed shares and absolute deviations in integer ppm
+    (the Benford expectation itself is a hardcoded ppm table, so no
+    engine computes a log)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    digits = (
+        ev.select(cents.alias("cents"))
+        .where(F.col("cents") >= 1)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    benford = F.element_at(
+        F.array(*[F.lit(p) for p in _BENFORD_PPM]), F.col("digit")
+    )
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+        .select(
+            "digit",
+            F.col("n").cast("long"),
+            F.expr("cast((n * 1000000) div total as bigint)").alias("obs_ppm"),
+            benford.cast("long").alias("benford_ppm"),
+            F.abs(
+                F.expr("cast((n * 1000000) div total as bigint)")
+                - benford.cast("long")
+            ).alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_SQL_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD_PPM, start=1)
+)
+
+SQL_EVENTS_BENFORD = f"""
+WITH digits AS (
+  SELECT substring((floor(value * 100)::BIGINT)::VARCHAR, 1, 1)::INT AS digit
+  FROM events WHERE floor(value * 100)::BIGINT >= 1
+),
+g AS (
+  SELECT digit, count(*)::BIGINT AS n FROM digits GROUP BY 1
+),
+t AS (
+  SELECT *, sum(n) OVER () AS total FROM g
+)
+SELECT digit, n,
+       ((n * 1000000) // total)::BIGINT AS obs_ppm,
+       (CASE digit {_BENFORD_SQL_CASE} END)::BIGINT AS benford_ppm,
+       abs((n * 1000000) // total
+           - CASE digit {_BENFORD_SQL_CASE} END)::BIGINT AS dev_ppm
+FROM t ORDER BY digit
+"""
+
+
+def q_events_autocov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocovariance components per event_type — the
+    serial-dependence statistic behind changepoint and seasonality
+    tests. Values are floored to whole units so every component
+    (sum x, sum y, sum xy, sum x^2, sum y^2 over consecutive pairs)
+    stays an exact int64 even at 10^12 rows (x <= ~10^4 units =>
+    sum xy <= 10^12 * 10^8 = 10^20 would overflow in cents, but
+    <= 2.4*10^17 in whole units); the final correlation r =
+    (n*sxy - sx*sy) / sqrt(...) is left to the consumer because sqrt
+    is not integer-exact. One lead() pass over (ts, event_id) order —
+    a single sort shuffle per type — then one tiny agg."""
+    ev = _t(spark, sf_dir, "events")
+    units = F.floor(F.col("value")).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("event_type", "ts", "event_id", units.alias("x"))
+        .withColumn("y", F.lead("x").over(w))
+        .where(F.col("y").isNotNull())
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_AUTOCOV = """
+WITH pairs AS (
+  SELECT event_type, floor(value)::BIGINT AS x,
+         lead(floor(value)::BIGINT) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ) AS y
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_pairs,
+       sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+       sum(x * y)::BIGINT AS sxy,
+       sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+FROM pairs WHERE y IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7132,6 +8052,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_kth": q_events_kth,
     "events_mad": q_events_mad,
     "events_expectations": q_events_expectations,
+    "vocab_kn": q_vocab_kn,
+    "events_seasonal": q_events_seasonal,
+    "events_attribution": q_events_attribution,
+    "events_quantiles": q_events_quantiles,
+    "kg_butterflies": q_kg_butterflies,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "events_rfm": q_events_rfm,
+    "events_cusum": q_events_cusum,
+    "events_benford": q_events_benford,
+    "events_autocov": q_events_autocov,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -7290,6 +8224,20 @@ ORACLES: dict[str, str] = {
     "events_kth": SQL_EVENTS_KTH,
     "events_mad": SQL_EVENTS_MAD,
     "events_expectations": SQL_EVENTS_EXPECTATIONS,
+    "vocab_kn": SQL_VOCAB_KN.format(norm=NORM_SQL),
+    "events_seasonal": SQL_EVENTS_SEASONAL,
+    "events_attribution": SQL_EVENTS_ATTRIBUTION,
+    "events_quantiles": SQL_EVENTS_QUANTILES,
+    "kg_butterflies": SQL_KG_BUTTERFLIES,
+    "tpch_q4": SQL_TPCH_Q4,
+    "tpch_q7": SQL_TPCH_Q7,
+    "tpch_q10": SQL_TPCH_Q10,
+    "tpch_q14": SQL_TPCH_Q14,
+    "tpch_q18": SQL_TPCH_Q18,
+    "events_rfm": SQL_EVENTS_RFM,
+    "events_cusum": SQL_EVENTS_CUSUM,
+    "events_benford": SQL_EVENTS_BENFORD,
+    "events_autocov": SQL_EVENTS_AUTOCOV,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

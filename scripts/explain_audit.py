@@ -78,6 +78,20 @@ AUDITED = [
     "vocab_collocations",
     "events_mad",
     "events_expectations",
+    "vocab_kn",
+    "events_seasonal",
+    "events_attribution",
+    "events_quantiles",
+    "kg_butterflies",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "events_rfm",
+    "events_cusum",
+    "events_benford",
+    "events_autocov",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

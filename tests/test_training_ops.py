@@ -1562,3 +1562,280 @@ def test_events_expectations_closed_form(spark):
         "accepted_event_types": (1, False),
         "ts_in_2024": (1, False),
     }
+
+
+def test_vocab_kn_closed_form(spark):
+    """Continuation counts on a 3-bigram corpus: pairs {(a,b),(c,b),
+    (b,d)} -> T=3; b has 2 left types (2/3 -> 666666 ppm), d has 1."""
+    import os
+    import tempfile
+
+    from pyjelly_spark.queries import q_vocab_kn
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c b"), (3, "b d"), (4, "a b")],
+        "doc_id: long, text: string",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {r["word"]: tuple(r)[1:] for r in q_vocab_kn(spark, d).collect()}
+    assert got == {
+        "a": (0, 1, 0),
+        "b": (2, 1, 666666),
+        "c": (0, 1, 0),
+        "d": (1, 0, 333333),
+    }
+
+
+def test_events_attribution_closed_form(spark):
+    """One purchase (101 cents) with two in-window touches: linear
+    gives 50 to the older view and 50+1 (remainder) to the latest
+    click, last-touch gives all 101 to the click; an 8-day-old touch
+    is excluded."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_attribution
+
+    p_ts = dt.datetime(2024, 5, 10, 12, 0, 0)
+    rows = [
+        (1, p_ts, 7, "purchase", 1.01, "{}"),
+        (2, p_ts - dt.timedelta(hours=1), 7, "click", 0.0, "{}"),
+        (3, p_ts - dt.timedelta(days=3), 7, "view", 0.0, "{}"),
+        (4, p_ts - dt.timedelta(days=8), 7, "view", 0.0, "{}"),  # stale
+        (5, p_ts + dt.timedelta(hours=1), 7, "view", 0.0, "{}"),  # after
+    ]
+    got = {
+        r["touch_type"]: tuple(r)[1:]
+        for r in q_events_attribution(spark, _write_events(spark, rows)).collect()
+    }
+    assert got == {
+        "click": (1, 1, 101, 51),
+        "view": (1, 1, 0, 50),
+    }
+
+
+def test_events_quantiles_matches_python_sample(spark):
+    """The deterministic hash sample and lower-rank selection replicated
+    in pure python over sf0.001 must equal the Spark synopsis output."""
+    import hashlib
+
+    from pyjelly_spark.queries import q_events_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    samp = {}
+    for r in rows:
+        h = int(hashlib.sha256(str(r["event_id"]).encode()).hexdigest()[:15], 16)
+        if h % 64 == 0:
+            samp.setdefault(r["event_type"], []).append(
+                int(math.floor(r["value"] * 100))
+            )
+    expect = []
+    for et, vs in samp.items():
+        vs.sort()
+        for q in (25, 50, 75, 90):
+            rnk = max(1, (q * len(vs)) // 100)
+            expect.append((et, q, vs[rnk - 1], len(vs)))
+    expect.sort()
+    got = [tuple(r) for r in q_events_quantiles(spark, sf).collect()]
+    assert got == expect
+
+
+def test_kg_butterflies_matches_python(spark):
+    """Recompute b_f = sum_g C(c_fg, 2) from the collected bipartite
+    call edges at sf0.001 and compare to the query's top-50."""
+    from collections import Counter
+    from itertools import combinations
+
+    from pyjelly_spark.operators import extract as X
+    from pyjelly_spark.queries import derived_source_files, q_kg_butterflies
+
+    sf = "/root/testdata/sf0.001"
+    files = derived_source_files(spark, sf)
+    scalls = (
+        files.select(
+            X.file_iri(F.col("repo"), F.col("path")).alias("file"),
+            F.explode(
+                F.regexp_extract_all("content", F.lit(X.CALL_RE), F.lit(1))
+            ).alias("symbol"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_sym = {}
+    for r in scalls:
+        by_sym.setdefault(r["symbol"], []).append(r["file"])
+    cc = Counter()
+    for fs in by_sym.values():
+        for a, b in combinations(sorted(fs), 2):
+            cc[(a, b)] += 1
+    per = Counter()
+    partners = Counter()
+    for (a, b), c in cc.items():
+        if c >= 2:
+            bf = c * (c - 1) // 2
+            per[a] += bf
+            per[b] += bf
+            partners[a] += 1
+            partners[b] += 1
+    expect = sorted(
+        ((f, partners[f], per[f]) for f in per),
+        key=lambda t: (-t[2], t[0]),
+    )[:50]
+    got = [tuple(r) for r in q_kg_butterflies(spark, sf).collect()]
+    assert got == expect
+
+
+def test_events_seasonal_closed_form(spark):
+    """Two hours, one type: hour 0 mean 100 cents vs overall mean 200
+    -> 500000 ppm; hour 1 mean 300 -> 1500000 ppm."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_seasonal
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 10), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 2, 0, 20), 1, "click", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 1, 10), 1, "click", 3.0, "{}"),
+        (4, dt.datetime(2024, 1, 2, 1, 20), 1, "click", 3.0, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_seasonal(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [
+        ("click", 0, 2, 200, 500000),
+        ("click", 1, 2, 600, 1500000),
+    ]
+
+
+def test_events_cusum_closed_form(spark):
+    """cents 100,100,400 (n=3, sum=600): d = cents*3-600 = -300,-300,600;
+    prefix -300,-600,0; runmin -300,-600,-600; C = 0,0,600 -> max 600 at
+    the third event, one positive row."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pyjelly_spark.queries import q_events_cusum
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 1, 0), 1, "click", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 2, 0), 1, "click", 4.0, "{}"),
+    ]
+    d = _write_events(spark, rows)
+    got = q_events_cusum(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.event_type, r.max_cusum, r.pos_rows) == ("click", 600, 1)
+    expected_es = (
+        spark.read.parquet(f"{d}/events.parquet")
+        .where(F.col("event_id") == 3)
+        .select(F.unix_timestamp("ts").cast("long").alias("es"))
+        .collect()[0]
+        .es
+    )
+    assert r.changepoint_es == expected_es
+
+
+def test_events_rfm_closed_form(spark):
+    """Five single-event users with distinct recency/monetary orders:
+    each lands in its own ntile bucket; f_score falls back to the
+    user_id tiebreak because every frequency is 1."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_rfm
+
+    rows = [
+        (i, dt.datetime(2024, 1, i, 0, 0), i, "click", float(i), "{}")
+        for i in range(1, 6)
+    ]
+    got = [
+        tuple(r) for r in q_events_rfm(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [
+        (1, 5, 1, 1, 500),
+        (2, 4, 2, 1, 400),
+        (3, 3, 3, 1, 300),
+        (4, 2, 4, 1, 200),
+        (5, 1, 5, 1, 100),
+    ]
+
+
+def test_events_benford_closed_form(spark):
+    """cents 100, 200, 19, 3 -> digits {1: 2, 2: 1, 3: 1} of 4; obs ppm
+    500000/250000/250000 vs Benford 301030/176091/124939."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_benford
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1), 1, "click", 2.0, "{}"),
+        (3, dt.datetime(2024, 1, 1), 1, "click", 0.19, "{}"),
+        (4, dt.datetime(2024, 1, 1), 1, "click", 0.03, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_benford(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [
+        (1, 2, 500000, 301030, 198970),
+        (2, 1, 250000, 176091, 73909),
+        (3, 1, 250000, 124939, 125061),
+    ]
+
+
+def test_events_autocov_closed_form(spark):
+    """Units 1,2,4 in ts order -> pairs (1,2),(2,4): sx=3 sy=6 sxy=10
+    sxx=5 syy=20."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_autocov
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1, "click", 1.9, "{}"),
+        (2, dt.datetime(2024, 1, 1, 1, 0), 1, "click", 2.9, "{}"),
+        (3, dt.datetime(2024, 1, 1, 2, 0), 1, "click", 4.9, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_autocov(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [("click", 2, 3, 6, 10, 5, 20)]
+
+
+def test_tpch_q18_matches_pandas(spark):
+    """Independent pandas recomputation of the large-volume-customer
+    query on the sf0.001 tables."""
+    import pandas as pd
+
+    from pyjelly_spark.queries import q_tpch_q18
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    agg = (
+        li.assign(qty=li.l_quantity.astype("int64"))
+        .groupby("l_orderkey", as_index=False)["qty"]
+        .sum()
+    )
+    agg = agg[agg.qty > 180]
+    j = agg.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    j = j.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(100)
+    want = set(zip(j.o_orderkey, j.qty))
+    got = {
+        (r.o_orderkey, r.sum_qty) for r in q_tpch_q18(spark, SF_DIR).collect()
+    }
+    assert got == want
