@@ -136,6 +136,12 @@ BENCH_QUERIES = [
     "events_cusum",
     "events_benford",
     "events_autocov",
+    "events_target_encoding",
+    "events_class_weights",
+    "vocab_bigram_lm",
+    "doc_lexical_richness",
+    "events_histogram",
+    "kg_assortativity",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

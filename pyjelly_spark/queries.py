@@ -7901,6 +7901,369 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_events_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target encoding of a categorical feature (day-of-week) by the
+    purchase label — the standard high-cardinality featurizer, with the
+    two leakage-control variants a training pipeline needs: additive
+    smoothing toward the global prior (m=100 pseudo-rows) and
+    leave-one-out bounds. Because the label is binary, the LOO value
+    takes at most two values per category — (pos-1)/(n-1) for positive
+    rows, pos/(n-1) for negatives — so both bounds come from the SAME
+    tiny per-category aggregate in closed form: no second pass over the
+    event table, no row-level fan-out. Day-of-week is derived as
+    (epoch_days + 4) % 7 (Sunday=0) so both engines share one integer
+    formula instead of their differing dayofweek() conventions."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr(
+            "(unix_timestamp(ts) div 86400 + 4) % 7"
+        ).cast("int").alias("dow"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    per = base.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    tot = per.agg(
+        F.sum("n").alias("n_tot"), F.sum("pos").alias("pos_tot")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            F.col("n").cast("long"),
+            F.col("pos").cast("long"),
+            F.expr("cast((pos * 1000000) div n as bigint)").alias("enc_ppm"),
+            F.expr(
+                "cast((pos * 1000000 + 100 * ((pos_tot * 1000000) div n_tot))"
+                " div (n + 100) as bigint)"
+            ).alias("smoothed_ppm"),
+            F.expr(
+                "cast(case when pos > 0"
+                " then ((pos - 1) * 1000000) div greatest(n - 1, 1)"
+                " else (pos * 1000000) div greatest(n - 1, 1) end as bigint)"
+            ).alias("loo_min_ppm"),
+            F.expr(
+                "cast(case when pos < n"
+                " then (pos * 1000000) div greatest(n - 1, 1)"
+                " else ((pos - 1) * 1000000) div greatest(n - 1, 1) end"
+                " as bigint)"
+            ).alias("loo_max_ppm"),
+        )
+        .orderBy("dow")
+    )
+
+
+SQL_EVENTS_TARGET_ENCODING = """
+WITH base AS (
+  SELECT ((floor(epoch(ts))::BIGINT // 86400 + 4) % 7)::INT AS dow,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+per AS (
+  SELECT dow, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+  FROM base GROUP BY 1
+),
+tot AS (
+  SELECT sum(n)::BIGINT AS n_tot, sum(pos)::BIGINT AS pos_tot FROM per
+)
+SELECT dow, n, pos,
+       ((pos * 1000000) // n)::BIGINT AS enc_ppm,
+       ((pos * 1000000 + 100 * ((pos_tot * 1000000) // n_tot))
+        // (n + 100))::BIGINT AS smoothed_ppm,
+       (CASE WHEN pos > 0
+             THEN ((pos - 1) * 1000000) // greatest(n - 1, 1)
+             ELSE (pos * 1000000) // greatest(n - 1, 1) END)::BIGINT
+         AS loo_min_ppm,
+       (CASE WHEN pos < n
+             THEN (pos * 1000000) // greatest(n - 1, 1)
+             ELSE ((pos - 1) * 1000000) // greatest(n - 1, 1) END)::BIGINT
+         AS loo_max_ppm
+FROM per CROSS JOIN tot ORDER BY dow
+"""
+
+
+def q_events_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights and undersampling probabilities
+    per event_type — what a training loop feeds its loss / sampler to
+    correct class imbalance. weight_ppm = n_total*10^6 / (k*n_c)
+    (weights average to 1 across classes), sample_ppm = n_min*10^6/n_c
+    (the acceptance rate that balances classes by downsampling). One
+    scan into a k-row aggregate; every derived number is a window over
+    that tiny agg."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return (
+        per.withColumn("n_tot", F.sum("n").over(w))
+        .withColumn("k", F.count(F.lit(1)).over(w))
+        .withColumn("n_min", F.min("n").over(w))
+        .select(
+            "event_type",
+            F.col("n").cast("long"),
+            F.expr("cast((n_tot * 1000000) div (k * n) as bigint)").alias(
+                "weight_ppm"
+            ),
+            F.expr("cast((n_min * 1000000) div n as bigint)").alias(
+                "sample_ppm"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_CLASS_WEIGHTS = """
+WITH per AS (
+  SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY 1
+),
+x AS (
+  SELECT *, sum(n) OVER () AS n_tot, count(*) OVER () AS k,
+         min(n) OVER () AS n_min
+  FROM per
+)
+SELECT event_type, n,
+       ((n_tot * 1000000) // (k * n))::BIGINT AS weight_ppm,
+       ((n_min * 1000000) // n)::BIGINT AS sample_ppm
+FROM x ORDER BY event_type
+"""
+
+
+def q_vocab_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model MLE table: p(w2|w1) in integer ppm =
+    count(w1 w2) * 10^6 div count(w1 ·) — the conditional-probability
+    complement to vocab_kn's continuation counts (together they are
+    interpolated Kneser-Ney's inputs). One tokenize pass; bigram counts
+    aggregate map-side before the shuffle, and the left-context totals
+    are a second tiny agg over the counts themselves (never the raw
+    occurrences). Top 50 by count with full lexicographic tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyjelly_spark.functions.text import normalized, word_ngrams, words
+
+    ws = docs.select(words(normalized(F.col("text"))).alias("ws"))
+    bg = (
+        ws.select(F.explode(word_ngrams(F.col("ws"), 2)).alias("bg"))
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("wa"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("wb"),
+        )
+        .where((F.col("wa") != "") & (F.col("wb") != ""))
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    left = bg.groupBy("wa").agg(F.sum("cnt").alias("cnt_left"))
+    return (
+        bg.join(left, "wa")
+        .select(
+            "wa",
+            "wb",
+            F.col("cnt").cast("long"),
+            F.col("cnt_left").cast("long"),
+            F.expr("cast((cnt * 1000000) div cnt_left as bigint)").alias(
+                "p_ppm"
+            ),
+        )
+        .orderBy(F.desc("cnt"), F.asc("wa"), F.asc("wb"))
+        .limit(50)
+    )
+
+
+SQL_VOCAB_BIGRAM_LM = """
+WITH ws AS (
+  SELECT string_split({norm}, ' ') AS ws FROM documents
+),
+bg AS (
+  SELECT string_split(bg, ' ')[1] AS wa, string_split(bg, ' ')[2] AS wb,
+         count(*)::BIGINT AS cnt
+  FROM (
+    SELECT unnest(list_transform(
+      range(1, len(ws) - 0),
+      i -> ws[i] || ' ' || ws[i + 1]
+    )) AS bg
+    FROM ws WHERE len(ws) >= 2
+  )
+  WHERE string_split(bg, ' ')[1] <> '' AND string_split(bg, ' ')[2] <> ''
+  GROUP BY 1, 2
+),
+lft AS (
+  SELECT wa, sum(cnt)::BIGINT AS cnt_left FROM bg GROUP BY 1
+)
+SELECT bg.wa AS wa, bg.wb AS wb, cnt, cnt_left,
+       ((cnt * 1000000) // cnt_left)::BIGINT AS p_ppm
+FROM bg JOIN lft ON bg.wa = lft.wa
+ORDER BY cnt DESC, bg.wa ASC, bg.wb ASC LIMIT 50
+"""
+
+
+def q_doc_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus lexical-richness profile per source: token count, type
+    (distinct-word) count, hapax legomena (words seen once), type-token
+    ratio and hapax share in integer ppm — the curation signals that
+    flag template-generated or boilerplate-heavy slices (low TTR, low
+    hapax share). One tokenize pass into per-(source, word) counts —
+    the only big shuffle, map-side combined — then a tiny per-source
+    agg over those counts."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyjelly_spark.functions.text import normalized, words
+
+    wc = (
+        docs.select(
+            "source", F.explode(words(normalized(F.col("text")))).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("tokens"),
+            F.count(F.lit(1)).cast("long").alias("types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+        )
+        .select(
+            "source",
+            "tokens",
+            "types",
+            "hapax",
+            F.expr("cast((types * 1000000) div tokens as bigint)").alias(
+                "ttr_ppm"
+            ),
+            F.expr("cast((hapax * 1000000) div types as bigint)").alias(
+                "hapax_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOC_LEXICAL_RICHNESS = """
+WITH wc AS (
+  SELECT source, w, count(*)::BIGINT AS cnt
+  FROM (
+    SELECT source, unnest(string_split({norm}, ' ')) AS w FROM documents
+  )
+  WHERE w <> ''
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT source, sum(cnt)::BIGINT AS tokens, count(*)::BIGINT AS types,
+         sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+  FROM wc GROUP BY 1
+)
+SELECT source, tokens, types, hapax,
+       ((types * 1000000) // tokens)::BIGINT AS ttr_ppm,
+       ((hapax * 1000000) // types)::BIGINT AS hapax_ppm
+FROM per ORDER BY source
+"""
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of amounts per event_type (25 bins of
+    $20, last bin open-ended) with cumulative counts — the profiling
+    primitive behind distribution drift checks. One scan into a
+    ≤125-group aggregate; the CDF is a window over that tiny agg, so
+    a 10^12-row table costs one map-side-combined shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    binned = ev.select(
+        "event_type",
+        F.least(F.expr("cast(floor(value * 100) as bigint) div 2000"), F.lit(24))
+        .cast("int")
+        .alias("bin"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * 2000).cast("long").alias("bin_lo_cents"),
+            F.col("n").cast("long"),
+            F.col("cum_n").cast("long"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+SQL_EVENTS_HISTOGRAM = """
+WITH binned AS (
+  SELECT event_type,
+         least(floor(value * 100)::BIGINT // 2000, 24)::INT AS bin
+  FROM events
+),
+g AS (
+  SELECT event_type, bin, count(*)::BIGINT AS n FROM binned GROUP BY 1, 2
+)
+SELECT event_type, bin, (bin * 2000)::BIGINT AS bin_lo_cents, n,
+       sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n
+FROM g ORDER BY 1, 2
+"""
+
+
+def q_kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity components of the file x called-symbol
+    bipartite graph: over every incidence edge, the exact integer sums
+    (n, Σd_f, Σd_s, Σd_f·d_s, Σd_f², Σd_s²) of the two endpoint
+    degrees — the inputs to Pearson's r between file fan-out and symbol
+    popularity (do hub files call hub symbols?). Degrees come from two
+    tiny aggregates joined back onto the edge list (symbol side
+    broadcastable); like events_autocov the sqrt-bearing final r is
+    left to the consumer so the gate stays integer-exact."""
+    files = derived_source_files(spark, sf_dir)
+    edges = (
+        files.select(
+            X.file_iri(F.col("repo"), F.col("path")).alias("file"),
+            F.explode(
+                F.regexp_extract_all("content", F.lit(X.CALL_RE), F.lit(1))
+            ).alias("symbol"),
+        )
+        .distinct()
+    )
+    dfile = edges.groupBy("file").agg(F.count(F.lit(1)).alias("d_f"))
+    dsym = edges.groupBy("symbol").agg(F.count(F.lit(1)).alias("d_s"))
+    return (
+        edges.join(dfile, "file")
+        .join(dsym, "symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum("d_f").cast("long").alias("s_df"),
+            F.sum("d_s").cast("long").alias("s_ds"),
+            F.sum(F.col("d_f") * F.col("d_s")).cast("long").alias("s_dfds"),
+            F.sum(F.col("d_f") * F.col("d_f")).cast("long").alias("s_df2"),
+            F.sum(F.col("d_s") * F.col("d_s")).cast("long").alias("s_ds2"),
+        )
+    )
+
+
+SQL_KG_ASSORTATIVITY = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+edges AS (
+  SELECT DISTINCT file_iri AS file, symbol FROM calls_gt
+),
+dfile AS (
+  SELECT file, count(*)::BIGINT AS d_f FROM edges GROUP BY 1
+),
+dsym AS (
+  SELECT symbol, count(*)::BIGINT AS d_s FROM edges GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_edges,
+       sum(d_f)::BIGINT AS s_df, sum(d_s)::BIGINT AS s_ds,
+       sum(d_f * d_s)::BIGINT AS s_dfds,
+       sum(d_f * d_f)::BIGINT AS s_df2, sum(d_s * d_s)::BIGINT AS s_ds2
+FROM edges JOIN dfile USING (file) JOIN dsym USING (symbol)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8066,6 +8429,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cusum": q_events_cusum,
     "events_benford": q_events_benford,
     "events_autocov": q_events_autocov,
+    "events_target_encoding": q_events_target_encoding,
+    "events_class_weights": q_events_class_weights,
+    "vocab_bigram_lm": q_vocab_bigram_lm,
+    "doc_lexical_richness": q_doc_lexical_richness,
+    "events_histogram": q_events_histogram,
+    "kg_assortativity": q_kg_assortativity,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -8238,6 +8607,12 @@ ORACLES: dict[str, str] = {
     "events_cusum": SQL_EVENTS_CUSUM,
     "events_benford": SQL_EVENTS_BENFORD,
     "events_autocov": SQL_EVENTS_AUTOCOV,
+    "events_target_encoding": SQL_EVENTS_TARGET_ENCODING,
+    "events_class_weights": SQL_EVENTS_CLASS_WEIGHTS,
+    "vocab_bigram_lm": SQL_VOCAB_BIGRAM_LM.format(norm=NORM_SQL),
+    "doc_lexical_richness": SQL_DOC_LEXICAL_RICHNESS.format(norm=NORM_SQL),
+    "events_histogram": SQL_EVENTS_HISTOGRAM,
+    "kg_assortativity": SQL_KG_ASSORTATIVITY,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

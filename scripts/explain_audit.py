@@ -92,6 +92,12 @@ AUDITED = [
     "events_cusum",
     "events_benford",
     "events_autocov",
+    "events_target_encoding",
+    "events_class_weights",
+    "vocab_bigram_lm",
+    "doc_lexical_richness",
+    "events_histogram",
+    "kg_assortativity",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

@@ -1839,3 +1839,145 @@ def test_tpch_q18_matches_pandas(spark):
         (r.o_orderkey, r.sum_qty) for r in q_tpch_q18(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_events_target_encoding_closed_form(spark):
+    """Four same-day events, two purchases: enc = 500000 ppm; prior =
+    500000 so smoothing is a fixed point; LOO bounds (pos-1)/(n-1) and
+    pos/(n-1) = 333333 / 666666."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_target_encoding
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12, 0), 1, "purchase", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 13, 0), 1, "purchase", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 14, 0), 1, "view", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 15, 0), 1, "view", 1.0, "{}"),
+    ]
+    got = q_events_target_encoding(spark, _write_events(spark, rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n, r.pos, r.enc_ppm, r.smoothed_ppm) == (4, 2, 500000, 500000)
+    assert (r.loo_min_ppm, r.loo_max_ppm) == (333333, 666666)
+
+
+def test_events_class_weights_closed_form(spark):
+    """click x2, view x1, purchase x1: weights 4e6/(3*n), sampling
+    n_min/n."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_class_weights
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1), 1, "click", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 1), 1, "purchase", 1.0, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_class_weights(
+            spark, _write_events(spark, rows)
+        ).collect()
+    ]
+    assert got == [
+        ("click", 2, 666666, 500000),
+        ("purchase", 1, 1333333, 1000000),
+        ("view", 1, 1333333, 1000000),
+    ]
+
+
+def _write_docs(spark, rows):
+    """Write a tiny synthetic documents.parquet and return its dir."""
+    import os
+    import tempfile
+
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return d
+
+
+def test_vocab_bigram_lm_closed_form(spark):
+    """'a b a b' -> bigrams (a,b)x2 and (b,a)x1: p(b|a) = 1.0 and
+    p(a|b) = 1.0 since each left context has one continuation."""
+    from pyjelly_spark.queries import q_vocab_bigram_lm
+
+    d = _write_docs(spark, [(1, "a b a b", "en", "s1", 7)])
+    got = [tuple(r) for r in q_vocab_bigram_lm(spark, d).collect()]
+    assert got == [
+        ("a", "b", 2, 2, 1000000),
+        ("b", "a", 1, 1, 1000000),
+    ]
+
+
+def test_doc_lexical_richness_closed_form(spark):
+    """'x x y' -> 3 tokens, 2 types, 1 hapax; TTR 666666 ppm, hapax
+    share 500000 ppm."""
+    from pyjelly_spark.queries import q_doc_lexical_richness
+
+    d = _write_docs(spark, [(1, "x x y", "en", "s1", 5)])
+    got = [tuple(r) for r in q_doc_lexical_richness(spark, d).collect()]
+    assert got == [("s1", 3, 2, 1, 666666, 500000)]
+
+
+def test_events_histogram_closed_form(spark):
+    """$1 -> bin 0, $25 -> bin 1, $600 -> clamped to bin 24; cumulative
+    counts accumulate in bin order."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_histogram
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1), 1, "click", 25.0, "{}"),
+        (3, dt.datetime(2024, 1, 1), 1, "click", 600.0, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_histogram(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [
+        ("click", 0, 0, 1, 1),
+        ("click", 1, 2000, 1, 2),
+        ("click", 24, 48000, 1, 3),
+    ]
+
+
+def test_kg_assortativity_matches_python(spark):
+    """Recompute the degree sums from the collected bipartite edges at
+    sf0.001."""
+    from collections import Counter
+
+    from pyjelly_spark.operators import extract as X
+    from pyjelly_spark.queries import derived_source_files, q_kg_assortativity
+
+    sf = "/root/testdata/sf0.001"
+    files = derived_source_files(spark, sf)
+    edges = (
+        files.select(
+            X.file_iri(F.col("repo"), F.col("path")).alias("file"),
+            F.explode(
+                F.regexp_extract_all("content", F.lit(X.CALL_RE), F.lit(1))
+            ).alias("symbol"),
+        )
+        .distinct()
+        .collect()
+    )
+    df = Counter(r["file"] for r in edges)
+    ds = Counter(r["symbol"] for r in edges)
+    want = (
+        len(edges),
+        sum(df[r["file"]] for r in edges),
+        sum(ds[r["symbol"]] for r in edges),
+        sum(df[r["file"]] * ds[r["symbol"]] for r in edges),
+        sum(df[r["file"]] ** 2 for r in edges),
+        sum(ds[r["symbol"]] ** 2 for r in edges),
+    )
+    got = q_kg_assortativity(spark, sf).collect()[0]
+    assert tuple(got) == want
