@@ -142,6 +142,11 @@ BENCH_QUERIES = [
     "doc_lexical_richness",
     "events_histogram",
     "kg_assortativity",
+    "kg_richclub",
+    "doc_oov_rate",
+    "events_drift",
+    "doc_zipf",
+    "events_interarrival",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

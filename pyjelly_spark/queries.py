@@ -8264,6 +8264,374 @@ FROM edges JOIN dfile USING (file) JOIN dsym USING (symbol)
 """
 
 
+def q_kg_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the resolved import graph at degree
+    thresholds k ∈ {1,2,4,8}: do high-degree files preferentially
+    import each other? φ(k) = E_k / C(n_k, 2) in integer ppm, where
+    n_k = nodes of undirected degree > k and E_k = distinct undirected
+    edges inside that club. One distinct-edge build, one degree agg
+    (broadcastable: one row per node), two degree joins on the edge
+    list, then a 4-row threshold explode — no per-threshold rescan."""
+    edges_st = q_kg_imports_resolved(spark, sf_dir).select(
+        F.least("s", "o").alias("a"), F.greatest("s", "o").alias("b")
+    )
+    edges = edges_st.where(F.col("a") != F.col("b")).distinct()
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (1, 2, 4, 8)])).alias("k")
+    )
+    club_nodes = deg.crossJoin(F.broadcast(ks)).where(F.col("deg") > F.col("k"))
+    n_k = club_nodes.groupBy("k").agg(F.count(F.lit(1)).alias("n_nodes"))
+    e_k = (
+        edges.join(
+            club_nodes.select(F.col("node").alias("a"), "k"), "a"
+        )
+        .join(club_nodes.select(F.col("node").alias("b"), "k"), ["b", "k"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        n_k.join(e_k, "k", "left")
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("n_nodes").cast("long"),
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.expr(
+                "cast((coalesce(n_edges, 0) * 2000000)"
+                " div greatest(n_nodes * (n_nodes - 1), 1) as bigint)"
+            ).alias("phi_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+SQL_KG_RICHCLUB = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+resolved AS (
+  SELECT file_iri AS s,
+         'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+           || '/mod_' || t || '.py' AS o
+  FROM imports_gt
+),
+edges AS (
+  SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+  FROM resolved WHERE s <> o
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+  ) GROUP BY 1
+),
+ks AS (SELECT unnest([1, 2, 4, 8]) AS k),
+club AS (
+  SELECT node, k FROM deg CROSS JOIN ks WHERE deg > k
+),
+nk AS (SELECT k, count(*)::BIGINT AS n_nodes FROM club GROUP BY 1),
+ek AS (
+  SELECT ca.k, count(*)::BIGINT AS n_edges
+  FROM edges e
+  JOIN club ca ON e.a = ca.node
+  JOIN club cb ON e.b = cb.node AND ca.k = cb.k
+  GROUP BY 1
+)
+SELECT nk.k::INT AS k, n_nodes, coalesce(n_edges, 0)::BIGINT AS n_edges,
+       ((coalesce(n_edges, 0) * 2000000)
+        // greatest(n_nodes * (n_nodes - 1), 1))::BIGINT AS phi_ppm
+FROM nk LEFT JOIN ek ON nk.k = ek.k
+ORDER BY k
+"""
+
+
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core-vocabulary coverage per source: the share of token
+    occurrences falling OUTSIDE the corpus's top-20 words (by count,
+    word tiebreak) in integer ppm — the OOV/coverage screen a tokenizer
+    or curation pipeline runs before training. Word counts aggregate
+    map-side; the core vocab is a 20-row broadcast; per-source rollup
+    touches the (source, word) counts, never the raw tokens twice."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyjelly_spark.functions.text import normalized, words
+
+    toks = docs.select(
+        "source", F.explode(words(normalized(F.col("text")))).alias("w")
+    ).where(F.col("w") != "")
+    wc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        wc.groupBy("w")
+        .agg(F.sum("cnt").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("w"))
+        .limit(20)
+        .select("w", F.lit(1).alias("in_core"))
+    )
+    return (
+        wc.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("tokens"),
+            F.sum(F.when(F.col("in_core").isNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "source",
+            "tokens",
+            "oov_tokens",
+            F.expr("cast((oov_tokens * 1000000) div tokens as bigint)").alias(
+                "oov_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOC_OOV_RATE = """
+WITH toks AS (
+  SELECT source, unnest(string_split({norm}, ' ')) AS w FROM documents
+),
+wc AS (
+  SELECT source, w, count(*)::BIGINT AS cnt
+  FROM toks WHERE w <> '' GROUP BY 1, 2
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, sum(cnt) AS tot FROM wc GROUP BY 1
+    ORDER BY tot DESC, w ASC LIMIT 20
+  )
+),
+per AS (
+  SELECT source, sum(cnt)::BIGINT AS tokens,
+         sum(CASE WHEN vocab.w IS NULL THEN cnt ELSE 0 END)::BIGINT
+           AS oov_tokens
+  FROM wc LEFT JOIN vocab ON wc.w = vocab.w
+  GROUP BY 1
+)
+SELECT source, tokens, oov_tokens,
+       ((oov_tokens * 1000000) // tokens)::BIGINT AS oov_ppm
+FROM per ORDER BY source
+"""
+
+
+def q_events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per event_type between two calendar halves
+    (before/after 2024-01-16): L1 distance between the halves'
+    25-bin amount distributions in integer ppm (= 2 × total-variation
+    distance) — the drift monitor a serving pipeline alarms on. One
+    scan into a ≤250-group (type, bin, half) agg; shares and the L1
+    rollup are windows/aggs over that tiny table. Bins missing from
+    one half align automatically because both halves aggregate in the
+    same pass (conditional sums, zero default)."""
+    ev = _t(spark, sf_dir, "events")
+    split = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.expr("cast(floor(value * 100) as bigint) div 2000"), F.lit(24)
+        ).alias("bin"),
+        F.when(split, 1).otherwise(0).alias("in_a"),
+    )
+    g = binned.groupBy("event_type", "bin").agg(
+        F.sum("in_a").alias("o_a"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("o_b"),
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        g.withColumn("n_a", F.sum("o_a").over(w))
+        .withColumn("n_b", F.sum("o_b").over(w))
+        .withColumn(
+            "delta",
+            F.abs(
+                F.expr("(o_a * 1000000) div greatest(n_a, 1)")
+                - F.expr("(o_b * 1000000) div greatest(n_b, 1)")
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_a").cast("long").alias("n_first_half"),
+            F.max("n_b").cast("long").alias("n_second_half"),
+            F.sum("delta").cast("long").alias("l1_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_DRIFT = """
+WITH binned AS (
+  SELECT event_type,
+         least(floor(value * 100)::BIGINT // 2000, 24) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS in_a
+  FROM events
+),
+g AS (
+  SELECT event_type, bin, sum(in_a)::BIGINT AS o_a,
+         sum(1 - in_a)::BIGINT AS o_b
+  FROM binned GROUP BY 1, 2
+),
+x AS (
+  SELECT *, sum(o_a) OVER (PARTITION BY event_type) AS n_a,
+         sum(o_b) OVER (PARTITION BY event_type) AS n_b
+  FROM g
+)
+SELECT event_type, max(n_a)::BIGINT AS n_first_half,
+       max(n_b)::BIGINT AS n_second_half,
+       sum(abs((o_a * 1000000) // greatest(n_a, 1)
+               - (o_b * 1000000) // greatest(n_b, 1)))::BIGINT AS l1_ppm
+FROM x GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_doc_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile: the top-30 corpus words with rank,
+    count, the rank×count product (constant under an ideal Zipf law)
+    and the count as ppm of the top word — the corpus-health fingerprint
+    that flags template-dominated crawls (flat head) or tokenizer bugs
+    (broken tail). Map-side-combined word counts; ranking happens on the
+    tiny aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyjelly_spark.functions.text import normalized, words
+
+    wc = (
+        docs.select(F.explode(words(normalized(F.col("text")))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = wc.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("w")))
+    ).where(F.col("rank") <= 30)
+    w1 = Window.partitionBy()
+    return (
+        ranked.withColumn("top_cnt", F.max("cnt").over(w1))
+        .select(
+            F.col("rank").cast("int"),
+            "w",
+            F.col("cnt").cast("long"),
+            (F.col("rank") * F.col("cnt")).cast("long").alias("zipf_product"),
+            F.expr("cast((cnt * 1000000) div top_cnt as bigint)").alias(
+                "rel_ppm"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+SQL_DOC_ZIPF = """
+WITH wc AS (
+  SELECT w, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(string_split({norm}, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rank FROM wc
+)
+SELECT rank::INT AS rank, w, cnt,
+       (rank * cnt)::BIGINT AS zipf_product,
+       ((cnt * 1000000) // max(cnt) OVER ())::BIGINT AS rel_ppm
+FROM ranked WHERE rank <= 30 ORDER BY rank
+"""
+
+
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event_type in exact epoch
+    microseconds: count, min, max, mean (floor) and the lower median —
+    the arrival-process profile behind rate alarms and capacity
+    planning. One lag() sort per type builds the gaps; the median is a
+    rank join against per-type counts (events_quantiles contract), so
+    nothing sorts twice."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            "ts",
+            "event_id",
+            # NTZ-to-NTZ so gaps are timezone-independent; the epoch base
+            # cancels in the lag difference (oracle uses epoch_us directly)
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+            ).alias("es"),
+        )
+        .withColumn("gap_us", F.col("es") - F.lag("es").over(w))
+        .where(F.col("gap_us").isNotNull())
+        .select("event_type", "gap_us")
+    )
+    stats = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_us"),
+        F.max("gap_us").cast("long").alias("max_us"),
+        F.expr("cast(sum(gap_us) div count(1) as bigint)").alias("mean_us"),
+    )
+    ranked = gaps.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("gap_us")
+        ),
+    )
+    med = (
+        ranked.join(
+            F.broadcast(
+                stats.select(
+                    "event_type",
+                    F.greatest(F.lit(1), F.expr("(n_gaps + 1) div 2")).alias(
+                        "rnk"
+                    ),
+                )
+            ),
+            ["event_type", "rnk"],
+        )
+        .select("event_type", F.col("gap_us").cast("long").alias("median_us"))
+    )
+    return (
+        stats.join(med, "event_type")
+        .select(
+            "event_type",
+            F.col("n_gaps").cast("long"),
+            "min_us",
+            "max_us",
+            "mean_us",
+            "median_us",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_INTERARRIVAL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+),
+g AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+stats AS (
+  SELECT event_type, count(*)::BIGINT AS n_gaps,
+         min(gap_us)::BIGINT AS min_us, max(gap_us)::BIGINT AS max_us,
+         (sum(gap_us) // count(*))::BIGINT AS mean_us
+  FROM g GROUP BY 1
+),
+ranked AS (
+  SELECT event_type, gap_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rnk
+  FROM g
+),
+med AS (
+  SELECT r.event_type, r.gap_us::BIGINT AS median_us
+  FROM ranked r JOIN stats s
+    ON r.event_type = s.event_type
+   AND r.rnk = greatest(1, (s.n_gaps + 1) // 2)
+)
+SELECT event_type, n_gaps, min_us, max_us, mean_us, median_us
+FROM stats JOIN med USING (event_type)
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8435,6 +8803,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lexical_richness": q_doc_lexical_richness,
     "events_histogram": q_events_histogram,
     "kg_assortativity": q_kg_assortativity,
+    "kg_richclub": q_kg_richclub,
+    "doc_oov_rate": q_doc_oov_rate,
+    "events_drift": q_events_drift,
+    "doc_zipf": q_doc_zipf,
+    "events_interarrival": q_events_interarrival,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -8613,6 +8986,11 @@ ORACLES: dict[str, str] = {
     "doc_lexical_richness": SQL_DOC_LEXICAL_RICHNESS.format(norm=NORM_SQL),
     "events_histogram": SQL_EVENTS_HISTOGRAM,
     "kg_assortativity": SQL_KG_ASSORTATIVITY,
+    "kg_richclub": SQL_KG_RICHCLUB,
+    "doc_oov_rate": SQL_DOC_OOV_RATE.format(norm=NORM_SQL),
+    "events_drift": SQL_EVENTS_DRIFT,
+    "doc_zipf": SQL_DOC_ZIPF.format(norm=NORM_SQL),
+    "events_interarrival": SQL_EVENTS_INTERARRIVAL,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

@@ -98,6 +98,11 @@ AUDITED = [
     "doc_lexical_richness",
     "events_histogram",
     "kg_assortativity",
+    "kg_richclub",
+    "doc_oov_rate",
+    "events_drift",
+    "doc_zipf",
+    "events_interarrival",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

@@ -1981,3 +1981,101 @@ def test_kg_assortativity_matches_python(spark):
     )
     got = q_kg_assortativity(spark, sf).collect()[0]
     assert tuple(got) == want
+
+
+def test_kg_richclub_matches_python(spark):
+    """Recompute phi(k) from the collected resolved-import edges at
+    sf0.001."""
+    from collections import Counter
+
+    from pyjelly_spark.queries import q_kg_imports_resolved, q_kg_richclub
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_kg_imports_resolved(spark, sf).collect()
+    edges = {
+        (min(r["s"], r["o"]), max(r["s"], r["o"]))
+        for r in rows
+        if r["s"] != r["o"]
+    }
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    want = []
+    for k in (1, 2, 4, 8):
+        club = {n for n, d in deg.items() if d > k}
+        if not club:
+            continue
+        e_k = sum(1 for a, b in edges if a in club and b in club)
+        n_k = len(club)
+        want.append(
+            (k, n_k, e_k, (e_k * 2000000) // max(n_k * (n_k - 1), 1))
+        )
+    got = [tuple(r) for r in q_kg_richclub(spark, sf).collect()]
+    assert got == want
+
+
+def test_doc_oov_rate_closed_form(spark):
+    """20 words twice + 1 word once: the hapax falls outside the top-20
+    core vocab -> 1 OOV occurrence of 41 tokens."""
+    from pyjelly_spark.queries import q_doc_oov_rate
+
+    text = " ".join(f"w{i:02d} w{i:02d}" for i in range(20)) + " zz"
+    d = _write_docs(spark, [(1, text, "en", "s1", len(text))])
+    got = [tuple(r) for r in q_doc_oov_rate(spark, d).collect()]
+    assert got == [("s1", 41, 1, 1000000 // 41)]
+
+
+def test_events_drift_closed_form(spark):
+    """First half all in bin 0; second half split bins 0/1 -> per-bin
+    share deltas 500000 + 500000 = 1000000 ppm L1."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_drift
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 2), 1, "click", 2.0, "{}"),
+        (3, dt.datetime(2024, 1, 20), 1, "click", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 21), 1, "click", 25.0, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_drift(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [("click", 2, 2, 1000000)]
+
+
+def test_doc_zipf_closed_form(spark):
+    """'a a a b b c': rank x count products 3, 4, 3; shares of the top
+    word 10^6, 666666, 333333 ppm."""
+    from pyjelly_spark.queries import q_doc_zipf
+
+    d = _write_docs(spark, [(1, "a a a b b c", "en", "s1", 11)])
+    got = [tuple(r) for r in q_doc_zipf(spark, d).collect()]
+    assert got == [
+        (1, "a", 3, 3, 1000000),
+        (2, "b", 2, 4, 666666),
+        (3, "c", 1, 3, 333333),
+    ]
+
+
+def test_events_interarrival_closed_form(spark):
+    """Gaps of 60s and 120s: mean 90s, lower median 60s, exact
+    microseconds."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_interarrival
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 1, 0), 1, "click", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 0, 3, 0), 1, "click", 1.0, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_interarrival(
+            spark, _write_events(spark, rows)
+        ).collect()
+    ]
+    assert got == [("click", 2, 60_000_000, 120_000_000, 90_000_000, 60_000_000)]
