@@ -147,6 +147,10 @@ BENCH_QUERIES = [
     "events_drift",
     "doc_zipf",
     "events_interarrival",
+    "tpch_q15",
+    "tpch_q22",
+    "events_gini",
+    "doc_novelty",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

@@ -7925,11 +7925,11 @@ def q_events_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = base.groupBy("dow").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
     )
-    tot = per.agg(
-        F.sum("n").alias("n_tot"), F.sum("pos").alias("pos_tot")
-    )
+    # global totals as windows over the 7-row aggregate: one event scan
+    w_all = Window.partitionBy()
     return (
-        per.crossJoin(F.broadcast(tot))
+        per.withColumn("n_tot", F.sum("n").over(w_all))
+        .withColumn("pos_tot", F.sum("pos").over(w_all))
         .select(
             "dow",
             F.col("n").cast("long"),
@@ -8051,9 +8051,12 @@ def q_vocab_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wa", "wb")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    left = bg.groupBy("wa").agg(F.sum("cnt").alias("cnt_left"))
+    # left-context totals as a window over the bigram AGGREGATE (tiny
+    # vs the corpus): one tokenize pass total — no join, no re-scan
     return (
-        bg.join(left, "wa")
+        bg.withColumn(
+            "cnt_left", F.sum("cnt").over(Window.partitionBy("wa"))
+        )
         .select(
             "wa",
             "wb",
@@ -8229,11 +8232,16 @@ def q_kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    dfile = edges.groupBy("file").agg(F.count(F.lit(1)).alias("d_f"))
-    dsym = edges.groupBy("symbol").agg(F.count(F.lit(1)).alias("d_s"))
+    # degrees as count-windows over the edge list itself: one extraction
+    # scan; the two window shuffles replace two join-back shuffles AND
+    # the two re-extractions the join formulation would recompute
     return (
-        edges.join(dfile, "file")
-        .join(dsym, "symbol")
+        edges.withColumn(
+            "d_f", F.count(F.lit(1)).over(Window.partitionBy("file"))
+        )
+        .withColumn(
+            "d_s", F.count(F.lit(1)).over(Window.partitionBy("symbol"))
+        )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_edges"),
             F.sum("d_f").cast("long").alias("s_df"),
@@ -8275,7 +8283,13 @@ def q_kg_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_st = q_kg_imports_resolved(spark, sf_dir).select(
         F.least("s", "o").alias("a"), F.greatest("s", "o").alias("b")
     )
-    edges = edges_st.where(F.col("a") != F.col("b")).distinct()
+    # checkpoint the deduped edge list: degrees + both club joins reuse
+    # it, instead of re-running extraction 3x (28 scans -> 2 in the plan)
+    edges = (
+        edges_st.where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -8560,41 +8574,33 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("gap_us").isNotNull())
         .select("event_type", "gap_us")
     )
-    stats = gaps.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_gaps"),
-        F.min("gap_us").cast("long").alias("min_us"),
-        F.max("gap_us").cast("long").alias("max_us"),
-        F.expr("cast(sum(gap_us) div count(1) as bigint)").alias("mean_us"),
-    )
-    ranked = gaps.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.partitionBy("event_type").orderBy("gap_us")
-        ),
-    )
-    med = (
-        ranked.join(
-            F.broadcast(
-                stats.select(
-                    "event_type",
-                    F.greatest(F.lit(1), F.expr("(n_gaps + 1) div 2")).alias(
-                        "rnk"
-                    ),
-                )
+    # single pass: the rank sort and the per-type stat windows share one
+    # event_type partitioning; the lower-median row then carries every
+    # statistic out — no join back, no second traversal of the gaps
+    wt = Window.partitionBy("event_type")
+    ranked = (
+        gaps.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("gap_us")
             ),
-            ["event_type", "rnk"],
         )
-        .select("event_type", F.col("gap_us").cast("long").alias("median_us"))
+        .withColumn("n_gaps", F.count(F.lit(1)).over(wt))
+        .withColumn("min_us", F.min("gap_us").over(wt))
+        .withColumn("max_us", F.max("gap_us").over(wt))
+        .withColumn("sum_us", F.sum("gap_us").over(wt))
     )
     return (
-        stats.join(med, "event_type")
+        ranked.where(
+            F.col("rnk") == F.greatest(F.lit(1), F.expr("(n_gaps + 1) div 2"))
+        )
         .select(
             "event_type",
             F.col("n_gaps").cast("long"),
-            "min_us",
-            "max_us",
-            "mean_us",
-            "median_us",
+            F.col("min_us").cast("long"),
+            F.col("max_us").cast("long"),
+            F.expr("cast(sum_us div n_gaps as bigint)").alias("mean_us"),
+            F.col("gap_us").cast("long").alias("median_us"),
         )
         .orderBy("event_type")
     )
@@ -8629,6 +8635,272 @@ med AS (
 SELECT event_type, n_gaps, min_us, max_us, mean_us, median_us
 FROM stats JOIN med USING (event_type)
 ORDER BY event_type
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarterly
+    revenue equals the maximum — the classic view + scalar-max shape.
+    Revenue aggregates lineitem alone (map-side partials on suppkey),
+    the max comes from a window over that TINY per-supplier aggregate
+    (no self-join, no second scan), and only the winning row(s) join
+    the supplier dim. Decimal-exact, so the equality-with-max predicate
+    is engine-portable."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    disc = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc).alias("total_rev")
+    )
+    top = rev.withColumn(
+        "max_rev", F.max("total_rev").over(Window.partitionBy())
+    ).where(F.col("total_rev") == F.col("max_rev"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        top.join(supp, top.supplier_no == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice::DECIMAL(18,2)
+             * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+),
+top AS (
+  SELECT * FROM (SELECT *, max(total_rev) OVER () AS max_rev FROM rev)
+  WHERE total_rev = max_rev
+)
+SELECT s_suppkey, s_name, total_rev::DOUBLE AS total_rev
+FROM top JOIN supplier ON supplier_no = s_suppkey
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted to this generator:
+    customers with above-average positive balance and no RECENT orders
+    (none since 1999 — Q22's "no orders for 7 years" clause), rolled
+    up per nation. The average is exact integer cents (sum div n over
+    positive balances), the lapsed test is one LEFT ANTI join on the
+    date-filtered orders custkey projection (filter pushed to the
+    scan), and the nation dim broadcasts — the decorrelated
+    two-subquery shape Q22 exists to exercise."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    pos = cust.where(F.col("bal_cents") > 0)
+    avg_row = pos.agg(
+        F.expr("cast(sum(bal_cents) div count(1) as bigint)").alias("avg_cents")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    nation = _t(spark, sf_dir, "nation")
+    rich = pos.crossJoin(F.broadcast(avg_row)).where(
+        F.col("bal_cents") > F.col("avg_cents")
+    )
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("bal_cents").cast("long").alias("totacctbal_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey, floor(c_acctbal * 100)::BIGINT AS bal_cents
+  FROM customer WHERE floor(c_acctbal * 100)::BIGINT > 0
+),
+a AS (SELECT (sum(bal_cents) // count(*))::BIGINT AS avg_cents FROM pos),
+rich AS (
+  SELECT * FROM pos CROSS JOIN a WHERE bal_cents > avg_cents
+)
+SELECT n_name, count(*)::BIGINT AS numcust,
+       sum(bal_cents)::BIGINT AS totacctbal_cents
+FROM rich
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1999-01-01'
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration metrics per event_type over user-level
+    value: the exact Gini coefficient in ppm via the rank formula
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) — every term an integer once
+    users are totally ordered by (value, user_id) — plus the top-decile
+    share (what % of value the top 10% of users hold). The rank sort
+    runs over the per-user AGGREGATE (one row per user), never the
+    event table; all stats come from windows sharing that one sort."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(cents).alias("v")
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = (
+        per_user.withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("v", "user_id")
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wt))
+        .withColumn("sum_v", F.sum("v").over(wt))
+        .withColumn("sum_iv", F.sum(F.col("i") * F.col("v")).over(wt))
+        .withColumn(
+            "top_v",
+            F.sum(
+                F.when(
+                    F.col("i") > F.col("n") - F.expr("n div 10"), F.col("v")
+                ).otherwise(0)
+            ).over(wt),
+        )
+    )
+    return (
+        ranked.where(F.col("i") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_users"),
+            F.col("sum_v").cast("long").alias("total_cents"),
+            F.expr(
+                "cast(((2 * sum_iv - (n + 1) * sum_v) * 1000000)"
+                " div greatest(n * sum_v, 1) as bigint)"
+            ).alias("gini_ppm"),
+            F.expr(
+                "cast((top_v * 1000000) div greatest(sum_v, 1) as bigint)"
+            ).alias("top_decile_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_GINI = """
+WITH per_user AS (
+  SELECT event_type, user_id, sum(floor(value * 100)::BIGINT)::BIGINT AS v
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type ORDER BY v, user_id) AS i,
+    count(*) OVER (PARTITION BY event_type) AS n,
+    sum(v) OVER (PARTITION BY event_type) AS sum_v
+  FROM per_user
+),
+x AS (
+  SELECT event_type, n, sum_v,
+         sum(i * v) AS sum_iv,
+         sum(CASE WHEN i > n - n // 10 THEN v ELSE 0 END) AS top_v
+  FROM ranked GROUP BY 1, 2, 3
+)
+SELECT event_type, n::BIGINT AS n_users, sum_v::BIGINT AS total_cents,
+       (((2 * sum_iv - (n + 1) * sum_v) * 1000000)
+        // greatest(n * sum_v, 1))::BIGINT AS gini_ppm,
+       ((top_v * 1000000) // greatest(sum_v, 1))::BIGINT AS top_decile_ppm
+FROM x ORDER BY event_type
+"""
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty: the share of a document's distinct
+    bigrams whose FIRST corpus occurrence (by doc_id order) is this
+    document — the incremental-information signal crawl curation uses
+    to drop late near-duplicates. One tokenize pass into distinct
+    (doc, bigram) pairs; first-ownership is min(doc_id) over the bigram
+    groups (one shuffle), then a per-doc rollup. Returns the 20 least
+    novel documents (novelty ascending) with doc_id tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyjelly_spark.functions.text import normalized, word_ngrams, words
+
+    pairs = (
+        docs.select(
+            "doc_id", words(normalized(F.col("text"))).alias("ws")
+        )
+        .select(
+            "doc_id", F.explode(word_ngrams(F.col("ws"), 2)).alias("bg")
+        )
+        .where(
+            (F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) != "")
+            & (F.split_part(F.col("bg"), F.lit(" "), F.lit(2)) != "")
+        )
+        .distinct()
+    )
+    owned = pairs.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("bg"))
+    )
+    return (
+        owned.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bigrams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel"),
+        )
+        .select(
+            "doc_id",
+            "bigrams",
+            "novel",
+            F.expr("cast((novel * 1000000) div bigrams as bigint)").alias(
+                "novelty_ppm"
+            ),
+        )
+        .orderBy(F.asc("novelty_ppm"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_DOC_NOVELTY = """
+WITH ws AS (
+  SELECT doc_id, string_split({norm}, ' ') AS ws FROM documents
+),
+pairs AS (
+  SELECT DISTINCT doc_id, bg FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, len(ws) - 0),
+      i -> ws[i] || ' ' || ws[i + 1]
+    )) AS bg
+    FROM ws WHERE len(ws) >= 2
+  )
+  WHERE string_split(bg, ' ')[1] <> '' AND string_split(bg, ' ')[2] <> ''
+),
+owned AS (
+  SELECT doc_id, bg, min(doc_id) OVER (PARTITION BY bg) AS first_doc
+  FROM pairs
+)
+SELECT doc_id, count(*)::BIGINT AS bigrams,
+       sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)::BIGINT AS novel,
+       ((sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) * 1000000)
+        // count(*))::BIGINT AS novelty_ppm
+FROM owned GROUP BY doc_id
+ORDER BY novelty_ppm ASC, doc_id ASC LIMIT 20
 """
 
 
@@ -8808,6 +9080,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_drift": q_events_drift,
     "doc_zipf": q_doc_zipf,
     "events_interarrival": q_events_interarrival,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q22": q_tpch_q22,
+    "events_gini": q_events_gini,
+    "doc_novelty": q_doc_novelty,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -8991,6 +9267,10 @@ ORACLES: dict[str, str] = {
     "events_drift": SQL_EVENTS_DRIFT,
     "doc_zipf": SQL_DOC_ZIPF.format(norm=NORM_SQL),
     "events_interarrival": SQL_EVENTS_INTERARRIVAL,
+    "tpch_q15": SQL_TPCH_Q15,
+    "tpch_q22": SQL_TPCH_Q22,
+    "events_gini": SQL_EVENTS_GINI,
+    "doc_novelty": SQL_DOC_NOVELTY.format(norm=NORM_SQL),
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

@@ -103,6 +103,10 @@ AUDITED = [
     "events_drift",
     "doc_zipf",
     "events_interarrival",
+    "tpch_q15",
+    "tpch_q22",
+    "events_gini",
+    "doc_novelty",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

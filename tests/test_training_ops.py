@@ -2079,3 +2079,139 @@ def test_events_interarrival_closed_form(spark):
         ).collect()
     ]
     assert got == [("click", 2, 60_000_000, 120_000_000, 90_000_000, 60_000_000)]
+
+
+def test_cusum_closed_form_property(spark):
+    """Property (pure python, no Spark): the windowed closed form
+    C_i = P_i - min(0, min_{j<=i} P_j) equals the direct recurrence
+    C_i = max(0, C_{i-1} + d_i) for arbitrary integer deviations —
+    the identity q_events_cusum rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=50))
+    def check(ds):
+        c, direct = 0, []
+        for d in ds:
+            c = max(0, c + d)
+            direct.append(c)
+        p, runmin, closed = 0, 0, []
+        for d in ds:
+            p += d
+            runmin = min(runmin, p)
+            closed.append(p - min(runmin, 0))
+        assert closed == direct
+
+    check()
+
+
+def test_target_encoding_loo_property(spark):
+    """Property (pure python): the closed-form LOO bounds used by
+    q_events_target_encoding equal brute-force row-level leave-one-out
+    min/max for any binary label multiset."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(0, 1), min_size=2, max_size=60))
+    def check(ys):
+        n, pos = len(ys), sum(ys)
+        brute = [((pos - y) * 1_000_000) // (n - 1) for y in ys]
+        lo = (
+            ((pos - 1) * 1_000_000) // max(n - 1, 1)
+            if pos > 0
+            else (pos * 1_000_000) // max(n - 1, 1)
+        )
+        hi = (
+            (pos * 1_000_000) // max(n - 1, 1)
+            if pos < n
+            else ((pos - 1) * 1_000_000) // max(n - 1, 1)
+        )
+        assert lo == min(brute) and hi == max(brute)
+
+    check()
+
+
+def test_tpch_q15_matches_pandas(spark):
+    """Independent pandas recomputation of the top-supplier query at
+    sf0.001."""
+    import pandas as pd
+
+    from pyjelly_spark.queries import q_tpch_q15
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li = li[
+        (li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1996-04-01")
+    ]
+    rev = (
+        li.assign(r=li.l_extendedprice * (1 - li.l_discount))
+        .groupby("l_suppkey")["r"]
+        .sum()
+    )
+    want_keys = set(rev[rev == rev.max()].index)
+    got = q_tpch_q15(spark, SF_DIR).collect()
+    assert {r.s_suppkey for r in got} == want_keys
+    assert all(abs(r.total_rev - rev.max()) < 1e-4 for r in got)
+
+
+def test_tpch_q22_matches_pandas(spark):
+    """Independent pandas recomputation of the rich-idle-customer
+    rollup at sf0.001."""
+    import pandas as pd
+
+    from pyjelly_spark.queries import q_tpch_q22
+
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust["bal_cents"] = (cust.c_acctbal * 100).apply(
+        lambda v: int(v // 1)
+    )
+    pos = cust[cust.bal_cents > 0]
+    avg_cents = pos.bal_cents.sum() // len(pos)
+    rich = pos[pos.bal_cents > avg_cents]
+    recent = orders[orders.o_orderdate >= "1999-01-01"]
+    rich = rich[~rich.c_custkey.isin(set(recent.o_custkey))]
+    j = rich.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    want = {
+        (name, len(g), int(g.bal_cents.sum()))
+        for name, g in j.groupby("n_name")
+    }
+    got = {
+        (r.n_name, r.numcust, r.totacctbal_cents)
+        for r in q_tpch_q22(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_events_gini_closed_form(spark):
+    """Two users, cents 100 and 300: rank formula gives
+    (2*700 - 3*400)/(2*400) = 0.25 -> 250000 ppm; the top decile is
+    empty at n=2 (n div 10 = 0)."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_gini
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1), 2, "click", 3.0, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_gini(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [("click", 2, 400, 250000, 0)]
+
+
+def test_doc_novelty_closed_form(spark):
+    """doc 1 owns both its bigrams; doc 2 shares 'a b' with doc 1 ->
+    novelty 0.5; least-novel-first ordering."""
+    from pyjelly_spark.queries import q_doc_novelty
+
+    d = _write_docs(
+        spark,
+        [(1, "a b c", "en", "s1", 5), (2, "a b d", "en", "s1", 5)],
+    )
+    got = [tuple(r) for r in q_doc_novelty(spark, d).collect()]
+    assert got == [(2, 2, 1, 500000), (1, 2, 2, 1000000)]
