@@ -151,6 +151,17 @@ BENCH_QUERIES = [
     "tpch_q22",
     "events_gini",
     "doc_novelty",
+    "events_holt",
+    "events_abtest",
+    "events_winsorize",
+    "kg_reciprocity",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q19",
+    "events_bitmap",
+    "events_survival",
+    "events_diversity",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

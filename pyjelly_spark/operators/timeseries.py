@@ -79,3 +79,65 @@ def ewma_int(
     return base.groupBy("user_id").applyInPandas(
         compute, "user_id long, event_id long, cents long, ewma long"
     )
+
+
+def holt_int(
+    events: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 4,
+) -> DataFrame:
+    """Integer-exact Holt double exponential smoothing (level + trend)
+    of ``value`` cents per user, ordered by (ts, event_id).
+
+    l_1 = c_1, b_1 = 0; then with f = l_{t-1} + b_{t-1}:
+        l_t = floor((alpha*c_t + (1-alpha)*f))         [fixed-point]
+        b_t = floor((beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}))
+    Every step floors (floor division toward -inf, matching Python //;
+    the DuckDB oracle emulates it for negative trends, where DuckDB's
+    ``//`` truncates toward zero instead).
+
+    Same plan shape as :func:`ewma_int`: one hash exchange on user_id,
+    per-key Arrow batch, 6-integer-op sequential loop — the minimum
+    co-location the recurrence admits.
+    """
+    a, d = alpha_num, alpha_den
+    p, q = beta_num, beta_den
+    if not (0 < a < d and 0 < p < q):
+        raise ValueError("require 0 < alpha < 1 and 0 < beta < 1")
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        c = pdf["cents"].to_numpy(dtype=np.int64)
+        lv = np.empty_like(c)
+        tr = np.empty_like(c)
+        if len(c):
+            level, trend = int(c[0]), 0
+            lv[0], tr[0] = level, trend
+            for i in range(1, len(c)):
+                f = level + trend
+                new_level = (a * int(c[i]) + (d - a) * f) // d
+                trend = (p * (new_level - level) + (q - p) * trend) // q
+                level = new_level
+                lv[i], tr[i] = level, trend
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "cents": c,
+                "level": lv,
+                "trend": tr,
+            }
+        )
+
+    base = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return base.groupBy("user_id").applyInPandas(
+        compute,
+        "user_id long, event_id long, cents long, level long, trend long",
+    )

@@ -8904,9 +8904,760 @@ ORDER BY novelty_ppm ASC, doc_id ASC LIMIT 20
 """
 
 
+def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Holt double exponential smoothing (level + trend,
+    alpha=beta=1/4) per user — the trend-aware forecasting recurrence
+    EWMA can't express. Per-key Arrow scan like events_ewma (one hash
+    exchange, the minimum co-location the recurrence admits); the
+    oracle unrolls the identical recurrence as a recursive CTE, with
+    floor division EMULATED for negative trends (DuckDB's // truncates
+    toward zero; Python's floors — the classic cross-engine integer
+    hazard, pinned here)."""
+    from pyjelly_spark.operators.timeseries import holt_int
+
+    return holt_int(_t(spark, sf_dir, "events"))
+
+
+# portable floor division: DuckDB's // truncates toward zero for
+# negative operands, Python's // floors — emulate flooring with a
+# nonnegative-mod correction (y > 0 constant here)
+SQL_EVENTS_HOLT = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         floor(value * 100)::BIGINT AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), h AS (
+  SELECT user_id, event_id, rn, cents,
+         cents AS level, 0::BIGINT AS trend
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn, s.cents,
+         nl.v AS level,
+         ((1 * (nl.v - h.level) + 3 * h.trend)
+          - ((((1 * (nl.v - h.level) + 3 * h.trend) % 4) + 4) % 4)) // 4
+           AS trend
+  FROM seq s
+  JOIN h ON s.user_id = h.user_id AND s.rn = h.rn + 1
+  CROSS JOIN LATERAL (
+    SELECT ((1 * s.cents + 3 * (h.level + h.trend))
+            - ((((1 * s.cents + 3 * (h.level + h.trend)) % 4) + 4) % 4)) // 4
+             AS v
+  ) nl
+)
+SELECT user_id, event_id, cents, level, trend FROM h
+"""
+
+
+def q_events_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into two deterministic
+    variants (portable hash of user_id, mod 2), outcome = did the user
+    purchase. Emits the 2x2 contingency table plus conversion rates in
+    ppm and the chi-square statistic in milli-units — computed EXACTLY
+    as 1000·n·(ad−bc)² / (row·col margin product) in decimal(38,0) /
+    HUGEINT (the (ad−bc)² cross term overflows int64 at realistic
+    counts). One scan -> per-user agg -> 4-cell aggregate; every
+    derived number is arithmetic on the single result row."""
+    from pyjelly_spark.functions.text import hex_hash
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    cells = per_user.select(
+        hex_hash(F.col("user_id").cast("string"), 2).alias("variant"),
+        "converted",
+    ).groupBy().agg(
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("converted") == 1), 1)
+            .otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("converted") == 0), 1)
+            .otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("converted") == 1), 1)
+            .otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("converted") == 0), 1)
+            .otherwise(0)
+        ).alias("d"),
+    )
+    return cells.select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("c").cast("long"),
+        F.col("d").cast("long"),
+        F.expr("cast((a * 1000000) div greatest(a + b, 1) as bigint)").alias(
+            "rate0_ppm"
+        ),
+        F.expr("cast((c * 1000000) div greatest(c + d, 1) as bigint)").alias(
+            "rate1_ppm"
+        ),
+        F.expr(
+            "cast((1000 * (a + b + c + d)"
+            " * (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c)"
+            " * (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c))"
+            " div greatest(cast(a + b as decimal(38,0)) * (c + d)"
+            "              * (a + c) * (b + d), 1) as bigint)"
+        ).alias("chi2_milli"),
+    )
+
+
+SQL_EVENTS_ABTEST = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+),
+cells AS (
+  SELECT
+    sum(CASE WHEN v = 0 AND converted = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+    sum(CASE WHEN v = 0 AND converted = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+    sum(CASE WHEN v = 1 AND converted = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+    sum(CASE WHEN v = 1 AND converted = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM (
+    SELECT ('0x' || substring(sha256(user_id::VARCHAR), 1, 15))::BIGINT % 2
+             AS v,
+           converted
+    FROM per_user
+  )
+)
+SELECT a, b, c, d,
+       ((a * 1000000) // greatest(a + b, 1))::BIGINT AS rate0_ppm,
+       ((c * 1000000) // greatest(c + d, 1))::BIGINT AS rate1_ppm,
+       ((1000 * (a + b + c + d)
+         * ((a::HUGEINT * d - b::HUGEINT * c)
+            * (a::HUGEINT * d - b::HUGEINT * c)))
+        // greatest((a + b)::HUGEINT * (c + d) * (a + c) * (b + d), 1)
+       )::BIGINT AS chi2_milli
+FROM cells
+"""
+
+
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized statistics per event_type: amounts clipped to the
+    exact lower p05/p95 (rank selection, events_quantiles contract)
+    before summing — the outlier-robust mean a billing pipeline reports
+    next to the raw one. One rank sort per type; the clip bounds ride
+    the same ranked rows via windows (no join back); raw vs winsorized
+    sums come from one final agg."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    wt = Window.partitionBy("event_type")
+    ranked = (
+        ev.select("event_type", cents.alias("v"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("v")
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wt))
+        .withColumn(
+            "lo",
+            F.max(
+                F.when(
+                    F.col("rnk")
+                    == F.greatest(F.lit(1), F.expr("(5 * n) div 100")),
+                    F.col("v"),
+                )
+            ).over(wt),
+        )
+        .withColumn(
+            "hi",
+            F.max(
+                F.when(
+                    F.col("rnk")
+                    == F.greatest(F.lit(1), F.expr("(95 * n) div 100")),
+                    F.col("v"),
+                )
+            ).over(wt),
+        )
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("lo").cast("long").alias("p05_cents"),
+            F.max("hi").cast("long").alias("p95_cents"),
+            F.sum("v").cast("long").alias("raw_sum"),
+            F.sum(F.greatest(F.least(F.col("v"), F.col("hi")), F.col("lo")))
+            .cast("long")
+            .alias("winsorized_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_WINSORIZE = """
+WITH ranked AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY
+                            floor(value * 100)::BIGINT) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+b AS (
+  SELECT *,
+    max(CASE WHEN rnk = greatest(1, (5 * n) // 100) THEN v END)
+      OVER (PARTITION BY event_type) AS lo,
+    max(CASE WHEN rnk = greatest(1, (95 * n) // 100) THEN v END)
+      OVER (PARTITION BY event_type) AS hi
+  FROM ranked
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       max(lo)::BIGINT AS p05_cents, max(hi)::BIGINT AS p95_cents,
+       sum(v)::BIGINT AS raw_sum,
+       sum(greatest(least(v, hi), lo))::BIGINT AS winsorized_sum
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_kg_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the resolved import graph: the share of directed
+    edges whose reverse edge also exists (mutual dyads) in integer ppm
+    — the dependency-cycle smell metric for a codebase KG. One distinct
+    edge build, one self-equi-join on the swapped key (hash join, no
+    explosion: at most one match per edge), one global agg."""
+    edges = (
+        q_kg_imports_resolved(spark, sf_dir)
+        .select("s", "o")
+        .where(F.col("s") != F.col("o"))
+        .distinct()
+        # both join sides derive from this extraction; a lazy checkpoint
+        # makes it run once (kg_richclub precedent) instead of twice
+        .localCheckpoint(eager=False)
+    )
+    rev = edges.select(
+        F.col("o").alias("s"), F.col("s").alias("o"), F.lit(1).alias("has_rev")
+    )
+    return (
+        edges.join(rev, ["s", "o"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum(F.coalesce("has_rev", F.lit(0)))
+            .cast("long")
+            .alias("n_reciprocal"),
+        )
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.expr("cast(n_reciprocal div 2 as bigint)").alias("mutual_dyads"),
+            F.expr(
+                "cast((n_reciprocal * 1000000) div greatest(n_edges, 1)"
+                " as bigint)"
+            ).alias("reciprocity_ppm"),
+        )
+    )
+
+
+SQL_KG_RECIPROCITY = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+resolved AS (
+  SELECT DISTINCT file_iri AS s,
+         'http://kg.example/file/repo-0' || (t % 7) || '/src/pkg' || (t % 13)
+           || '/mod_' || t || '.py' AS o
+  FROM imports_gt
+),
+edges AS (SELECT s, o FROM resolved WHERE s <> o),
+j AS (
+  SELECT e.s, e.o,
+         CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END AS has_rev
+  FROM edges e
+  LEFT JOIN edges r ON e.s = r.o AND e.o = r.s
+)
+SELECT count(*)::BIGINT AS n_edges,
+       sum(has_rev)::BIGINT AS n_reciprocal,
+       (sum(has_rev) // 2)::BIGINT AS mutual_dyads,
+       ((sum(has_rev) * 1000000) // greatest(count(*), 1))::BIGINT
+         AS reciprocity_ppm
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
+
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), adapted to this generator
+    (flat p_type category, no container/comment columns): share of
+    ASIA-region customers' 1996-1997 order volume on STANDARD parts
+    supplied by NATION_1, per order year, in integer ppm (decimal
+    scale-4 units exactly like q14 — no float division anywhere).
+    Plan: the lineitem->orders chain is the only big hash join; part
+    (type-filtered), supplier, customer, nation and region all
+    broadcast. Reference semantics: TPC-H spec Q8."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol4 = (
+        (
+            _dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+        )
+        * F.lit(10000).cast("decimal(18,0)")
+    ).cast("decimal(38,0)")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", vol4).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias("nat4"),
+            F.sum(vol4).alias("tot4"),
+        )
+        .select(
+            "o_year",
+            F.col("nat4").cast("double").alias("nation_vol4"),
+            F.col("tot4").cast("double").alias("total_vol4"),
+            F.expr(
+                "cast((nat4 * 1000000) div greatest(tot4, 1) as bigint)"
+            ).alias("mkt_share_ppm"),
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_TPCH_Q8 = """
+SELECT year(o_orderdate)::BIGINT AS o_year,
+       sum(CASE WHEN n1.n_name = 'NATION_1' THEN v4 ELSE 0 END)::DOUBLE
+         AS nation_vol4,
+       sum(v4)::DOUBLE AS total_vol4,
+       ((sum(CASE WHEN n1.n_name = 'NATION_1' THEN v4 ELSE 0 END) * 1000000)
+        // greatest(sum(v4), 1))::BIGINT AS mkt_share_ppm
+FROM (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         (l_extendedprice::DECIMAL(18,2)
+          * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+          * 10000)::HUGEINT AS v4
+  FROM lineitem
+) li
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), adapted: the
+    spec's o_comment NOT LIKE filter has no column in this generator,
+    so the analogous exclusion is o_orderpriority <> '1-URGENT'.
+    Pure-integer count-of-counts: customer LEFT JOIN filtered orders,
+    count per customer, histogram of those counts. Plan: one hash
+    join + two small aggs; orders' filter is pushed to the scan and
+    only o_custkey survives pruning."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer
+  LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted: the spec's
+    p_container predicate becomes p_size = 7 (no container column).
+    The correlated subquery l_quantity < 0.2 * avg(l_quantity) is made
+    EXACT by integer cross-multiplication: qty < sum/(5*cnt)  <=>
+    5*qty*cnt < sum (quantities are integral) — no float avg anywhere.
+    Plan: the tiny filtered part dim broadcasts; the per-part avg rides
+    a window over the SAME part-restricted lineitem scan (no self-join,
+    one exchange on l_partkey); avg_yearly is returned in exact cents
+    (div 7) plus the raw sum."""
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_size") == 7)
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (_dec("l_extendedprice") * F.lit(100).cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("price_cents"),
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("sum_qty", F.sum("qty").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .where(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+            F.coalesce(
+                F.sum("price_cents"), F.lit(0).cast("decimal(38,0)")
+            ).alias("c"),
+        )
+        .select(
+            "n_small",
+            F.col("c").cast("double").alias("sum_cents"),
+            F.expr("cast(c div 7 as bigint)").alias("avg_yearly_cents"),
+        )
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH li AS (
+  SELECT l_partkey, l_quantity::BIGINT AS qty,
+         (l_extendedprice::DECIMAL(18,2) * 100)::HUGEINT AS price_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#11' AND p_size = 7
+),
+stats AS (
+  SELECT *, sum(qty) OVER (PARTITION BY l_partkey) AS sum_qty,
+         count(*) OVER (PARTITION BY l_partkey) AS cnt
+  FROM li
+)
+SELECT count(*)::BIGINT AS n_small,
+       coalesce(sum(price_cents), 0)::DOUBLE AS sum_cents,
+       (coalesce(sum(price_cents), 0) // 7)::BIGINT AS avg_yearly_cents
+FROM stats WHERE 5 * qty * cnt < sum_qty
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates), adapted:
+    the spec's p_container/shipmode/shipinstruct legs become p_size
+    bands (no such columns here). Three OR'd (brand, size-band,
+    qty-band) legs; revenue decimal-exact (double + exact cents).
+    Plan: part broadcasts with the union of the three part-side
+    predicates pushed into the build side; the residual disjunction
+    evaluates post-join in one codegen stage — lineitem is scanned
+    once, no union-of-three-joins."""
+    part = _t(spark, sf_dir, "part").where(
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+        )
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (
+            (
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            * F.lit(10000).cast("decimal(18,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("rev4"),
+    )
+    matched = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).where(
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("qty").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("qty").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("qty").between(20, 30)
+        )
+    )
+    return matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.coalesce(F.sum("rev4"), F.lit(0).cast("decimal(38,0)")).alias("r4"),
+    ).select(
+        "n_items",
+        F.col("r4").cast("double").alias("revenue4"),
+        F.expr("cast(r4 div 100 as bigint)").alias("revenue_cents"),
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT count(*)::BIGINT AS n_items,
+       coalesce(sum(rev4), 0)::DOUBLE AS revenue4,
+       (coalesce(sum(rev4), 0) // 100)::BIGINT AS revenue_cents
+FROM (
+  SELECT l_quantity::BIGINT AS qty,
+         (l_extendedprice::DECIMAL(18,2)
+          * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+          * 10000)::HUGEINT AS rev4,
+         p_brand, p_size
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+) t
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         AND qty BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         AND qty BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         AND qty BETWEEN 20 AND 30)
+"""
+
+
+def q_events_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index audience overlap: EXACT distinct-user intersection
+    between every event_type pair computed with roaring-style bitmap
+    algebra — users are packed into 62-bit words (word = uid div 62,
+    mask = bit_or(1 << uid mod 62); 62 keeps the sign bit and bit 62
+    clear so Spark and DuckDB agree without unsigned types), pairs
+    intersect via mask AND + bit_count, never via a user-level join.
+    This is the audience-segmentation / OLAP bitmap-index pattern: the
+    shuffled state is |types| x |users|/62 words instead of the raw
+    (type, user) pairs, and set algebra (AND/OR/NOT) happens word-wise.
+    One scan, one word-level agg, a tiny self-join on word index, one
+    global agg per pair + broadcast of the 5-row per-type cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / 62).cast("long").alias("w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(user_id % 62 as int))"
+            ).alias("m"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.bit_or("m").alias("mask"))
+        # three consumers (totals + both join sides) derive from this
+        # aggregate; a lazy checkpoint makes the events scan run once —
+        # the word table itself is tiny (|types| x |users|/62 rows)
+        .localCheckpoint(eager=False)
+    )
+    totals = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).cast("long").alias("n_users")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"),
+        "w",
+        F.col("mask").alias("mask_a"),
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"),
+        "w",
+        F.col("mask").alias("mask_b"),
+    )
+    pairs = (
+        a.join(b, "w")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b"))))
+            .cast("long")
+            .alias("overlap")
+        )
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("users_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("users_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            "overlap",
+            F.expr(
+                "cast((overlap * 1000000)"
+                " div greatest(users_a + users_b - overlap, 1) as bigint)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_EVENTS_BITMAP = """
+WITH words AS (
+  SELECT event_type, user_id // 62 AS w,
+         bit_or(1::BIGINT << (user_id % 62)::INTEGER) AS mask
+  FROM events GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, sum(bit_count(mask))::BIGINT AS n_users
+  FROM words GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         sum(bit_count(a.mask & b.mask))::BIGINT AS overlap
+  FROM words a JOIN words b ON a.w = b.w AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       ta.n_users AS users_a, tb.n_users AS users_b, overlap,
+       ((overlap * 1000000)
+        // greatest(ta.n_users + tb.n_users - overlap, 1))::BIGINT
+         AS jaccard_ppm
+FROM pairs
+JOIN totals ta ON ta.event_type = type_a
+JOIN totals tb ON tb.event_type = type_b
+ORDER BY 1, 2
+"""
+
+
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User survival curve (Kaplan-Meier with no censoring): for each
+    day offset d in 0..13, the ppm share of users whose observed
+    lifespan (days between first and last event) is >= d. One per-user
+    agg, then a 14-row day grid cross-joined against the per-user
+    lifespans in a single conditional aggregate — the survivors count
+    is exact, no float hazard products. Plan: per-user agg is the only
+    real exchange; the grid side is a broadcast of a 14-row range."""
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max("ts").cast("date"), F.min("ts").cast("date")
+        ).alias("lifespan")
+    )
+    grid = spark.range(14).select(F.col("id").cast("long").alias("d"))
+    return (
+        spans.crossJoin(F.broadcast(grid))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.when(F.col("lifespan") >= F.col("d"), 1).otherwise(0))
+            .cast("long")
+            .alias("survivors"),
+        )
+        .select(
+            "d",
+            "n_users",
+            "survivors",
+            F.expr(
+                "cast((survivors * 1000000) div greatest(n_users, 1)"
+                " as bigint)"
+            ).alias("survival_ppm"),
+        )
+        .orderBy("d")
+    )
+
+
+SQL_EVENTS_SURVIVAL = """
+WITH spans AS (
+  SELECT user_id,
+         date_diff('day', min(ts)::DATE, max(ts)::DATE) AS lifespan
+  FROM events GROUP BY 1
+),
+grid AS (SELECT unnest(range(14))::BIGINT AS d)
+SELECT d, count(*)::BIGINT AS n_users,
+       sum(CASE WHEN lifespan >= d THEN 1 ELSE 0 END)::BIGINT AS survivors,
+       ((sum(CASE WHEN lifespan >= d THEN 1 ELSE 0 END) * 1000000)
+        // greatest(count(*), 1))::BIGINT AS survival_ppm
+FROM spans CROSS JOIN grid
+GROUP BY d ORDER BY d
+"""
+
+
+def q_events_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: exact Gini impurity of the
+    user's event_type distribution, 1 - sum(p_t^2), in integer ppm via
+    cross-multiplication ((n^2 - sum(c^2)) * 10^6 div n^2) — the
+    log-free diversity score (entropy needs ln; impurity is
+    rational-exact and ranks users the same way for curation). One
+    (user, type) agg -> one per-user agg; ordered most-diverse-first
+    for the monitor view."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.expr(
+                "cast(((n_events * n_events - sq) * 1000000)"
+                " div (n_events * n_events) as bigint)"
+            ).alias("impurity_ppm"),
+        )
+        .orderBy(F.desc("impurity_ppm"), "user_id")
+    )
+
+
+SQL_EVENTS_DIVERSITY = """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, sum(c)::BIGINT AS n_events, count(*)::BIGINT AS n_types,
+       (((sum(c) * sum(c) - sum(c * c)) * 1000000)
+        // (sum(c) * sum(c)))::BIGINT AS impurity_ppm
+FROM per_type GROUP BY user_id
+ORDER BY impurity_ppm DESC, user_id
+"""
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
@@ -9084,6 +9835,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q22": q_tpch_q22,
     "events_gini": q_events_gini,
     "doc_novelty": q_doc_novelty,
+    "events_holt": q_events_holt,
+    "events_abtest": q_events_abtest,
+    "events_winsorize": q_events_winsorize,
+    "kg_reciprocity": q_kg_reciprocity,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q19": q_tpch_q19,
+    "events_bitmap": q_events_bitmap,
+    "events_survival": q_events_survival,
+    "events_diversity": q_events_diversity,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -9271,6 +10033,17 @@ ORACLES: dict[str, str] = {
     "tpch_q22": SQL_TPCH_Q22,
     "events_gini": SQL_EVENTS_GINI,
     "doc_novelty": SQL_DOC_NOVELTY.format(norm=NORM_SQL),
+    "events_holt": SQL_EVENTS_HOLT,
+    "events_abtest": SQL_EVENTS_ABTEST,
+    "events_winsorize": SQL_EVENTS_WINSORIZE,
+    "kg_reciprocity": SQL_KG_RECIPROCITY,
+    "tpch_q8": SQL_TPCH_Q8,
+    "tpch_q13": SQL_TPCH_Q13,
+    "tpch_q17": SQL_TPCH_Q17,
+    "tpch_q19": SQL_TPCH_Q19,
+    "events_bitmap": SQL_EVENTS_BITMAP,
+    "events_survival": SQL_EVENTS_SURVIVAL,
+    "events_diversity": SQL_EVENTS_DIVERSITY,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

@@ -107,6 +107,17 @@ AUDITED = [
     "tpch_q22",
     "events_gini",
     "doc_novelty",
+    "events_holt",
+    "events_abtest",
+    "events_winsorize",
+    "kg_reciprocity",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q19",
+    "events_bitmap",
+    "events_survival",
+    "events_diversity",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

@@ -2215,3 +2215,351 @@ def test_doc_novelty_closed_form(spark):
     )
     got = [tuple(r) for r in q_doc_novelty(spark, d).collect()]
     assert got == [(2, 2, 1, 500000), (1, 2, 2, 1000000)]
+
+
+def test_holt_int_closed_form(spark):
+    """Hand-unrolled Holt recurrence (alpha=beta=1/4), including a
+    negative-trend step whose floor division differs from truncation:
+    cents [400, 800, 4] ->
+      t1: l=400, b=0
+      t2: f=400, l=(800+3*400)//4=500, b=(100+0)//4=25
+      t3: f=525, l=(4+3*525)//4=394, b=((394-500)+3*25)//4=(-31)//4=-8
+    (truncation toward zero would give -7 — the cross-engine hazard the
+    oracle emulates)."""
+    import datetime as dt
+
+    from pyjelly_spark.operators.timeseries import holt_int
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, 4.00),
+        (1, 2, t0 + dt.timedelta(seconds=1), 8.00),
+        (1, 3, t0 + dt.timedelta(seconds=2), 0.04),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, event_id: long, ts: timestamp_ntz, value: double"
+    )
+    got = {
+        r["event_id"]: (r["level"], r["trend"]) for r in holt_int(df).collect()
+    }
+    assert got == {1: (400, 0), 2: (500, 25), 3: (394, -8)}
+
+
+def test_holt_int_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from pyjelly_spark.operators.timeseries import holt_int
+
+    df = spark.createDataFrame(
+        [], "user_id: long, event_id: long, ts: timestamp_ntz, value: double"
+    )
+    with _pytest.raises(ValueError):
+        holt_int(df, beta_num=4, beta_den=4)
+
+
+def test_events_abtest_closed_form(spark):
+    """Three users, variants derived with the same portable sha256 hash
+    the query uses; expected 2x2 cells + exact chi-square recomputed in
+    Python with integer arithmetic."""
+    import datetime as dt
+    import hashlib
+
+    from pyjelly_spark.queries import q_events_abtest
+
+    t0 = dt.datetime(2024, 1, 1)
+    # u1 converts, u2 and u3 don't
+    rows = [
+        (1, t0, 1, "purchase", 1.0, "{}"),
+        (2, t0, 2, "view", 1.0, "{}"),
+        (3, t0, 3, "click", 1.0, "{}"),
+    ]
+
+    def variant(uid: int) -> int:
+        return int(hashlib.sha256(str(uid).encode()).hexdigest()[:15], 16) % 2
+
+    cells = {"a": 0, "b": 0, "c": 0, "d": 0}
+    for uid, conv in [(1, 1), (2, 0), (3, 0)]:
+        key = {(0, 1): "a", (0, 0): "b", (1, 1): "c", (1, 0): "d"}[
+            (variant(uid), conv)
+        ]
+        cells[key] += 1
+    a, b, c, d = cells["a"], cells["b"], cells["c"], cells["d"]
+    n = a + b + c + d
+    det = a * d - b * c
+    denom = max((a + b) * (c + d) * (a + c) * (b + d), 1)
+    want = (
+        a, b, c, d,
+        a * 1000000 // max(a + b, 1),
+        c * 1000000 // max(c + d, 1),
+        1000 * n * det * det // denom,
+    )
+    got = [tuple(r) for r in q_events_abtest(spark, _write_events(spark, rows)).collect()]
+    assert got == [want]
+
+
+def test_events_winsorize_closed_form(spark):
+    """cents [100,200,300,400,10000]: p05 rank = greatest(1, 25//100)=1
+    -> lo=100; p95 rank = 475//100=4 -> hi=400; winsorized sum clips
+    only the 10000 outlier to 400."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_winsorize
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (i + 1, t0, 1, "click", v, "{}")
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_winsorize(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [("click", 5, 100, 400, 11000, 1400)]
+
+
+def test_kg_reciprocity_matches_python(spark):
+    """Recompute reciprocity from the collected resolved-import edge
+    list at sf0.001."""
+    from pyjelly_spark.queries import q_kg_imports_resolved, q_kg_reciprocity
+
+    sf = "/root/testdata/sf0.001"
+    edges = {
+        (r["s"], r["o"])
+        for r in q_kg_imports_resolved(spark, sf).select("s", "o").collect()
+        if r["s"] != r["o"]
+    }
+    n_recip = sum(1 for s, o in edges if (o, s) in edges)
+    want = (
+        len(edges),
+        n_recip,
+        n_recip // 2,
+        n_recip * 1000000 // max(len(edges), 1),
+    )
+    got = [tuple(r) for r in q_kg_reciprocity(spark, sf).collect()]
+    assert got == [want]
+
+
+def _write_tpch(spark, tables):
+    """Write tiny synthetic TPC-H-shaped tables and return the dir."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def test_tpch_q13_closed_form(spark):
+    """3 customers: c1 has 2 non-urgent orders, c2 has 1 urgent (filtered
+    -> count 0), c3 has none -> distribution {2:1, 0:2}."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_tpch_q13
+
+    t0 = dt.datetime(1996, 6, 1)
+    d = _write_tpch(
+        spark,
+        {
+            "customer": (
+                [(1, "a", 0, 1.0, "S"), (2, "b", 0, 1.0, "S"), (3, "c", 0, 1.0, "S")],
+                "c_custkey: long, c_name: string, c_nationkey: int, "
+                "c_acctbal: double, c_mktsegment: string",
+            ),
+            "orders": (
+                [
+                    (10, 1, "O", 1.0, t0, "2-HIGH"),
+                    (11, 1, "O", 1.0, t0, "5-LOW"),
+                    (12, 2, "O", 1.0, t0, "1-URGENT"),
+                ],
+                "o_orderkey: long, o_custkey: long, o_orderstatus: string, "
+                "o_totalprice: double, o_orderdate: timestamp_ntz, "
+                "o_orderpriority: string",
+            ),
+        },
+    )
+    got = [tuple(r) for r in q_tpch_q13(spark, d).collect()]
+    assert got == [(0, 2), (2, 1)]
+
+
+def test_tpch_q17_closed_form(spark):
+    """One qualifying part with quantities [1, 10, 10]: sum=21, cnt=3,
+    threshold 5*q*3 < 21 -> only q=1 (15 < 21). price 7.00 -> 700
+    cents, avg_yearly_cents = 700 // 7 = 100."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_tpch_q17
+
+    t0 = dt.datetime(1996, 6, 1)
+    li_schema = (
+        "l_orderkey: long, l_partkey: long, l_suppkey: long, "
+        "l_linenumber: int, l_quantity: double, l_extendedprice: double, "
+        "l_discount: double, l_tax: double, l_returnflag: string, "
+        "l_linestatus: string, l_shipdate: timestamp_ntz"
+    )
+    d = _write_tpch(
+        spark,
+        {
+            "part": (
+                [(1, "p", "Brand#11", "STANDARD", 7, 1.0),
+                 (2, "q", "Brand#11", "STANDARD", 8, 1.0)],
+                "p_partkey: long, p_name: string, p_brand: string, "
+                "p_type: string, p_size: int, p_retailprice: double",
+            ),
+            "lineitem": (
+                [
+                    (1, 1, 1, 1, 1.0, 7.00, 0.0, 0.0, "N", "O", t0),
+                    (2, 1, 1, 1, 10.0, 9.00, 0.0, 0.0, "N", "O", t0),
+                    (3, 1, 1, 1, 10.0, 9.00, 0.0, 0.0, "N", "O", t0),
+                    (4, 2, 1, 1, 1.0, 5.00, 0.0, 0.0, "N", "O", t0),
+                ],
+                li_schema,
+            ),
+        },
+    )
+    got = [tuple(r) for r in q_tpch_q17(spark, d).collect()]
+    assert got == [(1, 700.0, 100)]
+
+
+def test_events_bitmap_closed_form(spark):
+    """Users 0,1,62 click; users 1,62 view -> overlap 2, jaccard
+    2/3 -> 666666 ppm. User 62 exercises the second 62-bit word."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_bitmap
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 0, "click", 1.0, "{}"),
+        (2, t0, 1, "click", 1.0, "{}"),
+        (3, t0, 62, "click", 1.0, "{}"),
+        (4, t0, 1, "view", 1.0, "{}"),
+        (5, t0, 62, "view", 1.0, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_bitmap(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [("click", "view", 3, 2, 2, 666666)]
+
+
+def test_events_survival_closed_form(spark):
+    """u1 spans 2 days, u2 spans 0 days -> survival: d=0: 2/2, d=1: 1/2,
+    d=2: 1/2, d>=3: 0."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_survival
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(days=2), 1, "click", 1.0, "{}"),
+        (3, t0, 2, "view", 1.0, "{}"),
+    ]
+    got = {
+        r["d"]: (r["survivors"], r["survival_ppm"])
+        for r in q_events_survival(spark, _write_events(spark, rows)).collect()
+    }
+    assert got[0] == (2, 1000000)
+    assert got[1] == (1, 500000)
+    assert got[2] == (1, 500000)
+    assert got[3] == (0, 0)
+    assert len(got) == 14
+
+
+def test_events_diversity_closed_form(spark):
+    """u1: 2 clicks + 2 views -> impurity 1 - 2*(1/2)^2 = 0.5; u2: one
+    type -> 0."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_diversity
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0, 1, "click", 1.0, "{}"),
+        (3, t0, 1, "view", 1.0, "{}"),
+        (4, t0, 1, "view", 1.0, "{}"),
+        (5, t0, 2, "view", 1.0, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_diversity(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [(1, 4, 2, 500000), (2, 1, 1, 0)]
+
+
+def test_tpch_q8_matches_pandas(spark):
+    """Independent pandas recomputation of the market-share query at
+    sf0.001."""
+    import pandas as pd
+
+    from pyjelly_spark.queries import q_tpch_q8
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    supp = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    region = pd.read_parquet(f"{SF_DIR}/region.parquet")
+
+    orders = orders[
+        (orders.o_orderdate >= "1996-01-01")
+        & (orders.o_orderdate < "1998-01-01")
+    ]
+    df = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(part[part.p_type == "STANDARD"], left_on="l_partkey",
+               right_on="p_partkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation.rename(columns={"n_nationkey": "c_nk"}),
+               left_on="c_nationkey", right_on="c_nk")
+        .merge(region[region.r_name == "ASIA"], left_on="n_regionkey",
+               right_on="r_regionkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nation.rename(columns={"n_nationkey": "s_nk",
+                                      "n_name": "supp_nation"})[
+                   ["s_nk", "supp_nation"]],
+               left_on="s_nationkey", right_on="s_nk")
+    )
+    df["v4"] = (
+        (df.l_extendedprice * (1 - df.l_discount) * 10000).round().astype(int)
+    )
+    df["o_year"] = pd.to_datetime(df.o_orderdate).dt.year
+    got = {r.o_year: (r.nation_vol4, r.total_vol4, r.mkt_share_ppm)
+           for r in q_tpch_q8(spark, SF_DIR).collect()}
+    for y, g in df.groupby("o_year"):
+        nat = int(g.loc[g.supp_nation == "NATION_1", "v4"].sum())
+        tot = int(g.v4.sum())
+        assert got[int(y)] == (float(nat), float(tot),
+                               nat * 1000000 // max(tot, 1))
+
+
+def test_tpch_q19_matches_pandas(spark):
+    """Independent pandas recomputation of the disjunctive-predicate
+    revenue at sf0.001."""
+    import pandas as pd
+
+    from pyjelly_spark.queries import q_tpch_q19
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    df = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    q = df.l_quantity
+    m = (
+        ((df.p_brand == "Brand#12") & df.p_size.between(1, 5)
+         & q.between(1, 11))
+        | ((df.p_brand == "Brand#23") & df.p_size.between(1, 10)
+           & q.between(10, 20))
+        | ((df.p_brand == "Brand#34") & df.p_size.between(1, 15)
+           & q.between(20, 30))
+    )
+    sel = df[m]
+    rev4 = int(
+        (sel.l_extendedprice * (1 - sel.l_discount) * 10000).round().sum()
+    )
+    got = [tuple(r) for r in q_tpch_q19(spark, SF_DIR).collect()]
+    assert got == [(len(sel), float(rev4), rev4 // 100)]
