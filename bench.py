@@ -162,6 +162,9 @@ BENCH_QUERIES = [
     "events_bitmap",
     "events_survival",
     "events_diversity",
+    "events_backtest",
+    "dedup_editdist",
+    "kg_modularity",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

@@ -9659,6 +9659,237 @@ ORDER BY impurity_ppm DESC, user_id
 """
 
 
+
+
+def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities over the symmetrized
+    resolved-import graph, EXACT in integer ppm: with D = |directed
+    symmetrized pairs| = 2m, E_c = directed pairs internal to community
+    c, d_c = degree sum of c,  Q = sum_c(E_c*D - d_c^2) / D^2 — one
+    integer division at the end (truncating toward zero in BOTH
+    engines when Q is negative — Spark div and DuckDB // agree),
+    decimal(38,0) intermediates (D^2 overflows int64 beyond ~3B
+    edges). The community-quality metric
+    that tells you whether the LPA labels actually cut the graph well.
+    Plan: labels from the same 3-round deterministic LPA as
+    kg_communities; the (checkpointed) und edge table joins the label
+    map twice (src, dst) in one pass; degrees ride the same und table;
+    two small aggs end it."""
+    from pyjelly_spark.operators.components import (
+        _symmetrize,
+        label_propagation,
+    )
+
+    edges = q_kg_imports_resolved(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    und = _symmetrize(edges, dedup=True).localCheckpoint(eager=False)
+    labels = label_propagation(edges, iterations=3).localCheckpoint(
+        eager=False
+    )
+    lab_s = labels.select(
+        F.col("node").alias("src"), F.col("label").alias("c_src")
+    )
+    lab_d = labels.select(
+        F.col("node").alias("dst"), F.col("label").alias("c_dst")
+    )
+    per_comm = (
+        und.join(lab_s, "src")
+        .join(lab_d, "dst")
+        .groupBy("c_src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("deg_sum"),
+            F.sum(F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0))
+            .cast("long")
+            .alias("internal"),
+        )
+    )
+    # the per-community table is tiny (|communities| rows), so the
+    # unpartitioned total-degree window is a no-cost broadcast frame
+    with_tot = per_comm.withColumn(
+        "d_total", F.sum("deg_sum").over(Window.partitionBy())
+    )
+    return (
+        with_tot.agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.max("d_total").cast("long").alias("d_tot"),
+            F.sum("internal").cast("long").alias("internal_total"),
+            F.sum(
+                F.col("internal").cast("decimal(38,0)") * F.col("d_total")
+                - F.col("deg_sum").cast("decimal(38,0)") * F.col("deg_sum")
+            ).alias("num"),
+        )
+        .select(
+            "n_communities",
+            F.expr("cast(d_tot div 2 as bigint)").alias("m_edges"),
+            "internal_total",
+            F.expr(
+                "cast((num * 1000000)"
+                " div greatest(cast(d_tot as decimal(38,0)) * d_tot, 1)"
+                " as bigint)"
+            ).alias("modularity_ppm"),
+        )
+    )
+
+
+def _modularity_sql() -> str:
+    base = _lpa_sql(3)
+    final = base.rsplit("SELECT node, label FROM l3", 1)[0]
+    return (
+        final.rstrip().rstrip(",")
+        + """,
+labs AS (SELECT node, label FROM l3),
+joined AS (
+  SELECT ls.label AS c_src, ld.label AS c_dst
+  FROM und e
+  JOIN labs ls ON e.src = ls.node
+  JOIN labs ld ON e.dst = ld.node
+),
+per_comm AS (
+  SELECT c_src, count(*)::BIGINT AS deg_sum,
+         sum(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END)::BIGINT AS internal
+  FROM joined GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_communities,
+       (sum(deg_sum) // 2)::BIGINT AS m_edges,
+       sum(internal)::BIGINT AS internal_total,
+       ((sum(internal::HUGEINT * (SELECT sum(deg_sum) FROM per_comm)
+             - deg_sum::HUGEINT * deg_sum) * 1000000)
+        // greatest((SELECT sum(deg_sum)::HUGEINT FROM per_comm)
+                    * (SELECT sum(deg_sum) FROM per_comm), 1))::BIGINT
+         AS modularity_ppm
+FROM per_comm
+"""
+    )
+
+
+SQL_KG_MODULARITY = _modularity_sql().format(
+    src=SRC_SQL.strip(), mentions=MENTIONS_SQL.strip()
+)
+
+
+def q_events_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest: one-step-ahead Holt forecast
+    (level+trend at t-1) vs the naive last-value baseline, exact
+    integer MAE in cents plus the improvement share in ppm — the
+    model-eval readout for the forecasting family. Plan: the Holt
+    recurrence's per-key Arrow pass, a 1:1 join back to events for the
+    (ts, event_id) order key, one lag window sharing the user_id
+    partitioning, one global agg."""
+    from pyjelly_spark.operators.timeseries import holt_int
+
+    ev = _t(spark, sf_dir, "events")
+    h = holt_int(ev).join(ev.select("event_id", "ts"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scored = (
+        h.select(
+            "cents",
+            F.lag(F.col("level") + F.col("trend")).over(w).alias("forecast"),
+            F.lag("cents").over(w).alias("naive"),
+        )
+        .where(F.col("forecast").isNotNull())
+    )
+    return (
+        scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+            F.sum(F.abs(F.col("cents") - F.col("forecast")))
+            .cast("long")
+            .alias("holt_abs_err"),
+            F.sum(F.abs(F.col("cents") - F.col("naive")))
+            .cast("long")
+            .alias("naive_abs_err"),
+        )
+        .select(
+            "n_forecasts",
+            "holt_abs_err",
+            "naive_abs_err",
+            F.expr(
+                "cast(holt_abs_err div greatest(n_forecasts, 1) as bigint)"
+            ).alias("holt_mae_cents"),
+            F.expr(
+                "cast(naive_abs_err div greatest(n_forecasts, 1) as bigint)"
+            ).alias("naive_mae_cents"),
+            F.expr(
+                "cast(((naive_abs_err - holt_abs_err) * 1000000)"
+                " div greatest(naive_abs_err, 1) as bigint)"
+            ).alias("improvement_ppm"),
+        )
+    )
+
+
+SQL_EVENTS_BACKTEST = SQL_EVENTS_HOLT.replace(
+    "SELECT user_id, event_id, cents, level, trend FROM h",
+    """, scored AS (
+  SELECT cents,
+         lag(level + trend) OVER (PARTITION BY user_id ORDER BY rn)
+           AS forecast,
+         lag(cents) OVER (PARTITION BY user_id ORDER BY rn) AS naive
+  FROM h
+)
+SELECT count(*)::BIGINT AS n_forecasts,
+       sum(abs(cents - forecast))::BIGINT AS holt_abs_err,
+       sum(abs(cents - naive))::BIGINT AS naive_abs_err,
+       (sum(abs(cents - forecast)) // greatest(count(*), 1))::BIGINT
+         AS holt_mae_cents,
+       (sum(abs(cents - naive)) // greatest(count(*), 1))::BIGINT
+         AS naive_mae_cents,
+       (((sum(abs(cents - naive)) - sum(abs(cents - forecast))) * 1000000)
+        // greatest(sum(abs(cents - naive)), 1))::BIGINT AS improvement_ppm
+FROM scored WHERE forecast IS NOT NULL""",
+).replace(
+    "WITH RECURSIVE seq AS (",
+    "WITH RECURSIVE seq AS (",
+)
+
+
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verify: candidate pairs blocked on the
+    first 60 chars (template near-dups share their prefix), verified
+    with EXACT Levenshtein distance <= 50 — the character-level verify
+    the token-based (Jaccard/MinHash) family can't express (it catches
+    single-char template edits that shift every shingle). Blocking
+    keeps it scale-safe: the self-join is an equi-join on the prefix
+    (never all-pairs) and Levenshtein runs only inside blocks; both
+    engines' levenshtein is the standard unit-cost Wagner-Fischer, so
+    the gate is exact."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 60).alias("blk")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        "blk",
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 50)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DEDUP_EDITDIST = """
+WITH d AS (
+  SELECT doc_id, text, substring(text, 1, 60) AS blk FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.text, b.text)::BIGINT AS dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 50
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -9846,6 +10077,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_bitmap": q_events_bitmap,
     "events_survival": q_events_survival,
     "events_diversity": q_events_diversity,
+    "kg_modularity": q_kg_modularity,
+    "events_backtest": q_events_backtest,
+    "dedup_editdist": q_dedup_editdist,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -10044,6 +10278,9 @@ ORACLES: dict[str, str] = {
     "events_bitmap": SQL_EVENTS_BITMAP,
     "events_survival": SQL_EVENTS_SURVIVAL,
     "events_diversity": SQL_EVENTS_DIVERSITY,
+    "kg_modularity": SQL_KG_MODULARITY,
+    "events_backtest": SQL_EVENTS_BACKTEST,
+    "dedup_editdist": SQL_DEDUP_EDITDIST,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

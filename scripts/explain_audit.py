@@ -118,6 +118,9 @@ AUDITED = [
     "events_bitmap",
     "events_survival",
     "events_diversity",
+    "events_backtest",
+    "dedup_editdist",
+    "kg_modularity",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

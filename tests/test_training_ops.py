@@ -2563,3 +2563,90 @@ def test_tpch_q19_matches_pandas(spark):
     )
     got = [tuple(r) for r in q_tpch_q19(spark, SF_DIR).collect()]
     assert got == [(len(sel), float(rev4), rev4 // 100)]
+
+
+def test_kg_modularity_matches_python(spark):
+    """Recompute Q from the collected symmetrized edges + LPA labels at
+    sf0.001."""
+    from pyjelly_spark.queries import (
+        q_kg_communities,
+        q_kg_imports_resolved,
+        q_kg_modularity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    directed = {
+        (r["s"], r["o"])
+        for r in q_kg_imports_resolved(spark, sf).select("s", "o").collect()
+    }
+    und = {(a, b) for a, b in directed if a != b} | {
+        (b, a) for a, b in directed if a != b
+    }
+    label = {
+        r["node"]: r["label"] for r in q_kg_communities(spark, sf).collect()
+    }
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    internal = defaultdict(int)
+    for a, b in und:
+        deg[label[a]] += 1
+        if label[a] == label[b]:
+            internal[label[a]] += 1
+    d_tot = sum(deg.values())
+    num = sum(
+        internal[c] * d_tot - deg[c] * deg[c] for c in deg
+    )
+    # Spark div / DuckDB // truncate toward zero (num is negative on a
+    # poorly-clustered graph); Python // floors — emulate truncation
+    dd = max(d_tot * d_tot, 1)
+    sign = -1 if num < 0 else 1
+    want = (
+        len(deg),
+        d_tot // 2,
+        sum(internal.values()),
+        sign * (abs(num) * 1000000 // dd),
+    )
+    got = [tuple(r) for r in q_kg_modularity(spark, sf).collect()]
+    assert got == [want]
+
+
+def test_events_backtest_closed_form(spark):
+    """One user, cents [400, 800, 4] (Holt levels/trends hand-unrolled
+    in test_holt_int_closed_form): forecasts 400 then 525, naive 400
+    then 800 -> holt_abs=400+521=921, naive_abs=400+796=1196."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_backtest
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 4.00, "{}"),
+        (2, t0 + dt.timedelta(seconds=1), 1, "click", 8.00, "{}"),
+        (3, t0 + dt.timedelta(seconds=2), 1, "click", 0.04, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_backtest(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [
+        (2, 921, 1196, 921 // 2, 1196 // 2, (1196 - 921) * 1000000 // 1196)
+    ]
+
+
+def test_dedup_editdist_closed_form(spark):
+    """Docs 1 and 2 share a 60-char prefix and differ by one char
+    (dist 1); doc 3 has a different prefix -> excluded by blocking."""
+    from pyjelly_spark.queries import q_dedup_editdist
+
+    prefix = "x" * 60
+    d = _write_docs(
+        spark,
+        [
+            (1, prefix + " alpha beta", "en", "s1", 71),
+            (2, prefix + " alpha beta!", "en", "s1", 72),
+            (3, "y" * 60 + " alpha beta", "en", "s1", 71),
+        ],
+    )
+    got = [tuple(r) for r in q_dedup_editdist(spark, d).collect()]
+    assert got == [(1, 2, 1)]
