@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     "events_backtest",
     "dedup_editdist",
     "kg_modularity",
+    "events_auc",
+    "dedup_containment",
+    "events_holtwinters",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

@@ -141,3 +141,93 @@ def holt_int(
         compute,
         "user_id long, event_id long, cents long, level long, trend long",
     )
+
+
+def holt_winters_int(
+    daily: DataFrame,
+    season: int = 7,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 4,
+    gamma_num: int = 1,
+    gamma_den: int = 4,
+) -> DataFrame:
+    """Integer-exact additive Holt-Winters (level + trend + seasonal)
+    over per-key daily totals ``(key, d, cents)``, row-ordered by d.
+
+    Deterministic integer init over the first ``season`` rows:
+        l_m = floor(sum(c_1..c_m) / m), b_m = 0, s_i = c_i - l_m.
+    For t > m (the only rows emitted), with fdiv = floor division:
+        forecast_t = l_{t-1} + b_{t-1} + s_{t-m}
+        l_t = fdiv(a*(c_t - s_{t-m}) + (d-a)*(l_{t-1}+b_{t-1}), d)
+        b_t = fdiv(p*(l_t - l_{t-1}) + (q-p)*b_{t-1}, q)
+        s_t = fdiv(g*(c_t - l_t) + (h-g)*s_{t-m}, h)
+    Every division floors (Python ``//``); the DuckDB oracle emulates
+    flooring for the negative intermediates (trend/seasonal go
+    negative), the same cross-engine hazard holt_int pins.
+
+    Keys with <= ``season`` rows emit nothing. The recurrence is
+    row-ordered (rn), not calendar-aligned — compose with a gap-fill
+    when the calendar matters. One hash exchange on the key; the
+    per-key Arrow batch runs the O(n) integer loop.
+    """
+    a, d = alpha_num, alpha_den
+    p, q = beta_num, beta_den
+    g, h = gamma_num, gamma_den
+    m = season
+    if not (0 < a < d and 0 < p < q and 0 < g < h and m >= 2):
+        raise ValueError("require 0 < alpha,beta,gamma < 1 and season >= 2")
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d", kind="mergesort")
+        c = pdf["cents"].to_numpy(dtype=np.int64)
+        n = len(c)
+        if n <= m:
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype=object),
+                    "rn": pd.Series([], dtype=np.int64),
+                    "cents": pd.Series([], dtype=np.int64),
+                    "level": pd.Series([], dtype=np.int64),
+                    "trend": pd.Series([], dtype=np.int64),
+                    "seasonal": pd.Series([], dtype=np.int64),
+                    "forecast": pd.Series([], dtype=np.int64),
+                }
+            )
+        level = int(c[:m].sum()) // m
+        trend = 0
+        seas = [int(c[i]) - level for i in range(m)]  # s_1..s_m
+        out_rn, out_c, out_l, out_b, out_s, out_f = [], [], [], [], [], []
+        for t in range(m, n):  # 0-based; rn = t+1
+            s_lag = seas[t - m]
+            f = level + trend + s_lag
+            new_level = (a * (int(c[t]) - s_lag) + (d - a) * (level + trend)) // d
+            new_trend = (p * (new_level - level) + (q - p) * trend) // q
+            new_seas = (g * (int(c[t]) - new_level) + (h - g) * s_lag) // h
+            level, trend = new_level, new_trend
+            seas.append(new_seas)
+            out_rn.append(t + 1)
+            out_c.append(int(c[t]))
+            out_l.append(level)
+            out_b.append(trend)
+            out_s.append(new_seas)
+            out_f.append(f)
+        key = pdf["key"].iloc[0]
+        return pd.DataFrame(
+            {
+                "key": [key] * len(out_rn),
+                "rn": np.array(out_rn, dtype=np.int64),
+                "cents": np.array(out_c, dtype=np.int64),
+                "level": np.array(out_l, dtype=np.int64),
+                "trend": np.array(out_b, dtype=np.int64),
+                "seasonal": np.array(out_s, dtype=np.int64),
+                "forecast": np.array(out_f, dtype=np.int64),
+            }
+        )
+
+    return daily.groupBy("key").applyInPandas(
+        compute,
+        "key string, rn long, cents long, level long, trend long, "
+        "seasonal long, forecast long",
+    )

@@ -9890,6 +9890,223 @@ ORDER BY doc_a, doc_b
 """
 
 
+
+
+def q_events_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank statistic: does total
+    spend (cents) rank converters above non-converters? Midranks handle
+    score ties exactly by carrying 2*rank integers (2*midrank =
+    2*min_rank + ties - 1), so AUC = (sum_pos(2R) - n1(n1+1)) /
+    (2*n1*n0) is one integer division in ppm — the distributed exact
+    AUC that sklearn computes single-node. Plan: one per-user agg, one
+    total-order rank sort (the unavoidable sort any exact AUC needs),
+    tie counts ride the same sort, one global agg. decimal(38,0)
+    guards the rank-sum products past ~3B users."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+    w = Window.orderBy("score")
+    ranked = per_user.select(
+        "label",
+        (
+            F.lit(2) * F.rank().over(w)
+            + F.count(F.lit(1)).over(Window.partitionBy("score"))
+            - F.lit(1)
+        ).alias("two_r"),
+    )
+    return (
+        ranked.agg(
+            F.sum(F.when(F.col("label") == 1, F.col("two_r")))
+            .cast("decimal(38,0)")
+            .alias("two_rank_sum_pos"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("label")).cast("long").alias("n_neg"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            F.col("two_rank_sum_pos").cast("long"),
+            F.expr(
+                "cast(((two_rank_sum_pos - cast(n_pos as decimal(38,0))"
+                " * (n_pos + 1)) * 1000000)"
+                " div greatest(2 * cast(n_pos as decimal(38,0)) * n_neg, 1)"
+                " as bigint)"
+            ).alias("auc_ppm"),
+        )
+    )
+
+
+SQL_EVENTS_AUC = """
+WITH per_user AS (
+  SELECT user_id, sum(floor(value * 100)::BIGINT) AS score,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT label,
+         2 * rank() OVER (ORDER BY score)
+           + count(*) OVER (PARTITION BY score) - 1 AS two_r
+  FROM per_user
+)
+SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+       sum(CASE WHEN label = 1 THEN two_r END)::BIGINT AS two_rank_sum_pos,
+       (((sum(CASE WHEN label = 1 THEN two_r END)::HUGEINT
+          - sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::HUGEINT
+            * (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1)) * 1000000)
+        // greatest(2 * sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::HUGEINT
+                    * sum(CASE WHEN label = 0 THEN 1 ELSE 0 END), 1))::BIGINT
+         AS auc_ppm
+FROM ranked
+"""
+
+
+CONTAINMENT_THRESHOLD_PPM = 800000
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs: |S_a ∩ S_b| / |S_a| in
+    EXACT integer ppm over word-3-gram shingle sets, DIRECTED (a
+    contained in b is not b contained in a) — catches a document
+    embedded inside a longer one, which symmetric Jaccard dilutes below
+    any usable threshold. Same equi-join-on-shingle plan as the exact
+    Jaccard path (never all-pairs; candidate pairs share >=1 shingle),
+    one extra size join; output restricted to containment >= 0.8.
+    Scale note: like dedup_jaccard this is the exact/oracle path — on
+    corpora where the candidate set itself explodes, run it behind the
+    MinHash prefilter."""
+    from pyjelly_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(_t(spark, sf_dir, "documents"), n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    left = sh.select(F.col("doc_id").alias("a"), "shingle")
+    right = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")),
+            "a",
+        )
+        .select(
+            "a",
+            "b",
+            F.expr("cast((inter * 1000000) div sa as bigint)").alias(
+                "containment_ppm"
+            ),
+        )
+        .where(F.col("containment_ppm") >= CONTAINMENT_THRESHOLD_PPM)
+        .orderBy("a", "b")
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH {{shingles}}
+SELECT a, b, containment_ppm FROM (
+  SELECT inter.a, inter.b,
+         (i * 1000000) // sa.sz AS containment_ppm
+  FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+    FROM shingles x JOIN shingles y USING (shingle)
+    WHERE x.doc_id <> y.doc_id GROUP BY 1, 2
+  ) inter
+  JOIN sizes sa ON inter.a = sa.doc_id
+)
+WHERE containment_ppm >= {CONTAINMENT_THRESHOLD_PPM}
+ORDER BY a, b
+"""
+
+
+
+
+def q_events_holtwinters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact additive Holt-Winters (level + trend + weekly
+    seasonal, alpha=beta=gamma=1/4, m=7) over per-type daily revenue —
+    the seasonality-aware forecaster that completes the EWMA -> Holt ->
+    Holt-Winters family. Deterministic integer init (l_7 = floor-mean
+    of week 1, b_7 = 0, s_i = c_i - l_7); only t >= 8 rows emit. The
+    oracle unrolls the recurrence as a recursive CTE carrying the
+    7-slot seasonal vector as a LIST column (rotate = seas[2:] ||
+    [s_t]) with floor division EMULATED at all three update steps
+    (trend and seasonal go negative; DuckDB // truncates). Plan: one
+    daily pre-agg (map-side partials), one hash exchange on
+    event_type, per-key O(n) integer loop in an Arrow batch."""
+    from pyjelly_spark.operators.timeseries import holt_winters_int
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.col("ts").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    return holt_winters_int(daily).withColumnRenamed("key", "event_type")
+
+
+# fdiv(x, k) for constant k > 0, flooring like Python // (DuckDB //
+# truncates toward zero for negative x)
+def _fdiv(x: str, k: int) -> str:
+    return f"(({x}) - (((({x}) % {k}) + {k}) % {k})) // {k}"
+
+
+SQL_EVENTS_HOLTWINTERS = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type AS key, ts::DATE AS d,
+         sum(floor(value * 100)::BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT key, row_number() OVER (PARTITION BY key ORDER BY d) AS rn, cents
+  FROM daily
+),
+lvl AS (
+  SELECT key, {_fdiv("sum(cents)", 7)}::BIGINT AS level
+  FROM seq WHERE rn <= 7 GROUP BY key
+),
+base AS (
+  SELECT s.key, 7::BIGINT AS rn, NULL::BIGINT AS cents, l.level,
+         0::BIGINT AS trend, NULL::BIGINT AS seasonal,
+         NULL::BIGINT AS forecast,
+         list(s.cents - l.level ORDER BY s.rn) AS seas
+  FROM seq s JOIN lvl l USING (key)
+  WHERE s.rn <= 7 GROUP BY s.key, l.level
+  HAVING count(*) = 7
+),
+h AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT s.key, s.rn, s.cents, nl.v AS level, nt.v AS trend,
+         ns.v AS seasonal,
+         (h.level + h.trend + h.seas[1])::BIGINT AS forecast,
+         list_append(h.seas[2:], ns.v) AS seas
+  FROM h
+  JOIN seq s ON s.key = h.key AND s.rn = h.rn + 1
+  CROSS JOIN LATERAL (
+    SELECT ({_fdiv("1 * (s.cents - h.seas[1]) + 3 * (h.level + h.trend)", 4)})::BIGINT AS v
+  ) nl
+  CROSS JOIN LATERAL (
+    SELECT ({_fdiv("1 * (nl.v - h.level) + 3 * h.trend", 4)})::BIGINT AS v
+  ) nt
+  CROSS JOIN LATERAL (
+    SELECT ({_fdiv("1 * (s.cents - nl.v) + 3 * h.seas[1]", 4)})::BIGINT AS v
+  ) ns
+)
+SELECT key AS event_type, rn, cents, level, trend, seasonal, forecast
+FROM h WHERE rn >= 8
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -10080,6 +10297,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_modularity": q_kg_modularity,
     "events_backtest": q_events_backtest,
     "dedup_editdist": q_dedup_editdist,
+    "events_auc": q_events_auc,
+    "dedup_containment": q_dedup_containment,
+    "events_holtwinters": q_events_holtwinters,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -10281,6 +10501,9 @@ ORACLES: dict[str, str] = {
     "kg_modularity": SQL_KG_MODULARITY,
     "events_backtest": SQL_EVENTS_BACKTEST,
     "dedup_editdist": SQL_DEDUP_EDITDIST,
+    "events_auc": SQL_EVENTS_AUC,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT.format(shingles=SHINGLES_SQL.strip()),
+    "events_holtwinters": SQL_EVENTS_HOLTWINTERS,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

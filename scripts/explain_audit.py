@@ -121,6 +121,9 @@ AUDITED = [
     "events_backtest",
     "dedup_editdist",
     "kg_modularity",
+    "events_auc",
+    "dedup_containment",
+    "events_holtwinters",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

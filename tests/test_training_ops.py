@@ -2650,3 +2650,75 @@ def test_dedup_editdist_closed_form(spark):
     )
     got = [tuple(r) for r in q_dedup_editdist(spark, d).collect()]
     assert got == [(1, 2, 1)]
+
+
+def test_events_auc_closed_form(spark):
+    """4 users: converters score 300, 100; non-converters 200, 100
+    (one tie across classes). Ranks asc: 100->rank1 (2 ties, 2R=2*1+2-1=3),
+    200->2R=2*3+1-1=6, 300->2R=2*4+1-1=8. sum_pos(2R)=3+8=11;
+    AUC = (11 - 2*3) / (2*2*2) = 5/8 -> 625000 ppm."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_auc
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "purchase", 3.00, "{}"),
+        (2, t0, 2, "purchase", 1.00, "{}"),
+        (3, t0, 3, "view", 2.00, "{}"),
+        (4, t0, 4, "view", 1.00, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_auc(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [(2, 2, 11, 625000)]
+
+
+def test_dedup_containment_closed_form(spark):
+    """doc 2's shingles are a subset of doc 1's -> containment(2 in 1)
+    = 1.0; the reverse direction is 2/4 = 0.5 < 0.8 threshold."""
+    from pyjelly_spark.queries import q_dedup_containment
+
+    d = _write_docs(
+        spark,
+        [
+            (1, "a b c d e f", "en", "s1", 11),  # shingles: abc bcd cde def
+            (2, "a b c d", "en", "s1", 7),       # shingles: abc bcd
+        ],
+    )
+    got = [tuple(r) for r in q_dedup_containment(spark, d).collect()]
+    assert got == [(2, 1, 1000000)]
+
+
+def test_holt_winters_int_closed_form(spark):
+    """m=2 hand-unrolled case: cents [10, 20, 6].
+    init: l_2 = (10+20)//2 = 15, b_2 = 0, s = [10-15, 20-15] = [-5, 5].
+    t=3 (c=6, s_lag=-5): forecast = 15+0+(-5) = 10;
+      l = (1*(6-(-5)) + 3*15)//4 = 56//4 = 14
+      b = (1*(14-15) + 3*0)//4 = (-1)//4 = -1   (floor, not trunc-0)
+      s = (1*(6-14) + 3*(-5))//4 = (-23)//4 = -6."""
+    import datetime as dt
+
+    from pyjelly_spark.operators.timeseries import holt_winters_int
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        ("click", d0, 10),
+        ("click", d0 + dt.timedelta(days=1), 20),
+        ("click", d0 + dt.timedelta(days=2), 6),
+        ("view", d0, 99),  # <= m rows -> no output
+    ]
+    df = spark.createDataFrame(rows, "key: string, d: date, cents: long")
+    got = [tuple(r) for r in holt_winters_int(df, season=2).collect()]
+    assert got == [("click", 3, 6, 14, -1, -6, 10)]
+
+
+def test_holt_winters_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from pyjelly_spark.operators.timeseries import holt_winters_int
+
+    df = spark.createDataFrame([], "key: string, d: date, cents: long")
+    with _pytest.raises(ValueError):
+        holt_winters_int(df, season=1)
