@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "events_auc",
     "dedup_containment",
     "events_holtwinters",
+    "events_gains",
+    "events_drawdown",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

@@ -10107,6 +10107,145 @@ FROM h WHERE rn >= 8
 """
 
 
+
+
+def q_events_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains / lift / calibration table: users ranked by total
+    spend (score desc, user_id asc — a TOTAL order, so the decile
+    assignment d = (10*(rn-1)) div n is pure arithmetic and portable,
+    no engine-specific ntile tie rules), then per decile the conversion
+    rate, the cumulative share of all converters captured (gains), and
+    lift vs the global rate — all exact integer ppm. The
+    campaign-targeting readout that pairs with events_auc: AUC says the
+    ranking works, this says WHERE it works. Plan: one per-user agg,
+    one total-order sort, windows share it, one 10-row agg."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+    w = Window.orderBy(F.desc("score"), "user_id")
+    ranked = per_user.select(
+        "label",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("label").over(Window.partitionBy()).alias("pos_total"),
+    ).select(
+        "label",
+        "pos_total",
+        F.expr("cast((10 * (rn - 1)) div n as bigint)").alias("decile"),
+    )
+    per_dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.max("pos_total").cast("long").alias("pos_total"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_dec.withColumn("cum_pos", F.sum("n_pos").over(wc))
+        .select(
+            "decile",
+            "n_users",
+            "n_pos",
+            F.expr(
+                "cast((n_pos * 1000000) div greatest(n_users, 1) as bigint)"
+            ).alias("conv_ppm"),
+            F.expr(
+                "cast((cum_pos * 1000000) div greatest(pos_total, 1)"
+                " as bigint)"
+            ).alias("cum_capture_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_EVENTS_GAINS = """
+WITH per_user AS (
+  SELECT user_id, sum(floor(value * 100)::BIGINT) AS score,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT label,
+         sum(label) OVER () AS pos_total,
+         (10 * (row_number() OVER (ORDER BY score DESC, user_id) - 1))
+           // count(*) OVER () AS decile
+  FROM per_user
+),
+per_dec AS (
+  SELECT decile, count(*)::BIGINT AS n_users, sum(label)::BIGINT AS n_pos,
+         max(pos_total)::BIGINT AS pos_total
+  FROM ranked GROUP BY 1
+)
+SELECT decile, n_users, n_pos,
+       ((n_pos * 1000000) // greatest(n_users, 1))::BIGINT AS conv_ppm,
+       ((sum(n_pos) OVER (ORDER BY decile) * 1000000)
+        // greatest(pos_total, 1))::BIGINT AS cum_capture_ppm
+FROM per_dec ORDER BY decile
+"""
+
+
+def q_events_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative net value (cents),
+    ordered by (ts, event_id): max over t of (running_peak_t -
+    cumsum_t) — the worst peak-to-trough dip, exact in integer cents.
+    The finance/risk window pattern: cumulative sum, running max over
+    it, max of the gap, all sharing ONE (user_id, ts, event_id) sort;
+    reports the top 20 worst-drawdown users for the monitor view."""
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .over(wo)
+        .alias("cum"),
+    ).withColumn(
+        "peak",
+        F.max("cum").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        cum.groupBy("user_id")
+        .agg(
+            F.max(F.col("peak") - F.col("cum"))
+            .cast("long")
+            .alias("max_drawdown_cents"),
+            F.max("peak").cast("long").alias("peak_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("max_drawdown_cents"), "user_id")
+        .limit(20)
+    )
+
+
+SQL_EVENTS_DRAWDOWN = """
+WITH cum AS (
+  SELECT user_id, ts, event_id,
+         sum(floor(value * 100)::BIGINT)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum
+  FROM events
+),
+p AS (
+  SELECT user_id, cum,
+         max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS peak
+  FROM cum
+)
+SELECT user_id, max(peak - cum)::BIGINT AS max_drawdown_cents,
+       max(peak)::BIGINT AS peak_cents, count(*)::BIGINT AS n_events
+FROM p GROUP BY 1
+ORDER BY max_drawdown_cents DESC, user_id LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -10300,6 +10439,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_auc": q_events_auc,
     "dedup_containment": q_dedup_containment,
     "events_holtwinters": q_events_holtwinters,
+    "events_gains": q_events_gains,
+    "events_drawdown": q_events_drawdown,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -10504,6 +10645,8 @@ ORACLES: dict[str, str] = {
     "events_auc": SQL_EVENTS_AUC,
     "dedup_containment": SQL_DEDUP_CONTAINMENT.format(shingles=SHINGLES_SQL.strip()),
     "events_holtwinters": SQL_EVENTS_HOLTWINTERS,
+    "events_gains": SQL_EVENTS_GAINS,
+    "events_drawdown": SQL_EVENTS_DRAWDOWN,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

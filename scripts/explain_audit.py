@@ -124,6 +124,8 @@ AUDITED = [
     "events_auc",
     "dedup_containment",
     "events_holtwinters",
+    "events_gains",
+    "events_drawdown",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

@@ -2722,3 +2722,54 @@ def test_holt_winters_rejects_bad_params(spark):
     df = spark.createDataFrame([], "key: string, d: date, cents: long")
     with _pytest.raises(ValueError):
         holt_winters_int(df, season=1)
+
+
+def test_events_gains_closed_form(spark):
+    """10 users, scores = user_id cents (total order); converters are
+    the top-3 spenders (8,9,10). One user per decile -> deciles 0,1,2
+    (highest scores) each capture one converter."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_gains
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(1, 11):
+        eid += 1
+        etype = "purchase" if uid >= 8 else "view"
+        rows.append((eid, t0, uid, etype, uid / 100.0, "{}"))
+    got = [
+        tuple(r)
+        for r in q_events_gains(spark, _write_events(spark, rows)).collect()
+    ]
+    # decile 0 = highest spender (uid 10, converter): conv 1e6, capture 1/3
+    assert got[0] == (0, 1, 1, 1000000, 333333)
+    assert got[1] == (1, 1, 1, 1000000, 666666)
+    assert got[2] == (2, 1, 1, 1000000, 1000000)
+    assert got[3] == (3, 1, 0, 0, 1000000)
+    assert len(got) == 10
+
+
+def test_events_drawdown_closed_form(spark):
+    """u1 cumsum walks 100 -> 300 -> 150 (drawdown 150) -> 400; u2 is
+    monotone (drawdown 0)."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_drawdown
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "click", 1.00, "{}"),
+        (2, t0 + s, 1, "click", 2.00, "{}"),
+        (3, t0 + 2 * s, 1, "click", -1.50, "{}"),
+        (4, t0 + 3 * s, 1, "click", 2.50, "{}"),
+        (5, t0, 2, "click", 1.00, "{}"),
+        (6, t0 + s, 2, "click", 1.00, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_drawdown(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [(1, 150, 400, 4), (2, 0, 200, 2)]
