@@ -9899,8 +9899,10 @@ def q_events_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*min_rank + ties - 1), so AUC = (sum_pos(2R) - n1(n1+1)) /
     (2*n1*n0) is one integer division in ppm — the distributed exact
     AUC that sklearn computes single-node. Plan: one per-user agg, one
-    total-order rank sort (the unavoidable sort any exact AUC needs),
-    tie counts ride the same sort, one global agg. decimal(38,0)
+    per-SCORE agg (rank sums reconstructed from cumulative tie counts:
+    sum_pos(2R) at score s = n_pos(s)*(2*cum_below(s)+n(s)+1)), so the
+    only single-partition window runs over distinct scores, never
+    users — exact AUC without a global per-row sort. decimal(38,0)
     guards the rank-sum products past ~3B users."""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -9909,22 +9911,35 @@ def q_events_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("label"),
     )
-    w = Window.orderBy("score")
-    ranked = per_user.select(
-        "label",
+    # rank sums from per-score tallies: min rank at score s is
+    # cum_below(s)+1, so sum_pos(2*midrank) = n_pos(s) *
+    # (2*cum_below(s) + n(s) + 1). The per-user table never crosses a
+    # single-partition window — only the (distinct-score)-sized
+    # aggregate does, which is what makes exact AUC scale.
+    per_score = per_user.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("np"),
+    )
+    ws = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = per_score.withColumn(
+        "cum_below", F.sum("n").over(ws) - F.col("n")
+    ).select(
+        F.col("np").alias("label_pos"),
+        (F.col("n") - F.col("np")).alias("label_neg"),
         (
-            F.lit(2) * F.rank().over(w)
-            + F.count(F.lit(1)).over(Window.partitionBy("score"))
-            - F.lit(1)
-        ).alias("two_r"),
+            F.col("np").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("cum_below") + F.col("n") + F.lit(1))
+        ).alias("two_r_sum"),
     )
     return (
-        ranked.agg(
-            F.sum(F.when(F.col("label") == 1, F.col("two_r")))
+        scored.agg(
+            F.sum("two_r_sum")
             .cast("decimal(38,0)")
             .alias("two_rank_sum_pos"),
-            F.sum("label").cast("long").alias("n_pos"),
-            F.sum(F.lit(1) - F.col("label")).cast("long").alias("n_neg"),
+            F.sum("label_pos").cast("long").alias("n_pos"),
+            F.sum("label_neg").cast("long").alias("n_neg"),
         )
         .select(
             "n_pos",
