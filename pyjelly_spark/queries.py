@@ -10261,6 +10261,95 @@ ORDER BY max_drawdown_cents DESC, user_id LIMIT 20
 """
 
 
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    brand pair co-occurring in an order, exact integer-ppm support,
+    both directional confidences, and lift — the classic
+    frequent-itemset readout, done set-exactly (distinct brand per
+    order first, so multi-line orders don't inflate counts). Plan: one
+    lineitem scan with the 25-brand part dim broadcast, distinct
+    (order, brand), a self equi-join on orderkey (bounded: <=C(25,2)
+    output groups), per-brand counts broadcast back onto the 300-row
+    pair table. decimal(38,0) on the lift cross product."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+        # three consumers (both join sides + per-brand counts) — scan once
+        .localCheckpoint(eager=False)
+    )
+    n1 = ob.agg(F.countDistinct("o").alias("n_orders"))
+    counts = ob.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    a = ob.select(F.col("o"), F.col("b").alias("brand_a"))
+    b = ob.select(F.col("o"), F.col("b").alias("brand_b"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    )
+    ca = counts.select(
+        F.col("b").alias("brand_a"), F.col("cnt").alias("cnt_a")
+    )
+    cb = counts.select(
+        F.col("b").alias("brand_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_cnt",
+            F.expr(
+                "cast((pair_cnt * 1000000) div n_orders as bigint)"
+            ).alias("support_ppm"),
+            F.expr("cast((pair_cnt * 1000000) div cnt_a as bigint)").alias(
+                "conf_a_to_b_ppm"
+            ),
+            F.expr("cast((pair_cnt * 1000000) div cnt_b as bigint)").alias(
+                "conf_b_to_a_ppm"
+            ),
+            F.expr(
+                "cast((cast(pair_cnt as decimal(38,0)) * n_orders * 1000000)"
+                " div (cast(cnt_a as decimal(38,0)) * cnt_b) as bigint)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+SQL_BASKET_RULES = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT count(DISTINCT o) AS n_orders FROM ob),
+counts AS (SELECT b, count(*) AS cnt FROM ob GROUP BY 1),
+pairs AS (
+  SELECT x.b AS brand_a, y.b AS brand_b, count(*)::BIGINT AS pair_cnt
+  FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, pair_cnt,
+       ((pair_cnt * 1000000) // n_orders)::BIGINT AS support_ppm,
+       ((pair_cnt * 1000000) // ca.cnt)::BIGINT AS conf_a_to_b_ppm,
+       ((pair_cnt * 1000000) // cb.cnt)::BIGINT AS conf_b_to_a_ppm,
+       ((pair_cnt::HUGEINT * n_orders * 1000000)
+        // (ca.cnt::HUGEINT * cb.cnt))::BIGINT AS lift_ppm
+FROM pairs
+JOIN counts ca ON ca.b = brand_a
+JOIN counts cb ON cb.b = brand_b
+CROSS JOIN n
+ORDER BY brand_a, brand_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -10456,6 +10545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_holtwinters": q_events_holtwinters,
     "events_gains": q_events_gains,
     "events_drawdown": q_events_drawdown,
+    "basket_rules": q_basket_rules,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -10662,6 +10752,7 @@ ORACLES: dict[str, str] = {
     "events_holtwinters": SQL_EVENTS_HOLTWINTERS,
     "events_gains": SQL_EVENTS_GAINS,
     "events_drawdown": SQL_EVENTS_DRAWDOWN,
+    "basket_rules": SQL_BASKET_RULES,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

@@ -2773,3 +2773,46 @@ def test_events_drawdown_closed_form(spark):
         for r in q_events_drawdown(spark, _write_events(spark, rows)).collect()
     ]
     assert got == [(1, 150, 400, 4), (2, 0, 200, 2)]
+
+
+def test_basket_rules_closed_form(spark):
+    """3 orders: o1 {B1,B2}, o2 {B1,B2}, o3 {B1} (via two lineitems of
+    the same brand -> distinct collapses them). pair (B1,B2): cnt 2,
+    support 2/3, conf B1->B2 = 2/3, conf B2->B1 = 1, lift = 2*3/(3*2)
+    = 1.0."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_basket_rules
+
+    t0 = dt.datetime(1996, 6, 1)
+    li_schema = (
+        "l_orderkey: long, l_partkey: long, l_suppkey: long, "
+        "l_linenumber: int, l_quantity: double, l_extendedprice: double, "
+        "l_discount: double, l_tax: double, l_returnflag: string, "
+        "l_linestatus: string, l_shipdate: timestamp_ntz"
+    )
+    d = _write_tpch(
+        spark,
+        {
+            "part": (
+                [(1, "p", "B1", "STANDARD", 1, 1.0),
+                 (2, "q", "B2", "STANDARD", 1, 1.0),
+                 (3, "r", "B1", "STANDARD", 1, 1.0)],
+                "p_partkey: long, p_name: string, p_brand: string, "
+                "p_type: string, p_size: int, p_retailprice: double",
+            ),
+            "lineitem": (
+                [
+                    (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+                    (1, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+                    (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+                    (2, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+                    (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+                    (3, 3, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+                ],
+                li_schema,
+            ),
+        },
+    )
+    got = [tuple(r) for r in q_basket_rules(spark, d).collect()]
+    assert got == [("B1", "B2", 2, 666666, 666666, 1000000, 1000000)]
