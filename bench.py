@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "events_gains",
     "events_drawdown",
     "basket_rules",
+    "events_conformal",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

@@ -10350,6 +10350,131 @@ ORDER BY brand_a, brand_b
 """
 
 
+
+
+def q_events_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for the Holt forecaster:
+    one-step-ahead residuals are split deterministically (odd event_id
+    -> calibration, even -> test), the calibration set yields exact
+    rank-selected p10/p90 residual bounds (events_quantiles contract:
+    rank = greatest(1, (q*n) div 100)), and empirical coverage of the
+    TEST residuals inside [q10, q90] is reported in exact ppm — the
+    distribution-free interval-calibration readout (split conformal:
+    held-out quantiles, honest coverage). Plan: the Holt Arrow pass +
+    ts join (events_backtest shape), one lag window, one rank sort
+    over the calibration half, a final conditional agg; the quantile
+    bounds ride a window over the sorted calibration rows (no
+    join-back)."""
+    from pyjelly_spark.operators.timeseries import holt_int
+
+    ev = _t(spark, sf_dir, "events")
+    h = holt_int(ev).join(ev.select("event_id", "ts"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    resid = (
+        h.select(
+            "event_id",
+            (
+                F.col("cents")
+                - F.lag(F.col("level") + F.col("trend")).over(w)
+            ).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+        .withColumn("is_cal", (F.col("event_id") % 2 == 1).cast("int"))
+        # both halves (calibration bounds + test coverage) consume this
+        # table; checkpoint so the Holt Arrow pass runs once, not twice
+        .localCheckpoint(eager=False)
+    )
+    wc = Window.orderBy("r")
+    cal = (
+        resid.where(F.col("is_cal") == 1)
+        .withColumn("rnk", F.row_number().over(wc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    bounds = cal.select(
+        F.max(
+            F.when(
+                F.col("rnk")
+                == F.greatest(F.lit(1), F.expr("(10 * n) div 100")),
+                F.col("r"),
+            )
+        ).alias("q10"),
+        F.max(
+            F.when(
+                F.col("rnk")
+                == F.greatest(F.lit(1), F.expr("(90 * n) div 100")),
+                F.col("r"),
+            )
+        ).alias("q90"),
+        F.max("n").alias("n_cal"),
+    ).agg(
+        F.max("q10").cast("long").alias("q10_cents"),
+        F.max("q90").cast("long").alias("q90_cents"),
+        F.max("n_cal").cast("long").alias("n_cal"),
+    )
+    test = resid.where(F.col("is_cal") == 0)
+    return (
+        test.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.max("q10_cents").alias("q10_cents"),
+            F.max("q90_cents").alias("q90_cents"),
+            F.sum(
+                F.when(
+                    (F.col("r") >= F.col("q10_cents"))
+                    & (F.col("r") <= F.col("q90_cents")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "n_cal",
+            "n_test",
+            "q10_cents",
+            "q90_cents",
+            "n_covered",
+            F.expr(
+                "cast((n_covered * 1000000) div greatest(n_test, 1)"
+                " as bigint)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+SQL_EVENTS_CONFORMAL = SQL_EVENTS_HOLT.replace(
+    "SELECT user_id, event_id, cents, level, trend FROM h",
+    """, resid AS (
+  SELECT event_id,
+         cents - lag(level + trend) OVER (PARTITION BY user_id ORDER BY rn)
+           AS r
+  FROM h
+),
+r2 AS (SELECT event_id, r, (event_id % 2 = 1) AS is_cal
+       FROM resid WHERE r IS NOT NULL),
+cal AS (
+  SELECT r, row_number() OVER (ORDER BY r) AS rnk, count(*) OVER () AS n
+  FROM r2 WHERE is_cal
+),
+bounds AS (
+  SELECT max(CASE WHEN rnk = greatest(1, (10 * n) // 100) THEN r END)::BIGINT
+           AS q10_cents,
+         max(CASE WHEN rnk = greatest(1, (90 * n) // 100) THEN r END)::BIGINT
+           AS q90_cents,
+         max(n)::BIGINT AS n_cal
+  FROM cal
+)
+SELECT max(n_cal) AS n_cal, count(*)::BIGINT AS n_test,
+       max(q10_cents) AS q10_cents, max(q90_cents) AS q90_cents,
+       sum(CASE WHEN r >= q10_cents AND r <= q90_cents THEN 1 ELSE 0
+           END)::BIGINT AS n_covered,
+       ((sum(CASE WHEN r >= q10_cents AND r <= q90_cents THEN 1 ELSE 0 END)
+         * 1000000) // greatest(count(*), 1))::BIGINT AS coverage_ppm
+FROM r2 CROSS JOIN bounds WHERE NOT is_cal""",
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -10546,6 +10671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gains": q_events_gains,
     "events_drawdown": q_events_drawdown,
     "basket_rules": q_basket_rules,
+    "events_conformal": q_events_conformal,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -10753,6 +10879,7 @@ ORACLES: dict[str, str] = {
     "events_gains": SQL_EVENTS_GAINS,
     "events_drawdown": SQL_EVENTS_DRAWDOWN,
     "basket_rules": SQL_BASKET_RULES,
+    "events_conformal": SQL_EVENTS_CONFORMAL,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

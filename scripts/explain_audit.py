@@ -127,6 +127,7 @@ AUDITED = [
     "events_gains",
     "events_drawdown",
     "basket_rules",
+    "events_conformal",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

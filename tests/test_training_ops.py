@@ -2816,3 +2816,31 @@ def test_basket_rules_closed_form(spark):
     )
     got = [tuple(r) for r in q_basket_rules(spark, d).collect()]
     assert got == [("B1", "B2", 2, 666666, 666666, 1000000, 1000000)]
+
+
+def test_events_conformal_closed_form(spark):
+    """User 1 flat (cents 100 x5, Holt residuals all 0: cal ids 3,5 ->
+    {0,0}, test ids 2,4 -> {0,0}); user 2 ramps 100/200/300 (id 7 odd
+    -> cal residual 200-100=100; id 8 even -> test residual
+    300-(125+6)=169). Calibration {0,0,100}: n=3, q10 rank
+    greatest(1,30//100)=1 -> 0, q90 rank greatest(1,270//100)=2 -> 0.
+    Test {0,0,169}: 2 of 3 inside [0,0] -> 666666 ppm."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_conformal
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, v):
+        return (i, t0 + dt.timedelta(minutes=i), u, "view", v, "{}")
+
+    rows = [ev(i, 1, 1.0) for i in range(1, 6)] + [
+        ev(6, 2, 1.0),
+        ev(7, 2, 2.0),
+        ev(8, 2, 3.0),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_conformal(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [(3, 3, 0, 0, 2, 666666)]
