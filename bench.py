@@ -172,6 +172,12 @@ BENCH_QUERIES = [
     "events_drawdown",
     "basket_rules",
     "events_conformal",
+    "doc_nb",
+    "events_seqpat",
+    "events_kanon",
+    "orders_mrr",
+    "events_ate",
+    "kg_comention",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

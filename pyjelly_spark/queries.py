@@ -10475,6 +10475,475 @@ FROM r2 CROSS JOIN bounds WHERE NOT is_cal""",
 )
 
 
+def q_doc_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes training table over the documents corpus:
+    per-language class priors and Laplace-smoothed class-conditional
+    term probabilities, both in exact integer ppm (no logs, so every
+    value is engine-portable bit-for-bit); top-10 terms per language by
+    (count desc, term asc). Plan: one explode + one (lang, term) hash
+    aggregate carries the corpus; language totals / vocabulary size /
+    priors are tiny aggregates broadcast back onto it — no per-language
+    window over the full token stream (a 3-language partitionBy would
+    serialize the corpus through 3 reducers at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(T.words(T.normalized(F.col("text")))).alias("term")
+    ).where(F.col("term") != "")
+    # counts feeds lang totals, the vocab scalar AND the ranked join —
+    # checkpoint so the corpus explode+aggregate runs once, not three times
+    counts = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint(eager=False)
+    lang_tot = counts.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("lang_total")
+    )
+    vocab = counts.agg(
+        F.count_distinct("term").cast("long").alias("vocab")
+    )
+    priors = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(
+            F.broadcast(
+                docs.agg(F.count(F.lit(1)).cast("long").alias("total_docs"))
+            )
+        )
+        .select(
+            "lang",
+            F.expr("(n_docs * 1000000) div total_docs").alias("prior_ppm"),
+        )
+    )
+    wl = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        counts.join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(priors), "lang")
+        .withColumn("rank", F.row_number().over(wl).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select(
+            "lang",
+            "term",
+            "cnt",
+            "rank",
+            F.expr("((cnt + 1) * 1000000) div (lang_total + vocab)").alias(
+                "cond_ppm"
+            ),
+            "prior_ppm",
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+SQL_DOC_NB = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split({NORM_SQL}, ' ')) AS term FROM documents
+),
+counts AS (
+  SELECT lang, term, count(*)::BIGINT AS cnt
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+lt AS (SELECT lang, sum(cnt)::BIGINT AS lang_total FROM counts GROUP BY 1),
+v AS (SELECT count(DISTINCT term)::BIGINT AS vocab FROM counts),
+pri AS (
+  SELECT lang,
+         (count(*) * 1000000 //
+          (SELECT count(*) FROM documents))::BIGINT AS prior_ppm
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT c.lang, c.term, c.cnt,
+         row_number() OVER (
+           PARTITION BY c.lang ORDER BY c.cnt DESC, c.term ASC
+         )::BIGINT AS rank,
+         (((c.cnt + 1) * 1000000) // (lt.lang_total + v.vocab))::BIGINT
+           AS cond_ppm,
+         pri.prior_ppm
+  FROM counts c
+  JOIN lt USING (lang) CROSS JOIN v JOIN pri USING (lang)
+)
+SELECT lang, term, cnt, rank, cond_ppm, prior_ppm
+FROM ranked WHERE rank <= 10 ORDER BY lang, rank
+"""
+
+
+def q_events_seqpat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support (PrefixSpan-style 2-sequences): for
+    every ordered pair of event types (a, b), the number of users with
+    some a-event strictly preceding some b-event in their stream, plus
+    user-base support in exact ppm. Precedence is decided on the total
+    order (ts, event_id) via per-user row numbers — "exists a before b"
+    iff min_rank(a) < max_rank(b), so one window sort plus one
+    (user, type) aggregate replace any pairwise event join; the
+    per-user type-summary self-join is bounded by 5x5 type pairs."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    # the per-user type summary is both join sides and the user-count
+    # source — checkpoint so the window pass runs once
+    s = r.groupBy("user_id", "event_type").agg(
+        F.min("rn").alias("mn"), F.max("rn").alias("mx")
+    ).localCheckpoint(eager=False)
+    total = s.agg(
+        F.count_distinct("user_id").cast("long").alias("total_users")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, "user_id")
+        .where(
+            (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.mn") < F.col("b.mx"))
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users",
+            F.expr("(n_users * 1000000) div total_users").alias(
+                "support_ppm"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_EVENTS_SEQPAT = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type, min(rn) AS mn, max(rn) AS mx
+  FROM r GROUP BY 1, 2
+),
+tot AS (SELECT count(DISTINCT user_id)::BIGINT AS total_users FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_users,
+       (count(*) * 1000000 // max(tot.total_users))::BIGINT AS support_ppm
+FROM s a JOIN s b ON a.user_id = b.user_id
+ AND a.event_type <> b.event_type AND a.mn < b.mx
+CROSS JOIN tot
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity privacy audit over the release
+    quasi-identifier (event_type, hour-of-day): per QI group the row
+    count (k), the number of distinct users (l — the sensitive
+    attribute's diversity), and a risk flag for groups below k=20.
+    Complements pii_scrub: scrubbing removes direct identifiers, this
+    measures re-identification risk of what remains. One hash aggregate
+    over a bounded 5x24 group space — partial aggregation collapses the
+    corpus map-side, so the shuffle carries ~120 rows per mapper
+    regardless of input scale."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.hour("ts").cast("long").alias("hh")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("user_id").cast("long").alias("l_div"),
+        )
+        .select(
+            "event_type",
+            "hh",
+            "n_rows",
+            "l_div",
+            (F.col("n_rows") < 20).cast("long").alias("risky"),
+        )
+        .orderBy("event_type", "hh")
+    )
+
+
+SQL_EVENTS_KANON = """
+SELECT event_type, hour(ts)::BIGINT AS hh, count(*)::BIGINT AS n_rows,
+       count(DISTINCT user_id)::BIGINT AS l_div,
+       (count(*) < 20)::BIGINT AS risky
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+
+def q_orders_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly recurring-revenue waterfall over orders: per calendar
+    month, starting MRR, new / reactivation / expansion / contraction /
+    churn components and ending MRR, all in exact integer cents (the
+    identity ending = starting + new + react + expand - contract -
+    churn holds exactly). Month-over-month movement is a full outer
+    join of (customer, month) revenue with itself shifted one month —
+    no per-customer dense calendar is materialized, so the shuffle
+    carries only active (customer, month) rows; the final rollup is a
+    bounded ~80-month aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        o.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("m"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("o_custkey", "m")
+        .agg(F.sum("c").alias("rev"))
+        # rev is consumed three times (current, shifted, first-month);
+        # checkpoint so the orders aggregate runs once
+        .localCheckpoint(eager=False)
+    )
+    fm = rev.groupBy("o_custkey").agg(F.min("m").alias("fm"))
+    cur = rev.select("o_custkey", "m", "rev")
+    prv = rev.select(
+        "o_custkey", (F.col("m") + 1).alias("m"), F.col("rev").alias("prev")
+    )
+    moved = (
+        cur.join(prv, ["o_custkey", "m"], "full_outer")
+        .na.fill({"rev": 0, "prev": 0})
+        .join(fm, "o_custkey")
+    )
+    z = F.lit(0)
+    return (
+        moved.groupBy("m")
+        .agg(
+            F.sum("prev").cast("long").alias("starting_cents"),
+            F.sum(
+                F.when(
+                    (F.col("rev") > 0)
+                    & (F.col("prev") == 0)
+                    & (F.col("m") == F.col("fm")),
+                    F.col("rev"),
+                ).otherwise(z)
+            ).cast("long").alias("new_cents"),
+            F.sum(
+                F.when(
+                    (F.col("rev") > 0)
+                    & (F.col("prev") == 0)
+                    & (F.col("m") > F.col("fm")),
+                    F.col("rev"),
+                ).otherwise(z)
+            ).cast("long").alias("react_cents"),
+            F.sum(
+                F.when(
+                    (F.col("rev") > F.col("prev")) & (F.col("prev") > 0),
+                    F.col("rev") - F.col("prev"),
+                ).otherwise(z)
+            ).cast("long").alias("expand_cents"),
+            F.sum(
+                F.when(
+                    (F.col("rev") < F.col("prev")) & (F.col("rev") > 0),
+                    F.col("prev") - F.col("rev"),
+                ).otherwise(z)
+            ).cast("long").alias("contract_cents"),
+            F.sum(
+                F.when(
+                    (F.col("prev") > 0) & (F.col("rev") == 0), F.col("prev")
+                ).otherwise(z)
+            ).cast("long").alias("churn_cents"),
+            F.sum("rev").cast("long").alias("ending_cents"),
+        )
+        .orderBy("m")
+    )
+
+
+SQL_ORDERS_MRR = """
+WITH rev AS (
+  SELECT o_custkey,
+         (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS m,
+         sum(floor(o_totalprice * 100)::BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+),
+fm AS (SELECT o_custkey, min(m) AS fm FROM rev GROUP BY 1),
+moved AS (
+  SELECT coalesce(c.o_custkey, p.o_custkey) AS o_custkey,
+         coalesce(c.m, p.m + 1) AS m,
+         coalesce(c.rev, 0) AS rev, coalesce(p.rev, 0) AS prev
+  FROM rev c FULL OUTER JOIN rev p
+    ON c.o_custkey = p.o_custkey AND c.m = p.m + 1
+)
+SELECT mv.m,
+       sum(prev)::BIGINT AS starting_cents,
+       sum(CASE WHEN rev > 0 AND prev = 0 AND mv.m = fm.fm
+                THEN rev ELSE 0 END)::BIGINT AS new_cents,
+       sum(CASE WHEN rev > 0 AND prev = 0 AND mv.m > fm.fm
+                THEN rev ELSE 0 END)::BIGINT AS react_cents,
+       sum(CASE WHEN rev > prev AND prev > 0
+                THEN rev - prev ELSE 0 END)::BIGINT AS expand_cents,
+       sum(CASE WHEN rev < prev AND rev > 0
+                THEN prev - rev ELSE 0 END)::BIGINT AS contract_cents,
+       sum(CASE WHEN prev > 0 AND rev = 0
+                THEN prev ELSE 0 END)::BIGINT AS churn_cents,
+       sum(rev)::BIGINT AS ending_cents
+FROM moved mv JOIN fm USING (o_custkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_events_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect readout (causal-inference
+    featurizer): treatment = user ever clicked, outcome = total
+    purchase cents, strata = activity buckets (n_events div 20, capped
+    at 4). Per stratum: treated/control counts, floor-exact mean
+    outcomes in ppm-cents, and their difference — the covariate-
+    adjusted uplift table an experimentation pipeline feeds from. One
+    per-user aggregate then a 5-row stratum rollup; the zero-arm guard
+    (greatest(n,1)) keeps sparse strata well-defined."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("treated"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("y"),
+    )
+    return (
+        users.withColumn(
+            "stratum",
+            F.least(F.expr("n_events div 20"), F.lit(4)).cast("long"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.sum(F.expr("treated")).cast("long").alias("n_t"),
+            F.sum(F.expr("1 - treated")).cast("long").alias("n_c"),
+            F.sum(F.expr("CASE WHEN treated = 1 THEN y ELSE 0 END"))
+            .cast("long")
+            .alias("sum_t"),
+            F.sum(F.expr("CASE WHEN treated = 0 THEN y ELSE 0 END"))
+            .cast("long")
+            .alias("sum_c"),
+        )
+        .select(
+            "stratum",
+            "n_t",
+            "n_c",
+            F.expr("(sum_t * 1000000) div greatest(n_t, 1)").alias(
+                "mean_t_ppm"
+            ),
+            F.expr("(sum_c * 1000000) div greatest(n_c, 1)").alias(
+                "mean_c_ppm"
+            ),
+            F.expr(
+                "(sum_t * 1000000) div greatest(n_t, 1)"
+                " - (sum_c * 1000000) div greatest(n_c, 1)"
+            ).alias("ate_ppm"),
+        )
+        .orderBy("stratum")
+    )
+
+
+SQL_EVENTS_ATE = """
+WITH users AS (
+  SELECT user_id, count(*) AS n_events,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS treated,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN floor(value * 100)::BIGINT ELSE 0 END) AS y
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT least(n_events // 20, 4)::BIGINT AS stratum, treated, y FROM users
+)
+SELECT stratum,
+       sum(treated)::BIGINT AS n_t,
+       sum(1 - treated)::BIGINT AS n_c,
+       ((sum(CASE WHEN treated = 1 THEN y ELSE 0 END) * 1000000)
+        // greatest(sum(treated), 1))::BIGINT AS mean_t_ppm,
+       ((sum(CASE WHEN treated = 0 THEN y ELSE 0 END) * 1000000)
+        // greatest(sum(1 - treated), 1))::BIGINT AS mean_c_ppm,
+       ((sum(CASE WHEN treated = 1 THEN y ELSE 0 END) * 1000000)
+        // greatest(sum(treated), 1)
+        - (sum(CASE WHEN treated = 0 THEN y ELSE 0 END) * 1000000)
+        // greatest(sum(1 - treated), 1))::BIGINT AS ate_ppm
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention association graph (KG enrichment): for every
+    unordered pair of called symbols that appear together in >= 2
+    files, the co-mention count, each symbol's file frequency, and
+    integer lift in ppm ((co * n_files * 1e6) div (cnt_a * cnt_b)) —
+    the statistical-association edge layer a KG builder adds on top of
+    syntactic call edges. The pair generation is an equi-join on the
+    file key, bounded by <= 5 call mentions per file (<= 10 pairs), so
+    candidate volume is linear in files — never all-pairs across the
+    corpus; frequency tables join back by symbol hash. Numerator fits
+    a long up to ~10^10 files at ppm scale (cast wider beyond)."""
+    calls, _ = _mention_frames(spark, sf_dir)
+    # the distinct mention table is n_files, freq and both pair-join
+    # sides — checkpoint so the extraction regex runs once
+    m = calls.select("path", "symbol").distinct().localCheckpoint(
+        eager=False
+    )
+    n_files = m.agg(
+        F.count_distinct("path").cast("long").alias("n_files")
+    )
+    freq = m.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    pairs = (
+        a.join(b, "path")
+        .where(F.col("a.symbol") < F.col("b.symbol"))
+        .groupBy(
+            F.col("a.symbol").alias("sym_a"),
+            F.col("b.symbol").alias("sym_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("co_cnt"))
+        .where(F.col("co_cnt") >= 2)
+    )
+    return (
+        pairs.join(freq.withColumnRenamed("symbol", "sym_a"), "sym_a")
+        .withColumnRenamed("cnt", "cnt_a")
+        .join(freq.withColumnRenamed("symbol", "sym_b"), "sym_b")
+        .withColumnRenamed("cnt", "cnt_b")
+        .crossJoin(F.broadcast(n_files))
+        .select(
+            "sym_a",
+            "sym_b",
+            "co_cnt",
+            "cnt_a",
+            "cnt_b",
+            F.expr(
+                "(co_cnt * n_files * 1000000) div (cnt_a * cnt_b)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("sym_a", "sym_b")
+    )
+
+
+SQL_KG_COMENTION = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+m AS (SELECT DISTINCT path, symbol FROM calls_gt),
+nf AS (SELECT count(DISTINCT path)::BIGINT AS n_files FROM m),
+freq AS (SELECT symbol, count(*)::BIGINT AS cnt FROM m GROUP BY 1),
+pairs AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, count(*)::BIGINT AS co_cnt
+  FROM m a JOIN m b ON a.path = b.path AND a.symbol < b.symbol
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.sym_a, p.sym_b, p.co_cnt, fa.cnt AS cnt_a, fb.cnt AS cnt_b,
+       ((p.co_cnt * nf.n_files * 1000000) // (fa.cnt * fb.cnt))::BIGINT
+         AS lift_ppm
+FROM pairs p
+JOIN freq fa ON fa.symbol = p.sym_a
+JOIN freq fb ON fb.symbol = p.sym_b
+CROSS JOIN nf
+ORDER BY p.sym_a, p.sym_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -10672,6 +11141,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_drawdown": q_events_drawdown,
     "basket_rules": q_basket_rules,
     "events_conformal": q_events_conformal,
+    "doc_nb": q_doc_nb,
+    "events_seqpat": q_events_seqpat,
+    "events_kanon": q_events_kanon,
+    "orders_mrr": q_orders_mrr,
+    "events_ate": q_events_ate,
+    "kg_comention": q_kg_comention,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -10880,6 +11355,12 @@ ORACLES: dict[str, str] = {
     "events_drawdown": SQL_EVENTS_DRAWDOWN,
     "basket_rules": SQL_BASKET_RULES,
     "events_conformal": SQL_EVENTS_CONFORMAL,
+    "doc_nb": SQL_DOC_NB,
+    "events_seqpat": SQL_EVENTS_SEQPAT,
+    "events_kanon": SQL_EVENTS_KANON,
+    "orders_mrr": SQL_ORDERS_MRR,
+    "events_ate": SQL_EVENTS_ATE,
+    "kg_comention": SQL_KG_COMENTION,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

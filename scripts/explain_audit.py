@@ -128,6 +128,12 @@ AUDITED = [
     "events_drawdown",
     "basket_rules",
     "events_conformal",
+    "doc_nb",
+    "events_seqpat",
+    "events_kanon",
+    "orders_mrr",
+    "events_ate",
+    "kg_comention",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

@@ -2844,3 +2844,167 @@ def test_events_conformal_closed_form(spark):
         for r in q_events_conformal(spark, _write_events(spark, rows)).collect()
     ]
     assert got == [(3, 3, 0, 0, 2, 666666)]
+
+
+def test_doc_nb_closed_form(spark):
+    """en: {a:3, b:1, c:1} (total 5), fr: {b:2} (total 2), vocab 3.
+    cond_ppm(en) = (cnt+1)*1e6 // 8 -> a 500000, b/c 250000;
+    cond_ppm(fr, b) = 3e6 // 5 = 600000. priors 2/3 and 1/3 in ppm."""
+    from pyjelly_spark.queries import q_doc_nb
+
+    d = _write_docs(
+        spark,
+        [
+            (1, "a a b", "en", "s", 5),
+            (2, "a c", "en", "s", 3),
+            (3, "b b", "fr", "s", 3),
+        ],
+    )
+    got = [tuple(r) for r in q_doc_nb(spark, d).collect()]
+    assert got == [
+        ("en", "a", 3, 1, 500000, 666666),
+        ("en", "b", 1, 2, 250000, 666666),
+        ("en", "c", 1, 3, 250000, 666666),
+        ("fr", "b", 2, 1, 600000, 333333),
+    ]
+
+
+def test_events_seqpat_closed_form(spark):
+    """User 1: view, click, view (ranks 1,2,3) -> view precedes click
+    (1 < 2) and click precedes view (2 < 3); user 2: click only (no
+    pairs). 1 of 2 users supports each pattern -> 500000 ppm."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_seqpat
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, typ):
+        return (i, t0 + dt.timedelta(minutes=i), u, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "view"),
+        ev(2, 1, "click"),
+        ev(3, 1, "view"),
+        ev(4, 2, "click"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_seqpat(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [
+        ("click", "view", 1, 500000),
+        ("view", "click", 1, 500000),
+    ]
+
+
+def test_events_kanon_closed_form(spark):
+    """QI groups: (view, hour 1) holds 3 rows from 2 users; (click,
+    hour 2) holds 1 row from 1 user; both below k=20 -> risky."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_kanon
+
+    def ev(i, u, typ, hh):
+        return (i, dt.datetime(2024, 1, 1, hh, 30), u, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "view", 1),
+        ev(2, 1, "view", 1),
+        ev(3, 2, "view", 1),
+        ev(4, 3, "click", 2),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_kanon(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [("click", 2, 1, 1, 1), ("view", 1, 3, 2, 1)]
+
+
+def test_events_ate_closed_form(spark):
+    """Stratum 0 (all users have < 20 events): treated u1 bought 10.00
+    (mean 1000 cents -> 1e9 ppm-cents), controls u2/u3 bought 5.00
+    total (mean 250 cents -> 2.5e8); ATE = 7.5e8."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_ate
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, typ, v):
+        return (i, t0 + dt.timedelta(minutes=i), u, typ, v, "{}")
+
+    rows = [
+        ev(1, 1, "click", 1.0),
+        ev(2, 1, "purchase", 10.0),
+        ev(3, 2, "view", 1.0),
+        ev(4, 2, "purchase", 5.0),
+        ev(5, 3, "view", 1.0),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_ate(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [(0, 1, 2, 1000000000, 250000000, 750000000)]
+
+
+def test_orders_mrr_closed_form(spark):
+    """Cust 1: 100.00 in m0, 150.00 in m1 (expansion 50.00), gap in m2
+    (churn 150.00), 80.00 in m3 (reactivation). Cust 2: 200.00 in m1
+    only (new in m1, churn in m2). The waterfall identity ending =
+    starting + new + react + expand - contract - churn holds on every
+    row."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_orders_mrr
+
+    def o(k, c, price, y, mo):
+        return (k, c, "O", price, dt.datetime(y, mo, 15), "2-HIGH")
+
+    d = _write_tpch(
+        spark,
+        {
+            "orders": (
+                [
+                    o(1, 1, 100.0, 1995, 1),
+                    o(2, 1, 150.0, 1995, 2),
+                    o(3, 1, 80.0, 1995, 4),
+                    o(4, 2, 200.0, 1995, 2),
+                ],
+                "o_orderkey: long, o_custkey: long, o_orderstatus: string, "
+                "o_totalprice: double, o_orderdate: timestamp_ntz, "
+                "o_orderpriority: string",
+            ),
+        },
+    )
+    m0 = 1995 * 12 + 0
+    got = [tuple(r) for r in q_orders_mrr(spark, d).collect()]
+    assert got == [
+        (m0, 0, 10000, 0, 0, 0, 0, 10000),
+        (m0 + 1, 10000, 20000, 0, 5000, 0, 0, 35000),
+        (m0 + 2, 35000, 0, 0, 0, 0, 35000, 0),
+        (m0 + 3, 0, 0, 8000, 0, 0, 0, 8000),
+        (m0 + 4, 8000, 0, 0, 0, 0, 8000, 0),
+    ]
+    for (_, st, nw, re, ex, co, ch, en) in got:
+        assert en == st + nw + re + ex - co - ch
+
+
+def test_kg_comention_invariants(spark):
+    """Pair generation / lift arithmetic invariants on the derived
+    corpus: canonical pair order, co-mention floor of 2, and lift_ppm
+    exactly reconstructible from the emitted counts."""
+    from pyjelly_spark.queries import q_kg_comention
+
+    rows = q_kg_comention(spark, SF_DIR).collect()
+    assert rows, "no co-mention pairs found"
+    n_files = None
+    for r in rows:
+        assert r.sym_a < r.sym_b
+        assert r.co_cnt >= 2
+        nf = (r.lift_ppm * r.cnt_a * r.cnt_b) // (r.co_cnt * 1000000)
+        if n_files is None:
+            n_files = nf
+        assert r.lift_ppm == (r.co_cnt * n_files * 1000000) // (
+            r.cnt_a * r.cnt_b
+        ) or abs(nf - n_files) <= 1
