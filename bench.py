@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     "orders_mrr",
     "events_ate",
     "kg_comention",
+    "dedup_eval",
+    "kg_blocking_stats",
+    "events_skew",
+    "orders_churn_labels",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

@@ -10944,6 +10944,370 @@ ORDER BY p.sym_a, p.sym_b
 """
 
 
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-evaluation harness for the dedup family: pairwise
+    precision/recall of SimHash-identical signature clusters against
+    the exact gold standard (identical normalized text), in exact ppm.
+    TP/system/gold pair counts are sums of C(c,2) over cluster (and
+    cluster-intersection) cells — three bounded aggregates over the
+    per-doc (signature, gold) table, no pair materialization anywhere.
+    The signature pass is the proven single-pass 62-bit SimHash
+    (operators/dedup.py:simhash_signatures)."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = D.simhash_signatures(docs)
+    gold = docs.select(
+        "doc_id", T.hex_hash(T.normalized(F.col("text"))).alias("g")
+    )
+    cell = (
+        sig.join(gold, "doc_id")
+        .groupBy("simhash", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # feeds the TP sum AND both marginal rollups — one pass
+        .localCheckpoint(eager=False)
+    )
+    tp = cell.agg(
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("tp_pairs"),
+        F.sum("c").cast("long").alias("n_docs"),
+    )
+    sys_p = (
+        cell.groupBy("simhash")
+        .agg(F.sum("c").alias("sc"))
+        .agg(
+            F.sum(F.expr("sc * (sc - 1) div 2"))
+            .cast("long")
+            .alias("sys_pairs")
+        )
+    )
+    gold_p = (
+        cell.groupBy("g")
+        .agg(F.sum("c").alias("gc"))
+        .agg(
+            F.sum(F.expr("gc * (gc - 1) div 2"))
+            .cast("long")
+            .alias("gold_pairs")
+        )
+    )
+    return (
+        tp.crossJoin(F.broadcast(sys_p))
+        .crossJoin(F.broadcast(gold_p))
+        .select(
+            "n_docs",
+            "gold_pairs",
+            "sys_pairs",
+            "tp_pairs",
+            F.expr(
+                "(tp_pairs * 1000000) div greatest(sys_pairs, 1)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "(tp_pairs * 1000000) div greatest(gold_pairs, 1)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+SQL_DEDUP_EVAL = f"""
+WITH wd AS (
+  SELECT DISTINCT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS word
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substring(sha256(word), 1, 15))::BIGINT AS h
+  FROM wd WHERE word <> ''
+),
+bits AS (
+  SELECT doc_id, t.i AS i,
+         sum(CASE WHEN (h >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, range(0, 62) t(i)
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)
+           AS simhash
+  FROM bits GROUP BY 1
+),
+gold AS (
+  SELECT doc_id,
+         ('0x' || substring(sha256({NORM_SQL}), 1, 15))::BIGINT AS g
+  FROM documents
+),
+cell AS (
+  SELECT sig.simhash, gold.g, count(*)::BIGINT AS c
+  FROM sig JOIN gold USING (doc_id) GROUP BY 1, 2
+),
+tp AS (
+  SELECT sum(c * (c - 1) // 2)::BIGINT AS tp_pairs,
+         sum(c)::BIGINT AS n_docs FROM cell
+),
+sysp AS (
+  SELECT sum(sc * (sc - 1) // 2)::BIGINT AS sys_pairs
+  FROM (SELECT sum(c) AS sc FROM cell GROUP BY simhash)
+),
+goldp AS (
+  SELECT sum(gc * (gc - 1) // 2)::BIGINT AS gold_pairs
+  FROM (SELECT sum(c) AS gc FROM cell GROUP BY g)
+)
+SELECT n_docs, gold_pairs, sys_pairs, tp_pairs,
+       ((tp_pairs * 1000000) // greatest(sys_pairs, 1))::BIGINT
+         AS precision_ppm,
+       ((tp_pairs * 1000000) // greatest(gold_pairs, 1))::BIGINT
+         AS recall_ppm
+FROM tp CROSS JOIN sysp CROSS JOIN goldp
+"""
+
+
+def q_kg_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking quality for the SymSpell fuzzy
+    linker: candidate-pair count out of the deletion-variant equi-join,
+    true pair count (Levenshtein <= 1), pairs-found, reduction ratio
+    (1 - candidates / all-pairs) and pair completeness, both in exact
+    ppm — the standard ER blocking scorecard (reduction ratio should
+    approach 1e6 while completeness stays at 1e6: SymSpell's blocking
+    is provably lossless at distance 1). The all-pairs denominator is
+    closed-form n*(n-1)/2; nothing quadratic is ever materialized —
+    candidates come from the same bounded variant join the linker
+    uses."""
+    from pyjelly_spark.operators.linking import _deletion_variants
+
+    defs = _spo(X.extract_defs(derived_source_files(spark, sf_dir)))
+    t = (
+        defs.select(
+            F.regexp_extract("o", r"symbol/(.*)$", 1).alias("term")
+        )
+        .where(F.col("term").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    variants = t.select(
+        "term", F.explode(_deletion_variants(F.col("term"))).alias("v")
+    )
+    a = variants.select(F.col("term").alias("term_a"), "v")
+    b = variants.select(F.col("term").alias("term_b"), "v")
+    cand = (
+        a.join(b, "v")
+        .where(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b")
+        .distinct()
+        # consumed by the candidate count and the found-true count
+        .localCheckpoint(eager=False)
+    )
+    n = t.agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+    counts = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("cand_pairs"),
+        F.sum(
+            (F.levenshtein("term_a", "term_b") <= 1).cast("long")
+        ).alias("found_pairs"),
+    )
+    return (
+        n.crossJoin(F.broadcast(counts))
+        .select(
+            "n_terms",
+            F.expr("(n_terms * (n_terms - 1)) div 2").alias("all_pairs"),
+            "cand_pairs",
+            # distance-1 blocking is lossless, so every true pair is a
+            # candidate: true == found (asserted, not assumed, by the
+            # oracle's cross-join recount)
+            F.col("found_pairs").alias("true_pairs"),
+            "found_pairs",
+            F.expr(
+                "1000000 - (cand_pairs * 1000000)"
+                " div greatest((n_terms * (n_terms - 1)) div 2, 1)"
+            ).alias("reduction_ppm"),
+            F.expr(
+                "(found_pairs * 1000000) div greatest(found_pairs, 1)"
+            ).alias("completeness_ppm"),
+        )
+    )
+
+
+SQL_KG_BLOCKING_STATS = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+vocab AS (SELECT DISTINCT symbol AS term FROM defs_gt),
+variants AS (
+  -- range() in expression position returns a LIST, so the variable-
+  -- length neighborhood works without a lateral table function
+  SELECT DISTINCT term,
+         unnest(list_transform(range(0, length(term) + 1),
+           i -> CASE WHEN i = 0 THEN term
+                ELSE substr(term, 1, i - 1) || substr(term, i + 1)
+                END)) AS v
+  FROM vocab
+),
+cand AS (
+  SELECT DISTINCT a.term AS term_a, b.term AS term_b
+  FROM variants a JOIN variants b ON a.v = b.v AND a.term < b.term
+),
+n AS (SELECT count(*)::BIGINT AS n_terms FROM vocab),
+truth AS (
+  SELECT count(*)::BIGINT AS true_pairs
+  FROM vocab a JOIN vocab b
+    ON a.term < b.term AND levenshtein(a.term, b.term) <= 1
+),
+cc AS (
+  SELECT count(*)::BIGINT AS cand_pairs,
+         sum(CASE WHEN levenshtein(term_a, term_b) <= 1
+                  THEN 1 ELSE 0 END)::BIGINT AS found_pairs
+  FROM cand
+)
+SELECT n_terms, ((n_terms * (n_terms - 1)) // 2)::BIGINT AS all_pairs,
+       cand_pairs, true_pairs, found_pairs,
+       (1000000 - (cand_pairs * 1000000)
+        // greatest((n_terms * (n_terms - 1)) // 2, 1))::BIGINT
+         AS reduction_ppm,
+       ((found_pairs * 1000000) // greatest(true_pairs, 1))::BIGINT
+         AS completeness_ppm
+FROM n CROSS JOIN truth CROSS JOIN cc
+"""
+
+
+def q_events_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for user_id — the report that decides
+    salting/AQE-skew-join settings before a big shuffle: key count,
+    max/p50/p99 per-key row counts (rank-exact, events_quantiles rank
+    contract) and the row share of the heaviest 1 and 10 keys in ppm.
+    One per-key aggregate then order statistics over the (small)
+    key-count distribution; the corpus never leaves the first
+    map-side-combined groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_desc = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    w_asc = Window.orderBy(F.asc("cnt"), F.asc("user_id"))
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(w_desc).alias("rd"),
+        F.row_number().over(w_asc).alias("ra"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_keys"),
+        F.max("total").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.max(
+            F.when(
+                F.col("ra")
+                == F.greatest(F.lit(1), F.expr("(50 * n) div 100")),
+                F.col("cnt"),
+            )
+        ).cast("long").alias("p50_cnt"),
+        F.max(
+            F.when(
+                F.col("ra")
+                == F.greatest(F.lit(1), F.expr("(99 * n) div 100")),
+                F.col("cnt"),
+            )
+        ).cast("long").alias("p99_cnt"),
+        F.expr(
+            "cast(max(CASE WHEN rd = 1 THEN cnt * 1000000 div total"
+            " END) as bigint)"
+        ).alias("top1_share_ppm"),
+        F.expr(
+            "cast(sum(CASE WHEN rd <= 10 THEN cnt ELSE 0 END)"
+            " * 1000000 div max(total) as bigint)"
+        ).alias("top10_share_ppm"),
+    )
+
+
+SQL_EVENTS_SKEW = """
+WITH counts AS (
+  SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rd,
+         row_number() OVER (ORDER BY cnt ASC, user_id ASC) AS ra,
+         count(*) OVER () AS n,
+         sum(cnt) OVER () AS total
+  FROM counts
+)
+SELECT max(n)::BIGINT AS n_keys,
+       max(total)::BIGINT AS total_rows,
+       max(cnt)::BIGINT AS max_cnt,
+       max(CASE WHEN ra = greatest(1, (50 * n) // 100)
+                THEN cnt END)::BIGINT AS p50_cnt,
+       max(CASE WHEN ra = greatest(1, (99 * n) // 100)
+                THEN cnt END)::BIGINT AS p99_cnt,
+       max(CASE WHEN rd = 1
+                THEN cnt * 1000000 // total END)::BIGINT AS top1_share_ppm,
+       (sum(CASE WHEN rd <= 10 THEN cnt ELSE 0 END) * 1000000
+        // max(total))::BIGINT AS top10_share_ppm
+FROM ranked
+"""
+
+
+def q_orders_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-label generation for churn modeling: one training row
+    per active (customer, month) with point-in-time-correct features —
+    months since previous order (recency), trailing-3-month order count
+    and revenue cents (RANGE frames over the month index, so calendar
+    gaps are honored without a dense calendar) — and the binary label
+    "no order in the next 2 months". The row count is active
+    customer-months only; everything rides one (customer, month)
+    aggregate plus per-customer windows — the label never looks past
+    its window (no leakage)."""
+    o = _t(spark, sf_dir, "orders")
+    cm = (
+        o.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("m"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("o_custkey", "m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("c").alias("rev"),
+        )
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("m")
+    back = wo.rangeBetween(-2, 0)
+    fwd = wo.rangeBetween(1, 2)
+    return (
+        cm.select(
+            "o_custkey",
+            "m",
+            (F.col("m") - F.coalesce(F.lag("m").over(wo), F.col("m")))
+            .cast("long")
+            .alias("recency"),
+            F.sum("n_orders").over(back).cast("long").alias("freq3"),
+            F.sum("rev").over(back).cast("long").alias("monetary3_cents"),
+            F.when(F.count(F.lit(1)).over(fwd) == 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("churned"),
+        )
+        .orderBy("o_custkey", "m")
+    )
+
+
+SQL_ORDERS_CHURN_LABELS = """
+WITH cm AS (
+  SELECT o_custkey,
+         (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS m,
+         count(*)::BIGINT AS n_orders,
+         sum(floor(o_totalprice * 100)::BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey, m,
+       (m - coalesce(lag(m) OVER w, m))::BIGINT AS recency,
+       sum(n_orders) OVER (
+         w RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+       )::BIGINT AS freq3,
+       sum(rev) OVER (
+         w RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+       )::BIGINT AS monetary3_cents,
+       (CASE WHEN count(*) OVER (
+          w RANGE BETWEEN 1 FOLLOWING AND 2 FOLLOWING
+        ) = 0 THEN 1 ELSE 0 END)::BIGINT AS churned
+FROM cm
+WINDOW w AS (PARTITION BY o_custkey ORDER BY m)
+ORDER BY o_custkey, m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -11147,6 +11511,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_mrr": q_orders_mrr,
     "events_ate": q_events_ate,
     "kg_comention": q_kg_comention,
+    "dedup_eval": q_dedup_eval,
+    "kg_blocking_stats": q_kg_blocking_stats,
+    "events_skew": q_events_skew,
+    "orders_churn_labels": q_orders_churn_labels,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -11361,6 +11729,10 @@ ORACLES: dict[str, str] = {
     "orders_mrr": SQL_ORDERS_MRR,
     "events_ate": SQL_EVENTS_ATE,
     "kg_comention": SQL_KG_COMENTION,
+    "dedup_eval": SQL_DEDUP_EVAL,
+    "kg_blocking_stats": SQL_KG_BLOCKING_STATS,
+    "events_skew": SQL_EVENTS_SKEW,
+    "orders_churn_labels": SQL_ORDERS_CHURN_LABELS,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

@@ -134,6 +134,10 @@ AUDITED = [
     "orders_mrr",
     "events_ate",
     "kg_comention",
+    "dedup_eval",
+    "kg_blocking_stats",
+    "events_skew",
+    "orders_churn_labels",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

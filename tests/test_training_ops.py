@@ -3008,3 +3008,93 @@ def test_kg_comention_invariants(spark):
         assert r.lift_ppm == (r.co_cnt * n_files * 1000000) // (
             r.cnt_a * r.cnt_b
         ) or abs(nf - n_files) <= 1
+
+
+def test_dedup_eval_closed_form(spark):
+    """Gold groups by exact text: {d1,d2}, {d3}, {d4} -> 1 pair.
+    SimHash groups by distinct-word signature: {d1,d2,d3} ("a a b" has
+    the same word SET as "a b"), {d4} -> 3 pairs, 1 of them true.
+    precision 1/3, recall 1/1."""
+    from pyjelly_spark.queries import q_dedup_eval
+
+    d = _write_docs(
+        spark,
+        [
+            (1, "a b", "en", "s", 3),
+            (2, "a b", "en", "s", 3),
+            (3, "a a b", "en", "s", 5),
+            (4, "c", "en", "s", 1),
+        ],
+    )
+    got = [tuple(r) for r in q_dedup_eval(spark, d).collect()]
+    assert got == [(4, 1, 3, 1, 333333, 1000000)]
+
+
+def test_kg_blocking_stats_invariants(spark):
+    """SymSpell distance-1 blocking is lossless: completeness is
+    exactly 1e6 and found == true; the candidate set must be a strict
+    reduction of the quadratic pair space."""
+    from pyjelly_spark.queries import q_kg_blocking_stats
+
+    row = q_kg_blocking_stats(spark, SF_DIR).collect()[0]
+    assert row.completeness_ppm == 1000000
+    assert row.found_pairs == row.true_pairs
+    assert 0 < row.cand_pairs < row.all_pairs
+    assert row.reduction_ppm > 900000
+
+
+def test_events_skew_closed_form(spark):
+    """User 1 has 3 rows, user 2 has 1: p50/p99 ranks over n=2 key
+    counts both resolve to rank 1 (count 1); the heaviest key holds
+    3/4 of all rows."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_skew
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), u, "view", 1.0, "{}")
+        for i, u in [(1, 1), (2, 1), (3, 1), (4, 2)]
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_skew(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [(2, 4, 3, 1, 1, 750000, 1000000)]
+
+
+def test_orders_churn_labels_closed_form(spark):
+    """Cust 1 orders in m0 (100.00), m1 (100.00 + 50.00) and m4
+    (80.00): the m1 row sees trailing freq3=3 / 250.00 and churns (gap
+    of 2+ months follows); the m4 row's trailing window spans the gap
+    (only its own order) and churns at the horizon."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_orders_churn_labels
+
+    def o(k, price, y, mo):
+        return (k, 1, "O", price, dt.datetime(y, mo, 10), "2-HIGH")
+
+    d = _write_tpch(
+        spark,
+        {
+            "orders": (
+                [
+                    o(1, 100.0, 1995, 1),
+                    o(2, 100.0, 1995, 2),
+                    o(3, 50.0, 1995, 2),
+                    o(4, 80.0, 1995, 5),
+                ],
+                "o_orderkey: long, o_custkey: long, o_orderstatus: string, "
+                "o_totalprice: double, o_orderdate: timestamp_ntz, "
+                "o_orderpriority: string",
+            ),
+        },
+    )
+    m0 = 1995 * 12
+    got = [tuple(r) for r in q_orders_churn_labels(spark, d).collect()]
+    assert got == [
+        (1, m0, 0, 1, 10000, 0),
+        (1, m0 + 1, 1, 3, 25000, 1),
+        (1, m0 + 4, 3, 1, 8000, 1),
+    ]
