@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "events_paths",
     "stream_kmv",
     "stream_session_window",
+    "stream_topk",
     "kg_link_ra",
     "events_markov",
     "doc_hash_features",
@@ -182,6 +183,9 @@ BENCH_QUERIES = [
     "kg_blocking_stats",
     "events_skew",
     "orders_churn_labels",
+    "orders_cohort_ltv",
+    "events_group_quantiles",
+    "doc_compaction",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

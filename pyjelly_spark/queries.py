@@ -11308,6 +11308,265 @@ ORDER BY o_custkey, m
 """
 
 
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, tracked by age (months since cohort start) — per cell the
+    active-customer count, period revenue, cumulative cohort revenue
+    and average LTV per cohort member in exact ppm-cents. The cumsum
+    runs inside each cohort (a per-cohort window over the sparse age
+    axis — no global order anywhere); cohort sizes ride a broadcast
+    join."""
+    o = _t(spark, sf_dir, "orders")
+    cm = (
+        o.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("m"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("o_custkey", "m")
+        .agg(F.sum("c").alias("rev"))
+        # consumed by the cohort assignment AND the cell rollup
+        .localCheckpoint(eager=False)
+    )
+    cohorts = cm.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = cohorts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        cm.join(cohorts, "o_custkey")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_custs"),
+            F.sum("rev").cast("long").alias("rev_cents"),
+        )
+    )
+    wc = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_m")
+        .withColumn(
+            "cum_rev_cents", F.sum("rev_cents").over(wc).cast("long")
+        )
+        .select(
+            "cohort_m",
+            "age",
+            "active_custs",
+            "cohort_size",
+            "rev_cents",
+            "cum_rev_cents",
+            F.expr("(cum_rev_cents * 1000000) div cohort_size").alias(
+                "ltv_ppm"
+            ),
+        )
+        .orderBy("cohort_m", "age")
+    )
+
+
+SQL_ORDERS_COHORT_LTV = """
+WITH cm AS (
+  SELECT o_custkey,
+         (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS m,
+         sum(floor(o_totalprice * 100)::BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+),
+cohorts AS (SELECT o_custkey, min(m) AS cohort_m FROM cm GROUP BY 1),
+sizes AS (
+  SELECT cohort_m, count(*)::BIGINT AS cohort_size FROM cohorts GROUP BY 1
+),
+cells AS (
+  SELECT c.cohort_m, (cm.m - c.cohort_m)::BIGINT AS age,
+         count(*)::BIGINT AS active_custs,
+         sum(cm.rev)::BIGINT AS rev_cents
+  FROM cm JOIN cohorts c USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT cohort_m, age, active_custs, cohort_size, rev_cents,
+       sum(rev_cents) OVER (
+         PARTITION BY cohort_m ORDER BY age
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::BIGINT AS cum_rev_cents,
+       ((sum(rev_cents) OVER (
+           PARTITION BY cohort_m ORDER BY age
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) * 1000000) // cohort_size)::BIGINT AS ltv_ppm
+FROM cells JOIN sizes USING (cohort_m)
+ORDER BY cohort_m, age
+"""
+
+
+def q_events_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group order statistics: rank-exact p50/p95/p99 of event
+    value cents per event type (rank = greatest(1, (q*n) div 100) over
+    the (cents, event_id) total order — the events_quantiles contract,
+    here per group), plus n/min/max. The sort is partitioned by the
+    5-value group key, so each reducer orders only its type's rows;
+    nothing global."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = base.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+
+    def pick(q: int) -> Column:
+        return F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.expr(f"({q} * n) div 100")),
+                F.col("cents"),
+            )
+        ).cast("long")
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.min("cents").cast("long").alias("min_cents"),
+            pick(50).alias("p50_cents"),
+            pick(95).alias("p95_cents"),
+            pick(99).alias("p99_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_GROUP_QUANTILES = """
+WITH base AS (
+  SELECT event_type, event_id, floor(value * 100)::BIGINT AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY cents, event_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+)
+SELECT event_type, max(n)::BIGINT AS n, min(cents)::BIGINT AS min_cents,
+       max(CASE WHEN rn = greatest(1, (50 * n) // 100)
+                THEN cents END)::BIGINT AS p50_cents,
+       max(CASE WHEN rn = greatest(1, (95 * n) // 100)
+                THEN cents END)::BIGINT AS p95_cents,
+       max(CASE WHEN rn = greatest(1, (99 * n) // 100)
+                THEN cents END)::BIGINT AS p99_cents,
+       max(cents)::BIGINT AS max_cents
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_doc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction / small-file bin-packing planner (lakehouse table
+    maintenance): documents ordered by (n_chars desc, doc_id) are
+    packed into ~32 KiB bins by prefix-sum partitioning; per bin the
+    file count, payload bytes and fill ratio in ppm. The running sum is
+    the DISTRIBUTED two-level prefix sum (per-size-band local cumsum +
+    tiny band-carry broadcast, same shape as events_concurrency) — no
+    single global-order window even though the packing order is
+    global. A bin can overfill by at most one file (prefix-sum next-fit
+    semantics), so fill_ppm may exceed 1e6 on boundary files."""
+    cap = 32768
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    banded = docs.withColumn("band", F.expr("n_chars div 64"))
+    wl = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = banded.withColumn("lcum", F.sum("n_chars").over(wl))
+    btot = banded.groupBy("band").agg(F.sum("n_chars").alias("btot"))
+    wb = (
+        Window.orderBy(F.desc("band"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = btot.select(
+        "band",
+        (F.sum("btot").over(wb) - F.col("btot")).alias("carry"),
+    )
+    return (
+        local.join(F.broadcast(carry), "band")
+        .withColumn(
+            "bin",
+            F.greatest(
+                F.lit(0), F.expr(f"(carry + lcum - 1) div {cap}")
+            ).cast("long"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_chars").cast("long").alias("bytes"),
+        )
+        .withColumn(
+            "fill_ppm", F.expr(f"(bytes * 1000000) div {cap}")
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_DOC_COMPACTION = """
+WITH ordered AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (
+           ORDER BY n_chars DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents
+),
+binned AS (
+  SELECT greatest(0, (cum - 1) // 32768)::BIGINT AS bin, n_chars
+  FROM ordered
+)
+SELECT bin, count(*)::BIGINT AS n_files, sum(n_chars)::BIGINT AS bytes,
+       ((sum(n_chars) * 1000000) // 32768)::BIGINT AS fill_ppm
+FROM binned GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard gate: complete-mode unwindowed aggregation
+    (running per-(type, user) counts as engine-managed state) drained
+    with availableNow, then rank-exact top-3 users per type from the
+    final emission — which must equal the batch groupBy + rank
+    bit-for-bit (streaming/jobs.py::run_stream_topk_batchmode)."""
+    from pyjelly_spark.streaming.jobs import run_stream_topk_batchmode
+
+    return run_stream_topk_batchmode(
+        spark, f"{sf_dir}/events.parquet"
+    ).orderBy("event_type", "rnk")
+
+
+SQL_STREAM_TOPK = """
+WITH counts AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, user_id, cnt,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY cnt DESC, user_id ASC
+         )::BIGINT AS rnk
+  FROM counts
+)
+SELECT event_type, user_id, cnt, rnk FROM ranked
+WHERE rnk <= 3 ORDER BY event_type, rnk
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -11515,6 +11774,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_blocking_stats": q_kg_blocking_stats,
     "events_skew": q_events_skew,
     "orders_churn_labels": q_orders_churn_labels,
+    "orders_cohort_ltv": q_orders_cohort_ltv,
+    "events_group_quantiles": q_events_group_quantiles,
+    "doc_compaction": q_doc_compaction,
+    "stream_topk": q_stream_topk,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -11733,6 +11996,10 @@ ORACLES: dict[str, str] = {
     "kg_blocking_stats": SQL_KG_BLOCKING_STATS,
     "events_skew": SQL_EVENTS_SKEW,
     "orders_churn_labels": SQL_ORDERS_CHURN_LABELS,
+    "orders_cohort_ltv": SQL_ORDERS_COHORT_LTV,
+    "events_group_quantiles": SQL_EVENTS_GROUP_QUANTILES,
+    "doc_compaction": SQL_DOC_COMPACTION,
+    "stream_topk": SQL_STREAM_TOPK,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

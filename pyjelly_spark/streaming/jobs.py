@@ -777,3 +777,49 @@ def run_session_window_batchmode(
         ),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+def leaderboard_counts(events: DataFrame) -> DataFrame:
+    """Unwindowed streaming aggregation for a live leaderboard: running
+    (event_type, user_id) event counts. State is one long per distinct
+    key — the engine-managed complete-mode aggregate (contrast with the
+    bounded-state KMV/sketch routes above); at corpus scale the key
+    space is users x 5 types, the same cardinality any batch groupBy
+    shuffles."""
+    return events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def run_stream_topk_batchmode(
+    spark: SparkSession, events_dir: str, k: int = 3
+) -> DataFrame:
+    """Drain the backlog through the complete-mode leaderboard and
+    return the final top-k users per event type; must equal the batch
+    groupBy + rank exactly (complete mode re-emits the full state each
+    trigger, so the last emission IS the total aggregate)."""
+    from pyspark.sql.window import Window
+
+    result = leaderboard_counts(read_event_stream(spark, events_dir))
+    name = "stream_topk_sink"
+    with _drain_partitions(spark):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(
+            "event_type", "user_id", F.col("cnt").cast("long").alias("cnt"),
+            "rnk",
+        )
+    )

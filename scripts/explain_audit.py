@@ -138,6 +138,9 @@ AUDITED = [
     "kg_blocking_stats",
     "events_skew",
     "orders_churn_labels",
+    "orders_cohort_ltv",
+    "events_group_quantiles",
+    "doc_compaction",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

@@ -3098,3 +3098,106 @@ def test_orders_churn_labels_closed_form(spark):
         (1, m0 + 1, 1, 3, 25000, 1),
         (1, m0 + 4, 3, 1, 8000, 1),
     ]
+
+
+def test_orders_cohort_ltv_closed_form(spark):
+    """Cust 1 joins in m0 (100.00 then 50.00 in m1), cust 2 joins in m1
+    (200.00): two one-customer cohorts; cumulative LTV per member is
+    the running revenue in ppm-cents."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_orders_cohort_ltv
+
+    def o(k, c, price, mo):
+        return (k, c, "O", price, dt.datetime(1995, mo, 10), "2-HIGH")
+
+    d = _write_tpch(
+        spark,
+        {
+            "orders": (
+                [o(1, 1, 100.0, 1), o(2, 1, 50.0, 2), o(3, 2, 200.0, 2)],
+                "o_orderkey: long, o_custkey: long, o_orderstatus: string, "
+                "o_totalprice: double, o_orderdate: timestamp_ntz, "
+                "o_orderpriority: string",
+            ),
+        },
+    )
+    m0 = 1995 * 12
+    got = [tuple(r) for r in q_orders_cohort_ltv(spark, d).collect()]
+    assert got == [
+        (m0, 0, 1, 1, 10000, 10000, 10000000000),
+        (m0, 1, 1, 1, 5000, 15000, 15000000000),
+        (m0 + 1, 0, 1, 1, 20000, 20000, 20000000000),
+    ]
+
+
+def test_events_group_quantiles_closed_form(spark):
+    """4 'view' events at 1.00..4.00: rank contract picks rank 2 for
+    p50 (200 cents) and rank 3 for both p95 and p99."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_group_quantiles
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "view", float(i), "{}")
+        for i in (1, 2, 3, 4)
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_group_quantiles(
+            spark, _write_events(spark, rows)
+        ).collect()
+    ]
+    assert got == [("view", 4, 100, 200, 300, 300, 400)]
+
+
+def test_doc_compaction_closed_form(spark):
+    """Sizes 40000/30000/10000 against 32 KiB bins: the 40000-char file
+    runs past the first boundary (prefix-sum next-fit), leaving bin 0
+    empty; the remaining two share bin 2 at the same fill."""
+    from pyjelly_spark.queries import q_doc_compaction
+
+    d = _write_docs(
+        spark,
+        [
+            (1, "x", "en", "s", 40000),
+            (2, "y", "en", "s", 30000),
+            (3, "z", "en", "s", 10000),
+        ],
+    )
+    got = [tuple(r) for r in q_doc_compaction(spark, d).collect()]
+    assert got == [(1, 1, 40000, 1220703), (2, 2, 40000, 1220703)]
+
+
+def test_stream_topk_matches_batch(spark):
+    """Drained complete-mode leaderboard equals the batch rank: view
+    u1x3 > u2x1; click u2x2."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_stream_topk
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), u, typ, 1.0, "{}")
+        for i, (u, typ) in enumerate(
+            [
+                (1, "view"),
+                (1, "view"),
+                (1, "view"),
+                (2, "view"),
+                (2, "click"),
+                (2, "click"),
+            ],
+            start=1,
+        )
+    ]
+    got = [
+        tuple(r)
+        for r in q_stream_topk(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [
+        ("click", 2, 2, 1),
+        ("view", 1, 3, 1),
+        ("view", 2, 1, 2),
+    ]
