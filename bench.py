@@ -186,6 +186,9 @@ BENCH_QUERIES = [
     "orders_cohort_ltv",
     "events_group_quantiles",
     "doc_compaction",
+    "events_convert_time",
+    "events_bursts",
+    "events_profile",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

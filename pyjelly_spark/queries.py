@@ -11567,6 +11567,295 @@ WHERE rnk <= 3 ORDER BY event_type, rnk
 """
 
 
+def q_events_convert_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel timing: seconds from a user's first view to their first
+    strictly-later purchase — conversion rate plus rank-exact
+    p50/p90/max of the conversion delay (events_quantiles rank
+    contract over (delta, user_id)). One per-user conditional
+    aggregate; the order statistics run over the (much smaller)
+    converted-user table. Complements events_funnel (step counts) with
+    the latency dimension."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    deltas = per_user.select(
+        "user_id",
+        F.expr(
+            "CASE WHEN first_view IS NOT NULL AND first_purchase > "
+            "first_view THEN timestampdiff(MICROSECOND, first_view, "
+            "first_purchase) div 1000000 END"
+        ).cast("long").alias("delta_s"),
+    )
+    # rank only the converted subset (avoids engine-specific NULL
+    # ordering inside the rank window); totals ride a broadcast scalar
+    deltas = deltas.localCheckpoint(eager=False)
+    totals = deltas.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("delta_s").cast("long").alias("n_conv"),
+    )
+    w = Window.orderBy("delta_s", "user_id")
+    ranked = (
+        deltas.where(F.col("delta_s").isNotNull())
+        .select("delta_s", "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(totals))
+    )
+
+    def pick(q: int) -> Column:
+        return F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.expr(f"({q} * n_conv) div 100")),
+                F.col("delta_s"),
+            )
+        ).cast("long")
+
+    return ranked.agg(
+        F.max("n_users").cast("long").alias("n_users"),
+        F.max("n_conv").cast("long").alias("n_converted"),
+        F.expr(
+            "cast(max(n_conv) * 1000000 div greatest(max(n_users), 1)"
+            " as bigint)"
+        ).alias("conversion_ppm"),
+        pick(50).alias("p50_delta_s"),
+        pick(90).alias("p90_delta_s"),
+        F.max("delta_s").cast("long").alias("max_delta_s"),
+    )
+
+
+SQL_EVENTS_CONVERT_TIME = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           AS first_purchase
+  FROM events GROUP BY 1
+),
+deltas AS (
+  SELECT user_id,
+         CASE WHEN first_view IS NOT NULL
+                   AND first_purchase > first_view
+              -- microsecond diff // 1e6: datediff('second') counts
+              -- boundary crossings, not whole seconds elapsed
+              THEN datediff('microsecond', first_view, first_purchase)
+                   // 1000000
+         END::BIGINT AS delta_s
+  FROM per_user
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n_users, count(delta_s)::BIGINT AS n_conv
+  FROM deltas
+),
+ranked AS (
+  SELECT delta_s,
+         row_number() OVER (ORDER BY delta_s, user_id) AS rn,
+         tot.n_users, tot.n_conv
+  FROM deltas CROSS JOIN tot WHERE delta_s IS NOT NULL
+)
+SELECT max(n_users)::BIGINT AS n_users,
+       max(n_conv)::BIGINT AS n_converted,
+       (max(n_conv) * 1000000 // greatest(max(n_users), 1))::BIGINT
+         AS conversion_ppm,
+       max(CASE WHEN rn = greatest(1, (50 * n_conv) // 100)
+                THEN delta_s END)::BIGINT AS p50_delta_s,
+       max(CASE WHEN rn = greatest(1, (90 * n_conv) // 100)
+                THEN delta_s END)::BIGINT AS p90_delta_s,
+       max(delta_s)::BIGINT AS max_delta_s
+FROM ranked
+"""
+
+
+def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection per event type: minutes whose event count
+    strictly exceeds twice the type's rank-exact median minute-count
+    are burst minutes; consecutive burst minutes merge into runs via
+    gaps-and-islands (minute_index - row_number, pure Catalyst — no
+    sequential scan). Reports per type the burst-minute count, number
+    of runs, longest run and the peak minute's count. The per-minute
+    aggregate collapses the corpus map-side; the island window sorts
+    only each type's burst minutes."""
+    ev = _t(spark, sf_dir, "events")
+    mc = (
+        ev.select(
+            "event_type",
+            # minute index from a fixed NTZ epoch literal (portable:
+            # no session-timezone dependence, same as events_concurrency)
+            F.expr(
+                "timestampdiff(MINUTE,"
+                " TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+            ).cast("long").alias("mi"),
+        )
+        .groupBy("event_type", "mi")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # consumed by the median rank pass and the burst filter
+        .localCheckpoint(eager=False)
+    )
+    wr = Window.partitionBy("event_type").orderBy("cnt", "mi")
+    med = (
+        mc.select(
+            "event_type",
+            "cnt",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type"))
+            .alias("n"),
+        )
+        .where(
+            F.col("rn")
+            == F.greatest(F.lit(1), F.expr("(50 * n) div 100"))
+        )
+        .select("event_type", F.col("cnt").alias("med_cnt"))
+    )
+    burst = mc.join(F.broadcast(med), "event_type").where(
+        F.col("cnt") > 2 * F.col("med_cnt")
+    )
+    wi = Window.partitionBy("event_type").orderBy("mi")
+    islands = burst.withColumn(
+        "grp", F.col("mi") - F.row_number().over(wi)
+    )
+    runs = islands.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.max("cnt").alias("peak"),
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.sum("run_len").cast("long").alias("burst_minutes"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.max("peak").cast("long").alias("peak_cnt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_BURSTS = """
+WITH mc AS (
+  SELECT event_type,
+         datediff('minute', TIMESTAMP '2024-01-01 00:00:00', ts)::BIGINT
+           AS mi,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, cnt AS med_cnt FROM (
+    SELECT event_type, cnt,
+           row_number() OVER (
+             PARTITION BY event_type ORDER BY cnt, mi
+           ) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM mc
+  ) WHERE rn = greatest(1, (50 * n) // 100)
+),
+burst AS (
+  SELECT mc.event_type, mc.mi, mc.cnt
+  FROM mc JOIN med USING (event_type)
+  WHERE mc.cnt > 2 * med.med_cnt
+),
+islands AS (
+  SELECT event_type, cnt,
+         mi - row_number() OVER (
+           PARTITION BY event_type ORDER BY mi
+         ) AS grp
+  FROM burst
+),
+runs AS (
+  SELECT event_type, grp, count(*)::BIGINT AS run_len,
+         max(cnt) AS peak
+  FROM islands GROUP BY 1, 2
+)
+SELECT event_type, sum(run_len)::BIGINT AS burst_minutes,
+       count(*)::BIGINT AS n_runs, max(run_len)::BIGINT AS longest_run,
+       max(peak)::BIGINT AS peak_cnt
+FROM runs GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profile of the events table: per column the
+    row count, null count, exact distinct count and completeness in
+    ppm — the data-quality summary a pipeline records next to every
+    snapshot. One wide aggregate computes all 18 statistics in a
+    single pass (map-side partial agg), then a 6-row stack unpivots
+    them; no per-column scans."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    wide = ev.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in cols
+    )
+    return (
+        wide.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS (col_name, n_nulls,"
+                " n_distinct)"
+            ),
+        )
+        .select(
+            "col_name",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_nulls").cast("long").alias("n_nulls"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.expr(
+                "(n_rows - n_nulls) * 1000000 div greatest(n_rows, 1)"
+            ).alias("completeness_ppm"),
+        )
+        .orderBy("col_name")
+    )
+
+
+SQL_EVENTS_PROFILE = """
+WITH wide AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS null_event_id,
+         count(DISTINCT event_id)::BIGINT AS dist_event_id,
+         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_ts,
+         count(DISTINCT ts)::BIGINT AS dist_ts,
+         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS null_user_id,
+         count(DISTINCT user_id)::BIGINT AS dist_user_id,
+         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS null_event_type,
+         count(DISTINCT event_type)::BIGINT AS dist_event_type,
+         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS null_value,
+         count(DISTINCT value)::BIGINT AS dist_value,
+         sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS null_props,
+         count(DISTINCT props)::BIGINT AS dist_props
+  FROM events
+),
+rows_out AS (
+  SELECT 'event_id' AS col_name, n_rows, null_event_id AS n_nulls,
+         dist_event_id AS n_distinct FROM wide
+  UNION ALL SELECT 'ts', n_rows, null_ts, dist_ts FROM wide
+  UNION ALL SELECT 'user_id', n_rows, null_user_id, dist_user_id FROM wide
+  UNION ALL SELECT 'event_type', n_rows, null_event_type,
+                   dist_event_type FROM wide
+  UNION ALL SELECT 'value', n_rows, null_value, dist_value FROM wide
+  UNION ALL SELECT 'props', n_rows, null_props, dist_props FROM wide
+)
+SELECT col_name, n_rows, n_nulls, n_distinct,
+       ((n_rows - n_nulls) * 1000000 // greatest(n_rows, 1))::BIGINT
+         AS completeness_ppm
+FROM rows_out ORDER BY col_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -11778,6 +12067,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_group_quantiles": q_events_group_quantiles,
     "doc_compaction": q_doc_compaction,
     "stream_topk": q_stream_topk,
+    "events_convert_time": q_events_convert_time,
+    "events_bursts": q_events_bursts,
+    "events_profile": q_events_profile,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -12000,6 +12292,9 @@ ORACLES: dict[str, str] = {
     "events_group_quantiles": SQL_EVENTS_GROUP_QUANTILES,
     "doc_compaction": SQL_DOC_COMPACTION,
     "stream_topk": SQL_STREAM_TOPK,
+    "events_convert_time": SQL_EVENTS_CONVERT_TIME,
+    "events_bursts": SQL_EVENTS_BURSTS,
+    "events_profile": SQL_EVENTS_PROFILE,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

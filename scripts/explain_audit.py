@@ -141,6 +141,9 @@ AUDITED = [
     "orders_cohort_ltv",
     "events_group_quantiles",
     "doc_compaction",
+    "events_convert_time",
+    "events_bursts",
+    "events_profile",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

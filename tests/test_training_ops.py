@@ -3201,3 +3201,88 @@ def test_stream_topk_matches_batch(spark):
         ("view", 1, 3, 1),
         ("view", 2, 1, 2),
     ]
+
+
+def test_events_convert_time_closed_form(spark):
+    """u1 converts 100 s after first view; u2 never purchases; u3
+    purchased before viewing (not a conversion). 1/3 users convert;
+    all quantiles collapse to the single delta."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_convert_time
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, typ, sec):
+        return (i, t0 + dt.timedelta(seconds=sec), u, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "view", 0),
+        ev(2, 1, "purchase", 100),
+        ev(3, 2, "view", 0),
+        ev(4, 3, "purchase", 10),
+        ev(5, 3, "view", 50),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_convert_time(
+            spark, _write_events(spark, rows)
+        ).collect()
+    ]
+    assert got == [(3, 1, 333333, 100, 100, 100)]
+
+
+def test_events_bursts_closed_form(spark):
+    """Minute counts [1,1,5,5,1]: median 1, threshold 2 -> minutes 2-3
+    burst as one 2-minute run peaking at 5."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_bursts
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    for minute, n in [(0, 1), (1, 1), (2, 5), (3, 5), (4, 1)]:
+        for j in range(n):
+            i += 1
+            rows.append(
+                (
+                    i,
+                    t0 + dt.timedelta(minutes=minute, seconds=j),
+                    1,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+    got = [
+        tuple(r)
+        for r in q_events_bursts(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [("view", 2, 1, 2, 5)]
+
+
+def test_events_profile_closed_form(spark):
+    """Two rows, one with NULL value and props: completeness drops to
+    500000 ppm exactly for those columns; distincts are exact."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_profile
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 1.5, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 2, "view", None, None),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_profile(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [
+        ("event_id", 2, 0, 2, 1000000),
+        ("event_type", 2, 0, 1, 1000000),
+        ("props", 2, 1, 1, 500000),
+        ("ts", 2, 0, 2, 1000000),
+        ("user_id", 2, 0, 2, 1000000),
+        ("value", 2, 1, 1, 500000),
+    ]
