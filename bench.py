@@ -189,6 +189,9 @@ BENCH_QUERIES = [
     "events_convert_time",
     "events_bursts",
     "events_profile",
+    "kg_dangling",
+    "kg_cycles",
+    "events_segment_shift",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

@@ -11856,6 +11856,216 @@ FROM rows_out ORDER BY col_name
 """
 
 
+def q_kg_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the code KG: call mentions whose
+    symbol has NO definition anywhere in the corpus (dangling edges a
+    linker must quarantine), reported per repo with the dangling rate
+    in exact ppm. One left-anti join of call mentions against the
+    distinct defined-symbol dictionary (symbol-hash partitioned — at
+    corpus scale AQE chooses broadcast only if the dictionary fits),
+    then a 7-row repo rollup."""
+    calls, defs = _mention_frames(spark, sf_dir)
+    defined = defs.select("symbol").distinct()
+    calls = calls.localCheckpoint(eager=False)
+    dangling = (
+        calls.join(defined, "symbol", "left_anti")
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dangling"))
+    )
+    totals = calls.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions")
+    )
+    return (
+        totals.join(dangling, "repo", "left")
+        .na.fill({"n_dangling": 0})
+        .select(
+            "repo",
+            "n_mentions",
+            F.col("n_dangling").cast("long").alias("n_dangling"),
+            F.expr(
+                "(n_dangling * 1000000) div greatest(n_mentions, 1)"
+            ).alias("dangling_ppm"),
+        )
+        .orderBy("repo")
+    )
+
+
+SQL_KG_DANGLING = f"""
+WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
+defined AS (SELECT DISTINCT symbol FROM defs_gt)
+SELECT c.repo, count(*)::BIGINT AS n_mentions,
+       sum(CASE WHEN d.symbol IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_dangling,
+       ((sum(CASE WHEN d.symbol IS NULL THEN 1 ELSE 0 END) * 1000000)
+        // greatest(count(*), 1))::BIGINT AS dangling_ppm
+FROM calls_gt c LEFT JOIN defined d ON c.symbol = d.symbol
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_kg_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed cycle census of the import graph: self-loops, 2-cycles
+    (mutual imports) and 3-cycles (a→b→c→a, canonicalized so the
+    smallest module id leads — each cycle counted once) — the
+    dependency-hygiene report a build system runs before topologically
+    ordering a 10^12-file corpus. Cycle joins are edge-table self
+    equi-joins bounded by out-degree ≤ 3 per module; nothing
+    quadratic."""
+    files = derived_source_files(spark, sf_dir).withColumn(
+        "s", F.regexp_extract("path", r"/mod_(\d+)\.py$", 1).cast("long")
+    )
+    edges = (
+        files.select(
+            "s",
+            F.explode(
+                F.regexp_extract_all(
+                    "content", F.lit(X.IMPORT_RE), F.lit(1)
+                )
+            ).alias("module"),
+        )
+        .withColumn(
+            "t",
+            F.regexp_extract("module", r"\.mod_(\d+)$", 1).cast("long"),
+        )
+        .select("s", "t")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e = edges.where(F.col("s") != F.col("t"))
+    m = edges.agg(
+        F.sum((F.col("s") != F.col("t")).cast("long"))
+        .cast("long")
+        .alias("n_edges"),
+        F.sum((F.col("s") == F.col("t")).cast("long"))
+        .cast("long")
+        .alias("n_self"),
+    )
+    ab = e.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    ba = e.select(F.col("t").alias("a"), F.col("s").alias("b"))
+    two = (
+        ab.join(ba, ["a", "b"])
+        .where(F.col("a") < F.col("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_2cycles"))
+    )
+    e1 = e.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = e.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    e3 = e.select(F.col("t").alias("a"), F.col("s").alias("c"))
+    three = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .where((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_3cycles"))
+    )
+    return (
+        m.crossJoin(F.broadcast(two))
+        .crossJoin(F.broadcast(three))
+        .select("n_edges", "n_self", "n_2cycles", "n_3cycles")
+    )
+
+
+SQL_KG_CYCLES = f"""
+WITH {SRC_SQL},
+edges AS (
+  SELECT DISTINCT f.doc_id AS s, i.t AS t
+  FROM files f JOIN (
+    SELECT file_iri, unnest([
+      ((doc_id*31 + 18) % n),
+      CASE WHEN doc_id % 3 >= 1 THEN (doc_id*31 + 35) % n END,
+      CASE WHEN doc_id % 3 >= 2 THEN (doc_id*31 + 52) % n END
+    ]) AS t FROM files
+  ) i ON i.file_iri = f.file_iri
+  WHERE i.t IS NOT NULL
+),
+e AS (SELECT s, t FROM edges WHERE s <> t),
+m AS (
+  SELECT count(*)::BIGINT AS n_edges,
+         (SELECT count(*) FROM edges WHERE s = t)::BIGINT AS n_self
+  FROM e
+),
+two AS (
+  SELECT count(*)::BIGINT AS n_2cycles
+  FROM e x JOIN e y ON x.s = y.t AND x.t = y.s AND x.s < x.t
+),
+three AS (
+  SELECT count(*)::BIGINT AS n_3cycles
+  FROM e x JOIN e y ON y.s = x.t JOIN e z
+    ON z.s = y.t AND z.t = x.s
+  WHERE x.s < x.t AND x.s < y.t
+)
+SELECT n_edges, n_self, n_2cycles, n_3cycles
+FROM m CROSS JOIN two CROSS JOIN three
+"""
+
+
+def q_events_segment_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-segment migration matrix: users banded by first-half
+    spend (cents div 80000, capped at band 3) vs second-half spend
+    (split at 2024-01-16), with row-share in exact ppm — the
+    cohort-movement table behind churn/upsell dashboards. One per-user
+    conditional aggregate, one ≤16-row matrix rollup; band thresholds
+    are integer-exact."""
+    ev = _t(spark, sf_dir, "events")
+    split = "TIMESTAMP_NTZ '2024-01-16 00:00:00'"
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.expr(f"ts < {split}"),
+                F.floor(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("m1"),
+        F.sum(
+            F.when(
+                F.expr(f"ts >= {split}"),
+                F.floor(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("m2"),
+    )
+    mat = (
+        users.select(
+            F.expr("least(m1 div 80000, 3)").alias("band_from"),
+            F.expr("least(m2 div 80000, 3)").alias("band_to"),
+        )
+        .groupBy("band_from", "band_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    wrow = Window.partitionBy("band_from")
+    return (
+        mat.withColumn("row_total", F.sum("n_users").over(wrow))
+        .select(
+            F.col("band_from").cast("long").alias("band_from"),
+            F.col("band_to").cast("long").alias("band_to"),
+            "n_users",
+            F.expr("(n_users * 1000000) div row_total").alias(
+                "row_share_ppm"
+            ),
+        )
+        .orderBy("band_from", "band_to")
+    )
+
+
+SQL_EVENTS_SEGMENT_SHIFT = """
+WITH users AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN floor(value * 100)::BIGINT ELSE 0 END) AS m1,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN floor(value * 100)::BIGINT ELSE 0 END) AS m2
+  FROM events GROUP BY 1
+),
+mat AS (
+  SELECT least(m1 // 80000, 3)::BIGINT AS band_from,
+         least(m2 // 80000, 3)::BIGINT AS band_to,
+         count(*)::BIGINT AS n_users
+  FROM users GROUP BY 1, 2
+)
+SELECT band_from, band_to, n_users,
+       ((n_users * 1000000) //
+        sum(n_users) OVER (PARTITION BY band_from))::BIGINT
+         AS row_share_ppm
+FROM mat ORDER BY band_from, band_to
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -12070,6 +12280,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_convert_time": q_events_convert_time,
     "events_bursts": q_events_bursts,
     "events_profile": q_events_profile,
+    "kg_dangling": q_kg_dangling,
+    "kg_cycles": q_kg_cycles,
+    "events_segment_shift": q_events_segment_shift,
     "kg_rdfs": q_kg_rdfs,
     "kg_shacl": q_kg_shacl,
     "kg_prov": q_kg_prov,
@@ -12295,6 +12508,9 @@ ORACLES: dict[str, str] = {
     "events_convert_time": SQL_EVENTS_CONVERT_TIME,
     "events_bursts": SQL_EVENTS_BURSTS,
     "events_profile": SQL_EVENTS_PROFILE,
+    "kg_dangling": SQL_KG_DANGLING,
+    "kg_cycles": SQL_KG_CYCLES,
+    "events_segment_shift": SQL_EVENTS_SEGMENT_SHIFT,
     "kg_rdfs": SQL_KG_RDFS,
     "kg_shacl": SQL_KG_SHACL,
     "kg_prov": SQL_KG_PROV,

@@ -144,6 +144,9 @@ AUDITED = [
     "events_convert_time",
     "events_bursts",
     "events_profile",
+    "kg_dangling",
+    "kg_cycles",
+    "events_segment_shift",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

@@ -3286,3 +3286,51 @@ def test_events_profile_closed_form(spark):
         ("user_id", 2, 0, 2, 1000000),
         ("value", 2, 1, 1, 500000),
     ]
+
+
+def test_kg_dangling_invariants(spark):
+    """Per-repo audit arithmetic is self-consistent and the derived
+    corpus does contain dangling call mentions (files with
+    doc_id % 17 == 3 are dropped, so calls into them dangle)."""
+    from pyjelly_spark.queries import q_kg_dangling
+
+    rows = q_kg_dangling(spark, SF_DIR).collect()
+    assert len(rows) == 7
+    assert any(r.n_dangling > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_dangling <= r.n_mentions
+        assert r.dangling_ppm == (r.n_dangling * 1000000) // r.n_mentions
+
+
+def test_kg_cycles_closed_form(spark):
+    """7-document corpus, edges hand-derived from the synthesis
+    formulas (doc 3 is dropped by the %17 rule; doc 0 gets the %10
+    extra import 0->5): 11 distinct non-self edges, 2 self-loops
+    (2->2, 5->5), one 2-cycle (4<->5) and one 3-cycle (0->5->1->0)."""
+    from pyjelly_spark.queries import q_kg_cycles
+
+    d = _write_docs(
+        spark, [(i, "t", "en", "s", 1) for i in range(7)]
+    )
+    got = [tuple(r) for r in q_kg_cycles(spark, d).collect()]
+    assert got == [(11, 2, 1, 1)]
+
+
+def test_events_segment_shift_closed_form(spark):
+    """u1 spends 1000.00 in the first half only (band 1 -> band 0);
+    u2 spends 2500.00 in the second half only (band 0 -> band 3)."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_segment_shift
+
+    rows = [
+        (1, dt.datetime(2024, 1, 5), 1, "purchase", 1000.0, "{}"),
+        (2, dt.datetime(2024, 1, 20), 2, "purchase", 2500.0, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_segment_shift(
+            spark, _write_events(spark, rows)
+        ).collect()
+    ]
+    assert got == [(0, 3, 1, 1000000), (1, 0, 1, 1000000)]
