@@ -12066,6 +12066,498 @@ FROM mat ORDER BY band_from, band_to
 """
 
 
+# ---------------------------------------------------------------------------
+# Model-evaluation completions: exact PR curve + fixed-threshold sweep,
+# and reciprocal-best near-dup partner assignment (ER one-to-one matching)
+# ---------------------------------------------------------------------------
+
+
+def q_events_prcurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT precision-recall readout for the spend-ranks-converters
+    model (the PR complement of ``events_auc``: ROC-AUC is blind to
+    class imbalance; average precision is what you tune on rare-positive
+    corpora). Average precision uses the step definition
+    AP = sum_s (np(s)/n_pos) * (cum_pos(s)/cum_n(s)) over DESCENDING
+    score thresholds; each term is floored independently in ppm
+    (deterministic in both engines; the sum under-counts by < #distinct
+    scores ppm, stated rather than hidden). Also emits the best-F1
+    operating point — F1(s) = 2*cum_pos/(cum_n + n_pos) in floor-ppm,
+    ties broken toward the HIGHEST threshold (fewest predicted
+    positives). Plan shape: same as events_auc — one per-user agg, one
+    per-SCORE agg; the only single-partition windows run over distinct
+    scores, never users, so exact AP needs no global per-row sort.
+    decimal(38,0) keeps np*cum_pos*1e6 exact past 10^12 users."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+    per_score = per_user.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("np")
+    )
+    wd = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_score.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_all"),
+        F.count(F.lit(1)).alias("n_thresholds"),
+    )
+    curve = (
+        per_score.withColumn("cum_n", F.sum("n").over(wd))
+        .withColumn("cum_pos", F.sum("np").over(wd))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "score",
+            "n_pos",
+            "n_all",
+            "n_thresholds",
+            "cum_pos",
+            "cum_n",
+            F.expr(
+                "cast(cast(np as decimal(38,0)) * cum_pos * 1000000"
+                " div greatest(cast(n_pos as decimal(38,0)) * cum_n, 1)"
+                " as bigint)"
+            ).alias("term_ppm"),
+            F.expr(
+                "cast(2 * cast(cum_pos as decimal(38,0)) * 1000000"
+                " div (cum_n + n_pos) as bigint)"
+            ).alias("f1_ppm"),
+        )
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        curve.withColumn("ap_ppm", F.sum("term_ppm").over(wall))
+        .withColumn("best_f1_ppm", F.max("f1_ppm").over(wall))
+        .where(F.col("f1_ppm") == F.col("best_f1_ppm"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(F.col("score").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "n_pos",
+            (F.col("n_all") - F.col("n_pos")).cast("long").alias("n_neg"),
+            F.col("n_thresholds").cast("long"),
+            F.col("ap_ppm").cast("long"),
+            F.col("best_f1_ppm").cast("long"),
+            F.col("score").cast("long").alias("best_thr_cents"),
+            F.expr(
+                "cast(cast(cum_pos as decimal(38,0)) * 1000000 div cum_n"
+                " as bigint)"
+            ).alias("prec_at_best_ppm"),
+            F.expr(
+                "cast(cast(cum_pos as decimal(38,0)) * 1000000"
+                " div greatest(n_pos, 1) as bigint)"
+            ).alias("rec_at_best_ppm"),
+        )
+    )
+
+
+SQL_EVENTS_PRCURVE = """
+WITH per_user AS (
+  SELECT user_id, sum(floor(value * 100)::BIGINT) AS score,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+  FROM events GROUP BY 1
+),
+per_score AS (
+  SELECT score, count(*) AS n, sum(label) AS np FROM per_user GROUP BY 1
+),
+tot AS (
+  SELECT sum(np)::BIGINT AS n_pos, sum(n)::BIGINT AS n_all,
+         count(*)::BIGINT AS n_thresholds
+  FROM per_score
+),
+curve AS (
+  SELECT score, n, np,
+         sum(n) OVER (ORDER BY score DESC) AS cum_n,
+         sum(np) OVER (ORDER BY score DESC) AS cum_pos
+  FROM per_score
+),
+scored AS (
+  SELECT c.score, c.cum_n, c.cum_pos, t.n_pos, t.n_all, t.n_thresholds,
+         (c.np::HUGEINT * c.cum_pos * 1000000)
+           // greatest(t.n_pos::HUGEINT * c.cum_n, 1) AS term_ppm,
+         (2 * c.cum_pos::HUGEINT * 1000000) // (c.cum_n + t.n_pos) AS f1_ppm
+  FROM curve c, tot t
+),
+summary AS (
+  SELECT sum(term_ppm)::BIGINT AS ap_ppm, max(f1_ppm)::BIGINT AS best_f1
+  FROM scored
+)
+SELECT s.n_pos AS n_pos, (s.n_all - s.n_pos)::BIGINT AS n_neg,
+       s.n_thresholds AS n_thresholds, su.ap_ppm AS ap_ppm,
+       su.best_f1 AS best_f1_ppm, s.score::BIGINT AS best_thr_cents,
+       ((s.cum_pos::HUGEINT * 1000000) // s.cum_n)::BIGINT
+         AS prec_at_best_ppm,
+       ((s.cum_pos::HUGEINT * 1000000) // greatest(s.n_pos, 1))::BIGINT
+         AS rec_at_best_ppm
+FROM scored s, summary su
+WHERE s.f1_ppm = su.best_f1
+QUALIFY row_number() OVER (ORDER BY s.score DESC) = 1
+"""
+
+
+THRESHOLD_GRID_CENTS = (1000, 2500, 5000, 10000, 25000)
+
+
+def q_events_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix sweep at fixed spend thresholds — the ops table
+    behind every alerting/targeting cutoff decision (events_auc says the
+    ranking works, events_prcurve finds the F1-optimal point; this is
+    the fixed-grid readout a dashboard pins). One per-user agg, one
+    per-SCORE tally; the 5-row threshold grid joins the tally (not the
+    users), so each threshold's TP/FP/FN/TN is a conditional sum over
+    distinct scores. All ratios are floor-ppm over int64 (tp*1e6 is safe
+    to ~9e12 users; past that, lift to decimal)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+    per_score = per_user.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("np")
+    )
+    grid = spark.createDataFrame(
+        [(int(t),) for t in THRESHOLD_GRID_CENTS], "thr_cents: long"
+    )
+    pos = F.col("score") >= F.col("thr_cents")
+    agg = (
+        per_score.crossJoin(F.broadcast(grid))
+        .groupBy("thr_cents")
+        .agg(
+            F.sum(F.when(pos, F.col("np")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(pos, F.col("n") - F.col("np")).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(~pos, F.col("np")).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+            F.sum(F.when(~pos, F.col("n") - F.col("np")).otherwise(0))
+            .cast("long")
+            .alias("tn"),
+        )
+    )
+    return agg.select(
+        "thr_cents",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "((tp + tn) * 1000000) div greatest(tp + fp + fn + tn, 1)"
+        ).alias("acc_ppm"),
+        F.expr("(tp * 1000000) div greatest(tp + fp, 1)").alias("prec_ppm"),
+        F.expr("(tp * 1000000) div greatest(tp + fn, 1)").alias("rec_ppm"),
+        F.expr(
+            "(2 * tp * 1000000) div greatest(2 * tp + fp + fn, 1)"
+        ).alias("f1_ppm"),
+    ).orderBy("thr_cents")
+
+
+SQL_EVENTS_THRESHOLD = f"""
+WITH per_user AS (
+  SELECT user_id, sum(floor(value * 100)::BIGINT) AS score,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+  FROM events GROUP BY 1
+),
+per_score AS (
+  SELECT score, count(*) AS n, sum(label) AS np FROM per_user GROUP BY 1
+),
+grid(thr_cents) AS (
+  VALUES {", ".join(f"({t}::BIGINT)" for t in THRESHOLD_GRID_CENTS)}
+),
+cm AS (
+  SELECT g.thr_cents,
+         sum(CASE WHEN s.score >= g.thr_cents THEN s.np ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN s.score >= g.thr_cents THEN s.n - s.np ELSE 0 END)::BIGINT AS fp,
+         sum(CASE WHEN s.score < g.thr_cents THEN s.np ELSE 0 END)::BIGINT AS fn,
+         sum(CASE WHEN s.score < g.thr_cents THEN s.n - s.np ELSE 0 END)::BIGINT AS tn
+  FROM per_score s, grid g GROUP BY 1
+)
+SELECT thr_cents, tp, fp, fn, tn,
+       ((tp + tn) * 1000000) // greatest(tp + fp + fn + tn, 1) AS acc_ppm,
+       (tp * 1000000) // greatest(tp + fp, 1) AS prec_ppm,
+       (tp * 1000000) // greatest(tp + fn, 1) AS rec_ppm,
+       (2 * tp * 1000000) // greatest(2 * tp + fp + fn, 1) AS f1_ppm
+FROM cm ORDER BY thr_cents
+"""
+
+
+def q_dedup_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-best near-dup partner assignment: among candidate
+    pairs with exact Jaccard >= 0.3, keep (a, b) only when b is a's
+    highest-Jaccard partner AND a is b's — the one-to-one matching pass
+    (ER's reciprocal-best-hit) that turns a pair soup into canonical
+    merge decisions without transitive-chain surprises. Ordering is
+    EXACT: partners compare on (i * 10^12) div union (decimal-floored
+    — two genuinely different small-int fractions with set sizes up to
+    ~3*10^4 shingles always differ at this scale; equal fractions tie-
+    break on the smaller partner id, so both engines pick one winner).
+    Plan shape: the shingle equi-join bounds candidates (never
+    all-pairs, same as dedup_jaccard); the argmax is a row_number
+    window PARTITIONED BY doc over the pair stream — no global sort,
+    no driver state."""
+    from pyjelly_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(_t(spark, sf_dir, "documents"), n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    left = sh.select(F.col("doc_id").alias("a"), "shingle")
+    right = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    pairs = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "i",
+            (F.col("sa") + F.col("sb") - F.col("i")).alias("un"),
+        )
+        .where(F.lit(10) * F.col("i") >= F.lit(3) * F.col("un"))
+    )
+    directed = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "i", "un"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "i", "un"
+        )
+    )
+    keyed = directed.withColumn(
+        "jkey",
+        F.expr(
+            "cast(cast(i as decimal(38,0)) * 1000000000000 div un as bigint)"
+        ),
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("jkey").desc(), F.col("dst").asc()
+    )
+    best = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("src", "dst", "i", "un")
+    )
+    other = best.select(
+        F.col("src").alias("o_src"), F.col("dst").alias("o_dst")
+    )
+    return (
+        best.join(
+            other,
+            (F.col("src") == F.col("o_dst")) & (F.col("dst") == F.col("o_src")),
+        )
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.expr(
+                "cast(cast(i as decimal(38,0)) * 1000000 div un as bigint)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+SQL_DEDUP_MUTUAL_BEST = f"""
+WITH {SHINGLES_SQL.strip()},
+pairs AS (
+  SELECT inter.a, inter.b, i, sa.sz + sb.sz - i AS un
+  FROM inter
+  JOIN sizes sa ON inter.a = sa.doc_id
+  JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE 10 * i >= 3 * (sa.sz + sb.sz - i)
+),
+directed AS (
+  SELECT a AS src, b AS dst, i, un FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst, i, un FROM pairs
+),
+best AS (
+  SELECT src, dst, i, un,
+         row_number() OVER (
+           PARTITION BY src
+           ORDER BY (i::HUGEINT * 1000000000000) // un DESC, dst
+         ) AS rn
+  FROM directed
+)
+SELECT x.src AS a, x.dst AS b,
+       ((x.i::HUGEINT * 1000000) // x.un)::BIGINT AS jaccard_ppm
+FROM best x
+JOIN best y ON x.src = y.dst AND x.dst = y.src AND y.rn = 1
+WHERE x.rn = 1 AND x.src < x.dst
+ORDER BY a, b
+"""
+
+
+def q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement actives: DAU / rolling-7-day WAU / rolling-30-day MAU
+    per observed day plus the stickiness ratios (DAU/WAU, DAU/MAU in
+    floor-ppm) — the product-health counters every event pipeline pins
+    on a dashboard; distinct from events_retention (cohort return
+    rates): this is the calendar view. Exact-distinct at scale: the
+    raw stream first collapses to the DISTINCT (user, day) table —
+    orders smaller than events — and each row then fans out to the ≤7
+    (resp. ≤30) window days it contributes to via an explode over a
+    date sequence, semi-joined to the observed-day grid, so the rolling
+    distincts are plain hash aggregates (no per-day re-scan, no
+    nested-loop range join; the fan-out is bounded by the window length
+    on the deduped table, the classic time-bucketed exact-actives
+    shape). The day grid is whatever days occur — no dense calendar."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def rolling(n_days: int, out: str) -> DataFrame:
+        contrib = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), n_days - 1))
+            ).alias("wday"),
+        )
+        return (
+            contrib.join(
+                F.broadcast(days.select(F.col("day").alias("wday"))), "wday"
+            )
+            .groupBy("wday")
+            .agg(F.count_distinct("user_id").alias(out))
+            .withColumnRenamed("wday", "day")
+        )
+
+    return (
+        dau.join(rolling(7, "wau"), "day")
+        .join(rolling(30, "mau"), "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.expr("(dau * 1000000) div wau").alias("dau_wau_ppm"),
+            F.expr("(dau * 1000000) div mau").alias("dau_mau_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_EVENTS_WAU = """
+WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+wau AS (
+  SELECT d.day, count(DISTINCT u.user_id)::BIGINT AS wau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY 1
+),
+mau AS (
+  SELECT d.day, count(DISTINCT u.user_id)::BIGINT AS mau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 29 AND d.day GROUP BY 1
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+       dau.dau AS dau, wau.wau AS wau, mau.mau AS mau,
+       (dau.dau * 1000000) // wau.wau AS dau_wau_ppm,
+       (dau.dau * 1000000) // mau.mau AS dau_mau_ppm
+FROM dau JOIN wau ON dau.day = wau.day JOIN mau ON dau.day = mau.day
+ORDER BY day
+"""
+
+
+def q_orders_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC revenue classification of parts (the inventory-management
+    Pareto cut): parts are ranked by gross lineitem revenue and
+    classified A/B/C by whether they START before the cumulative 80% /
+    95% boundaries — the boundary test is pure integer cross-
+    multiplication (prev_cum*5 < total*4, prev_cum*20 < total*19), so
+    no division ever enters the class decision and a part holding >80%
+    alone is still (correctly) class A. Reports per-class part counts,
+    revenue and floor-ppm share. The only ordered window runs over the
+    per-PART aggregate (dictionary-sized, same contract as events_gini);
+    ties rank deterministically by part key. Revenue is exact summed
+    cents (floor per line item)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "rev"
+        )
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+    wall = Window.partitionBy(F.lit(1))
+    classed = (
+        per_part.withColumn("cum", F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", F.sum("rev").over(wall))
+        .withColumn("prev_cum", F.col("cum") - F.col("rev"))
+        .withColumn(
+            "abc_class",
+            F.when(
+                F.col("prev_cum") * 5 < F.col("total") * 4, F.lit("A")
+            )
+            .when(F.col("prev_cum") * 20 < F.col("total") * 19, F.lit("B"))
+            .otherwise(F.lit("C")),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+            F.max("total").alias("_total"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "revenue_cents",
+            F.expr("(revenue_cents * 1000000) div _total").alias(
+                "revenue_share_ppm"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+
+
+SQL_ORDERS_ABC = """
+WITH per_part AS (
+  SELECT l_partkey, sum(floor(l_extendedprice * 100)::BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT rev,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) - rev AS prev_cum,
+         sum(rev) OVER () AS total
+  FROM per_part
+),
+classed AS (
+  SELECT rev, total,
+         CASE WHEN prev_cum * 5 < total * 4 THEN 'A'
+              WHEN prev_cum * 20 < total * 19 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class, count(*)::BIGINT AS n_parts,
+       sum(rev)::BIGINT AS revenue_cents,
+       (sum(rev) * 1000000) // max(total) AS revenue_share_ppm
+FROM classed GROUP BY 1 ORDER BY abc_class
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -12288,6 +12780,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_prov": q_kg_prov,
     "kg_sameas": q_kg_sameas,
     "kg_owl": q_kg_owl,
+    "events_prcurve": q_events_prcurve,
+    "events_threshold": q_events_threshold,
+    "dedup_mutual_best": q_dedup_mutual_best,
+    "events_wau": q_events_wau,
+    "orders_abc": q_orders_abc,
 }
 
 ORACLES: dict[str, str] = {
@@ -12516,4 +13013,9 @@ ORACLES: dict[str, str] = {
     "kg_prov": SQL_KG_PROV,
     "kg_sameas": SQL_KG_SAMEAS,
     "kg_owl": SQL_KG_OWL,
+    "events_prcurve": SQL_EVENTS_PRCURVE,
+    "events_threshold": SQL_EVENTS_THRESHOLD,
+    "dedup_mutual_best": SQL_DEDUP_MUTUAL_BEST,
+    "events_wau": SQL_EVENTS_WAU,
+    "orders_abc": SQL_ORDERS_ABC,
 }

@@ -3334,3 +3334,132 @@ def test_events_segment_shift_closed_form(spark):
         ).collect()
     ]
     assert got == [(0, 3, 1, 1000000), (1, 0, 1, 1000000)]
+
+
+def test_events_prcurve_closed_form(spark):
+    """Same 4 users as the AUC test (converters 300, 100; views 200,
+    100). Descending thresholds: s=300 (cum 1/1): term=(1*1e6)//2=
+    500000, f1=(2e6)//3=666666; s=200 (cum 1/2): term 0, f1=(2e6)//4=
+    500000; s=100 (cum 2/4): term=(2e6)//8=250000, f1=(4e6)//6=666666.
+    AP=750000; best F1 666666 ties at 300 and 100 -> highest threshold
+    wins (300), where precision=1e6 and recall=500000."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_prcurve
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "purchase", 3.00, "{}"),
+        (2, t0, 2, "purchase", 1.00, "{}"),
+        (3, t0, 3, "view", 2.00, "{}"),
+        (4, t0, 4, "view", 1.00, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_prcurve(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [(2, 2, 3, 750000, 666666, 300, 1000000, 500000)]
+
+
+def test_events_threshold_closed_form(spark):
+    """Scores: +6000, +2000, -12000, -500 cents (sign = label). Grid
+    1000/2500/5000/10000/25000 confusion cells hand-derived."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_threshold
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "purchase", 60.00, "{}"),
+        (2, t0, 2, "purchase", 20.00, "{}"),
+        (3, t0, 3, "view", 120.00, "{}"),
+        (4, t0, 4, "view", 5.00, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_threshold(
+            spark, _write_events(spark, rows)
+        ).collect()
+    ]
+    assert got == [
+        (1000, 2, 1, 0, 1, 750000, 666666, 1000000, 800000),
+        (2500, 1, 1, 1, 1, 500000, 500000, 500000, 500000),
+        (5000, 1, 1, 1, 1, 500000, 500000, 500000, 500000),
+        (10000, 0, 1, 2, 1, 250000, 0, 0, 0),
+        (25000, 0, 0, 2, 2, 500000, 0, 0, 0),
+    ]
+
+
+def test_dedup_mutual_best_closed_form(spark):
+    """Jaccards: (1,2)=3/4, (1,3)=2/5, (2,3)=2/6. Best partners:
+    1->2, 2->1, 3->1 — only (1,2) is reciprocal; doc 3's best is
+    taken, so it stays unmatched."""
+    from pyjelly_spark.queries import q_dedup_mutual_best
+
+    d = _write_docs(
+        spark,
+        [
+            (1, "a b c d e", "en", "s1", 9),
+            (2, "a b c d e f", "en", "s1", 11),
+            (3, "a b c d x y", "en", "s1", 11),
+        ],
+    )
+    got = [tuple(r) for r in q_dedup_mutual_best(spark, d).collect()]
+    assert got == [(1, 2, 750000)]
+
+
+def test_events_wau_closed_form(spark):
+    """u1 active Jan 1 and Jan 3; u2 active Jan 3 only. Grid = {1st,
+    3rd}. DAU: 1, 2. WAU(1st)=1 (only day in window), WAU(3rd)=2 (u1
+    counted once despite two active days). MAU same as WAU here."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_wau
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 8), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 9), 1, "view", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 3, 8), 1, "view", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 3, 9), 2, "view", 1.0, "{}"),
+    ]
+    got = [
+        tuple(r)
+        for r in q_events_wau(spark, _write_events(spark, rows)).collect()
+    ]
+    assert got == [
+        ("2024-01-01", 1, 1, 1, 1000000, 1000000),
+        ("2024-01-03", 2, 2, 2, 1000000, 1000000),
+    ]
+
+
+def test_orders_abc_closed_form(spark):
+    """Part revenues 70/15/10/5 cents (parts 1-4, total 100).
+    prev_cum: 0, 70, 85, 95. A: prev*5 < 400 -> parts 1,2 (0, 350).
+    B: prev*20 < 1900 -> part 3 (1700). C: part 4 (1900 = 1900)."""
+    import os
+    import tempfile
+
+    from pyjelly_spark.queries import q_orders_abc
+
+    rows = [
+        (1, p, 1, 1, 1.0, cents / 100.0, 0.0, 0.0, "N", "O",
+         __import__("datetime").datetime(2024, 1, 1))
+        for p, cents in [(1, 70), (2, 15), (3, 10), (4, 5)]
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey: long, l_partkey: long, l_suppkey: long, "
+        "l_linenumber: int, l_quantity: double, l_extendedprice: double, "
+        "l_discount: double, l_tax: double, l_returnflag: string, "
+        "l_linestatus: string, l_shipdate: timestamp_ntz",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "lineitem.parquet")
+    )
+    got = [tuple(r) for r in q_orders_abc(spark, d).collect()]
+    assert got == [
+        ("A", 2, 85, 850000),
+        ("B", 1, 10, 100000),
+        ("C", 1, 5, 50000),
+    ]
