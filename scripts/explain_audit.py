@@ -147,6 +147,11 @@ AUDITED = [
     "kg_dangling",
     "kg_cycles",
     "events_segment_shift",
+    "events_prcurve",
+    "events_threshold",
+    "dedup_mutual_best",
+    "events_wau",
+    "orders_abc",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a
