@@ -12558,6 +12558,545 @@ FROM classed GROUP BY 1 ORDER BY abc_class
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H completion: the seven remaining spec queries (q2 q9 q11 q12 q16 q20
+# q21), adapted to this generator. The generator ships no partsupp table, so
+# the supply relation is DERIVED from lineitem: ps := GROUP BY (l_partkey,
+# l_suppkey) with ps_supplycost := min(price_cents // qty) — exact integer
+# floor division (quantities are integral), identical arithmetic on both
+# engines. No commit/receipt dates either, so "late" keeps the q4 convention
+# (l_shipdate > o_orderdate + 60 days). With these, all 22 TPC-H queries run.
+# ---------------------------------------------------------------------------
+
+
+def _derived_ps(spark: SparkSession, sf_dir: str, extra=None) -> DataFrame:
+    """The derived part-supplier supply relation: one shuffle on
+    (l_partkey, l_suppkey); ``extra`` adds more aggregate columns."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (_dec("l_extendedprice") * F.lit(100).cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("price_cents"),
+        "l_shipdate",
+    )
+    aggs = [
+        F.min(F.expr("cast(price_cents div qty as bigint)")).alias("cost_c")
+    ] + (extra or [])
+    return li.groupBy("l_partkey", "l_suppkey").agg(*aggs)
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: the supply relation and
+    its cost derive from lineitem (see _derived_ps); scope is p_size = 15
+    parts supplied from EUROPE. The spec's correlated min-cost subquery
+    becomes a window min over p_partkey — no self-join. Plan: one shuffle
+    builds ps; part (size-filtered) and the 5-row-per-nation supplier x
+    nation x region dim both broadcast; the window adds the only other
+    exchange. Reference semantics: TPC-H spec Q2."""
+    ps = _derived_ps(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") == 15).select(
+        "p_partkey", "p_type"
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        .withColumn("min_cost_c", F.min("cost_c").over(w))
+        .where(F.col("cost_c") == F.col("min_cost_c"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "cost_c")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min((l_extendedprice::DECIMAL(18,2) * 100)::HUGEINT
+             // l_quantity::BIGINT)::BIGINT AS cost_c
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p_partkey, p_type, s_name, s_acctbal, n_name, cost_c,
+         min(cost_c) OVER (PARTITION BY p_partkey) AS min_cost_c
+  FROM part JOIN ps ON p_partkey = l_partkey
+  JOIN eu ON l_suppkey = s_suppkey
+  WHERE p_size = 15
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, cost_c
+FROM cand WHERE cost_c = min_cost_c
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: supply cost from
+    _derived_ps, part scope p_name LIKE '%red%'. profit is exact in
+    decimal-scale-4 units: rev4 - 100 * cost_c * qty. Plan: the red-part
+    dim broadcasts BEFORE the ps aggregation (both the supply agg and the
+    main stream shrink to ~13% of lineitem); li joins ps co-partitioned on
+    (l_partkey, l_suppkey) — one exchange each side — then orders on
+    l_orderkey (the only other big shuffle); supplier/nation broadcast.
+    Reference semantics: TPC-H spec Q9."""
+    part_red = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part_red),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            (_dec("l_extendedprice") * F.lit(100).cast("decimal(18,0)"))
+            .cast("decimal(38,0)")
+            .alias("price_cents"),
+            (
+                (
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+                )
+                * F.lit(10000).cast("decimal(18,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("rev4"),
+        )
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.expr("cast(price_cents div qty as bigint)")).alias("cost_c"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    amount4 = (
+        F.col("rev4").cast("decimal(38,0)")
+        - (F.lit(100) * F.col("cost_c") * F.col("qty")).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    return (
+        li.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum(amount4).alias("p4"))
+        .select(
+            "nation",
+            "o_year",
+            F.col("p4").cast("double").alias("profit4"),
+            # profit can be NEGATIVE: decimal `div` truncates toward zero
+            # while the oracle's // floors, so floor explicitly (the /100
+            # only shifts decimal scale — exact).
+            F.expr("cast(floor(p4 / 100) as bigint)").alias("profit_cents"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_TPCH_Q9 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min((l_extendedprice::DECIMAL(18,2) * 100)::HUGEINT
+             // l_quantity::BIGINT) AS cost_c
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+       sum((l.l_extendedprice::DECIMAL(18,2)
+            * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2))
+            * 10000)::HUGEINT
+           - cost_c * 100 * l.l_quantity::BIGINT)::DOUBLE AS profit4,
+       (sum((l.l_extendedprice::DECIMAL(18,2)
+            * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2))
+            * 10000)::HUGEINT
+           - cost_c * 100 * l.l_quantity::BIGINT) // 100)::BIGINT
+         AS profit_cents
+FROM lineitem l
+JOIN orders ON l.l_orderkey = o_orderkey
+JOIN part ON l.l_partkey = p_partkey
+JOIN ps ON l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
+JOIN supplier ON l.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), adapted: inventory value per part :=
+    sum over ASIA-supplied (part, supplier) pairs of cost_c * total
+    shipped qty; a part is "important" when its value exceeds 2x the
+    average part share — the spec's fixed 0.0001 fraction is calibrated
+    to SF1's part count, so the threshold here self-scales as
+    value * n_parts > 2 * total (exact integer cross-multiply; no
+    floats). Plan: ASIA suppliers broadcast-semi-join prunes lineitem
+    BEFORE the ps agg; the global (total, n_parts) scalar is a 1-row
+    cross join, never a driver collect. Reference: TPC-H spec Q11."""
+    asia_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(asia_supp),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    ps = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (_dec("l_extendedprice") * F.lit(100).cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("price_cents"),
+    ).groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.expr("cast(price_cents div qty as bigint)")).alias("cost_c"),
+        F.sum("qty").alias("sqty"),
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.sum(F.col("cost_c") * F.col("sqty")).alias("value_c")
+    )
+    totals = per_part.agg(
+        F.sum("value_c").alias("total_c"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .where(F.col("value_c") * F.col("n_parts") > F.lit(2) * F.col("total_c"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_c").cast("long").alias("value_c"),
+        )
+        .orderBy(F.desc("value_c"), "p_partkey")
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min((l_extendedprice::DECIMAL(18,2) * 100)::HUGEINT
+             // l_quantity::BIGINT) AS cost_c,
+         sum(l_quantity::BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+scoped AS (
+  SELECT l_partkey, cost_c * qty AS val_c
+  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+per_part AS (
+  SELECT l_partkey, sum(val_c) AS value_c FROM scoped GROUP BY 1
+),
+tot AS (SELECT sum(value_c) AS total_c, count(*) AS n_parts FROM per_part)
+SELECT l_partkey AS p_partkey, value_c::BIGINT AS value_c
+FROM per_part, tot
+WHERE value_c * n_parts > 2 * total_c
+ORDER BY value_c DESC, p_partkey
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority), adapted: no shipmode /
+    commit / receipt columns, so the mode dimension is l_returnflag and
+    "late" is l_shipdate > o_orderdate + 90 days, scoped to 1997
+    shipments. Pure-integer conditional counts. Plan: the shipdate range
+    filter pushes to the lineitem scan; one hash join on the order key;
+    the 90-day predicate evaluates post-join in the same codegen stage.
+    Reference semantics: TPC-H spec Q12."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship count), adapted: the
+    supply pairs derive from lineitem; the spec's supplier-complaint
+    NOT IN becomes s_acctbal < 0; brand/type/size exclusions keep the
+    spec shape on this generator's columns. Plan: distinct pairs is the
+    one shuffle; the excluded-supplier set (tiny) broadcasts as a LEFT
+    ANTI join; the filtered part dim broadcasts; countDistinct rides a
+    second small agg. Reference semantics: TPC-H spec Q16."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#21")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#21' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (part-promotion suppliers), adapted: NATION_3 suppliers
+    who shipped more 'red'-part quantity in 1997 than in all other years
+    combined (2 * qty_1997 > qty_total — the spec's availqty > 0.5 *
+    shipped-qty test re-expressed on the derived supply relation). Plan:
+    the spec's two nested IN subqueries collapse into ONE conditional
+    aggregation over lineitem (no self-join): red parts broadcast-semi
+    prune the scan, one groupBy(part, supp) computes both sums, the
+    nation-filtered supplier dim broadcasts. Reference: TPC-H spec Q20."""
+    part_red = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    in_1997 = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part_red),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            in_1997.alias("in97"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("in97"), F.col("qty")).otherwise(0)).alias(
+                "qty_1997"
+            ),
+            F.sum("qty").alias("qty_total"),
+        )
+        .where(F.col("qty_1997") * 2 > F.col("qty_total"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        shipped.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH_Q20 = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01'
+                  THEN l_quantity::BIGINT ELSE 0 END) AS qty_1997,
+         sum(l_quantity::BIGINT) AS qty_total
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT DISTINCT s_name, n_name
+FROM shipped
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%' AND n_name = 'NATION_3'
+  AND qty_1997 * 2 > qty_total
+ORDER BY s_name
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: "late"
+    keeps the q4 convention (shipdate > orderdate + 60 days); the spec's
+    single-nation scope widens to region AMERICA (sandbox-scale nations
+    have too few suppliers); numwait counts distinct waiting orders. The
+    spec's EXISTS / NOT EXISTS double self-join is re-expressed as two
+    per-order aggregates — an order "waits on" supplier s iff it has >= 2
+    distinct suppliers and s is its ONLY late one. The oracle keeps the
+    spec's correlated EXISTS form, so the gate also proves the rewrite's
+    equivalence. Plan: one groupBy(l_orderkey) over lineitem computes
+    n_supp; late pairs join orders on the order key (co-partitioned with
+    the agg); the late-per-order count is a second small agg; AMERICA
+    suppliers broadcast. Reference semantics: TPC-H spec Q21."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    late_stats = late.groupBy(F.col("l_orderkey").alias("lo")).agg(
+        F.count(F.lit(1)).alias("n_late")
+    )
+    am_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        late.join(order_stats, "l_orderkey")
+        .where(F.col("n_supp") >= 2)
+        .join(late_stats, F.col("l_orderkey") == F.col("lo"))
+        .where(F.col("n_late") == 1)
+        .join(F.broadcast(am_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders ON l.l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l.l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, count(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -12785,6 +13324,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_mutual_best": q_dedup_mutual_best,
     "events_wau": q_events_wau,
     "orders_abc": q_orders_abc,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
 }
 
 ORACLES: dict[str, str] = {
@@ -13018,4 +13564,11 @@ ORACLES: dict[str, str] = {
     "dedup_mutual_best": SQL_DEDUP_MUTUAL_BEST,
     "events_wau": SQL_EVENTS_WAU,
     "orders_abc": SQL_ORDERS_ABC,
+    "tpch_q2": SQL_TPCH_Q2,
+    "tpch_q9": SQL_TPCH_Q9,
+    "tpch_q11": SQL_TPCH_Q11,
+    "tpch_q12": SQL_TPCH_Q12,
+    "tpch_q16": SQL_TPCH_Q16,
+    "tpch_q20": SQL_TPCH_Q20,
+    "tpch_q21": SQL_TPCH_Q21,
 }

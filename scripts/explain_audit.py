@@ -152,6 +152,9 @@ AUDITED = [
     "dedup_mutual_best",
     "events_wau",
     "orders_abc",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q21",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a

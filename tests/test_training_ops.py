@@ -3463,3 +3463,304 @@ def test_orders_abc_closed_form(spark):
         ("B", 1, 10, 100000),
         ("C", 1, 5, 50000),
     ]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion batch (q2 q9 q11 q12 q16 q20 q21)
+# ---------------------------------------------------------------------------
+
+_LI_SCHEMA = (
+    "l_orderkey: long, l_partkey: long, l_suppkey: long, "
+    "l_linenumber: int, l_quantity: double, l_extendedprice: double, "
+    "l_discount: double, l_tax: double, l_returnflag: string, "
+    "l_linestatus: string, l_shipdate: timestamp_ntz"
+)
+_PART_SCHEMA = (
+    "p_partkey: long, p_name: string, p_brand: string, "
+    "p_type: string, p_size: int, p_retailprice: double"
+)
+_SUPP_SCHEMA = (
+    "s_suppkey: long, s_name: string, s_nationkey: int, s_acctbal: double"
+)
+_NATION_SCHEMA = "n_nationkey: int, n_name: string, n_regionkey: int"
+_REGION_SCHEMA = "r_regionkey: int, r_name: string"
+_ORD_SCHEMA = (
+    "o_orderkey: long, o_custkey: long, o_orderstatus: string, "
+    "o_totalprice: double, o_orderdate: timestamp_ntz, "
+    "o_orderpriority: string"
+)
+
+
+def _li(ok, pk, sk, qty, price, disc=0.0, flag="N", ship=None):
+    import datetime as dt
+
+    return (
+        ok, pk, sk, 1, float(qty), float(price), disc, 0.0, flag, "O",
+        ship or dt.datetime(1996, 6, 1),
+    )
+
+
+def test_tpch_q2_closed_form(spark):
+    """p1 (size 15): EU suppliers s1 at derived cost 250 (min of 250,
+    300) and s2 at 300; s3 is cheaper but non-EU -> ignored; p2 has the
+    wrong size. Expect exactly s1's row with cost 250."""
+    from pyjelly_spark.queries import q_tpch_q2
+
+    d = _write_tpch(
+        spark,
+        {
+            "part": (
+                [(1, "a", "Brand#11", "SMALL", 15, 1.0),
+                 (2, "b", "Brand#11", "SMALL", 10, 1.0)],
+                _PART_SCHEMA,
+            ),
+            "supplier": (
+                [(1, "S1", 0, 7.5), (2, "S2", 0, 9.0), (3, "S3", 1, 1.0)],
+                _SUPP_SCHEMA,
+            ),
+            "nation": (
+                [(0, "NATION_0", 0), (1, "NATION_1", 1)], _NATION_SCHEMA
+            ),
+            "region": ([(0, "EUROPE"), (1, "ASIA")], _REGION_SCHEMA),
+            "lineitem": (
+                [
+                    _li(1, 1, 1, 2, 5.00),   # s1-p1 unit 500//2 = 250
+                    _li(2, 1, 1, 1, 3.00),   # s1-p1 unit 300 (not the min)
+                    _li(3, 1, 2, 1, 3.00),   # s2-p1 unit 300
+                    _li(4, 1, 3, 1, 1.00),   # s3 non-EU unit 100
+                    _li(5, 2, 1, 1, 1.00),   # wrong part size
+                ],
+                _LI_SCHEMA,
+            ),
+        },
+    )
+    got = [tuple(r) for r in q_tpch_q2(spark, d).collect()]
+    assert got == [(7.5, "S1", "NATION_0", 1, "SMALL", 250)]
+
+
+def test_tpch_q9_closed_form(spark):
+    """Red part p1 via s1 (nation 0): lines (qty 1, 10.00, no disc) and
+    (qty 2, 30.00, 50% disc) -> cost_c = min(1000, 1500) = 1000;
+    profit4 = (100000 - 100000) + (150000 - 200000) = -50000 ->
+    floor(-500.00) = -500 cents (floor-vs-truncate parity on a
+    NEGATIVE profit). Non-red p2 is excluded."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_tpch_q9
+
+    t = dt.datetime(1997, 3, 1)
+    d = _write_tpch(
+        spark,
+        {
+            "part": (
+                [(1, "red widget", "Brand#11", "SMALL", 1, 1.0),
+                 (2, "blue bolt", "Brand#11", "SMALL", 1, 1.0)],
+                _PART_SCHEMA,
+            ),
+            "supplier": ([(1, "S1", 0, 1.0)], _SUPP_SCHEMA),
+            "nation": ([(0, "NATION_0", 0)], _NATION_SCHEMA),
+            "orders": (
+                [(1, 1, "O", 1.0, t, "5-LOW")], _ORD_SCHEMA
+            ),
+            "lineitem": (
+                [
+                    _li(1, 1, 1, 1, 10.00, ship=t),
+                    _li(1, 1, 1, 2, 30.00, disc=0.5, ship=t),
+                    _li(1, 2, 1, 1, 99.00, ship=t),
+                ],
+                _LI_SCHEMA,
+            ),
+        },
+    )
+    got = [tuple(r) for r in q_tpch_q9(spark, d).collect()]
+    assert got == [("NATION_0", 1997, -50000.0, -500)]
+
+
+def test_tpch_q11_closed_form(spark):
+    """ASIA pairs: s1-p1 value 10*10=100, s1-p2 value 10, s2-p3 value
+    10; s3-p1 (non-ASIA) huge but excluded. total=120, n_parts=3:
+    only p1 passes 100*3 > 2*120."""
+    from pyjelly_spark.queries import q_tpch_q11
+
+    d = _write_tpch(
+        spark,
+        {
+            "supplier": (
+                [(1, "S1", 0, 1.0), (2, "S2", 0, 1.0), (3, "S3", 1, 1.0)],
+                _SUPP_SCHEMA,
+            ),
+            "nation": (
+                [(0, "NATION_0", 0), (1, "NATION_1", 1)], _NATION_SCHEMA
+            ),
+            "region": ([(0, "ASIA"), (1, "EUROPE")], _REGION_SCHEMA),
+            "lineitem": (
+                [
+                    _li(1, 1, 1, 10, 1.00),    # cost 100//10=10, qty 10
+                    _li(2, 2, 1, 10, 0.10),    # cost 1, qty 10
+                    _li(3, 3, 2, 5, 0.10),     # cost 2, qty 5
+                    _li(4, 1, 3, 100, 100.0),  # non-ASIA, excluded
+                ],
+                _LI_SCHEMA,
+            ),
+        },
+    )
+    got = [tuple(r) for r in q_tpch_q11(spark, d).collect()]
+    assert got == [(1, 100)]
+
+
+def test_tpch_q12_closed_form(spark):
+    """1997 shipments >90 days after order date: one on an URGENT order
+    (high), one on a LOW order (low); an on-time line and a 1996 line
+    are excluded."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_tpch_q12
+
+    od = dt.datetime(1997, 1, 1)
+    late = dt.datetime(1997, 6, 1)
+    ontime = dt.datetime(1997, 2, 1)
+    d = _write_tpch(
+        spark,
+        {
+            "orders": (
+                [(1, 1, "O", 1.0, od, "1-URGENT"),
+                 (2, 1, "O", 1.0, od, "5-LOW"),
+                 (3, 1, "O", 1.0, dt.datetime(1996, 1, 1), "5-LOW")],
+                _ORD_SCHEMA,
+            ),
+            "lineitem": (
+                [
+                    _li(1, 1, 1, 1, 1.0, flag="A", ship=late),
+                    _li(2, 1, 1, 1, 1.0, flag="A", ship=late),
+                    _li(1, 1, 1, 1, 1.0, flag="A", ship=ontime),
+                    _li(3, 1, 1, 1, 1.0, flag="A",
+                        ship=dt.datetime(1996, 6, 1)),
+                ],
+                _LI_SCHEMA,
+            ),
+        },
+    )
+    got = [tuple(r) for r in q_tpch_q12(spark, d).collect()]
+    assert got == [("A", 1, 1)]
+
+
+def test_tpch_q16_closed_form(spark):
+    """Qualifying part p1 supplied by ok-supplier s1 (twice -> distinct
+    1) and negative-balance s2 (excluded); p2/p3/p4 fail the
+    brand/type/size predicates."""
+    from pyjelly_spark.queries import q_tpch_q16
+
+    d = _write_tpch(
+        spark,
+        {
+            "part": (
+                [(1, "a", "Brand#11", "STANDARD", 4, 1.0),
+                 (2, "b", "Brand#21", "STANDARD", 4, 1.0),
+                 (3, "c", "Brand#11", "PROMO", 4, 1.0),
+                 (4, "d", "Brand#11", "STANDARD", 5, 1.0)],
+                _PART_SCHEMA,
+            ),
+            "supplier": (
+                [(1, "S1", 0, 5.0), (2, "S2", 0, -1.0)], _SUPP_SCHEMA
+            ),
+            "lineitem": (
+                [
+                    _li(1, 1, 1, 1, 1.0),
+                    _li(2, 1, 1, 1, 1.0),
+                    _li(3, 1, 2, 1, 1.0),
+                    _li(4, 2, 1, 1, 1.0),
+                    _li(5, 3, 1, 1, 1.0),
+                    _li(6, 4, 1, 1, 1.0),
+                ],
+                _LI_SCHEMA,
+            ),
+        },
+    )
+    got = [tuple(r) for r in q_tpch_q16(spark, d).collect()]
+    assert got == [("Brand#11", "STANDARD", 4, 1)]
+
+
+def test_tpch_q20_closed_form(spark):
+    """s1 shipped red-part qty 6 in 1997 vs 10 total (12 > 10 passes);
+    s2 shipped 4 of 10 (fails); s3 is in the wrong nation; s1's non-red
+    volume is ignored."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_tpch_q20
+
+    y97 = dt.datetime(1997, 6, 1)
+    y96 = dt.datetime(1996, 6, 1)
+    d = _write_tpch(
+        spark,
+        {
+            "part": (
+                [(1, "red widget", "Brand#11", "SMALL", 1, 1.0),
+                 (2, "blue bolt", "Brand#11", "SMALL", 1, 1.0)],
+                _PART_SCHEMA,
+            ),
+            "supplier": (
+                [(1, "S1", 3, 1.0), (2, "S2", 3, 1.0), (3, "S3", 0, 1.0)],
+                _SUPP_SCHEMA,
+            ),
+            "nation": (
+                [(3, "NATION_3", 0), (0, "NATION_0", 0)], _NATION_SCHEMA
+            ),
+            "lineitem": (
+                [
+                    _li(1, 1, 1, 6, 1.0, ship=y97),
+                    _li(2, 1, 1, 4, 1.0, ship=y96),
+                    _li(3, 1, 2, 4, 1.0, ship=y97),
+                    _li(4, 1, 2, 6, 1.0, ship=y96),
+                    _li(5, 1, 3, 10, 1.0, ship=y97),
+                    _li(6, 2, 1, 100, 1.0, ship=y96),
+                ],
+                _LI_SCHEMA,
+            ),
+        },
+    )
+    got = [tuple(r) for r in q_tpch_q20(spark, d).collect()]
+    assert got == [("S1", "NATION_3")]
+
+
+def test_tpch_q21_closed_form(spark):
+    """o1: s1 late, s2 on time -> s1 waits. o2: both late -> nobody.
+    o3: s1 alone -> no second supplier. o4: status O -> excluded.
+    All suppliers in AMERICA."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_tpch_q21
+
+    od = dt.datetime(1996, 1, 1)
+    late = dt.datetime(1996, 6, 1)
+    ontime = dt.datetime(1996, 2, 1)
+    d = _write_tpch(
+        spark,
+        {
+            "supplier": (
+                [(1, "S1", 0, 1.0), (2, "S2", 0, 1.0)], _SUPP_SCHEMA
+            ),
+            "nation": ([(0, "NATION_0", 0)], _NATION_SCHEMA),
+            "region": ([(0, "AMERICA")], _REGION_SCHEMA),
+            "orders": (
+                [(1, 1, "F", 1.0, od, "5-LOW"),
+                 (2, 1, "F", 1.0, od, "5-LOW"),
+                 (3, 1, "F", 1.0, od, "5-LOW"),
+                 (4, 1, "O", 1.0, od, "5-LOW")],
+                _ORD_SCHEMA,
+            ),
+            "lineitem": (
+                [
+                    _li(1, 1, 1, 1, 1.0, ship=late),
+                    _li(1, 1, 2, 1, 1.0, ship=ontime),
+                    _li(2, 1, 1, 1, 1.0, ship=late),
+                    _li(2, 1, 2, 1, 1.0, ship=late),
+                    _li(3, 1, 1, 1, 1.0, ship=late),
+                    _li(4, 1, 1, 1, 1.0, ship=late),
+                    _li(4, 1, 2, 1, 1.0, ship=ontime),
+                ],
+                _LI_SCHEMA,
+            ),
+        },
+    )
+    got = [tuple(r) for r in q_tpch_q21(spark, d).collect()]
+    assert got == [("S1", 1)]
