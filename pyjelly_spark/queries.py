@@ -13097,6 +13097,273 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# Batch: per-doc TF-IDF top terms, model calibration readout, item-item CF
+# ---------------------------------------------------------------------------
+
+
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinguishing terms by EXACT integer TF-IDF
+    ranking: score = tf * 1e6 // df is monotone in tf/df, so the ranking
+    equals the classic tf-idf ordering without a single float log —
+    bit-identical across engines (ties break by term). The keyword /
+    topic-label extraction step of an LLM-corpus pipeline.
+
+    Scale shape: one explode to (doc, term) tf pairs, then df as a
+    window count over ``term`` (ONE hash exchange — groupBy+join-back
+    would pay two; same pattern as dup_span_fraction), then the per-doc
+    top-3 window. Everything after the explode is linear in distinct
+    (doc, term) pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(T.words(T.normalized(F.col("text")))).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn(
+        "tfidf_score",
+        F.expr("cast((tf * 1000000) div df as bigint)"),
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf_score", "rank")
+    )
+
+
+SQL_DOC_TOP_TERMS = rf"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM w WHERE term <> '' GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf
+),
+r AS (
+  SELECT doc_id, term, tf, df, (tf * 1000000) // df AS tfidf_score,
+         row_number() OVER (PARTITION BY doc_id
+             ORDER BY (tf * 1000000) // df DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df,
+       tfidf_score::BIGINT AS tfidf_score, rank::BIGINT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+def q_events_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration (reliability) readout with an exact per-bin
+    Brier score: prediction units are (user, day); the "model" scores a
+    day by its non-purchase engagement value and predicts conversion as
+    the score's corpus percentile (ppm); bins are prediction deciles.
+    Per bin: unit/positive counts, exact mean prediction, observed rate,
+    and the Brier contribution — all integer ppm, no floats.
+
+    Scale shape: the percentile needs NO global per-unit sort — the bin
+    statistics only depend on per-SCORE tallies (same tally
+    reconstruction as events_auc), so the single-partition window runs
+    over distinct scores; unit-level rows never leave their hash
+    partitions after the two aggs."""
+    ev = _t(spark, sf_dir, "events")
+    per_unit = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") != "purchase",
+                    F.floor(F.col("value") * 100).cast("long"),
+                )
+            ),
+            F.lit(0),
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+    per_score = per_unit.groupBy("score").agg(
+        F.count(F.lit(1)).alias("ns"), F.sum("label").alias("np")
+    )
+    ws = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = per_score.agg(F.sum("ns").alias("nu"))
+    binned = (
+        per_score.withColumn("below", F.sum("ns").over(ws) - F.col("ns"))
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pred_ppm", F.expr("cast((below * 1000000) div nu as bigint)")
+        )
+        .withColumn(
+            "bin",
+            F.least(F.expr("cast(pred_ppm * 10 div 1000000 as bigint)"), F.lit(9)),
+        )
+    )
+    dec = "cast({} as decimal(38,0))"
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("ns").cast("long").alias("n_units"),
+            F.sum("np").cast("long").alias("n_pos"),
+            F.sum(F.expr(dec.format("pred_ppm * ns"))).alias("sp"),
+            F.sum(
+                F.expr(
+                    dec.format(
+                        "np * (1000000 - pred_ppm) * (1000000 - pred_ppm)"
+                        " + (ns - np) * pred_ppm * pred_ppm"
+                    )
+                )
+            ).alias("sq"),
+        )
+        .select(
+            "bin",
+            "n_units",
+            "n_pos",
+            F.expr("cast(sp div n_units as bigint)").alias("mean_pred_ppm"),
+            F.expr(
+                "cast(cast(n_pos as decimal(38,0)) * 1000000 div n_units"
+                " as bigint)"
+            ).alias("obs_rate_ppm"),
+            F.expr("cast(sq div n_units div 1000000 as bigint)").alias(
+                "brier_x1e6"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_EVENTS_CALIBRATION = """
+WITH per_unit AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         coalesce(sum(CASE WHEN event_type <> 'purchase'
+                           THEN floor(value*100)::BIGINT END), 0) AS score,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+  FROM events GROUP BY 1, 2
+),
+n AS (SELECT count(*) AS nu FROM per_unit),
+per_score AS (
+  SELECT score, count(*) AS ns, sum(label) AS np FROM per_unit GROUP BY 1
+),
+cum AS (
+  SELECT score, ns, np,
+         sum(ns) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) - ns AS below
+  FROM per_score
+),
+binned AS (
+  SELECT least(((below * 1000000) // nu) * 10 // 1000000, 9) AS bin,
+         ns, np, (below * 1000000) // nu AS pred_ppm
+  FROM cum, n
+)
+SELECT bin::BIGINT AS bin, sum(ns)::BIGINT AS n_units,
+       sum(np)::BIGINT AS n_pos,
+       (sum(pred_ppm * ns) // sum(ns))::BIGINT AS mean_pred_ppm,
+       (sum(np) * 1000000 // sum(ns))::BIGINT AS obs_rate_ppm,
+       ((sum(np * (1000000 - pred_ppm) * (1000000 - pred_ppm)
+            + (ns - np) * pred_ppm * pred_ppm) // sum(ns)) // 1000000)::BIGINT
+         AS brier_x1e6
+FROM binned GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_events_itemcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 most-similar items per
+    item by co-occurrence cosine over the (user, item) interaction set
+    (item := the props.k facet). Ranking by co^2 * 1e6 // (n_a * n_b) is
+    monotone in cosine^2, so the neighbor ordering is the cosine
+    ordering with zero floats (ties break by neighbor id).
+
+    Scale shape: interactions dedup to distinct (user, item) [one
+    shuffle]; the pair generation is a self-equi-join on user_id — its
+    fan-out is quadratic in a user's distinct-item count, which is the
+    standard CF regime (at corpus scale, cap per-user items or sample
+    heavy users; the oracle path keeps the exact join). Item counts
+    broadcast back onto the pair aggregate."""
+    ui = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .distinct()
+    )
+    cnt = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = ui.select("user_id", F.col("item").alias("ia"))
+    b = ui.select("user_id", F.col("item").alias("ib"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    sym = pairs.select(
+        F.col("ia").alias("item"), F.col("ib").alias("neighbor"), "co"
+    ).unionAll(
+        pairs.select(
+            F.col("ib").alias("item"), F.col("ia").alias("neighbor"), "co"
+        )
+    )
+    ca = cnt.select(F.col("item").alias("item"), F.col("n").alias("n_item"))
+    cb = cnt.select(
+        F.col("item").alias("neighbor"), F.col("n").alias("n_neighbor")
+    )
+    wr = Window.partitionBy("item").orderBy(
+        F.desc("cos2_ppm"), F.asc("neighbor")
+    )
+    return (
+        sym.join(F.broadcast(ca), "item")
+        .join(F.broadcast(cb), "neighbor")
+        .withColumn(
+            "cos2_ppm",
+            F.expr("cast(co * co * 1000000 div (n_item * n_neighbor) as bigint)"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("item", "neighbor", "co", "n_item", "n_neighbor",
+                "cos2_ppm", "rank")
+    )
+
+
+SQL_EVENTS_ITEMCF = """
+WITH ui AS (
+  SELECT DISTINCT user_id, json_extract(props, '$.k')::BIGINT AS item
+  FROM events
+),
+cnt AS (SELECT item, count(*) AS n FROM ui GROUP BY 1),
+pairs AS (
+  SELECT a.item AS ia, b.item AS ib, count(*) AS co
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT ia AS item, ib AS neighbor, co FROM pairs
+  UNION ALL SELECT ib, ia, co FROM pairs
+),
+scored AS (
+  SELECT s.item, s.neighbor, s.co, ca.n AS n_item, cb.n AS n_neighbor,
+         (s.co * s.co * 1000000) // (ca.n * cb.n) AS cos2_ppm
+  FROM sym s JOIN cnt ca ON s.item = ca.item
+  JOIN cnt cb ON s.neighbor = cb.item
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY item
+        ORDER BY cos2_ppm DESC, neighbor) AS rank FROM scored)
+SELECT item, neighbor, co::BIGINT AS co, n_item::BIGINT AS n_item,
+       n_neighbor::BIGINT AS n_neighbor, cos2_ppm::BIGINT AS cos2_ppm,
+       rank::BIGINT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -13331,6 +13598,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q16": q_tpch_q16,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
+    "doc_top_terms": q_doc_top_terms,
+    "events_calibration": q_events_calibration,
+    "events_itemcf": q_events_itemcf,
 }
 
 ORACLES: dict[str, str] = {
@@ -13571,4 +13841,7 @@ ORACLES: dict[str, str] = {
     "tpch_q16": SQL_TPCH_Q16,
     "tpch_q20": SQL_TPCH_Q20,
     "tpch_q21": SQL_TPCH_Q21,
+    "doc_top_terms": SQL_DOC_TOP_TERMS,
+    "events_calibration": SQL_EVENTS_CALIBRATION,
+    "events_itemcf": SQL_EVENTS_ITEMCF,
 }

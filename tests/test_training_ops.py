@@ -3764,3 +3764,103 @@ def test_tpch_q21_closed_form(spark):
     )
     got = [tuple(r) for r in q_tpch_q21(spark, d).collect()]
     assert got == [("S1", 1)]
+
+
+def test_doc_top_terms_closed_form(spark):
+    """doc1 'apple apple banana common': apple 2/1 -> 2000000, banana
+    1/1 -> 1000000, common 1/2 -> 500000; doc2 has only 2 terms."""
+    import os
+    import tempfile
+
+    from pyjelly_spark.queries import q_doc_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "Apple apple  banana common", "en", "s", 26),
+         (2, "common cherry", "en", "s", 13)],
+        "doc_id: long, text: string, lang: string, source: string, "
+        "n_chars: long",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = [tuple(r) for r in
+           q_doc_top_terms(spark, d).orderBy("doc_id", "rank").collect()]
+    assert got == [
+        (1, "apple", 2, 1, 2000000, 1),
+        (1, "banana", 1, 1, 1000000, 2),
+        (1, "common", 1, 2, 500000, 3),
+        (2, "cherry", 1, 1, 1000000, 1),
+        (2, "common", 1, 2, 500000, 2),
+    ]
+
+
+def test_events_calibration_closed_form(spark):
+    """5 (user, day) units with distinct scores 10..50 and labels
+    1,0,1,0,1 -> percentiles 0/200k/400k/600k/800k ppm, bins
+    0/2/4/6/8, exact Brier per bin."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pyjelly_spark.queries import q_events_calibration
+
+    rows, eid = [], 0
+    for u, (score, label) in enumerate(
+        [(10, 1), (20, 0), (30, 1), (40, 0), (50, 1)]
+    ):
+        ts = dt.datetime(2024, 1, 1 + u, 12, 0, 0)
+        rows.append((eid, ts, u, "click", score / 100.0, "{}")); eid += 1
+        if label:
+            rows.append((eid, ts, u, "purchase", 99.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp_ntz, user_id: long, "
+        "event_type: string, value: double, props: string",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = [tuple(r) for r in q_events_calibration(spark, d).collect()]
+    assert got == [
+        (0, 1, 1, 0, 1000000, 1000000),
+        (2, 1, 0, 200000, 0, 40000),
+        (4, 1, 1, 400000, 1000000, 360000),
+        (6, 1, 0, 600000, 0, 360000),
+        (8, 1, 1, 800000, 1000000, 40000),
+    ]
+
+
+def test_events_itemcf_closed_form(spark):
+    """u1,u2 share {1,2}; u3 has {1,3}: co(1,2)=2, co(1,3)=1;
+    n1=3, n2=2, n3=1 -> cos2(1,2)=666666 ppm, cos2(1,3)=333333."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pyjelly_spark.queries import q_events_itemcf
+
+    t = dt.datetime(2024, 1, 1)
+    rows = []
+    for eid, (u, k) in enumerate(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (3, 3)]
+    ):
+        rows.append((eid, t, u, "click", 1.0, '{"k": %d}' % k))
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp_ntz, user_id: long, "
+        "event_type: string, value: double, props: string",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = [tuple(r) for r in
+           q_events_itemcf(spark, d).orderBy("item", "rank").collect()]
+    assert got == [
+        (1, 2, 2, 3, 2, 666666, 1),
+        (1, 3, 1, 3, 1, 333333, 2),
+        (2, 1, 2, 2, 3, 666666, 1),
+        (3, 1, 1, 1, 3, 333333, 1),
+    ]
