@@ -12722,10 +12722,10 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation",
             "o_year",
             F.col("p4").cast("double").alias("profit4"),
-            # profit can be NEGATIVE: decimal `div` truncates toward zero
-            # while the oracle's // floors, so floor explicitly (the /100
-            # only shifts decimal scale — exact).
-            F.expr("cast(floor(p4 / 100) as bigint)").alias("profit_cents"),
+            # profit can be NEGATIVE: both Spark decimal `div` and the
+            # oracle's integer `//` truncate toward zero (verified:
+            # duckdb -7 // 2 = -3), so `div` is the exact match.
+            F.expr("cast(p4 div 100 as bigint)").alias("profit_cents"),
         )
         .orderBy("nation", F.desc("o_year"))
     )

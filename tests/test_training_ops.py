@@ -3540,10 +3540,11 @@ def test_tpch_q2_closed_form(spark):
 
 def test_tpch_q9_closed_form(spark):
     """Red part p1 via s1 (nation 0): lines (qty 1, 10.00, no disc) and
-    (qty 2, 30.00, 50% disc) -> cost_c = min(1000, 1500) = 1000;
-    profit4 = (100000 - 100000) + (150000 - 200000) = -50000 ->
-    floor(-500.00) = -500 cents (floor-vs-truncate parity on a
-    NEGATIVE profit). Non-red p2 is excluded."""
+    (qty 2, 30.01, 50% disc) -> cost_c = min(1000, 1500) = 1000;
+    profit4 = (100000 - 100000) + (150050 - 200000) = -49950 ->
+    trunc(-499.50) = -499 cents (truncate-toward-zero parity on a
+    NEGATIVE non-divisible profit; duckdb // truncates like Spark
+    div). Non-red p2 is excluded."""
     import datetime as dt
 
     from pyjelly_spark.queries import q_tpch_q9
@@ -3565,7 +3566,7 @@ def test_tpch_q9_closed_form(spark):
             "lineitem": (
                 [
                     _li(1, 1, 1, 1, 10.00, ship=t),
-                    _li(1, 1, 1, 2, 30.00, disc=0.5, ship=t),
+                    _li(1, 1, 1, 2, 30.01, disc=0.5, ship=t),
                     _li(1, 2, 1, 1, 99.00, ship=t),
                 ],
                 _LI_SCHEMA,
@@ -3573,7 +3574,7 @@ def test_tpch_q9_closed_form(spark):
         },
     )
     got = [tuple(r) for r in q_tpch_q9(spark, d).collect()]
-    assert got == [("NATION_0", 1997, -50000.0, -500)]
+    assert got == [("NATION_0", 1997, -49950.0, -499)]
 
 
 def test_tpch_q11_closed_form(spark):
