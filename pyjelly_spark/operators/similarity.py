@@ -815,3 +815,59 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "l2_dist", "rank")
     )
+
+
+GRAM_SCHEMA = StructType(
+    [
+        StructField("i", LongType(), False),
+        StructField("j", LongType(), False),
+        StructField("g", LongType(), False),
+    ]
+)
+
+
+def gram_matrix(
+    emb: DataFrame, vec_col: str = "embedding", scale: int = 10_000
+) -> DataFrame:
+    """Exact distributed Gram matrix X^T X over floor-scaled integer
+    vectors — the X^T X primitive under covariance / PCA / linear
+    probes, as the classic partial-sum pattern: each Arrow batch
+    computes its d x d integer Gram with ONE numpy matmul and emits
+    only the d(d+1)/2 upper triangle, so the shuffle carries
+    O(parts * d^2) rows — never the corpus. The final reduce sums
+    partials in decimal(38,0) (a 10^9-vector corpus overflows int64).
+
+    Exactness: values floor-scale through float64 (both engines'
+    double semantics are IEEE-identical) and every product/sum is
+    integer — bit-equal on any partitioning, any summation order.
+
+    Returns (i, j, gram_x) for i <= j, 1-based dims.
+    """
+    d_probe = len(emb.select(vec_col).first()[0])
+    iu, ju = np.triu_indices(d_probe)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((d_probe, d_probe), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xs = np.floor(x * scale).astype(np.int64)
+            acc += xs.T @ xs
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "g": acc[iu, ju]}
+            )
+
+    partials = emb.select(vec_col).mapInPandas(partial, schema=GRAM_SCHEMA)
+    return (
+        partials.groupBy("i", "j")
+        .agg(
+            F.sum(F.col("g").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("gram_x")
+        )
+        .orderBy("i", "j")
+    )

@@ -13364,6 +13364,397 @@ FROM r WHERE rank <= 3
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Batch: embedding linear algebra (Gram, class centroids, ANOVA F-scores)
+# and per-user activity streaks
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix X^T X of the embedding corpus over floor-scaled
+    integers (operators/similarity.py::gram_matrix): per-partition numpy
+    partial Grams, one d x d triangle per Arrow batch on the shuffle —
+    the covariance/PCA/linear-probe primitive at corpus scale."""
+    from pyjelly_spark.operators.similarity import gram_matrix
+
+    return gram_matrix(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_GRAM = """
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         floor(unnest(embedding)::DOUBLE * 10000)::BIGINT AS x
+  FROM embeddings
+)
+SELECT a.i::BIGINT AS i, b.i::BIGINT AS j,
+       sum(a.x * b.x)::BIGINT AS gram_x
+FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids in exact scaled integers: one
+    posexplode + one groupBy((label, dim)) — class prototypes for
+    nearest-centroid classification / LDA prep. mean_x4 is the
+    truncating integer mean at 1e-4 scale (engine-portable; both
+    engines truncate toward zero)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "v"),
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * 10000).cast("long").alias("x"),
+    )
+    return (
+        flat.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sum_x"),
+        )
+        .withColumn(
+            "mean_x4", F.expr("cast((sum_x * 10000) div n as bigint)")
+        )
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH flat AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         floor(unnest(embedding)::DOUBLE * 10000)::BIGINT AS x
+  FROM embeddings
+)
+SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+       count(*)::BIGINT AS n, sum(x)::BIGINT AS sum_x,
+       ((sum(x) * 10000) // count(*))::BIGINT AS mean_x4
+FROM flat GROUP BY 1, 2
+"""
+
+
+def q_embedding_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension ANOVA F-score of the embedding space against the
+    label column — the classic univariate feature-selection statistic,
+    entirely in exact integer arithmetic: between-class scatter uses the
+    cross-multiplied form sum_c (s_c*N - S*n_c)^2 / (n_c*N^2) and
+    within-class scatter sum_c (ss_c - s_c^2/n_c), both truncating at
+    the division (identical on both engines; numerators are squares, so
+    truncate == floor). Scale shape: one explode + one groupBy((dim,
+    label)); the window totals run over the tiny (dim x class) frame."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "v"),
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * 10000).cast("long").alias("x"),
+    )
+    per_class = flat.groupBy("dim", "label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    wd = Window.partitionBy("dim")
+    tot = per_class.withColumn("nt", F.sum("n").over(wd)).withColumn(
+        "st", F.sum("s").over(wd)
+    )
+    dec = "cast({} as decimal(38,0))"
+    return (
+        tot.select(
+            "dim",
+            F.col("n").cast("long").alias("n"),
+            F.col("nt").cast("long").alias("nt"),
+            F.expr(
+                dec.format("(s * nt - st * n)")
+            ).alias("dnum"),
+            F.expr(dec.format("n * nt * nt")).alias("dden"),
+            F.expr(dec.format("ss - (s * s) div n")).alias("ssw_term"),
+        )
+        .select(
+            "dim",
+            "nt",
+            F.expr("cast((dnum * dnum) div dden as decimal(38,0))").alias(
+                "ssb_term"
+            ),
+            "ssw_term",
+        )
+        .groupBy("dim")
+        .agg(
+            F.max("nt").cast("long").alias("n_total"),
+            F.sum("ssb_term").cast("long").alias("ssb_x"),
+            F.sum("ssw_term").cast("long").alias("ssw_x"),
+        )
+        .withColumn(
+            "f_ratio_ppm",
+            F.expr(
+                "cast(cast(ssb_x as decimal(38,0)) * 1000000"
+                " div greatest(ssw_x, 1) as bigint)"
+            ),
+        )
+        .orderBy("dim")
+    )
+
+
+SQL_EMBEDDING_ANOVA = """
+WITH flat AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         floor(unnest(embedding)::DOUBLE * 10000)::BIGINT AS x
+  FROM embeddings
+),
+per_class AS (
+  SELECT dim, label, count(*) AS n, sum(x) AS s, sum(x*x) AS ss
+  FROM flat GROUP BY 1, 2
+),
+tot AS (
+  SELECT dim, label, n, s, ss,
+         sum(n) OVER (PARTITION BY dim) AS nt,
+         sum(s) OVER (PARTITION BY dim) AS st
+  FROM per_class
+)
+SELECT dim::BIGINT AS dim, max(nt)::BIGINT AS n_total,
+       sum(((s * nt - st * n)::HUGEINT * (s * nt - st * n))
+           // (n * nt::HUGEINT * nt))::BIGINT AS ssb_x,
+       sum(ss - (s * s) // n)::BIGINT AS ssw_x,
+       (sum(((s * nt - st * n)::HUGEINT * (s * nt - st * n))
+            // (n * nt::HUGEINT * nt)) * 1000000
+        // greatest(sum(ss - (s * s) // n), 1))::BIGINT AS f_ratio_ppm
+FROM tot GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_events_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, reported as a
+    histogram — classic gaps-and-islands: distinct (user, day), an
+    island key day - row_number() per user, then two small aggs. The
+    per-user window shuffles once on user_id; no self-joins."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("d")
+    streaks = (
+        days.withColumn("rn", F.row_number().over(wu))
+        .withColumn("grp", F.date_sub(F.col("d"), F.col("rn")))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("streak_days")
+    )
+    return (
+        best.groupBy("streak_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("streak_days")
+    )
+
+
+SQL_EVENTS_STREAK = """
+WITH days AS (
+  SELECT DISTINCT user_id, ts::DATE AS d FROM events
+),
+isl AS (
+  SELECT user_id,
+         d - (row_number() OVER (PARTITION BY user_id ORDER BY d))::INT AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2
+),
+best AS (SELECT user_id, max(len) AS streak_days FROM streaks GROUP BY 1)
+SELECT streak_days::BIGINT AS streak_days, count(*)::BIGINT AS n_users
+FROM best GROUP BY 1 ORDER BY 1
+"""
+
+
+
+def q_embedding_ncc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification readout (confusion counts) over
+    the embedding corpus — exact integer argmin: dist^2 to class c is
+    sum_i (x_i*n_c - S_ci)^2 / n_c^2, and candidates compare by the
+    cross-multiplied rationals D_a*n_b^2 <=> D_b*n_a^2 (ties keep the
+    lower label), so the prediction is bit-identical to the oracle's
+    NOT-EXISTS argmin on any partitioning.
+
+    Scale shape: the centroid stats are a (classes x dims) aggregate —
+    bounded driver state, the MLlib centroid regime (same as
+    kmeans_int) — embedded into ONE narrow numpy scoring pass
+    (mapInPandas, no join, no shuffle on the corpus side), then a tiny
+    confusion groupBy. int64 bound: |x|*n_c and the squared sums stay
+    well under 2^63 while per-class counts are < ~10^5; beyond that the
+    same pass runs with Python-int (object) arrays."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+        )
+        .select(
+            "label",
+            "pos",
+            F.floor(F.col("v").cast("double") * 10000)
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+        .collect()
+    )
+    labels = sorted({r["label"] for r in cent_rows})
+    dims = 1 + max(r["pos"] for r in cent_rows)
+    n_c = np.zeros(len(labels), dtype=np.int64)
+    s_c = np.zeros((len(labels), dims), dtype=np.int64)
+    lab_pos = {lab: k for k, lab in enumerate(labels)}
+    for r in cent_rows:
+        k = lab_pos[r["label"]]
+        n_c[k] = r["n"]
+        s_c[k, r["pos"]] = r["s"]
+    lab_arr = np.array(labels, dtype=np.int64)
+    bc = spark.sparkContext.broadcast((lab_arr, n_c, s_c))
+    schema = StructType(
+        [
+            StructField("true_label", LongType(), False),
+            StructField("predicted_label", LongType(), False),
+        ]
+    )
+
+    def score(batches):
+        labs, ns, ss = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * 10000
+            ).astype(np.int64)
+            best_k = np.zeros(len(x), dtype=np.int64)
+            best_d = (
+                (x * ns[0] - ss[0][None, :]) ** 2
+            ).sum(axis=1)
+            for k in range(1, len(labs)):
+                d_k = ((x * ns[k] - ss[k][None, :]) ** 2).sum(axis=1)
+                # exact rational compare d_k/n_k^2 < best/n_best^2;
+                # strict < + ascending k keeps the lower label on ties
+                better = d_k * ns[best_k] ** 2 < best_d * ns[k] ** 2
+                best_d = np.where(better, d_k, best_d)
+                best_k = np.where(better, k, best_k)
+            yield pd.DataFrame(
+                {
+                    "true_label": pdf["label"].to_numpy().astype("int64"),
+                    "predicted_label": labs[best_k],
+                }
+            )
+
+    return (
+        emb.select("label", "embedding")
+        .mapInPandas(score, schema=schema)
+        .groupBy("true_label", "predicted_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_label", "predicted_label")
+    )
+
+
+SQL_EMBEDDING_NCC = """
+WITH flat AS (
+  SELECT vec_id, label AS true_label,
+         generate_subscripts(embedding, 1) AS dim,
+         floor(unnest(embedding)::DOUBLE * 10000)::BIGINT AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT true_label AS c_label, dim, count(*) AS n_c, sum(x) AS s
+  FROM flat GROUP BY 1, 2
+),
+dists AS (
+  SELECT f.vec_id, f.true_label, c.c_label,
+         max(c.n_c) AS n_c,
+         sum((f.x * c.n_c - c.s)::HUGEINT * (f.x * c.n_c - c.s)) AS d2
+  FROM flat f JOIN cent c ON f.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT d.vec_id, d.true_label, d.c_label AS predicted_label
+  FROM dists d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dists o
+    WHERE o.vec_id = d.vec_id AND o.c_label <> d.c_label
+      AND (o.d2 * d.n_c::HUGEINT * d.n_c < d.d2 * o.n_c::HUGEINT * o.n_c
+           OR (o.d2 * d.n_c::HUGEINT * d.n_c = d.d2 * o.n_c::HUGEINT * o.n_c
+               AND o.c_label < d.c_label))
+  )
+)
+SELECT true_label::BIGINT AS true_label,
+       predicted_label::BIGINT AS predicted_label,
+       count(*)::BIGINT AS n
+FROM best GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into first-ever-day (new) vs returning,
+    plus the cumulative user count — the standard growth-accounting
+    readout. One distinct (user, day) pass; each user's first day is a
+    groupBy-min; new/returning follow from one equi-join on (user, day)
+    semantics folded into a conditional count; the cumulative sum runs
+    over the tiny per-day frame."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = days.groupBy("user_id").agg(F.min("d").alias("fd"))
+    per_day = (
+        days.join(first, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.when(F.col("d") == F.col("fd"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .withColumn(
+            "n_returning", (F.col("n_active") - F.col("n_new")).cast("long")
+        )
+    )
+    wc = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_day.withColumn(
+            "cum_users", F.sum("n_new").over(wc).cast("long")
+        )
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "n_active",
+            "n_new",
+            "n_returning",
+            "cum_users",
+        )
+        .orderBy("day")
+    )
+
+
+SQL_EVENTS_NEW_RETURNING = """
+WITH days AS (
+  SELECT DISTINCT user_id, ts::DATE AS d FROM events
+),
+first AS (SELECT user_id, min(d) AS fd FROM days GROUP BY 1),
+per_day AS (
+  SELECT d, count(*) AS n_active,
+         sum(CASE WHEN d = fd THEN 1 ELSE 0 END) AS n_new
+  FROM days JOIN first USING (user_id) GROUP BY 1
+)
+SELECT d::VARCHAR AS day, n_active::BIGINT AS n_active,
+       n_new::BIGINT AS n_new,
+       (n_active - n_new)::BIGINT AS n_returning,
+       (sum(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING))::BIGINT
+         AS cum_users
+FROM per_day ORDER BY day
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -13601,6 +13992,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_top_terms": q_doc_top_terms,
     "events_calibration": q_events_calibration,
     "events_itemcf": q_events_itemcf,
+    "embedding_gram": q_embedding_gram,
+    "embedding_centroids": q_embedding_centroids,
+    "embedding_anova": q_embedding_anova,
+    "events_streak": q_events_streak,
+    "embedding_ncc": q_embedding_ncc,
+    "events_new_returning": q_events_new_returning,
 }
 
 ORACLES: dict[str, str] = {
@@ -13844,4 +14241,10 @@ ORACLES: dict[str, str] = {
     "doc_top_terms": SQL_DOC_TOP_TERMS,
     "events_calibration": SQL_EVENTS_CALIBRATION,
     "events_itemcf": SQL_EVENTS_ITEMCF,
+    "embedding_gram": SQL_EMBEDDING_GRAM,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "embedding_anova": SQL_EMBEDDING_ANOVA,
+    "events_streak": SQL_EVENTS_STREAK,
+    "embedding_ncc": SQL_EMBEDDING_NCC,
+    "events_new_returning": SQL_EVENTS_NEW_RETURNING,
 }

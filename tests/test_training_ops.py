@@ -3865,3 +3865,213 @@ def test_events_itemcf_closed_form(spark):
         (2, 1, 2, 2, 3, 666666, 1),
         (3, 1, 1, 1, 3, 333333, 1),
     ]
+
+
+def _write_emb(spark, rows):
+    import os
+    import tempfile
+
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    return d
+
+
+def test_embedding_gram_closed_form(spark):
+    """[0.5,-0.25],[0.1,0.2] scale to [5000,-2500],[1000,2000]:
+    G = [[26e6, -10.5e6], [., 10.25e6]] upper triangle."""
+    from pyjelly_spark.queries import q_embedding_gram
+
+    d = _write_emb(spark, [(1, [0.5, -0.25], 0), (2, [0.1, 0.2], 0)])
+    got = [tuple(r) for r in q_embedding_gram(spark, d).collect()]
+    assert got == [
+        (1, 1, 26_000_000),
+        (1, 2, -10_500_000),
+        (2, 2, 10_250_000),
+    ]
+
+
+def test_embedding_gram_partition_invariant(spark):
+    """The partial-Gram reduce is partitioning-independent: 1 vs 8
+    partitions give identical triangles."""
+    from pyjelly_spark.operators.similarity import gram_matrix
+
+    rows = [
+        (i, [((i * 7 + j * 3) % 11 - 5) / 10.0 for j in range(4)], 0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    )
+    one = [tuple(r) for r in gram_matrix(df.coalesce(1)).collect()]
+    many = [tuple(r) for r in gram_matrix(df.repartition(8)).collect()]
+    assert one == many and len(one) == 10
+
+
+def test_embedding_centroids_closed_form(spark):
+    from pyjelly_spark.queries import q_embedding_centroids
+
+    d = _write_emb(
+        spark,
+        [(1, [0.5, -0.25], 0), (2, [0.1, 0.2], 0), (3, [1.0, 0.0], 1)],
+    )
+    got = {
+        (r.label, r.dim): (r.n, r.sum_x, r.mean_x4)
+        for r in q_embedding_centroids(spark, d).collect()
+    }
+    assert got == {
+        (0, 1): (2, 6000, 30_000_000),
+        (0, 2): (2, -500, -2_500_000),
+        (1, 1): (1, 10000, 100_000_000),
+        (1, 2): (1, 0, 0),
+    }
+
+
+def test_embedding_anova_closed_form(spark):
+    """Dyadic (float32-exact) classes at x=[2500,2500] and
+    [7500,7500] scaled units: per-class dnum = |s*nt - st*n| = 20000,
+    ssb_term = 20000^2 div (2*16) = 12.5e6 each -> SSB 25e6, SSW 0,
+    F ratio = 25e6 * 1e6 div max(0,1) = 2.5e13 ppm."""
+    from pyjelly_spark.queries import q_embedding_anova
+
+    d = _write_emb(
+        spark,
+        [(1, [0.25], 0), (2, [0.25], 0),
+         (3, [0.75], 1), (4, [0.75], 1)],
+    )
+    got = [tuple(r) for r in q_embedding_anova(spark, d).collect()]
+    assert got == [(1, 4, 25_000_000, 0, 25_000_000_000_000)]
+
+
+def test_events_streak_closed_form(spark):
+    """User 1: Jan 1-3 then Jan 5 -> best streak 3; user 2: one day."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pyjelly_spark.queries import q_events_streak
+
+    rows = []
+    for eid, (u, day) in enumerate([(1, 1), (1, 2), (1, 3), (1, 5), (2, 1)]):
+        rows.append(
+            (eid, dt.datetime(2024, 1, day, 9, 0), u, "click", 1.0, "{}")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp_ntz, user_id: long, "
+        "event_type: string, value: double, props: string",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = [tuple(r) for r in q_events_streak(spark, d).collect()]
+    assert got == [(1, 1), (3, 1)]
+
+
+def test_embedding_ncc_closed_form(spark):
+    """Class 0 at x=0, class 1 at x=10 (scaled units): every vector
+    predicts its own class exactly."""
+    from pyjelly_spark.queries import q_embedding_ncc
+
+    d = _write_emb(
+        spark,
+        [(1, [0.0], 0), (2, [0.0], 0), (3, [0.001], 1), (4, [0.001], 1)],
+    )
+    got = [tuple(r) for r in q_embedding_ncc(spark, d).collect()]
+    assert got == [(0, 0, 2), (1, 1, 2)]
+
+
+def test_embedding_ncc_tie_breaks_low_label(spark):
+    """Probe at x=5000 (v=0.5, exact dyadic) is equidistant from the
+    class-0 centroid (x=0) and class-1 centroid (x=10000), and far from
+    its own class-2 centroid ({0.5, 9.5} -> 50000): exact tie between
+    0 and 1 must take the LOWER label 0."""
+    from pyjelly_spark.queries import q_embedding_ncc
+
+    d = _write_emb(
+        spark,
+        [(1, [0.0], 0), (2, [1.0], 1), (3, [0.5], 2), (4, [9.5], 2)],
+    )
+    got = {
+        (r.true_label, r.predicted_label): r.n
+        for r in q_embedding_ncc(spark, d).collect()
+    }
+    # probe v=0.5: D0 = 5000^2, D1 = 5000^2 (tie -> 0), D2/n^2 = 2.025e9
+    # v=9.5: D2/4 = 2.025e9 beats D0 = 9.025e9 and D1 = 7.225e9 -> 2
+    assert got == {(0, 0): 1, (1, 1): 1, (2, 0): 1, (2, 2): 1}
+
+
+def test_embedding_ncc_matches_bruteforce(spark):
+    """40 deterministic 4-dim vectors, 3 classes: the distributed
+    argmin equals a python brute-force over exact rationals."""
+    from fractions import Fraction
+
+    from pyjelly_spark.queries import q_embedding_ncc
+
+    rows = [
+        (i, [((i * 13 + j * 5) % 17 - 8) / 1000.0 for j in range(4)], i % 3)
+        for i in range(40)
+    ]
+    d = _write_emb(spark, rows)
+    got = {
+        (r.true_label, r.predicted_label): r.n
+        for r in q_embedding_ncc(spark, d).collect()
+    }
+    import numpy as np
+
+    x = np.floor(
+        np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+        * 10000
+    ).astype(int)
+    labels = np.array([r[2] for r in rows])
+    want: dict = {}
+    classes = sorted(set(labels))
+    stats = {
+        c: (int((labels == c).sum()), x[labels == c].sum(axis=0))
+        for c in classes
+    }
+    for vi in range(len(rows)):
+        best, best_d = None, None
+        for c in classes:
+            n_c, s_c = stats[c]
+            d2 = Fraction(
+                int(((x[vi] * n_c - s_c) ** 2).sum()), n_c * n_c
+            )
+            if best is None or d2 < best_d:
+                best, best_d = c, d2
+        key = (labels[vi], best)
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+def test_events_new_returning_closed_form(spark):
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pyjelly_spark.queries import q_events_new_returning
+
+    rows = []
+    for eid, (u, day) in enumerate([(1, 1), (1, 2), (2, 2)]):
+        rows.append(
+            (eid, dt.datetime(2024, 1, day, 9, 0), u, "click", 1.0, "{}")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp_ntz, user_id: long, "
+        "event_type: string, value: double, props: string",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = [tuple(r) for r in q_events_new_returning(spark, d).collect()]
+    assert got == [
+        ("2024-01-01", 1, 1, 0, 1),
+        ("2024-01-02", 2, 1, 1, 2),
+    ]
