@@ -13755,6 +13755,189 @@ FROM per_day ORDER BY day
 """
 
 
+#: build-graph shape constants shared by the Spark path and the SQL
+#: oracles: group size, and the cycle-length formula 3 + (7g % 20).
+_SCC_G = 40
+
+
+def _dep_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(edges(src,dst), nodes(node)) of a closed-form build-task
+    dependency graph over ``documents.doc_id`` (the generator's import
+    graph is a single affine-permutation orbit — one giant SCC, see
+    test_scc_import_graph_is_one_orbit — so the census needs a graph
+    with actual structure).
+
+    Node v (g = v // 40, r = v % 40, L_g = 3 + 7g % 20):
+    - r <  L_g: cycle edge v -> g*40 + (r+1) % L_g  (an SCC of size L_g)
+    - r >= L_g: tail edge  v -> g*40 + (r % L_g)    (in-degree-0 singleton)
+    - r == 1, g >= 1: chord (g//2)*40 + 1 -> v      (parent-group cycle
+      to child-group cycle: a binary condensation tree, depth log2(n/40))
+
+    Edges to node ids beyond the table are dropped (a partial last
+    group degrades to a chain — identically on both sides)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("v")
+    )
+    n = docs.count()
+    g = F.col("v") / _SCC_G
+    gg = F.floor(g).cast("long")
+    r = F.col("v") % _SCC_G
+    ell = (F.lit(3) + (gg * 7) % 20).cast("long")
+    base = docs.select(
+        "v",
+        gg.alias("g"),
+        r.alias("r"),
+        ell.alias("ell"),
+    )
+    cycle = base.where(F.col("r") < F.col("ell")).select(
+        F.col("v").alias("src"),
+        (
+            F.col("g") * _SCC_G + (F.col("r") + 1) % F.col("ell")
+        ).alias("dst"),
+    )
+    tail = base.where(F.col("r") >= F.col("ell")).select(
+        F.col("v").alias("src"),
+        (F.col("g") * _SCC_G + F.col("r") % F.col("ell")).alias("dst"),
+    )
+    chord = base.where((F.col("r") == 1) & (F.col("g") >= 1)).select(
+        (F.floor(F.col("g") / 2).cast("long") * _SCC_G + 1).alias("src"),
+        F.col("v").alias("dst"),
+    )
+    edges = (
+        cycle.unionByName(tail)
+        .unionByName(chord)
+        .where((F.col("dst") < n) & (F.col("src") < n))
+        .distinct()
+    )
+    return edges, docs.select(F.col("v").alias("node"))
+
+
+def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly-connected-component census of the dependency graph —
+    (scc_size, n_sccs) histogram over ALL nodes (singletons included).
+
+    The distributed FW-BW-Trim coloring algorithm
+    (operators/scc.py): trim retires the acyclic fringe in a few
+    in/out-degree semi-join rounds, forward min-label coloring
+    partitions the cyclic core into forward-closed classes in
+    O(diameter) one-shuffle rounds, and a multi-source backward sweep
+    inside each class extracts the SCCs — never a transitive closure,
+    never anything quadratic, so the plan survives a 10^12-file import
+    graph where the oracle's closure (n^2 pairs) obviously cannot. The
+    oracle IS the quadratic closure (DuckDB recursive CTE + mutual-
+    reachability min), which is exactly why the distributed algorithm
+    has to exist. Unlike undirected CC (which would merge every cycle,
+    tail and chord into one blob per tree), the census keeps each cycle
+    separate — the discriminating case."""
+    from pyjelly_spark.operators.scc import strongly_connected_components
+
+    edges, nodes = _dep_graph(spark, sf_dir)
+    assign = strongly_connected_components(edges, nodes)
+    sizes = assign.groupBy("scc").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("scc_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sccs"))
+        .orderBy("scc_size")
+    )
+
+
+_SCC_SQL_CORE = """
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+vx AS (
+  SELECT doc_id::BIGINT AS v, doc_id // 40 AS g, doc_id % 40 AS r,
+         3 + (doc_id // 40 * 7) % 20 AS ell
+  FROM documents
+),
+rawe AS (
+  SELECT v AS s, g*40 + (r+1) % ell AS t FROM vx WHERE r < ell
+  UNION ALL
+  SELECT v AS s, g*40 + r % ell AS t FROM vx WHERE r >= ell
+  UNION ALL
+  SELECT (g//2)*40 + 1 AS s, v AS t FROM vx WHERE r = 1 AND g >= 1
+),
+e AS (
+  SELECT DISTINCT s, t FROM rawe, nn
+  WHERE s < nn.n AND t < nn.n AND s <> t
+),
+reach AS (
+  SELECT s, t FROM e
+  UNION
+  SELECT r.s, e2.t FROM reach r JOIN e e2 ON e2.s = r.t
+),
+mutual AS (
+  SELECT r1.s AS a, r1.t AS b
+  FROM reach r1 JOIN reach r2 ON r1.s = r2.t AND r1.t = r2.s
+),
+sccid AS (
+  SELECT x.v AS node, least(x.v, coalesce(min(m.b), x.v)) AS scc
+  FROM vx x LEFT JOIN mutual m ON m.a = x.v
+  GROUP BY x.v
+)
+"""
+
+SQL_KG_SCC = f"""
+WITH RECURSIVE {_SCC_SQL_CORE},
+sizes AS (SELECT scc, count(*) AS sz FROM sccid GROUP BY 1)
+SELECT sz::BIGINT AS scc_size, count(*)::BIGINT AS n_sccs
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_kg_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological layering of the import graph's condensation DAG:
+    per layer (longest condensation-edge path ending there), how many
+    SCCs and how many underlying modules sit in it — the wave schedule
+    a build system would run (layer k can only start after k-1).
+
+    Spark path: SCC assignment (q_kg_scc's operator) + iterative
+    longest-path max-propagation over the CONTRACTED edge set
+    (operators/scc.py condensation_levels) — the contracted graph is
+    orders of magnitude smaller than the input, rounds = condensation
+    depth, one shuffle each. The oracle enumerates all (scc, path
+    length) pairs recursively — again only viable because it is an
+    oracle."""
+    from pyjelly_spark.operators.scc import (
+        condensation_levels,
+        strongly_connected_components,
+    )
+
+    edges, nodes = _dep_graph(spark, sf_dir)
+    assign = strongly_connected_components(edges, nodes)
+    levels = condensation_levels(edges, assign)
+    return (
+        assign.join(levels, "scc")
+        .groupBy(F.col("level").cast("long").alias("level"))
+        .agg(
+            F.countDistinct("scc").cast("long").alias("n_sccs"),
+            F.count(F.lit(1)).cast("long").alias("n_modules"),
+        )
+        .orderBy("level")
+    )
+
+
+SQL_KG_CONDENSATION = f"""
+WITH RECURSIVE {_SCC_SQL_CORE},
+ce AS (
+  SELECT DISTINCT s1.scc AS src, s2.scc AS dst
+  FROM e JOIN sccid s1 ON s1.node = e.s JOIN sccid s2 ON s2.node = e.t
+  WHERE s1.scc <> s2.scc
+),
+lp AS (
+  SELECT scc AS v, 0 AS lvl FROM (SELECT DISTINCT scc FROM sccid)
+  UNION
+  SELECT ce.dst AS v, lp.lvl + 1 AS lvl FROM lp JOIN ce ON ce.src = lp.v
+),
+lev AS (SELECT v AS scc, max(lvl) AS level FROM lp GROUP BY 1)
+SELECT lev.level::BIGINT AS level,
+       count(DISTINCT sccid.scc)::BIGINT AS n_sccs,
+       count(*)::BIGINT AS n_modules
+FROM sccid JOIN lev ON lev.scc = sccid.scc
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -13998,6 +14181,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_streak": q_events_streak,
     "embedding_ncc": q_embedding_ncc,
     "events_new_returning": q_events_new_returning,
+    "kg_scc": q_kg_scc,
+    "kg_condensation": q_kg_condensation,
 }
 
 ORACLES: dict[str, str] = {
@@ -14247,4 +14432,6 @@ ORACLES: dict[str, str] = {
     "events_streak": SQL_EVENTS_STREAK,
     "embedding_ncc": SQL_EMBEDDING_NCC,
     "events_new_returning": SQL_EVENTS_NEW_RETURNING,
+    "kg_scc": SQL_KG_SCC,
+    "kg_condensation": SQL_KG_CONDENSATION,
 }
