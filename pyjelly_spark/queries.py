@@ -13938,6 +13938,206 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+#: (pred name, date_lo, date_hi, price_lo, price_hi) — None = unbounded.
+#: Shared shape between the Spark path and the SQL oracle below.
+_SKIP_PREDS = [
+    ("p1_date_ge_2000", "2000-01-01", None, None, None),
+    ("p2_date_1996h2", "1996-06-01", "1996-12-31", None, None),
+    ("p3_price_gt_450k", None, None, 450000.0, None),
+    ("p4_price_lt_20k", None, None, None, 20000.0),
+    ("p5_date98_price300k", "1998-01-01", None, 300000.0, None),
+]
+
+
+def q_orders_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file statistics) scan-pruning audit — the
+    planner readout an Iceberg/Delta lakehouse produces from manifest
+    stats before touching any data file.
+
+    Orders are assigned to files under two layouts: ``insertion``
+    (64 fixed-width o_orderkey ranges — the order rows arrived) and
+    ``datepart`` (one file per o_orderdate calendar month — a
+    date-partitioned table). Per file the audit keeps min/max of
+    o_orderdate and o_totalprice plus the row count (ONE metadata-sized
+    aggregate per layout — at 10^12 rows this is the manifest, not the
+    data), then evaluates five predicate templates against the stats:
+    a file is scanned iff its [min,max] box overlaps the predicate
+    box. Output per (layout, pred): total files, files scanned, rows
+    in scanned files (the I/O bound) and exact matching rows (the
+    useful fraction) — quantifying that date predicates prune ~11/12
+    of the datepart layout but nothing of the insertion layout, and
+    that uniform columns (price) never prune regardless of layout.
+    The rows_matched pass is one conditional aggregation over the
+    table (shared across predicates), not a scan per predicate."""
+    orders = _t(spark, sf_dir, "orders")
+    n = orders.count()
+    width = (n + 63) // 64
+    layouts = {
+        "insertion": (F.col("o_orderkey") / width).cast("long"),
+        "datepart": F.date_trunc("month", "o_orderdate").cast("long"),
+    }
+    date_c = F.col("o_orderdate")
+    price_c = F.col("o_totalprice")
+
+    def overlap(dlo, dhi, plo, phi):
+        cond = F.lit(True)
+        if dlo is not None:
+            cond = cond & (F.col("max_d") >= F.lit(dlo).cast("timestamp"))
+        if dhi is not None:
+            cond = cond & (F.col("min_d") <= F.lit(dhi).cast("timestamp"))
+        if plo is not None:
+            cond = cond & (F.col("max_p") > F.lit(plo))
+        if phi is not None:
+            cond = cond & (F.col("min_p") < F.lit(phi))
+        return cond
+
+    def row_pred(dlo, dhi, plo, phi):
+        cond = F.lit(True)
+        if dlo is not None:
+            cond = cond & (date_c >= F.lit(dlo).cast("timestamp"))
+        if dhi is not None:
+            cond = cond & (date_c <= F.lit(dhi).cast("timestamp"))
+        if plo is not None:
+            cond = cond & (price_c > F.lit(plo))
+        if phi is not None:
+            cond = cond & (price_c < F.lit(phi))
+        return cond
+
+    matched = orders.agg(
+        *[
+            F.sum(row_pred(dlo, dhi, plo, phi).cast("long")).alias(name)
+            for name, dlo, dhi, plo, phi in _SKIP_PREDS
+        ]
+    )
+
+    parts = []
+    for layout, file_key in layouts.items():
+        stats = orders.groupBy(file_key.alias("f")).agg(
+            F.min("o_orderdate").alias("min_d"),
+            F.max("o_orderdate").alias("max_d"),
+            F.min("o_totalprice").alias("min_p"),
+            F.max("o_totalprice").alias("max_p"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        per_pred = stats.agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            *[
+                x
+                for name, dlo, dhi, plo, phi in _SKIP_PREDS
+                for x in (
+                    F.sum(overlap(dlo, dhi, plo, phi).cast("long"))
+                    .cast("long")
+                    .alias(f"fs_{name}"),
+                    F.sum(
+                        F.when(overlap(dlo, dhi, plo, phi), F.col("cnt"))
+                        .otherwise(F.lit(0))
+                    )
+                    .cast("long")
+                    .alias(f"rs_{name}"),
+                )
+            ],
+        )
+        # unpivot the single stats row with stack(): ONE pass over the
+        # file stats per layout instead of a crossJoin per predicate
+        stack_args = ", ".join(
+            f"'{name}', fs_{name}, rs_{name}, CAST({name} AS BIGINT)"
+            for name, *_ in _SKIP_PREDS
+        )
+        parts.append(
+            per_pred.crossJoin(F.broadcast(matched)).select(
+                F.lit(layout).alias("layout"),
+                "n_files",
+                F.expr(
+                    f"stack({len(_SKIP_PREDS)}, {stack_args}) AS "
+                    "(pred, files_scanned, rows_scanned, rows_matched)"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "layout", "pred", "n_files", "files_scanned", "rows_scanned",
+        "rows_matched",
+    ).orderBy("layout", "pred")
+
+
+def _skip_row_sums_sql() -> list[str]:
+    """Row-level CASE sums for the oracle, generated from the same
+    _SKIP_PREDS table the Spark path uses."""
+    rows = []
+    for name, dlo, dhi, plo, phi in _SKIP_PREDS:
+        rc = []
+        if dlo is not None:
+            rc.append(f"o_orderdate >= TIMESTAMP '{dlo}'")
+        if dhi is not None:
+            rc.append(f"o_orderdate <= TIMESTAMP '{dhi}'")
+        if plo is not None:
+            rc.append(f"o_totalprice > {plo}")
+        if phi is not None:
+            rc.append(f"o_totalprice < {phi}")
+        rows.append(
+            f"sum(CASE WHEN {' AND '.join(rc)} THEN 1 ELSE 0 END)::BIGINT"
+            f" AS {name}"
+        )
+    return rows
+
+
+def _sql_orders_skipping() -> str:
+    rows = _skip_row_sums_sql()
+    pred_unions = []
+    for (name, dlo, dhi, plo, phi) in _SKIP_PREDS:
+        oc = []
+        if dlo is not None:
+            oc.append(f"s.max_d >= TIMESTAMP '{dlo}'")
+        if dhi is not None:
+            oc.append(f"s.min_d <= TIMESTAMP '{dhi}'")
+        if plo is not None:
+            oc.append(f"s.max_p > {plo}")
+        if phi is not None:
+            oc.append(f"s.min_p < {phi}")
+        pred_unions.append(
+            f"""
+  SELECT s.layout, '{name}' AS pred,
+         count(*)::BIGINT AS n_files,
+         sum(CASE WHEN {' AND '.join(oc)} THEN 1 ELSE 0 END)::BIGINT
+           AS files_scanned,
+         sum(CASE WHEN {' AND '.join(oc)} THEN s.cnt ELSE 0 END)::BIGINT
+           AS rows_scanned,
+         max(m.{name}) AS rows_matched
+  FROM stats s, m GROUP BY 1"""
+        )
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM orders),
+keyed AS (
+  SELECT o.*,
+    o.o_orderkey // ((nn.n + 63) // 64) AS f_ins,
+    date_trunc('month', o.o_orderdate) AS f_month
+  FROM orders o, nn
+),
+stats AS (
+  SELECT 'insertion' AS layout, f_ins::VARCHAR AS f,
+         min(o_orderdate) AS min_d, max(o_orderdate) AS max_d,
+         min(o_totalprice) AS min_p, max(o_totalprice) AS max_p,
+         count(*) AS cnt
+  FROM keyed GROUP BY 1, 2
+  UNION ALL
+  SELECT 'datepart', f_month::VARCHAR,
+         min(o_orderdate), max(o_orderdate),
+         min(o_totalprice), max(o_totalprice), count(*)
+  FROM keyed GROUP BY 1, 2
+),
+m AS (
+  SELECT {', '.join(rows)} FROM orders
+)
+{' UNION ALL '.join(pred_unions)}
+ORDER BY layout, pred
+"""
+
+
+SQL_ORDERS_SKIPPING = _sql_orders_skipping()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -14183,6 +14383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_new_returning": q_events_new_returning,
     "kg_scc": q_kg_scc,
     "kg_condensation": q_kg_condensation,
+    "orders_skipping": q_orders_skipping,
 }
 
 ORACLES: dict[str, str] = {
@@ -14434,4 +14635,5 @@ ORACLES: dict[str, str] = {
     "events_new_returning": SQL_EVENTS_NEW_RETURNING,
     "kg_scc": SQL_KG_SCC,
     "kg_condensation": SQL_KG_CONDENSATION,
+    "orders_skipping": SQL_ORDERS_SKIPPING,
 }
