@@ -14331,6 +14331,120 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def q_events_joinest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit — the query-optimizer step
+    that decides join order and broadcast eligibility before a single
+    row moves: predict |clicks ⋈ purchases on user_id| from per-bucket
+    key histograms, and compare with the exact join size.
+
+    Estimator ladder (textbook selectivity estimation): ``uniform``
+    (one global bucket, na*nb / max(da,db) — the independence+
+    uniformity assumption), ``bucket16`` / ``bucket4`` (equi-width
+    key-range histograms, the same formula per bucket), ``perkey``
+    (the degenerate width-1 histogram — exact by construction, the
+    ladder's fixpoint). All arithmetic is integer (div), so the audit
+    is bit-deterministic on any partitioning. One shuffle on user_id
+    builds the per-key counts; every coarser histogram is a metadata-
+    sized re-aggregation of that — the exact plan a cost-based
+    optimizer can afford at 10^12 rows because its input is the
+    histogram, never the data."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("ca"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("cb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    actual = per_key.agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("actual")
+    )
+
+    def hist_est(width: int | None, name: str) -> DataFrame:
+        bucket = (
+            F.expr(f"user_id div {width}L") if width else F.lit(0)
+        ).alias("b")
+        per_bucket = per_key.groupBy(bucket).agg(
+            F.sum("ca").alias("na"),
+            F.sum("cb").alias("nb"),
+            F.sum((F.col("ca") > 0).cast("long")).alias("da"),
+            F.sum((F.col("cb") > 0).cast("long")).alias("db"),
+        )
+        est = per_bucket.where(
+            F.greatest("da", "db") > 0
+        ).agg(
+            F.sum(
+                F.expr("na * nb div greatest(da, db)")
+            ).cast("long").alias("est")
+        )
+        return est.select(F.lit(name).alias("method"), "est")
+
+    perkey_est = per_key.agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("est")
+    ).select(F.lit("perkey").alias("method"), "est")
+
+    ests = (
+        hist_est(None, "uniform")
+        .unionByName(hist_est(16, "bucket16"))
+        .unionByName(hist_est(4, "bucket4"))
+        .unionByName(perkey_est)
+    )
+    return (
+        ests.crossJoin(F.broadcast(actual))
+        .select(
+            "method",
+            "est",
+            "actual",
+            F.expr(
+                "abs(est - actual) * 1000000L div actual"
+            ).alias("err_ppm"),
+        )
+        .orderBy("method")
+    )
+
+
+SQL_EVENTS_JOINEST = """
+WITH per_key AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+actual AS (SELECT sum(ca*cb)::BIGINT AS actual FROM per_key),
+hist AS (
+  SELECT 'uniform' AS method, 0 AS b, sum(ca) AS na, sum(cb) AS nb,
+         sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS da,
+         sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS db
+  FROM per_key GROUP BY 1, 2
+  UNION ALL
+  SELECT 'bucket16', user_id // 16, sum(ca), sum(cb),
+         sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END),
+         sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)
+  FROM per_key GROUP BY 1, 2
+  UNION ALL
+  SELECT 'bucket4', user_id // 4, sum(ca), sum(cb),
+         sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END),
+         sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)
+  FROM per_key GROUP BY 1, 2
+),
+ests AS (
+  SELECT method, sum(na * nb // greatest(da, db))::BIGINT AS est
+  FROM hist WHERE greatest(da, db) > 0 GROUP BY 1
+  UNION ALL
+  SELECT 'perkey', sum(ca*cb)::BIGINT FROM per_key
+)
+SELECT e.method, e.est, a.actual,
+       (abs(e.est - a.actual) * 1000000 // a.actual)::BIGINT AS err_ppm
+FROM ests e, actual a
+ORDER BY e.method
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -14579,6 +14693,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_skipping": q_orders_skipping,
     "orders_diff": q_orders_diff,
     "kg_edgecut": q_kg_edgecut,
+    "events_joinest": q_events_joinest,
 }
 
 ORACLES: dict[str, str] = {
@@ -14833,4 +14948,5 @@ ORACLES: dict[str, str] = {
     "orders_skipping": SQL_ORDERS_SKIPPING,
     "orders_diff": SQL_ORDERS_DIFF,
     "kg_edgecut": SQL_KG_EDGECUT,
+    "events_joinest": SQL_EVENTS_JOINEST,
 }

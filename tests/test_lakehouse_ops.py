@@ -1,0 +1,139 @@
+"""Lakehouse / optimizer audit queries: zone-map scan pruning
+(orders_skipping), snapshot reconciliation diff (orders_diff), graph
+partition edge-cut (kg_edgecut), and join-cardinality estimation
+(events_joinest) — closed-form fixtures hand-checked against the
+docstring arithmetic; the driver gate covers both scale factors.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tests.test_scc import _write_doc_ids
+
+
+def test_orders_skipping_closed_form(spark):
+    """Four single-row insertion files vs two month files; predicates
+    hand-checked — date predicates prune the month layout, the uniform
+    price column prunes nothing (each month file spans low+high)."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_orders_skipping
+
+    rows = [
+        (0, 1, "O", 5000.0, dt.datetime(1996, 6, 5), "1-URGENT"),
+        (1, 1, "O", 455000.0, dt.datetime(1996, 6, 20), "1-URGENT"),
+        (2, 1, "O", 10000.0, dt.datetime(2000, 2, 3), "1-URGENT"),
+        (3, 1, "O", 460000.0, dt.datetime(2000, 2, 9), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey: long, o_custkey: long, o_orderstatus: string, "
+        "o_totalprice: double, o_orderdate: timestamp_ntz, "
+        "o_orderpriority: string",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    got = {
+        (r.layout, r.pred): (
+            r.n_files, r.files_scanned, r.rows_scanned, r.rows_matched
+        )
+        for r in q_orders_skipping(spark, d).collect()
+    }
+    assert got == {
+        ("insertion", "p1_date_ge_2000"): (4, 2, 2, 2),
+        ("insertion", "p2_date_1996h2"): (4, 2, 2, 2),
+        ("insertion", "p3_price_gt_450k"): (4, 2, 2, 2),
+        ("insertion", "p4_price_lt_20k"): (4, 2, 2, 2),
+        ("insertion", "p5_date98_price300k"): (4, 1, 1, 1),
+        ("datepart", "p1_date_ge_2000"): (2, 1, 2, 2),
+        ("datepart", "p2_date_1996h2"): (2, 1, 2, 2),
+        ("datepart", "p3_price_gt_450k"): (2, 2, 4, 2),
+        ("datepart", "p4_price_lt_20k"): (2, 2, 4, 2),
+        ("datepart", "p5_date98_price300k"): (2, 1, 2, 1),
+    }
+
+
+def test_orders_diff_closed_form(spark):
+    """Keys 0..9: k=3 deleted (k%19==3), k=2,9 price-updated (k%7==2),
+    k=5 status-updated (k%11==5), k=1 re-inserted as key 101
+    (k%29==1, n=10)."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_orders_diff
+
+    rows = [
+        (k, 1, "O", 1000.0 + k, dt.datetime(1996, 1, 1), "1-URGENT")
+        for k in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey: long, o_custkey: long, o_orderstatus: string, "
+        "o_totalprice: double, o_orderdate: timestamp_ntz, "
+        "o_orderpriority: string",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    got = [tuple(r) for r in q_orders_diff(spark, d).collect()]
+    assert got == [
+        ("delete", 1, 0, 0),
+        ("insert", 1, 0, 0),
+        ("unchanged", 6, 0, 0),
+        ("update", 3, 2, 1),
+    ]
+
+
+def test_kg_edgecut_closed_form(spark):
+    """n=85 graph (86 edges): group partitioning cuts only the two
+    tree chords; hash (v%16) cuts every edge here; range cuts the 69
+    edges whose 5.3-id-wide blocks split the 40-id groups."""
+    from pyjelly_spark.queries import q_kg_edgecut
+
+    d = _write_doc_ids(spark, 85)
+    got = [tuple(r) for r in q_kg_edgecut(spark, d).collect()]
+    assert got == [
+        ("group", 86, 2, 23255),
+        ("hash", 86, 86, 1000000),
+        ("range", 86, 69, 802325),
+    ]
+
+
+def test_events_joinest_closed_form(spark):
+    """Users 0 (2 clicks, 1 purchase), 1 (1 click, 0), 17 (0, 2
+    purchases): actual = 2. perkey exact; uniform: na=3, nb=3,
+    da=2, db=2 -> 3*3 div 2 = 4 (err 1e6); bucket16: bucket 0
+    (na=3,nb=1,da=2,db=1 -> 3 div 2 = 1) + bucket 1 (0*2 div 1=0)
+    -> 1 (err 500000); bucket4 same as bucket16 here."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_joinest
+
+    rows = []
+    spec = [(0, "click"), (0, "click"), (0, "purchase"),
+            (1, "click"), (17, "purchase"), (17, "purchase"),
+            (2, "view")]
+    for eid, (u, et) in enumerate(spec):
+        rows.append((eid, dt.datetime(2024, 1, 1, 9), u, et, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp_ntz, user_id: long, "
+        "event_type: string, value: double, props: string",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = [tuple(r) for r in q_events_joinest(spark, d).collect()]
+    assert got == [
+        ("bucket16", 1, 2, 500000),
+        ("bucket4", 1, 2, 500000),
+        ("perkey", 2, 2, 0),
+        ("uniform", 4, 2, 1000000),
+    ]
