@@ -155,6 +155,10 @@ AUDITED = [
     "tpch_q2",
     "tpch_q9",
     "tpch_q21",
+    "orders_skipping",
+    "orders_diff",
+    "kg_edgecut",
+    "events_joinest",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a
