@@ -14445,6 +14445,102 @@ ORDER BY e.method
 """
 
 
+def q_postings_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list compression audit for the high-df head of the
+    inverted index (same >= 25-doc cut and tokenization as
+    `inverted_index`): per term, the exact byte cost of the sorted
+    doc-id list under delta + LEB128-varint coding (first id absolute
+    +1, then gaps — the classic search-engine postings format, and the
+    same uvarint the Jelly wire codec emits, jelly/wire.py) vs fixed
+    8-byte ids, with savings in ppm.
+
+    Plan shape: ONE shuffle (the term window that sorts each posting
+    list) and pure-Catalyst varint length arithmetic — a CASE ladder
+    on gap magnitude, no UDF, no bytes actually materialized; the
+    audit prices the storage layout at 10^12 postings from metadata
+    math alone. Dense doc-id universes make gaps small (head terms:
+    1-2 bytes/posting vs 8), exactly the argument for sorting posting
+    lists before encoding."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(T.normalized(F.col("text")), " ")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    enc = terms.withColumn(
+        "v", F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(-1))
+    ).withColumn(
+        "vbytes",
+        F.when(F.col("v") < 128, 1)
+        .when(F.col("v") < 16384, 2)
+        .when(F.col("v") < 1 << 21, 3)
+        .when(F.col("v") < 1 << 28, 4)
+        .otherwise(5)
+        .cast("long"),
+    )
+    per_term = enc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.sum("vbytes").cast("long").alias("varint_bytes"),
+    )
+    return (
+        per_term.where(F.col("n_postings") >= 25)
+        .select(
+            "term",
+            "n_postings",
+            (F.col("n_postings") * 8).cast("long").alias("raw_bytes"),
+            "varint_bytes",
+            F.expr(
+                "(n_postings * 8 - varint_bytes) * 1000000L "
+                "div (n_postings * 8)"
+            ).alias("savings_ppm"),
+        )
+        .orderBy("term")
+    )
+
+
+SQL_POSTINGS_CODEC = rf"""
+WITH p AS (
+  SELECT DISTINCT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term
+  FROM documents
+),
+p2 AS (SELECT doc_id, term FROM p WHERE term <> ''),
+enc AS (
+  SELECT term,
+         doc_id - coalesce(
+           lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), -1
+         ) AS v
+  FROM p2
+),
+vb AS (
+  SELECT term,
+         CASE WHEN v < 128 THEN 1
+              WHEN v < 16384 THEN 2
+              WHEN v < 2097152 THEN 3
+              WHEN v < 268435456 THEN 4
+              ELSE 5 END AS vbytes
+  FROM enc
+),
+per_term AS (
+  SELECT term, count(*)::BIGINT AS n_postings,
+         sum(vbytes)::BIGINT AS varint_bytes
+  FROM vb GROUP BY 1
+)
+SELECT term, n_postings,
+       (n_postings * 8)::BIGINT AS raw_bytes,
+       varint_bytes,
+       ((n_postings * 8 - varint_bytes) * 1000000 // (n_postings * 8))::BIGINT
+         AS savings_ppm
+FROM per_term WHERE n_postings >= 25
+ORDER BY term
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -14694,6 +14790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_diff": q_orders_diff,
     "kg_edgecut": q_kg_edgecut,
     "events_joinest": q_events_joinest,
+    "postings_codec": q_postings_codec,
 }
 
 ORACLES: dict[str, str] = {
@@ -14949,4 +15046,5 @@ ORACLES: dict[str, str] = {
     "orders_diff": SQL_ORDERS_DIFF,
     "kg_edgecut": SQL_KG_EDGECUT,
     "events_joinest": SQL_EVENTS_JOINEST,
+    "postings_codec": SQL_POSTINGS_CODEC,
 }

@@ -137,3 +137,31 @@ def test_events_joinest_closed_form(spark):
         ("perkey", 2, 2, 0),
         ("uniform", 4, 2, 1000000),
     ]
+
+
+def test_postings_codec_closed_form(spark):
+    """'alpha' in docs 0..25 (all gaps 1 -> 26 one-byte varints, 875000
+    ppm saved vs 8-byte ids); 'beta' in docs 0..24 plus 20000 (the
+    19976 gap costs 3 bytes -> 28 total, 865384 ppm)."""
+    from tests.test_scc import _write_doc_ids  # noqa: F401  (module import)
+    from pyjelly_spark.queries import q_postings_codec
+
+    rows = []
+    for i in range(26):
+        text = "alpha beta" if i <= 24 else "alpha"
+        rows.append((i, text, "en", "s", len(text)))
+    rows.append((20000, "beta", "en", "s", 4))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string, "
+        "n_chars: long",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = [tuple(r) for r in q_postings_codec(spark, d).collect()]
+    assert got == [
+        ("alpha", 26, 208, 26, 875000),
+        ("beta", 26, 208, 28, 865384),
+    ]
