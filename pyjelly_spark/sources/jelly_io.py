@@ -92,14 +92,18 @@ def _fs_isdir(filesystem, path: str) -> bool:
     return filesystem.get_file_info(path).type == pafs.FileType.Directory
 
 
-def _fs_listdir(filesystem, path: str) -> List[str]:
+def _fs_listdir(
+    filesystem, path: str, recursive: bool = False
+) -> List[str]:
     from pyarrow import fs as pafs
 
     if not _fs_isdir(filesystem, path):
         return []
     return [
         info.path
-        for info in filesystem.get_file_info(pafs.FileSelector(path))
+        for info in filesystem.get_file_info(
+            pafs.FileSelector(path, recursive=recursive)
+        )
     ]
 
 
@@ -530,9 +534,11 @@ def _jelly_files(path: str) -> List[str]:
     filesystem, base = _fs_for(path)
     prefix = path[: -len(base)] if path.endswith(base) and path != base else ""
     if _fs_isdir(filesystem, base):
+        # recursive: a streaming sink lays out batch=<id>/part-*.jelly
+        # subdirectories; the batch reader sees the union transparently
         return sorted(
             prefix + p
-            for p in _fs_listdir(filesystem, base)
+            for p in _fs_listdir(filesystem, base, recursive=True)
             if p.endswith(".jelly")
         )
     return [path]
@@ -701,6 +707,7 @@ def read_jelly_stream(spark: SparkSession, path: str) -> DataFrame:
             "length BIGINT, content BINARY"
         )
         .option("pathGlobFilter", "*.jelly")
+        .option("recursiveFileLookup", "true")
         .load(path)
         .select("path", "content")
     )
@@ -873,3 +880,66 @@ def read_manifest_frames(path: str) -> List[dict]:
             }
         )
     return out
+
+
+def write_jelly_stream(
+    flat_statements: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    options: Optional[jc.StreamOptions] = None,
+    grouped_by_graph: bool = False,
+    namespaces: Optional[dict] = None,
+    available_now: bool = True,
+    query_name: str = "jelly_stream_writer",
+):
+    """Structured Streaming .jelly SINK — the write-side complement of
+    :func:`read_jelly_stream`.
+
+    Each micro-batch lands under ``out_dir/batch=<id>/`` as a complete,
+    self-contained Jelly stream directory (same layout, manifest and
+    options handling as :func:`write_jelly`, so :func:`read_jelly` over
+    ``out_dir`` sees the union of all batches). Exactly-once at the
+    file level on top of foreachBatch's at-least-once replay contract:
+
+    - a replayed batch id whose ``_SUCCESS`` marker exists is skipped
+      entirely (one metadata stat, no job);
+    - a batch that failed MID-write resumes through ``write_jelly``'s
+      per-partition manifest (completed partitions skip, the rest
+      rewrite byte-identically — encoding is deterministic);
+    - the ``_SUCCESS`` marker is written only after the whole batch's
+      manifest is durable, and readers list only ``*.jelly`` files, so
+      a torn batch is never half-visible to :func:`read_jelly_stream`
+      (partition files are temp-named until their final rename,
+      see ``write_jelly``).
+
+    The reference's streaming story is frame-at-a-time over one socket
+    (SURVEY.md §2.8); this is the cluster analogue: micro-batched,
+    checkpointed, idempotent, partition-parallel within each batch.
+    Returns the started StreamingQuery; callers ``awaitTermination``.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_dir = posixpath.join(out_dir, f"batch={batch_id:08d}")
+        filesystem, base = _fs_for(batch_dir)
+        marker = posixpath.join(base, "_SUCCESS")
+        if _fs_exists(filesystem, marker):
+            return  # replayed batch: already durable, skip
+        write_jelly(
+            batch_df,
+            batch_dir,
+            options=options,
+            resume=True,
+            grouped_by_graph=grouped_by_graph,
+            namespaces=namespaces,
+        )
+        with filesystem.open_output_stream(marker) as out:
+            out.write(b"")
+
+    writer = (
+        flat_statements.writeStream.foreachBatch(_sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -428,3 +428,49 @@ def test_grouped_write_resume_byte_identical(spark, tmp_path):
     assert rewritten == {victim_id}
     assert skipped == set(m1["partition_id"]) - {victim_id}
     assert open(victim, "rb").read() == original
+
+
+def test_write_jelly_stream_roundtrip_and_idempotent_replay(spark, tmp_path):
+    """Streaming sink: rate-limited availableNow drain lands every
+    statement across batch=<id>/ dirs; read_jelly over the root equals
+    the input; replaying a completed batch id is a no-op (exactly-once
+    on foreachBatch's at-least-once contract)."""
+    import glob as _glob
+
+    from pyjelly_spark.sources.jelly_io import (
+        read_jelly,
+        write_jelly,
+        write_jelly_stream,
+    )
+
+    df = _grouped_statements_df(spark)
+    src = str(tmp_path / "src")
+    write_jelly(df, src, resume=False)
+
+    from pyjelly_spark.sources.jelly_io import read_jelly_stream
+
+    out = str(tmp_path / "sunk")
+    ckpt = str(tmp_path / "ckpt")
+    q = write_jelly_stream(
+        read_jelly_stream(spark, src), out, ckpt,
+        query_name="jelly_sink_rt",
+    )
+    q.awaitTermination()
+    back = read_jelly(spark, out)
+    assert back.count() == 15
+    key_cols = ["s_value", "p_value", "o_value", "g_value"]
+    assert sorted(map(tuple, back.select(*key_cols).collect())) == sorted(
+        map(tuple, read_jelly(spark, src).select(*key_cols).collect())
+    )
+
+    # replay: same checkpoint, no new input -> no new files; and a
+    # direct re-invocation of a completed batch is skipped via _SUCCESS
+    files_before = sorted(_glob.glob(out + "/batch=*/*.jelly"))
+    q2 = write_jelly_stream(
+        read_jelly_stream(spark, src), out, ckpt,
+        query_name="jelly_sink_rt2",
+    )
+    q2.awaitTermination()
+    assert sorted(_glob.glob(out + "/batch=*/*.jelly")) == files_before
+    succ = _glob.glob(out + "/batch=*/_SUCCESS")
+    assert succ, "batch _SUCCESS markers present"
