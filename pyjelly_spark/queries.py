@@ -2310,6 +2310,54 @@ def q_kg_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_KG_STREAM_INGEST = SQL_KG_DATASOURCE_ROUNDTRIP
 
 
+def q_kg_stream_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG egress through the STREAMING jelly SINK
+    (sources/jelly_io.py::write_jelly_stream): structural triples land
+    as .jelly in a source dir, a checkpointed stream re-encodes them
+    through the foreachBatch sink into batch=<id>/ Jelly stream dirs,
+    and the batch reader over the sink root produces the per-predicate
+    histogram. Matching the closed-form oracle proves the sink loses
+    and duplicates nothing through the encode→frame→manifest→_SUCCESS
+    path; the second (no-op) drain against the same checkpoint proves
+    replay idempotence — double-landed batches would double counts."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyjelly_spark.sources.jelly_io import (
+        flatten_terms,
+        read_jelly,
+        read_jelly_stream,
+        write_jelly,
+        write_jelly_stream,
+    )
+
+    files = derived_source_files(spark, sf_dir)
+    flat = flatten_terms(X.structural_triples(files))
+    root = tempfile.mkdtemp(prefix="kg_egress_")
+    src = os.path.join(root, "src")
+    sunk = os.path.join(root, "sunk")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        write_jelly(flat, src, resume=False)
+        for qn in ("kg_egress_sink", "kg_egress_replay"):
+            q = write_jelly_stream(
+                read_jelly_stream(spark, src), sunk, ckpt, query_name=qn
+            )
+            q.awaitTermination(300)
+        agg = (
+            read_jelly(spark, sunk)
+            .groupBy(F.col("p_value").alias("p"))
+            .agg(F.count(F.lit(1)).alias("n_triples"))
+        ).toPandas()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(agg)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_KG_STREAM_EGRESS = SQL_KG_DATASOURCE_ROUNDTRIP
+
+
 # ---------------------------------------------------------------------------
 # Relational analytics (TPC-H-style) — engine breadth on the star schema
 # ---------------------------------------------------------------------------
@@ -14791,6 +14839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_edgecut": q_kg_edgecut,
     "events_joinest": q_events_joinest,
     "postings_codec": q_postings_codec,
+    "kg_stream_egress": q_kg_stream_egress,
 }
 
 ORACLES: dict[str, str] = {
@@ -15047,4 +15096,5 @@ ORACLES: dict[str, str] = {
     "kg_edgecut": SQL_KG_EDGECUT,
     "events_joinest": SQL_EVENTS_JOINEST,
     "postings_codec": SQL_POSTINGS_CODEC,
+    "kg_stream_egress": SQL_KG_STREAM_EGRESS,
 }
