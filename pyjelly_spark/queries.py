@@ -14589,6 +14589,172 @@ ORDER BY term
 """
 
 
+def q_events_rankeval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval evaluation of the popularity recommender:
+    rank items by distinct click users (ties to the smaller item id),
+    recommend the global top-10 to every user, and score against each
+    user's purchased items — precision@10, recall@10, MRR and hit rate
+    as exact ppm integers (per-user ratios use integer div, then an
+    integer mean, so the numbers are bit-identical on any partitioning
+    and any engine).
+
+    Scale shape: the ranking is an item-level aggregate (+ a 10-row
+    limit — driver-bounded metadata); scoring is ONE broadcast semi-
+    join of the 10-row list against the purchases table and a user-
+    level aggregate. Nothing quadratic, no per-user ranking shuffle —
+    the evaluation a 10^12-interaction log can actually afford."""
+    ev = _t(spark, sf_dir, "events")
+    inter = ev.select(
+        "user_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    pop = (
+        inter.where(F.col("event_type") == "click")
+        .groupBy("item")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("item"))
+        .limit(10)
+        .select(
+            "item",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("n_users").desc(), F.col("item"))
+            )
+            .alias("rank"),
+        )
+    )
+    rel = inter.where(F.col("event_type") == "purchase").select(
+        "user_id", "item"
+    ).distinct()
+    per_user = (
+        rel.join(F.broadcast(pop), "item", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rel"),
+            F.sum(F.col("rank").isNotNull().cast("long")).alias("hits"),
+            F.min("rank").alias("first_rank"),
+        )
+        .select(
+            "user_id",
+            F.expr("hits * 1000000L div 10").alias("p_ppm"),
+            F.expr("hits * 1000000L div n_rel").alias("r_ppm"),
+            F.coalesce(
+                F.expr("1000000L div first_rank"), F.lit(0)
+            ).alias("rr_ppm"),
+            (F.col("hits") > 0).cast("long").alias("hit"),
+        )
+    )
+    return per_user.agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.expr("sum(p_ppm) div count(1)").alias("p_at_k_ppm"),
+        F.expr("sum(r_ppm) div count(1)").alias("r_at_k_ppm"),
+        F.expr("sum(rr_ppm) div count(1)").alias("mrr_ppm"),
+        F.expr("sum(hit) * 1000000L div count(1)").alias("hit_rate_ppm"),
+    )
+
+
+SQL_EVENTS_RANKEVAL = """
+WITH inter AS (
+  SELECT user_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+),
+pop AS (
+  SELECT item, count(DISTINCT user_id) AS n_users
+  FROM inter WHERE event_type = 'click' GROUP BY 1
+),
+top10 AS (
+  SELECT item,
+         row_number() OVER (ORDER BY n_users DESC, item) AS rank
+  FROM pop ORDER BY n_users DESC, item LIMIT 10
+),
+rel AS (
+  SELECT DISTINCT user_id, item FROM inter WHERE event_type = 'purchase'
+),
+per_user AS (
+  SELECT r.user_id,
+         count(*) AS n_rel,
+         sum(CASE WHEN t.rank IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+         min(t.rank) AS first_rank
+  FROM rel r LEFT JOIN top10 t ON t.item = r.item
+  GROUP BY 1
+),
+scored AS (
+  SELECT hits * 1000000 // 10 AS p_ppm,
+         hits * 1000000 // n_rel AS r_ppm,
+         coalesce(1000000 // first_rank, 0) AS rr_ppm,
+         CASE WHEN hits > 0 THEN 1 ELSE 0 END AS hit
+  FROM per_user
+)
+SELECT 10::BIGINT AS k, count(*)::BIGINT AS n_users,
+       (sum(p_ppm) // count(*))::BIGINT AS p_at_k_ppm,
+       (sum(r_ppm) // count(*))::BIGINT AS r_at_k_ppm,
+       (sum(rr_ppm) // count(*))::BIGINT AS mrr_ppm,
+       (sum(hit) * 1000000 // count(*))::BIGINT AS hit_rate_ppm
+FROM scored
+"""
+
+
+def q_events_dp_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution-bounding audit for a differentially-private hourly
+    release: per hour bucket, the max per-user contribution is that
+    bucket's user-level L-inf sensitivity; buckets are grouped by it,
+    reporting how many rows a per-user-per-bucket cap of 3 would drop.
+    This is the pre-noise accounting every DP aggregation pipeline
+    runs — the noise scale is calibrated to exactly this sensitivity,
+    and the cap trades bias (dropped rows) for a smaller one.
+
+    Two hash aggregations ((user, hour) then hour, then the tiny
+    sensitivity histogram) — map-side partials all the way, no joins,
+    no windows; the same plan prices a 10^12-row log."""
+    ev = _t(spark, sf_dir, "events")
+    per_uh = (
+        ev.select(
+            "user_id", F.date_trunc("hour", "ts").alias("h")
+        )
+        .groupBy("user_id", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_h = per_uh.groupBy("h").agg(
+        F.max("c").alias("sensitivity"),
+        F.sum("c").alias("raw_rows"),
+        F.sum(F.least(F.col("c"), F.lit(3))).alias("capped_rows"),
+    )
+    return (
+        per_h.groupBy(F.col("sensitivity").cast("long").alias("sensitivity"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("raw_rows").cast("long").alias("raw_rows"),
+            F.sum("capped_rows").cast("long").alias("capped_rows"),
+            F.sum(
+                F.col("raw_rows") - F.col("capped_rows")
+            ).cast("long").alias("rows_dropped_by_cap"),
+        )
+        .orderBy("sensitivity")
+    )
+
+
+SQL_EVENTS_DP_BOUND = """
+WITH per_uh AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+per_h AS (
+  SELECT h, max(c) AS sensitivity, sum(c) AS raw_rows,
+         sum(least(c, 3)) AS capped_rows
+  FROM per_uh GROUP BY 1
+)
+SELECT sensitivity::BIGINT AS sensitivity,
+       count(*)::BIGINT AS n_buckets,
+       sum(raw_rows)::BIGINT AS raw_rows,
+       sum(capped_rows)::BIGINT AS capped_rows,
+       sum(raw_rows - capped_rows)::BIGINT AS rows_dropped_by_cap
+FROM per_h GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -14840,6 +15006,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_joinest": q_events_joinest,
     "postings_codec": q_postings_codec,
     "kg_stream_egress": q_kg_stream_egress,
+    "events_rankeval": q_events_rankeval,
+    "events_dp_bound": q_events_dp_bound,
 }
 
 ORACLES: dict[str, str] = {
@@ -15097,4 +15265,6 @@ ORACLES: dict[str, str] = {
     "events_joinest": SQL_EVENTS_JOINEST,
     "postings_codec": SQL_POSTINGS_CODEC,
     "kg_stream_egress": SQL_KG_STREAM_EGRESS,
+    "events_rankeval": SQL_EVENTS_RANKEVAL,
+    "events_dp_bound": SQL_EVENTS_DP_BOUND,
 }

@@ -165,3 +165,60 @@ def test_postings_codec_closed_form(spark):
         ("alpha", 26, 208, 26, 875000),
         ("beta", 26, 208, 28, 865384),
     ]
+
+
+def _write_events(spark, spec):
+    """spec: list of (user_id, event_type, item_or_None, ts)."""
+    import datetime as dt
+
+    rows = []
+    for eid, (u, et, item, ts) in enumerate(spec):
+        props = "{}" if item is None else '{"k": %d}' % item
+        rows.append((eid, ts or dt.datetime(2024, 1, 1, 9), u, et, 1.0, props))
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp_ntz, user_id: long, "
+        "event_type: string, value: double, props: string",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+def test_events_rankeval_closed_form(spark):
+    """Clicks rank items 1 (2 users) then 2,3 (1 user, id tiebreak);
+    top-10 = [1,2,3]. User 1 purchased {1, 99}: hits 1 of 2, first
+    rank 1. User 2 purchased {3}: hit at rank 3. p@10 = (100000+
+    100000)/2; recall = (500000+1000000)/2; MRR = (1000000+333333)/2."""
+    from pyjelly_spark.queries import q_events_rankeval
+
+    spec = [
+        (1, "click", 1, None), (2, "click", 1, None),
+        (1, "click", 2, None), (2, "click", 3, None),
+        (1, "purchase", 1, None), (1, "purchase", 99, None),
+        (2, "purchase", 3, None),
+    ]
+    d = _write_events(spark, spec)
+    got = [tuple(r) for r in q_events_rankeval(spark, d).collect()]
+    assert got == [(10, 2, 100000, 750000, 666666, 1000000)]
+
+
+def test_events_dp_bound_closed_form(spark):
+    """Hour A: user 1 five events, user 2 one -> sensitivity 5, cap-3
+    drops 2 of 6 rows. Hour B: two users x 1 -> sensitivity 1."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_dp_bound
+
+    ha = dt.datetime(2024, 1, 1, 9, 5)
+    hb = dt.datetime(2024, 1, 1, 10, 5)
+    spec = (
+        [(1, "click", None, ha)] * 5
+        + [(2, "click", None, ha)]
+        + [(1, "click", None, hb), (2, "click", None, hb)]
+    )
+    d = _write_events(spark, spec)
+    got = [tuple(r) for r in q_events_dp_bound(spark, d).collect()]
+    assert got == [(1, 1, 2, 2, 0), (5, 1, 6, 4, 2)]
