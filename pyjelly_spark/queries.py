@@ -14755,6 +14755,83 @@ FROM per_h GROUP BY 1 ORDER BY 1
 """
 
 
+def q_orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders under minimize-price /
+    maximize-date: the orders no other order beats on both axes — the
+    multi-objective shortlist query (cheapest-and-freshest) that naive
+    engines answer with an O(n^2) dominance self-join.
+
+    Sort-scan formulation instead: per distinct price keep the max
+    date (+ tie count) — one hash aggregate over the table — then a
+    single ordered window over the PER-PRICE aggregate computes the
+    strict prefix-max of dates over cheaper prices; a point is on the
+    skyline iff its date strictly beats that prefix max. Prices are
+    integer cents so the grouping is exact. The window runs over the
+    aggregate (bounded by distinct prices, not rows); at 10^12 rows
+    with dense price domains the same scan splits into the two-level
+    bucket prefix used by doc_compaction — the skyline is
+    distributive, skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)).
+    The oracle IS the quadratic NOT-EXISTS dominance join."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_price = (
+        o.select(cents.alias("price_cents"), F.col("o_orderdate").alias("d"))
+        .groupBy("price_cents")
+        .agg(F.max("d").alias("best_date"))
+    )
+    # ties at (price, best_date) all survive; count them exactly
+    ties = (
+        o.select(cents.alias("price_cents"), F.col("o_orderdate").alias("d"))
+        .groupBy("price_cents", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ties"))
+    )
+    w = Window.orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = (
+        per_price.withColumn("prefix_best", F.max("best_date").over(w))
+        .where(
+            F.col("prefix_best").isNull()
+            | (F.col("best_date") > F.col("prefix_best"))
+        )
+        .select("price_cents", F.col("best_date").alias("d"))
+    )
+    return (
+        sky.join(ties, ["price_cents", "d"])
+        .select(
+            "price_cents",
+            F.unix_timestamp(F.col("d")).alias("order_epoch"),
+            "n_ties",
+        )
+        .orderBy("price_cents")
+    )
+
+
+SQL_ORDERS_SKYLINE = """
+WITH pts AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         o_orderdate AS d
+  FROM orders
+),
+sky AS (
+  SELECT DISTINCT price_cents, d
+  FROM pts p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.price_cents <= p.price_cents AND q.d >= p.d
+      AND (q.price_cents < p.price_cents OR q.d > p.d)
+  )
+),
+ties AS (
+  SELECT price_cents, d, count(*)::BIGINT AS n_ties
+  FROM pts GROUP BY 1, 2
+)
+SELECT s.price_cents, epoch(s.d)::BIGINT AS order_epoch, t.n_ties
+FROM sky s JOIN ties t ON t.price_cents = s.price_cents AND t.d = s.d
+ORDER BY s.price_cents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -15008,6 +15085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_stream_egress": q_kg_stream_egress,
     "events_rankeval": q_events_rankeval,
     "events_dp_bound": q_events_dp_bound,
+    "orders_skyline": q_orders_skyline,
 }
 
 ORACLES: dict[str, str] = {
@@ -15267,4 +15345,5 @@ ORACLES: dict[str, str] = {
     "kg_stream_egress": SQL_KG_STREAM_EGRESS,
     "events_rankeval": SQL_EVENTS_RANKEVAL,
     "events_dp_bound": SQL_EVENTS_DP_BOUND,
+    "orders_skyline": SQL_ORDERS_SKYLINE,
 }

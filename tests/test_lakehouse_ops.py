@@ -222,3 +222,38 @@ def test_events_dp_bound_closed_form(spark):
     d = _write_events(spark, spec)
     got = [tuple(r) for r in q_events_dp_bound(spark, d).collect()]
     assert got == [(1, 1, 2, 2, 0), (5, 1, 6, 4, 2)]
+
+
+def test_orders_skyline_closed_form(spark):
+    """Points (price, day): (100, d3), (200, d5), (150, d3), (100, d3)
+    dup, (300, d1): skyline = cheapest-freshest frontier {(100, d3) x2,
+    (200, d5)}; (150, d3) loses to (100, d3) on price, (300, d1) loses
+    to everything fresher and cheaper."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_orders_skyline
+
+    def ts(day):
+        return dt.datetime(2024, 1, day)
+
+    rows = [
+        (0, 1, "O", 1.00, ts(3), "x"),
+        (1, 1, "O", 2.00, ts(5), "x"),
+        (2, 1, "O", 1.50, ts(3), "x"),
+        (3, 1, "O", 1.00, ts(3), "x"),
+        (4, 1, "O", 3.00, ts(1), "x"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey: long, o_custkey: long, o_orderstatus: string, "
+        "o_totalprice: double, o_orderdate: timestamp_ntz, "
+        "o_orderpriority: string",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    got = [tuple(r) for r in q_orders_skyline(spark, d).collect()]
+    e3 = int(ts(3).replace(tzinfo=dt.timezone.utc).timestamp())
+    e5 = int(ts(5).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == [(100, e3, 2), (200, e5, 1)]
