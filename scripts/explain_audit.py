@@ -159,6 +159,10 @@ AUDITED = [
     "orders_diff",
     "kg_edgecut",
     "events_joinest",
+    "postings_codec",
+    "events_rankeval",
+    "events_dp_bound",
+    "orders_skyline",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a
