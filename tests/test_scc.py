@@ -165,3 +165,89 @@ def test_kg_condensation_partial_group(spark):
         (5, 1, 1),
         (6, 1, 1),
     ]
+
+
+def _tarjan_sccs(n_nodes, pairs):
+    """Reference Tarjan (iterative) over nodes 0..n_nodes-1: returns
+    {node: min node id of its SCC}."""
+    adj = {v: [] for v in range(n_nodes)}
+    for s, t in pairs:
+        if s != t:
+            adj[s].append(t)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    result = {}
+    counter = [0]
+
+    for root in range(n_nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    result[w] = m
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return result
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.integers(min_value=2, max_value=12).flatmap(
+            lambda n: st.tuples(
+                st.just(n),
+                st.lists(
+                    st.tuples(
+                        st.integers(0, n - 1), st.integers(0, n - 1)
+                    ),
+                    max_size=3 * n,
+                ),
+            )
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_scc_matches_tarjan_reference(spark, graph):
+        """Distributed FW-BW-Trim coloring == sequential Tarjan on
+        arbitrary small digraphs (duplicate edges, self-loops, isolated
+        nodes included)."""
+        n, pairs = graph
+        want = _tarjan_sccs(n, pairs)
+        got = _assign(spark, pairs or [(0, 0)], nodes=list(range(n)))
+        assert got == want
+
+except ImportError:  # pragma: no cover
+    pass
