@@ -14832,6 +14832,138 @@ ORDER BY s.price_cents
 """
 
 
+def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup audit — the storage-side near-dup
+    attack (restic/borg/LBFS style): cut every document at positions
+    where the hash of the trailing 8-gram ≡ 0 (mod 32), so chunk
+    boundaries survive insertions/deletions (unlike fixed-width
+    blocks), then price chunk-level dedup across the corpus: total vs
+    distinct chunk bytes and the savings in ppm.
+
+    Plan shape: boundary detection runs INSIDE each row with
+    higher-order functions (sequence → transform → filter — no
+    per-position explode, so the shuffle never sees position rows,
+    only the ~len/32 chunks per doc); chunk identity is the portable
+    sha-60 hash, so the oracle (which CAN afford the row-per-position
+    window form) reproduces every byte count exactly. One explode of
+    chunk arrays + two hash aggregates; nothing touches the driver."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    gram_hash = (
+        "pmod(conv(substring(sha2(substring(text, i - 7, 8), 256), 1, 15),"
+        " 16, 10), 32)"
+    )
+    bounds = F.when(
+        n >= 8,
+        F.expr(
+            f"filter(transform(sequence(8, greatest(length(text), 8)),"
+            f" i -> CASE WHEN {gram_hash} = 0 THEN i END),"
+            " x -> x IS NOT NULL)"
+        ),
+    ).otherwise(F.expr("array()"))
+    chunked = (
+        docs.withColumn(
+            "bnds",
+            F.array_union(bounds, F.array(n.cast("int"))),
+        )
+        .withColumn(
+            "starts",
+            F.expr(
+                "concat(array(0), slice(bnds, 1, size(bnds) - 1))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(bnds, starts, (e, s) ->"
+                    " struct(e - s AS clen,"
+                    " substring(text, s + 1, e - s) AS ctext))"
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.clen").cast("long").alias("clen"),
+            T.hex_hash(F.col("c.ctext")).alias("chash"),
+        )
+    )
+    per_chunk = chunked.groupBy("chash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("clen").alias("clen"),
+    )
+    return chunked.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("clen").cast("long").alias("chunk_bytes"),
+    ).crossJoin(
+        F.broadcast(
+            per_chunk.agg(
+                F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+                F.sum("clen").cast("long").alias("distinct_chunk_bytes"),
+            )
+        )
+    ).select(
+        "n_docs",
+        "n_chunks",
+        "n_distinct_chunks",
+        "chunk_bytes",
+        "distinct_chunk_bytes",
+        F.expr(
+            "(chunk_bytes - distinct_chunk_bytes) * 1000000L"
+            " div chunk_bytes"
+        ).alias("savings_ppm"),
+    )
+
+
+SQL_DOC_CDC_CHUNKS = """
+WITH pos AS (
+  SELECT d.doc_id, d.text, gs.i
+  FROM documents d
+  JOIN LATERAL (
+    SELECT unnest(generate_series(8, length(d.text))) AS i
+  ) gs ON length(d.text) >= 8
+  WHERE ('0x' || substring(sha256(substring(d.text, gs.i - 7, 8)), 1, 15))::BIGINT % 32 = 0
+),
+bounds AS (
+  SELECT doc_id, text, i FROM pos
+  UNION
+  SELECT doc_id, text, length(text) AS i FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         i - (coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0)) AS clen,
+         substring(
+           text,
+           coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1,
+           i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+         ) AS ctext
+  FROM bounds
+),
+hashed AS (
+  SELECT doc_id, clen::BIGINT AS clen,
+         ('0x' || substring(sha256(ctext), 1, 15))::BIGINT AS chash
+  FROM chunks
+),
+tot AS (
+  SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+         count(*)::BIGINT AS n_chunks,
+         sum(clen)::BIGINT AS chunk_bytes
+  FROM hashed
+),
+dist AS (
+  SELECT count(*)::BIGINT AS n_distinct_chunks,
+         sum(clen)::BIGINT AS distinct_chunk_bytes
+  FROM (SELECT chash, min(clen) AS clen FROM hashed GROUP BY 1)
+)
+SELECT n_docs, n_chunks, n_distinct_chunks, chunk_bytes,
+       distinct_chunk_bytes,
+       ((chunk_bytes - distinct_chunk_bytes) * 1000000 // chunk_bytes)::BIGINT
+         AS savings_ppm
+FROM tot, dist
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -15086,6 +15218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rankeval": q_events_rankeval,
     "events_dp_bound": q_events_dp_bound,
     "orders_skyline": q_orders_skyline,
+    "doc_cdc_chunks": q_doc_cdc_chunks,
 }
 
 ORACLES: dict[str, str] = {
@@ -15346,4 +15479,5 @@ ORACLES: dict[str, str] = {
     "events_rankeval": SQL_EVENTS_RANKEVAL,
     "events_dp_bound": SQL_EVENTS_DP_BOUND,
     "orders_skyline": SQL_ORDERS_SKYLINE,
+    "doc_cdc_chunks": SQL_DOC_CDC_CHUNKS,
 }

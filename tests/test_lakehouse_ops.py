@@ -257,3 +257,48 @@ def test_orders_skyline_closed_form(spark):
     e3 = int(ts(3).replace(tzinfo=dt.timezone.utc).timestamp())
     e5 = int(ts(5).replace(tzinfo=dt.timezone.utc).timestamp())
     assert got == [(100, e3, 2), (200, e5, 1)]
+
+
+def test_doc_cdc_chunks_short_docs_exact(spark):
+    """Docs shorter than the 8-gram window can't cut: one whole-doc
+    chunk each; two identical docs dedup to one distinct chunk."""
+    from pyjelly_spark.queries import q_doc_cdc_chunks
+
+    rows = [(1, "abc", "en", "s", 3), (2, "abc", "en", "s", 3)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string, "
+        "n_chars: long",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = [tuple(r) for r in q_doc_cdc_chunks(spark, d).collect()]
+    assert got == [(2, 2, 1, 6, 3, 500000)]
+
+
+def test_doc_cdc_chunks_insertion_preserves_tail_chunks(spark):
+    """The CDC promise: doc B = doc A with a prefix insertion shares
+    A's post-first-boundary chunks (fixed-width blocks would share
+    none). Invariants: chunk bytes reassemble both texts exactly and
+    dedup saves > 0 bytes."""
+    from pyjelly_spark.queries import q_doc_cdc_chunks
+
+    base = " ".join(f"w{i % 23} tok{i % 7}" for i in range(120))
+    rows = [(1, base, "en", "s", len(base)),
+            (2, "INSERTED PREFIX " + base, "en", "s", len(base) + 16)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string, "
+        "n_chars: long",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    row = q_doc_cdc_chunks(spark, d).collect()[0]
+    assert row.n_docs == 2
+    assert row.chunk_bytes == len(base) * 2 + 16
+    assert row.distinct_chunk_bytes < row.chunk_bytes  # shared tail chunks
+    assert row.savings_ppm > 0
