@@ -625,6 +625,61 @@ def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_canonical_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental canonicalization: the def-site link edges arrive in
+    THREE deterministic waves (hash-split), and the component
+    assignment is maintained across waves instead of recomputed — each
+    wave runs CC over (new edges ∪ prior assignment-as-star-edges), the
+    foreachBatch maintenance pattern of a streaming canonicalizer. The
+    prior state is already a star forest, so its part of the rounds
+    converges immediately; per-wave cost tracks the NEW edges plus one
+    star edge per seen node, not the full history. The final triples
+    must equal the one-shot batch result (same oracle as kg_canonical)
+    for ANY split — exactly the merge-only-CC invariant that makes
+    incremental maintenance sound (components only ever merge)."""
+    _, defs = _mention_frames(spark, sf_dir)
+    multi = defs.groupBy("symbol").agg(F.count(F.lit(1)).alias("n_sites"))
+    colliding = defs.join(
+        F.broadcast(
+            multi.where(F.col("n_sites") > 1).select("symbol")
+        ),
+        "symbol",
+    )
+    edges = colliding.select(
+        def_site_iri(
+            F.col("def_repo"), F.col("def_path"), F.col("symbol")
+        ).alias("src"),
+        F.concat(F.lit(X.SYMBOL_BASE), F.col("symbol")).alias("dst"),
+    )
+    assignment = None
+    for wave in range(3):
+        batch = edges.where(T.hex_hash(F.col("src"), mod=3) == wave)
+        if assignment is not None:
+            batch = batch.unionByName(
+                assignment.select(
+                    F.col("node").alias("src"),
+                    F.col("component").alias("dst"),
+                )
+            )
+        assignment = connected_components(batch).localCheckpoint(
+            eager=True
+        )
+    return (
+        colliding.withColumn(
+            "node",
+            def_site_iri(
+                F.col("def_repo"), F.col("def_path"), F.col("symbol")
+            ),
+        )
+        .join(assignment, "node")
+        .select(
+            F.col("node").alias("s"),
+            F.lit(X.P_CANONICAL).alias("p"),
+            F.col("component").alias("o"),
+        )
+    )
+
+
 SQL_KG_CANONICAL = f"""
 WITH {SRC_SQL}, {MENTIONS_SQL.strip()},
 multi AS (
@@ -641,6 +696,8 @@ comp AS (
 SELECT n.node AS s, '{NS}canonical' AS p, c.component AS o
 FROM nodes n JOIN comp c ON n.symbol = c.symbol
 """
+
+SQL_KG_CANONICAL_INCREMENTAL = SQL_KG_CANONICAL
 
 
 def q_kg_imports_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15219,6 +15276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dp_bound": q_events_dp_bound,
     "orders_skyline": q_orders_skyline,
     "doc_cdc_chunks": q_doc_cdc_chunks,
+    "kg_canonical_incremental": q_kg_canonical_incremental,
 }
 
 ORACLES: dict[str, str] = {
@@ -15480,4 +15538,5 @@ ORACLES: dict[str, str] = {
     "events_dp_bound": SQL_EVENTS_DP_BOUND,
     "orders_skyline": SQL_ORDERS_SKYLINE,
     "doc_cdc_chunks": SQL_DOC_CDC_CHUNKS,
+    "kg_canonical_incremental": SQL_KG_CANONICAL_INCREMENTAL,
 }
