@@ -15021,6 +15021,154 @@ FROM tot, dist
 """
 
 
+def q_events_interval_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-set subtraction by boundary sweep: per-user active
+    session intervals (the 30-min-gap sessions of events_sessions)
+    minus ±60 s blackout windows around error events — the SLA
+    accounting question "how much active time was actually unimpaired"
+    that naive engines answer with an interval×interval overlap join.
+
+    Sweep instead: every interval contributes +1/-1 boundary deltas
+    (session depth S, blackout depth B); deltas are pre-aggregated per
+    (user, instant), one ordered window per user computes running
+    depths, and each inter-boundary segment adds its length to exactly
+    one bucket (active∧clear vs active∧blocked) — O(n log n) in
+    boundaries, one shuffle on user_id, no join at all. Overlapping
+    blackouts and back-to-back sessions are handled by depth counting
+    with no special cases. Integer epoch-second arithmetic end-to-end."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn(
+            "new_session",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.col("ts")
+                    > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("lo"),
+            F.unix_timestamp(F.max("ts")).alias("hi"),
+        )
+    )
+    blk = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        (F.unix_timestamp("ts") - 60).alias("lo"),
+        (F.unix_timestamp("ts") + 60).alias("hi"),
+    )
+
+    def deltas(df: DataFrame, col: str) -> DataFrame:
+        return df.select(
+            "user_id", F.col("lo").alias("t"), F.lit(1).alias(col)
+        ).unionByName(
+            df.select(
+                "user_id", F.col("hi").alias("t"), F.lit(-1).alias(col)
+            )
+        )
+
+    bounds = (
+        deltas(sess, "ds")
+        .withColumn("db", F.lit(0))
+        .unionByName(
+            deltas(blk, "db").withColumn("ds", F.lit(0))
+        )
+        .groupBy("user_id", "t")
+        .agg(F.sum("ds").alias("ds"), F.sum("db").alias("db"))
+    )
+    ws = Window.partitionBy("user_id").orderBy("t")
+    swept = (
+        bounds.withColumn(
+            "s_depth",
+            F.sum("ds").over(
+                ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "b_depth",
+            F.sum("db").over(
+                ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("seg", F.lead("t").over(ws) - F.col("t"))
+        .where(F.col("seg").isNotNull() & (F.col("s_depth") > 0))
+    )
+    return swept.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("seg").cast("long").alias("session_seconds"),
+        F.sum(F.when(F.col("b_depth") > 0, F.col("seg")).otherwise(0))
+        .cast("long")
+        .alias("blocked_seconds"),
+        F.sum(F.when(F.col("b_depth") == 0, F.col("seg")).otherwise(0))
+        .cast("long")
+        .alias("retained_seconds"),
+    )
+
+
+SQL_EVENTS_INTERVAL_DIFF = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess_tagged AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_idx
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, floor(epoch(min(ts)))::BIGINT AS lo, floor(epoch(max(ts)))::BIGINT AS hi
+  FROM sess_tagged GROUP BY user_id, session_idx
+),
+blk AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT - 60 AS lo, floor(epoch(ts))::BIGINT + 60 AS hi
+  FROM events WHERE event_type = 'error'
+),
+raw AS (
+  SELECT user_id, lo AS t, 1 AS ds, 0 AS db FROM sess
+  UNION ALL SELECT user_id, hi, -1, 0 FROM sess
+  UNION ALL SELECT user_id, lo, 0, 1 FROM blk
+  UNION ALL SELECT user_id, hi, 0, -1 FROM blk
+),
+bounds AS (
+  SELECT user_id, t, sum(ds) AS ds, sum(db) AS db
+  FROM raw GROUP BY 1, 2
+),
+swept AS (
+  SELECT user_id,
+         sum(ds) OVER w2 AS s_depth,
+         sum(db) OVER w2 AS b_depth,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t) - t AS seg
+  FROM bounds
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING)
+)
+SELECT count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(seg)::BIGINT AS session_seconds,
+       sum(CASE WHEN b_depth > 0 THEN seg ELSE 0 END)::BIGINT
+         AS blocked_seconds,
+       sum(CASE WHEN b_depth = 0 THEN seg ELSE 0 END)::BIGINT
+         AS retained_seconds
+FROM swept
+WHERE seg IS NOT NULL AND s_depth > 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -15277,6 +15425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_skyline": q_orders_skyline,
     "doc_cdc_chunks": q_doc_cdc_chunks,
     "kg_canonical_incremental": q_kg_canonical_incremental,
+    "events_interval_diff": q_events_interval_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -15539,4 +15688,5 @@ ORACLES: dict[str, str] = {
     "orders_skyline": SQL_ORDERS_SKYLINE,
     "doc_cdc_chunks": SQL_DOC_CDC_CHUNKS,
     "kg_canonical_incremental": SQL_KG_CANONICAL_INCREMENTAL,
+    "events_interval_diff": SQL_EVENTS_INTERVAL_DIFF,
 }

@@ -302,3 +302,25 @@ def test_doc_cdc_chunks_insertion_preserves_tail_chunks(spark):
     assert row.chunk_bytes == len(base) * 2 + 16
     assert row.distinct_chunk_bytes < row.chunk_bytes  # shared tail chunks
     assert row.savings_ppm > 0
+
+
+def test_events_interval_diff_closed_form(spark):
+    """User 1: one session 10:00:00-10:10:00 (600 s) with an error at
+    10:05:00 blacking out ±60 s inside it -> blocked 120, retained
+    480. A second user's single-event session is zero-length: its
+    lo==hi boundary deltas cancel at the same instant, so it
+    contributes no seconds and the user doesn't count."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_events_interval_diff
+
+    t = lambda h, m, s=0: dt.datetime(2024, 1, 1, h, m, s)
+    spec = [
+        (1, "click", None, t(10, 0)),
+        (1, "error", None, t(10, 5)),
+        (1, "click", None, t(10, 10)),
+        (2, "view", None, t(12, 0)),
+    ]
+    d = _write_events(spark, spec)
+    got = [tuple(r) for r in q_events_interval_diff(spark, d).collect()]
+    assert got == [(1, 600, 120, 480)]
