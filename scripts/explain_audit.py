@@ -163,6 +163,8 @@ AUDITED = [
     "events_rankeval",
     "events_dp_bound",
     "orders_skyline",
+    "doc_cdc_chunks",
+    "events_interval_diff",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a
