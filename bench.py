@@ -192,6 +192,16 @@ BENCH_QUERIES = [
     "kg_dangling",
     "kg_cycles",
     "events_segment_shift",
+    "orders_skipping",
+    "orders_diff",
+    "kg_edgecut",
+    "events_joinest",
+    "postings_codec",
+    "events_rankeval",
+    "events_dp_bound",
+    "orders_skyline",
+    "doc_cdc_chunks",
+    "events_interval_diff",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge
