@@ -15169,6 +15169,109 @@ WHERE seg IS NOT NULL AND s_depth > 0
 """
 
 
+def q_orders_dictenc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding audit for columnar storage — the per-column
+    decision a parquet writer makes: plain encoding costs the raw
+    value bytes; dictionary encoding costs the distinct values once
+    plus one fixed-width index per row (width = the bytes needed for
+    the dictionary size). Priced exactly for three order columns that
+    span the interesting regimes: o_orderstatus (3 values — dictionary
+    wins hugely), o_orderpriority (5 values — wins), and o_orderkey
+    rendered as a string (all-distinct — dictionary LOSES, the
+    pathological case every format guards against with a fallback).
+
+    One aggregation per column over (value-length sums, NDV) — pure
+    metadata math, one scan, no joins; this is how a 10^12-row writer
+    picks encodings from column statistics without a second pass."""
+    o = _t(spark, sf_dir, "orders")
+    cols = [
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("o_orderkey_str", F.col("o_orderkey").cast("string")),
+    ]
+    parts = []
+    for name, c in cols:
+        stats = o.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.length(c)).cast("long").alias("plain_bytes"),
+            F.countDistinct(c).cast("long").alias("ndv"),
+        )
+        dict_values = (
+            o.select(c.alias("v"))
+            .distinct()
+            .agg(F.sum(F.length("v")).cast("long").alias("dict_value_bytes"))
+        )
+        parts.append(
+            stats.crossJoin(F.broadcast(dict_values)).select(
+                F.lit(name).alias("column"),
+                "n_rows",
+                "ndv",
+                "plain_bytes",
+                # index width in bytes: 1 while ndv <= 256, else 2/3/4
+                F.expr(
+                    "dict_value_bytes + n_rows * (CASE"
+                    " WHEN ndv <= 256 THEN 1"
+                    " WHEN ndv <= 65536 THEN 2"
+                    " WHEN ndv <= 16777216 THEN 3"
+                    " ELSE 4 END)"
+                ).cast("long").alias("dict_bytes"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "column",
+        "n_rows",
+        "ndv",
+        "plain_bytes",
+        "dict_bytes",
+        (F.col("dict_bytes") < F.col("plain_bytes")).alias("dict_wins"),
+        F.expr(
+            "(plain_bytes - dict_bytes) * 1000000L div plain_bytes"
+        ).alias("savings_ppm"),
+    ).orderBy("column")
+
+
+SQL_ORDERS_DICTENC = """
+WITH cols AS (
+  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'o_orderkey_str', o_orderkey::VARCHAR FROM orders
+),
+stats AS (
+  SELECT col_name, count(*)::BIGINT AS n_rows,
+         sum(length(v))::BIGINT AS plain_bytes,
+         count(DISTINCT v)::BIGINT AS ndv
+  FROM cols GROUP BY 1
+),
+dv AS (
+  SELECT col_name, sum(length(v))::BIGINT AS dict_value_bytes
+  FROM (SELECT DISTINCT col_name, v FROM cols) GROUP BY 1
+)
+SELECT s.col_name AS "column", s.n_rows, s.ndv, s.plain_bytes,
+       (d.dict_value_bytes + s.n_rows * (CASE
+          WHEN s.ndv <= 256 THEN 1
+          WHEN s.ndv <= 65536 THEN 2
+          WHEN s.ndv <= 16777216 THEN 3
+          ELSE 4 END))::BIGINT AS dict_bytes,
+       (d.dict_value_bytes + s.n_rows * (CASE
+          WHEN s.ndv <= 256 THEN 1
+          WHEN s.ndv <= 65536 THEN 2
+          WHEN s.ndv <= 16777216 THEN 3
+          ELSE 4 END)) < s.plain_bytes AS dict_wins,
+       ((s.plain_bytes - (d.dict_value_bytes + s.n_rows * (CASE
+          WHEN s.ndv <= 256 THEN 1
+          WHEN s.ndv <= 65536 THEN 2
+          WHEN s.ndv <= 16777216 THEN 3
+          ELSE 4 END))) * 1000000 // s.plain_bytes)::BIGINT AS savings_ppm
+FROM stats s JOIN dv d USING (col_name)
+ORDER BY s.col_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -15426,6 +15529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_cdc_chunks": q_doc_cdc_chunks,
     "kg_canonical_incremental": q_kg_canonical_incremental,
     "events_interval_diff": q_events_interval_diff,
+    "orders_dictenc": q_orders_dictenc,
 }
 
 ORACLES: dict[str, str] = {
@@ -15689,4 +15793,5 @@ ORACLES: dict[str, str] = {
     "doc_cdc_chunks": SQL_DOC_CDC_CHUNKS,
     "kg_canonical_incremental": SQL_KG_CANONICAL_INCREMENTAL,
     "events_interval_diff": SQL_EVENTS_INTERVAL_DIFF,
+    "orders_dictenc": SQL_ORDERS_DICTENC,
 }

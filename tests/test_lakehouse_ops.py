@@ -324,3 +324,35 @@ def test_events_interval_diff_closed_form(spark):
     d = _write_events(spark, spec)
     got = [tuple(r) for r in q_events_interval_diff(spark, d).collect()]
     assert got == [(1, 600, 120, 480)]
+
+
+def test_orders_dictenc_closed_form(spark):
+    """Two rows, statuses 'OO'/'OO' (2-char, ndv 1): plain 4 bytes,
+    dict = 2 + 2x1 = 4 -> tie, dict does NOT win (strict <).
+    Priorities 'LONGPRIORITY' twice: plain 24, dict 12 + 2 = 14 ->
+    wins, savings 416666 ppm. Keys '7','8': plain 2, dict 2 + 2 = 4
+    -> loses (-1000000 ppm)."""
+    import datetime as dt
+
+    from pyjelly_spark.queries import q_orders_dictenc
+
+    rows = [
+        (7, 1, "OO", 1.0, dt.datetime(2024, 1, 1), "LONGPRIORITY"),
+        (8, 1, "OO", 2.0, dt.datetime(2024, 1, 2), "LONGPRIORITY"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey: long, o_custkey: long, o_orderstatus: string, "
+        "o_totalprice: double, o_orderdate: timestamp_ntz, "
+        "o_orderpriority: string",
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    got = [tuple(r) for r in q_orders_dictenc(spark, d).collect()]
+    assert got == [
+        ("o_orderkey_str", 2, 2, 2, 4, False, -1000000),
+        ("o_orderpriority", 2, 1, 24, 14, True, 416666),
+        ("o_orderstatus", 2, 1, 4, 4, False, 0),
+    ]
