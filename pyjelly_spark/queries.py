@@ -15272,6 +15272,82 @@ ORDER BY s.col_name
 """
 
 
+def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate accounting (the SRE alerting
+    arithmetic): against a 1% error budget (10000 ppm), compute the
+    error rate of every 1-hour and every 6-hour tumbling window and
+    report, per window size, how many windows exist, how many burn at
+    >= 2x budget (the fast-burn page condition), the worst window's
+    rate, and the overall rate — all in exact ppm integers.
+
+    Two hash aggregations per window size over (epoch div width)
+    bucket keys — map-side partials, no windows-over-rows, no joins;
+    multi-window burn alerting at 10^12 events is exactly this plan."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.unix_timestamp("ts").alias("es"),
+        (F.col("event_type") == "error").cast("long").alias("is_err"),
+    )
+    parts = []
+    for label, width in (("1h", 3600), ("6h", 21600)):
+        per_w = base.groupBy(
+            F.expr(f"es div {width}L").alias("w")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_err").alias("e"),
+        ).select(
+            "w",
+            "n",
+            "e",
+            F.expr("e * 1000000L div n").alias("err_ppm"),
+        )
+        parts.append(
+            per_w.agg(
+                F.lit(label).alias("window"),
+                F.count(F.lit(1)).cast("long").alias("n_windows"),
+                F.sum(
+                    (F.col("err_ppm") >= 20000).cast("long")
+                ).cast("long").alias("n_burning"),
+                F.max("err_ppm").cast("long").alias("worst_err_ppm"),
+                F.expr("sum(e) * 1000000L div sum(n)")
+                .cast("long")
+                .alias("overall_err_ppm"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("window")
+
+
+SQL_EVENTS_SLO_BURN = """
+WITH base AS (
+  SELECT floor(epoch(ts))::BIGINT AS es,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+),
+w1 AS (
+  SELECT es // 3600 AS w, count(*) AS n, sum(is_err) AS e,
+         sum(is_err) * 1000000 // count(*) AS err_ppm
+  FROM base GROUP BY 1
+),
+w6 AS (
+  SELECT es // 21600 AS w, count(*) AS n, sum(is_err) AS e,
+         sum(is_err) * 1000000 // count(*) AS err_ppm
+  FROM base GROUP BY 1
+)
+SELECT '1h' AS "window", count(*)::BIGINT AS n_windows,
+       sum(CASE WHEN err_ppm >= 20000 THEN 1 ELSE 0 END)::BIGINT AS n_burning,
+       max(err_ppm)::BIGINT AS worst_err_ppm,
+       (sum(e) * 1000000 // sum(n))::BIGINT AS overall_err_ppm
+FROM w1
+UNION ALL
+SELECT '6h', count(*)::BIGINT,
+       sum(CASE WHEN err_ppm >= 20000 THEN 1 ELSE 0 END)::BIGINT,
+       max(err_ppm)::BIGINT,
+       (sum(e) * 1000000 // sum(n))::BIGINT
+FROM w6
+ORDER BY "window"
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -15530,6 +15606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonical_incremental": q_kg_canonical_incremental,
     "events_interval_diff": q_events_interval_diff,
     "orders_dictenc": q_orders_dictenc,
+    "events_slo_burn": q_events_slo_burn,
 }
 
 ORACLES: dict[str, str] = {
@@ -15794,4 +15871,5 @@ ORACLES: dict[str, str] = {
     "kg_canonical_incremental": SQL_KG_CANONICAL_INCREMENTAL,
     "events_interval_diff": SQL_EVENTS_INTERVAL_DIFF,
     "orders_dictenc": SQL_ORDERS_DICTENC,
+    "events_slo_burn": SQL_EVENTS_SLO_BURN,
 }

@@ -356,3 +356,23 @@ def test_orders_dictenc_closed_form(spark):
         ("o_orderpriority", 2, 1, 24, 14, True, 416666),
         ("o_orderstatus", 2, 1, 4, 4, False, 0),
     ]
+
+
+def test_events_slo_burn_closed_form(spark):
+    """Hour 1: 1 error of 4 events (250000 ppm, burning); hour 2: 0 of
+    2. Both hours share one 6h window: 1/6 -> 166666 ppm, burning."""
+    import datetime as dt
+
+    spec = (
+        [(1, "error", None, dt.datetime(2024, 1, 1, 0, 5))]
+        + [(1, "click", None, dt.datetime(2024, 1, 1, 0, 10))] * 3
+        + [(2, "view", None, dt.datetime(2024, 1, 1, 1, 30))] * 2
+    )
+    from pyjelly_spark.queries import q_events_slo_burn
+
+    d = _write_events(spark, spec)
+    got = [tuple(r) for r in q_events_slo_burn(spark, d).collect()]
+    assert got == [
+        ("1h", 2, 1, 250000, 166666),
+        ("6h", 1, 1, 166666, 166666),
+    ]
