@@ -324,3 +324,88 @@ def _layer(
         "condensation layering exceeded max_rounds (cyclic condensation "
         "means the SCC assignment itself is wrong)"
     )
+
+
+def condensation_path_counts(
+    edges: DataFrame, assignment: DataFrame, max_rounds: int = 60
+) -> DataFrame:
+    """Source-to-node path counting over the condensation DAG.
+
+    Returns ``(scc: long, n_paths: long)`` where n_paths = number of
+    distinct directed paths from any SOURCE SCC (no incoming
+    condensation edges; a source counts one trivial path to itself)
+    to this SCC. Iterative sum-relaxation — pc_{k+1}(v) = is_source(v)
+    + sum over predecessors of pc_k(p) — which reaches the exact fixed
+    point after depth-of-DAG rounds (each round extends counted path
+    lengths by one) and is detected by a no-change round, one shuffle
+    per round over the CONTRACTED graph. Counts are exact int64; a DAG
+    engineered for exponential path counts would overflow — callers at
+    that scale switch the same recurrence to a modular count.
+    Raises :class:`SCCNotConverged` if the condensation is cyclic
+    (i.e. the assignment is wrong) instead of looping forever.
+    """
+    a_src = assignment.select(
+        F.col("node").alias("src"), F.col("scc").alias("s_src")
+    )
+    a_dst = assignment.select(
+        F.col("node").alias("dst"), F.col("scc").alias("s_dst")
+    )
+    cond_e = _ckpt(
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .join(a_src, "src")
+        .join(a_dst, "dst")
+        .where(F.col("s_src") != F.col("s_dst"))
+        .select(F.col("s_src").alias("src"), F.col("s_dst").alias("dst"))
+        .distinct()
+    )
+    sccs = assignment.select("scc").distinct()
+    sources = sccs.join(
+        cond_e.select(F.col("dst").alias("scc")).distinct(),
+        "scc",
+        "left_anti",
+    )
+    with _round_shuffles(edges.sparkSession, cond_e.count()):
+        base = _ckpt(
+            sccs.join(
+                sources.select("scc", F.lit(1).alias("one")), "scc", "left"
+            ).select(
+                "scc",
+                F.coalesce("one", F.lit(0)).cast("long").alias("is_src"),
+            )
+        )
+        pc = base.select("scc", F.col("is_src").cast("long").alias("n_paths"))
+        for _it in range(max_rounds):
+            pred_sum = (
+                cond_e.join(
+                    pc.select(
+                        F.col("scc").alias("src"),
+                        F.col("n_paths").alias("p_src"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("scc"))
+                .agg(F.sum("p_src").alias("from_preds"))
+            )
+            stepped = (
+                base.join(pc.select("scc", F.col("n_paths").alias("old")), "scc")
+                .join(pred_sum, "scc", "left")
+                .select(
+                    "scc",
+                    (
+                        F.col("is_src") + F.coalesce("from_preds", F.lit(0))
+                    ).cast("long").alias("n_paths"),
+                    F.col("old"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            n_changed = (
+                stepped.where(F.col("n_paths") != F.col("old"))
+                .count()
+            )
+            pc = stepped.select("scc", "n_paths")
+            if not n_changed:
+                return pc
+        raise SCCNotConverged(
+            "path counting exceeded max_rounds (cyclic condensation means "
+            "the SCC assignment itself is wrong)"
+        )

@@ -15348,6 +15348,58 @@ ORDER BY "window"
 """
 
 
+def q_kg_pathcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-path census of the condensation DAG: for every SCC,
+    the number of directed paths reaching it from source SCCs (build
+    "how many independent upstream chains feed this target" — the
+    fan-in diagnostic behind rebuild-impact analysis), reported as a
+    (n_paths, n_sccs) histogram.
+
+    Spark path: SCC assignment + iterative SUM-relaxation over the
+    contracted edge set (operators/scc.py condensation_path_counts) —
+    the additive sibling of condensation_levels' max-propagation,
+    exact after depth-of-DAG one-shuffle rounds. The oracle ENUMERATES
+    every path with a recursive UNION ALL walk and counts endpoint
+    occurrences — exponential in general, affordable only because it
+    is an oracle on the bounded census graph."""
+    from pyjelly_spark.operators.scc import (
+        condensation_path_counts,
+        strongly_connected_components,
+    )
+
+    edges, nodes = _dep_graph(spark, sf_dir)
+    assign = strongly_connected_components(edges, nodes)
+    pc = condensation_path_counts(edges, assign)
+    return (
+        pc.groupBy(F.col("n_paths").cast("long").alias("n_paths"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sccs"))
+        .orderBy("n_paths")
+    )
+
+
+SQL_KG_PATHCOUNT = f"""
+WITH RECURSIVE {_SCC_SQL_CORE},
+ce AS (
+  SELECT DISTINCT s1.scc AS src, s2.scc AS dst
+  FROM e JOIN sccid s1 ON s1.node = e.s JOIN sccid s2 ON s2.node = e.t
+  WHERE s1.scc <> s2.scc
+),
+allscc AS (SELECT DISTINCT scc FROM sccid),
+sources AS (
+  SELECT scc FROM allscc
+  WHERE scc NOT IN (SELECT dst FROM ce)
+),
+walk AS (
+  SELECT scc AS v FROM sources
+  UNION ALL
+  SELECT ce.dst AS v FROM walk w JOIN ce ON ce.src = w.v
+),
+pc AS (SELECT v AS scc, count(*)::BIGINT AS n_paths FROM walk GROUP BY 1)
+SELECT n_paths, count(*)::BIGINT AS n_sccs
+FROM pc GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -15607,6 +15659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interval_diff": q_events_interval_diff,
     "orders_dictenc": q_orders_dictenc,
     "events_slo_burn": q_events_slo_burn,
+    "kg_pathcount": q_kg_pathcount,
 }
 
 ORACLES: dict[str, str] = {
@@ -15872,4 +15925,5 @@ ORACLES: dict[str, str] = {
     "events_interval_diff": SQL_EVENTS_INTERVAL_DIFF,
     "orders_dictenc": SQL_ORDERS_DICTENC,
     "events_slo_burn": SQL_EVENTS_SLO_BURN,
+    "kg_pathcount": SQL_KG_PATHCOUNT,
 }

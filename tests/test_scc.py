@@ -251,3 +251,18 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_kg_pathcount_partial_group(spark):
+    """n=85 graph condensation: 68 sources (tails + chain head) have
+    1 trivial path each; cycle0 is fed by 37 tails + itself-as-nonsource
+    -> paths = 37 (its tails) ... hand-derived below:
+    cycle0: 37 tail paths; cycle1: 30 tails + (cycle0's 37 via chord)
+    = 67; 81: chain head 80 (1) + cycle1's 67 = 68; 82..84 inherit 68."""
+    from pyjelly_spark.queries import q_kg_pathcount
+
+    from tests.test_scc import _write_doc_ids  # self-import safe
+
+    d = _write_doc_ids(spark, 85)
+    got = [tuple(r) for r in q_kg_pathcount(spark, d).collect()]
+    assert got == [(1, 68), (37, 1), (67, 1), (68, 4)]
