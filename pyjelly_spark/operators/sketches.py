@@ -311,3 +311,100 @@ def kmv_set_estimates(
             "exact_inter",
         )
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    m: int = 256,
+    alpha_x1e6: int = 718272,
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch of ``key_col`` per ``group_col``
+    with ``m`` registers, built entirely on the portable 60-bit sha hash
+    so the DuckDB oracle reproduces the register matrix — and therefore
+    the integer estimate — bit-exactly (unlike Spark's built-in
+    ``approx_count_distinct``, whose xxhash64-based HLL++ is
+    engine-private).
+
+    Register assignment: the low ``log2(m)`` hash bits pick the
+    register, the remaining 52 bits w contribute
+    rho = (61-b) - bit_length(w) ((61-b) when w = 0, b = log2(m)) — bit_length computed
+    portably as ``length(bin(w))``, identical in Spark and DuckDB.
+
+    Scale shape: NO distinct pre-pass — max() absorbs duplicates, so
+    the plan is one partial-aggregated shuffle on (group, register)
+    whose map-side state is bounded by m rows per group per task; the
+    reduce side holds exactly m rows per group. That mergeability (the
+    register matrix is a commutative monoid under element-wise max) is
+    why HLL is the canonical distributed distinct count at 100 TB:
+    re-aggregation across days/partitions never touches raw keys.
+
+    The harmonic-mean estimate stays in integer arithmetic: with
+    S = sum_j 2^(K - M_j), K = 61 - b (absent registers contribute 2^K),
+    the raw estimate is alpha_m * m^2 * 2^K / S — one decimal(38,0) floor
+    division. No float ever enters, so partitioning / summation order
+    cannot perturb the gate. Low-range linear-counting correction is
+    deliberately NOT applied (it needs ln(); both engines would have to
+    agree on float rounding) — zero_regs is emitted so a consumer can
+    apply it; the gate pins the raw sketch.
+
+    Returns (group, registers_used, zero_regs, est_distinct, exact_n,
+    err_ppm); exact_n/err_ppm are carried for the correctness gate and
+    error inspection — a production rollup would drop them.
+    """
+    if m & (m - 1):
+        raise ValueError(f"m must be a power of two, got {m}")
+    b = m.bit_length() - 1  # register index bits
+    k_max = 61 - b  # rho ranges 1..k_max over the (60-b)-bit payload
+    num = alpha_x1e6 * m * m * (1 << k_max)
+    h = hex_hash(F.col(key_col).cast("string"))
+    regs = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.pmod(h, F.lit(m)).alias("reg"),
+            F.shiftright(h, b).alias("w"),
+        )
+        .select(
+            "g",
+            "reg",
+            F.when(F.col("w") == 0, F.lit(k_max))
+            .otherwise(F.lit(k_max) - F.length(F.bin("w")))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    stats = regs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("registers_used"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {k_max} - mreg)"))
+        .cast("long")
+        .alias("s_obs"),
+    )
+    est = stats.select(
+        "g",
+        "registers_used",
+        (F.lit(m) - F.col("registers_used")).cast("long").alias("zero_regs"),
+        F.expr(
+            f"cast(cast({num} as decimal(38,0)) div "
+            f"(cast(s_obs + ({m} - registers_used) * {1 << k_max} as decimal(38,0))"
+            f" * 1000000) as bigint)"
+        ).alias("est_distinct"),
+    )
+    exact = (
+        df.select(F.col(group_col).alias("g"), F.col(key_col).alias("k_"))
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    return est.join(exact, "g").select(
+        F.col("g").alias(group_col),
+        "registers_used",
+        "zero_regs",
+        "est_distinct",
+        "exact_n",
+        F.expr(
+            "cast(abs(est_distinct - exact_n) * 1000000 div exact_n as bigint)"
+        ).alias("err_ppm"),
+    )

@@ -15400,6 +15400,65 @@ FROM pc GROUP BY 1 ORDER BY 1
 """
 
 
+
+
+def q_events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event_type, m=256 registers
+    on the portable sha-60 hash (operators/sketches.py::hll_distinct).
+    The gate pins the register matrix bit-exactly through the integer
+    harmonic-mean estimate — est, zero-register count, and err_ppm vs
+    the exact distinct all reproduce in DuckDB because no float and no
+    engine-private hash ever enters. Scale shape: one partial-aggregated
+    shuffle on (event_type, register) with map-side state bounded by
+    256 rows per group per task; no distinct pre-pass (max() absorbs
+    duplicates). At sf0.01 group cardinalities sit in HLL's
+    low-range regime so err_ppm is large — the raw sketch (without
+    linear-counting correction, which would need ln()) is what is
+    pinned; zero_regs is emitted for consumers that apply it."""
+    from pyjelly_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", m=256
+    ).orderBy("event_type")
+
+
+SQL_EVENTS_HLL = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substring(sha256(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), rho AS (
+  SELECT event_type, h % 256 AS reg,
+         CASE WHEN h // 256 = 0 THEN 53
+              ELSE 53 - length(bin(h // 256)) END AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, reg, max(rho) AS mreg
+  FROM rho GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         count(*)::BIGINT AS registers_used,
+         sum((1::BIGINT << (53 - mreg))::BIGINT)::BIGINT AS s_obs
+  FROM regs GROUP BY 1
+), e AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_n
+  FROM events GROUP BY 1
+), est AS (
+  SELECT s.event_type, s.registers_used,
+         (256 - s.registers_used)::BIGINT AS zero_regs,
+         (423992952297968225866481664::HUGEINT
+          // ((s.s_obs + (256 - s.registers_used) * 9007199254740992)::HUGEINT
+              * 1000000))::BIGINT AS est_distinct,
+         e.exact_n
+  FROM s JOIN e USING (event_type)
+)
+SELECT event_type, registers_used, zero_regs, est_distinct, exact_n,
+       (abs(est_distinct - exact_n) * 1000000 // exact_n)::BIGINT AS err_ppm
+FROM est
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -15660,6 +15719,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_dictenc": q_orders_dictenc,
     "events_slo_burn": q_events_slo_burn,
     "kg_pathcount": q_kg_pathcount,
+    "events_hll": q_events_hll,
 }
 
 ORACLES: dict[str, str] = {
@@ -15926,4 +15986,5 @@ ORACLES: dict[str, str] = {
     "orders_dictenc": SQL_ORDERS_DICTENC,
     "events_slo_burn": SQL_EVENTS_SLO_BURN,
     "kg_pathcount": SQL_KG_PATHCOUNT,
+    "events_hll": SQL_EVENTS_HLL,
 }

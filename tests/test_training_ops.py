@@ -4075,3 +4075,44 @@ def test_events_new_returning_closed_form(spark):
         ("2024-01-01", 1, 1, 0, 1),
         ("2024-01-02", 2, 1, 1, 2),
     ]
+
+
+def test_hll_matches_python_reference(spark):
+    """hll_distinct register matrix + integer estimate == a pure-Python
+    HLL over the same sha-60 hashes (dups must not move anything)."""
+    from pyjelly_spark.operators.sketches import hll_distinct
+
+    rows = [("a", i) for i in range(500)] + [("b", i) for i in range(60)]
+    rows += [("a", 3)] * 7 + [("b", 59)] * 3
+    df = spark.createDataFrame(rows, "grp: string, key: long")
+    got = {r["grp"]: r for r in hll_distinct(df, "grp", "key", m=256).collect()}
+    for grp, n in [("a", 500), ("b", 60)]:
+        regs: dict[int, int] = {}
+        for i in range(n):
+            h = _sha60(i)
+            w = h >> 8
+            rho = 53 - w.bit_length() if w else 53
+            regs[h % 256] = max(regs.get(h % 256, 0), rho)
+        s = sum(1 << (53 - mr) for mr in regs.values())
+        s += (256 - len(regs)) * (1 << 53)
+        est = (718272 * 256 * 256 * (1 << 53)) // (s * 1_000_000)
+        r = got[grp]
+        assert r["registers_used"] == len(regs)
+        assert r["zero_regs"] == 256 - len(regs)
+        assert r["est_distinct"] == est
+        assert r["exact_n"] == n
+        assert r["err_ppm"] == abs(est - n) * 1_000_000 // n
+
+
+def test_hll_merge_invariance(spark):
+    """Partitioning must not change the sketch: 1-partition and
+    32-partition runs produce identical rows (register max is a
+    commutative monoid — the 100 TB mergeability property)."""
+    from pyjelly_spark.operators.sketches import hll_distinct
+
+    rows = [("g", i * 31) for i in range(1000)]
+    df1 = spark.createDataFrame(rows, "grp: string, key: long").coalesce(1)
+    df32 = spark.createDataFrame(rows, "grp: string, key: long").repartition(32)
+    a = hll_distinct(df1, "grp", "key").collect()[0].asDict()
+    b = hll_distinct(df32, "grp", "key").collect()[0].asDict()
+    assert a == b
