@@ -15459,6 +15459,138 @@ ORDER BY event_type
 """
 
 
+
+
+def q_events_gorilla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series timestamp compression audit, Gorilla-style (Facebook
+    Gorilla / TSDB heads): per series (user_id, event_type) the exact
+    byte cost of delta-of-delta coding the microsecond timestamps —
+    first point 8 bytes absolute, second point the zigzag-varint first
+    delta, every later point zigzag-varint(d_i - d_{i-1}) — vs plain
+    8-byte timestamps, rolled up per event_type with savings in ppm.
+
+    Plan shape: ONE shuffle (the per-series sort window; delta and
+    lagged-delta share the same window spec so Catalyst computes both
+    in one Window operator) then a partial-aggregated rollup —
+    pure-Catalyst zigzag + LEB128 length ladder, no UDF, no bytes
+    materialized: the audit prices a 10^12-point TSDB layout from
+    metadata math alone. Regular arrival spacing makes dod ~ 0 (1
+    byte/point vs 8) — the whole Gorilla argument, measured exactly.
+    Ordering ties broken by event_id so the coding is deterministic on
+    any partitioning; timestamps priced at microsecond precision
+    (NTZ timestampdiff micros / epoch_us agree exactly: both are
+    integer microsecond counts and only deltas are priced)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    deltas = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            # NTZ-safe epoch micros; only deltas are priced, so the
+            # origin cancels and epoch_us() on the oracle side matches.
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+            ).alias("t"),
+        )
+        .withColumn("d", F.col("t") - F.lag("t").over(w))
+        .withColumn("dod", F.col("d") - F.lag("d").over(w))
+        .withColumn(
+            "z",
+            F.expr(
+                "CASE WHEN d IS NULL THEN NULL "
+                "WHEN dod IS NULL THEN IF(d >= 0, 2*d, -2*d - 1) "
+                "ELSE IF(dod >= 0, 2*dod, -2*dod - 1) END"
+            ),
+        )
+        .withColumn(
+            "vbytes",
+            F.when(F.col("z").isNull(), 8)  # series head: absolute ts
+            .when(F.col("z") < 1 << 7, 1)
+            .when(F.col("z") < 1 << 14, 2)
+            .when(F.col("z") < 1 << 21, 3)
+            .when(F.col("z") < 1 << 28, 4)
+            .when(F.col("z") < 1 << 35, 5)
+            .when(F.col("z") < 1 << 42, 6)
+            .when(F.col("z") < 1 << 49, 7)
+            .when(F.col("z") < 1 << 56, 8)
+            .when(F.col("z") < (1 << 63) - 1, 9)
+            .otherwise(10)
+            .cast("long"),
+        )
+    )
+    return (
+        deltas.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_series"),
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            (F.count(F.lit(1)) * 8).cast("long").alias("plain_bytes"),
+            F.sum("vbytes").cast("long").alias("gorilla_bytes"),
+        )
+        .select(
+            "event_type",
+            "n_series",
+            "n_points",
+            "plain_bytes",
+            "gorilla_bytes",
+            F.expr(
+                "(plain_bytes - gorilla_bytes) * 1000000L div plain_bytes"
+            ).alias("savings_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_GORILLA = """
+WITH t AS (
+  SELECT user_id, event_type, event_id, ts, epoch_us(ts) AS t
+  FROM events
+), d AS (
+  SELECT user_id, event_type, event_id, ts, t,
+         t - lag(t) OVER w AS d
+  FROM t
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), dd AS (
+  SELECT user_id, event_type, d,
+         d - lag(d) OVER w AS dod
+  FROM d
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), z AS (
+  SELECT user_id, event_type,
+         CASE WHEN d IS NULL THEN NULL
+              WHEN dod IS NULL THEN
+                CASE WHEN d >= 0 THEN 2*d ELSE -2*d - 1 END
+              ELSE CASE WHEN dod >= 0 THEN 2*dod ELSE -2*dod - 1 END
+         END AS z
+  FROM dd
+), vb AS (
+  SELECT user_id, event_type,
+         CASE WHEN z IS NULL THEN 8
+              WHEN z < 128 THEN 1
+              WHEN z < 16384 THEN 2
+              WHEN z < 2097152 THEN 3
+              WHEN z < 268435456 THEN 4
+              WHEN z < 34359738368 THEN 5
+              WHEN z < 4398046511104 THEN 6
+              WHEN z < 562949953421312 THEN 7
+              WHEN z < 72057594037927936 THEN 8
+              WHEN z < 9223372036854775807 THEN 9
+              ELSE 10 END AS vbytes
+  FROM z
+)
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS n_series,
+       count(*)::BIGINT AS n_points,
+       (count(*) * 8)::BIGINT AS plain_bytes,
+       sum(vbytes)::BIGINT AS gorilla_bytes,
+       ((count(*) * 8 - sum(vbytes)) * 1000000 // (count(*) * 8))::BIGINT
+         AS savings_ppm
+FROM vb GROUP BY 1
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -15720,6 +15852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_slo_burn": q_events_slo_burn,
     "kg_pathcount": q_kg_pathcount,
     "events_hll": q_events_hll,
+    "events_gorilla": q_events_gorilla,
 }
 
 ORACLES: dict[str, str] = {
@@ -15987,4 +16120,5 @@ ORACLES: dict[str, str] = {
     "events_slo_burn": SQL_EVENTS_SLO_BURN,
     "kg_pathcount": SQL_KG_PATHCOUNT,
     "events_hll": SQL_EVENTS_HLL,
+    "events_gorilla": SQL_EVENTS_GORILLA,
 }

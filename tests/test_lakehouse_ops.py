@@ -376,3 +376,37 @@ def test_events_slo_burn_closed_form(spark):
         ("1h", 2, 1, 250000, 166666),
         ("6h", 1, 1, 166666, 166666),
     ]
+
+
+def test_gorilla_bytes_by_hand(spark, tmp_path):
+    """Delta-of-delta pricing on a hand-computed series: head=8B,
+    first delta zigzag-varint, later points dod zigzag-varint incl. a
+    negative dod and a 2-byte dod."""
+    import pandas as pd
+
+    from pyjelly_spark.queries import QUERIES
+
+    # one user, one type: ts at +0s, +10s, +20s, +19s, +119s
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    offs = [0, 10, 20, 19, 119]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(5),
+            "ts": [base + pd.Timedelta(seconds=o) for o in offs],
+            "user_id": [1] * 5,
+            "event_type": ["view"] * 5,
+            "value": [0.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet", coerce_timestamps="us")
+    row = QUERIES["events_gorilla"](spark, str(d)).collect()[0]
+    # time-sorted offsets 0,10,19,20,119 -> deltas us 10e6, 9e6, 1e6,
+    # 99e6 -> dods None(first delta), -1e6, -8e6, 98e6; zigzag 2e7
+    # (4B), 1_999_999 (3B), 15_999_999 (4B), 196_000_000 (4B)
+    assert row["n_points"] == 5
+    assert row["plain_bytes"] == 40
+    assert row["gorilla_bytes"] == 8 + 4 + 3 + 4 + 4
+    assert row["savings_ppm"] == (40 - 23) * 1_000_000 // 40
