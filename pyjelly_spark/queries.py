@@ -15591,6 +15591,65 @@ ORDER BY event_type
 """
 
 
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection over the documents table
+    (functions/text.py::winnow_fingerprints, k=5-word shingles, w=4
+    windows, rightmost-min tie-break): per doc the exact selected
+    fingerprint set, pinned by count, density, and a modular checksum
+    of the selected gram hashes. Entirely in-row higher-order-function
+    arithmetic on the portable sha-60 hash — zero shuffle before the
+    readout, no explode — so the DuckDB oracle (the same arithmetic as
+    list comprehensions) reproduces the set bit-exactly."""
+    from pyjelly_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=5, w=4
+    ).orderBy("doc_id")
+
+
+SQL_DOC_WINNOW = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+           x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         [ ('0x' || substring(sha256(array_to_string(words[i:i+4], ' ')), 1, 15))::BIGINT
+           for i in generate_series(1, greatest(len(words) - 4, 0)) ] AS grams
+  FROM t
+), s AS (
+  SELECT doc_id, grams, len(grams) AS n_grams,
+         least(4, len(grams)) AS ww
+  FROM g
+), sel AS (
+  SELECT doc_id, grams, n_grams,
+         CASE WHEN n_grams = 0 THEN 0 ELSE n_grams - ww + 1 END AS n_windows,
+         list_distinct(
+           [ p + ww - 1 - (list_min(
+               [ grams[p+o] * 4 + (ww - 1 - o)
+                 for o in generate_series(0, ww - 1) ]) % 4)
+             for p in generate_series(1, CASE WHEN n_grams = 0 THEN 0
+                                            ELSE n_grams - ww + 1 END) ]
+         ) AS sel
+  FROM s
+)
+SELECT doc_id,
+       n_grams::BIGINT AS n_grams,
+       n_windows::BIGINT AS n_windows,
+       len(sel)::BIGINT AS n_fp,
+       (CASE WHEN n_windows = 0 THEN 0
+             ELSE len(sel) * 1000000 // n_windows END)::BIGINT AS density_ppm,
+       coalesce(list_sum([ grams[j] % 1000000007 for j in sel ]), 0)::BIGINT
+         AS fp_chk
+FROM sel
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -15853,6 +15912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pathcount": q_kg_pathcount,
     "events_hll": q_events_hll,
     "events_gorilla": q_events_gorilla,
+    "doc_winnow": q_doc_winnow,
 }
 
 ORACLES: dict[str, str] = {
@@ -16121,4 +16181,5 @@ ORACLES: dict[str, str] = {
     "kg_pathcount": SQL_KG_PATHCOUNT,
     "events_hll": SQL_EVENTS_HLL,
     "events_gorilla": SQL_EVENTS_GORILLA,
+    "doc_winnow": SQL_DOC_WINNOW,
 }
