@@ -15650,6 +15650,74 @@ ORDER BY doc_id
 """
 
 
+
+
+def q_doc_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closed-form OLS of word count ~ 1 + n_chars/100 + distinct
+    word count over documents (operators/regression.py::ols_fit_2feature).
+    All three columns are integers, so the normal-equation sufficient
+    statistics are exact and the Cramer-determinant coefficient ratios
+    truncate identically in Spark decimal(38,0) and DuckDB HUGEINT —
+    a regression fit gated bit-for-bit, immune to float summation
+    order. Plan: ONE map-side-partial aggregation pass (9 sums) over
+    the corpus; the solve is arithmetic on a 1-row frame. That single
+    bounded-state pass is the whole argument for sufficient-statistics
+    ML at 100 TB."""
+    from pyjelly_spark.operators.regression import ols_fit_2feature
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.expr("n_chars div 100").alias("x1"),
+        F.expr(
+            "size(array_distinct(filter(split("
+            "lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '),"
+            " x -> x <> '')))"
+        ).cast("long").alias("x2"),
+        F.expr(
+            "size(filter(split("
+            "lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '),"
+            " x -> x <> ''))"
+        ).cast("long").alias("y"),
+    )
+    return ols_fit_2feature(feats, "x1", "x2", "y")
+
+
+SQL_DOC_OLS = r"""
+WITH f AS (
+  SELECT n_chars // 100 AS x1,
+         len(list_distinct(list_filter(
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+           t -> t <> '')))::BIGINT AS x2,
+         len(list_filter(
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+           t -> t <> ''))::BIGINT AS y
+  FROM documents
+), s AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(x1)::HUGEINT AS s1, sum(x2)::HUGEINT AS s2,
+         sum(y)::HUGEINT AS sy,
+         sum(x1*x1)::HUGEINT AS s11, sum(x1*x2)::HUGEINT AS s12,
+         sum(x2*x2)::HUGEINT AS s22,
+         sum(x1*y)::HUGEINT AS s1y, sum(x2*y)::HUGEINT AS s2y
+  FROM f
+)
+SELECT n::BIGINT AS n,
+       ((sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+         + s2*(s1y*s12 - s11*s2y)) * 1000000
+        // (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+            + s2*(s1*s12 - s11*s2)))::BIGINT AS beta0_x1e6,
+       ((n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+         + s2*(s1*s2y - s1y*s2)) * 1000000
+        // (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+            + s2*(s1*s12 - s11*s2)))::BIGINT AS beta1_x1e6,
+       ((n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+         + sy*(s1*s12 - s11*s2)) * 1000000
+        // (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+            + s2*(s1*s12 - s11*s2)))::BIGINT AS beta2_x1e6
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -15913,6 +15981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hll": q_events_hll,
     "events_gorilla": q_events_gorilla,
     "doc_winnow": q_doc_winnow,
+    "doc_ols": q_doc_ols,
 }
 
 ORACLES: dict[str, str] = {
@@ -16182,4 +16251,5 @@ ORACLES: dict[str, str] = {
     "events_hll": SQL_EVENTS_HLL,
     "events_gorilla": SQL_EVENTS_GORILLA,
     "doc_winnow": SQL_DOC_WINNOW,
+    "doc_ols": SQL_DOC_OLS,
 }

@@ -4186,3 +4186,49 @@ def test_winnow_coverage_guarantee(spark):
             sel.add(grams[p + j])
         sets[doc_id] = sel
     assert sets[1] & sets[2], "shared 8-word run must share a fingerprint"
+
+
+def test_ols_exact_cramer(spark):
+    """ols_fit_2feature == exact integer Cramer in Python, and within
+    1e-3 of numpy lstsq on the same data (sanity that the closed form
+    is actually OLS)."""
+    import numpy as np
+
+    from pyjelly_spark.operators.regression import ols_fit_2feature
+
+    rng = [(i, (i * 7) % 13, (i * 3) % 5) for i in range(1, 200)]
+    rows = [(x1, x2, 10 + 3 * x1 - 2 * x2 + ((x1 * x2) % 7)) for _, x1, x2 in
+            [(i, a, b) for i, a, b in rng]]
+    df = spark.createDataFrame(rows, "x1: long, x2: long, y: long")
+    got = ols_fit_2feature(df, "x1", "x2", "y").collect()[0]
+
+    n = len(rows)
+    s1 = sum(r[0] for r in rows); s2 = sum(r[1] for r in rows)
+    sy = sum(r[2] for r in rows)
+    s11 = sum(r[0] * r[0] for r in rows); s12 = sum(r[0] * r[1] for r in rows)
+    s22 = sum(r[1] * r[1] for r in rows)
+    s1y = sum(r[0] * r[2] for r in rows); s2y = sum(r[1] * r[2] for r in rows)
+    det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) \
+        + s2 * (s1 * s12 - s11 * s2)
+    det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) \
+        + s2 * (s1y * s12 - s11 * s2y)
+    det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) \
+        + s2 * (s1 * s2y - s1y * s2)
+    det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) \
+        + sy * (s1 * s12 - s11 * s2)
+
+    def tdiv(a, b):  # truncation like Spark div
+        q = abs(a) * 1_000_000 // abs(b)
+        return q if (a < 0) == (b < 0) else -q
+
+    assert got["n"] == n
+    assert got["beta0_x1e6"] == tdiv(det0, det)
+    assert got["beta1_x1e6"] == tdiv(det1, det)
+    assert got["beta2_x1e6"] == tdiv(det2, det)
+
+    X = np.array([[1, r[0], r[1]] for r in rows], dtype=float)
+    Y = np.array([r[2] for r in rows], dtype=float)
+    beta = np.linalg.lstsq(X, Y, rcond=None)[0]
+    for b_np, b_got in zip(beta, [got["beta0_x1e6"], got["beta1_x1e6"],
+                                  got["beta2_x1e6"]]):
+        assert abs(b_np - b_got / 1e6) < 1e-3
