@@ -38,6 +38,13 @@ AUDITED = [
     "kg_incremental", "kg_sparql", "kg_sparql_agg", "kg_sparql_construct",
     "kg_sparql_graph", "kg_sparql_update",
     "kg_kcore", "kg_sssp", "embedding_kmeans", "doc_dup_spans",
+    "doc_ols", "doc_top_terms", "doc_winnow", "events_gorilla",
+    "events_hll", "embedding_anova", "embedding_centroids",
+    "embedding_gram", "embedding_ncc", "events_calibration",
+    "events_gapfill", "events_itemcf", "events_kth",
+    "events_new_returning", "events_slo_burn", "events_streak",
+    "kg_closeness", "kg_timetravel", "orders_dictenc",
+    "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
     "sample_stratified", "kg_sparql_star", "tpch_q6", "events_retention",
     "events_funnel", "dedup_incremental",
     "seq_packing", "doc_chunks", "doc_bm25", "embedding_pq",
