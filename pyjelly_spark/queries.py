@@ -15718,6 +15718,138 @@ FROM s
 """
 
 
+
+
+def q_kg_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartiteness census via the doubled-cover reduction: every
+    undirected edge (u,v) becomes (u#0,v#1) and (u#1,v#0), ONE run of
+    the distributed large-star/small-star CC operator
+    (operators/components.py) labels the cover, and a component is
+    bipartite iff its two parity copies stay in separate cover
+    components — comp(v#0) != comp(v#1). No BFS, no per-component
+    driver work: bipartiteness of every component of a 10^9-edge graph
+    falls out of the same O(log n)-round CC machinery the KG
+    canonicalizer already uses, and the original component id is
+    recovered as least(strip(comp(v#0)), strip(comp(v#1))) without a
+    second CC run.
+
+    Graph: deterministic closed-form mix over doc_ids (the kg_scc
+    pattern) — per 24-id group a cycle of length ell = 3 + (g*5) % 10
+    (odd ell => odd cycle), pendant trees on the remaining ids
+    (parity-neutral), and a chord (0,2) on every third group (turns
+    even cycles odd via the induced triangle). Node ids are zero-
+    padded so the CC representative's lexicographic min equals the
+    numeric min the oracle computes. Oracle: parity-annotated
+    recursive-CTE closure — a node sits on an odd closed walk iff it
+    reaches itself with parity 1."""
+    from pyjelly_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    vx = docs.select(
+        F.col("doc_id").alias("v"),
+        F.expr("doc_id div 24").alias("g"),
+        F.expr("doc_id % 24").alias("r"),
+        F.expr("3 + (doc_id div 24 * 5) % 10").alias("ell"),
+    )
+    cyc = vx.where(F.col("r") < F.col("ell")).select(
+        F.col("v").alias("s"), F.expr("g * 24 + (r + 1) % ell").alias("t")
+    )
+    pend = vx.where(F.col("r") >= F.col("ell")).select(
+        F.col("v").alias("s"), F.expr("g * 24 + r % ell").alias("t")
+    )
+    chord = (
+        vx.where((F.col("r") == 0) & (F.col("g") % 3 == 0) & (F.col("ell") >= 4))
+        .select(F.col("v").alias("s"), F.expr("g * 24 + 2").alias("t"))
+    )
+    e = (
+        cyc.unionByName(pend)
+        .unionByName(chord)
+        .where((F.col("s") < n) & (F.col("t") < n) & (F.col("s") != F.col("t")))
+        .distinct()
+    )
+    # doubled cover; CC symmetrizes internally, so one direction is enough
+    cover = e.select(
+        F.format_string("n%08d#0", "s").alias("src"),
+        F.format_string("n%08d#1", "t").alias("dst"),
+    ).unionByName(
+        e.select(
+            F.format_string("n%08d#1", "s").alias("src"),
+            F.format_string("n%08d#0", "t").alias("dst"),
+        )
+    )
+    cc = connected_components(cover)
+    per_node = (
+        cc.select(
+            F.expr("cast(substring(substring_index(node, '#', 1), 2) as bigint)").alias("v"),
+            F.expr("substring_index(node, '#', -1)").alias("par"),
+            F.expr("cast(substring(substring_index(component, '#', 1), 2) as bigint)").alias("comp_stripped"),
+            F.col("component").alias("comp_full"),
+        )
+        .groupBy("v")
+        .agg(
+            F.min("comp_stripped").alias("component"),
+            # two distinct cover components per node <=> bipartite side holds
+            F.countDistinct("comp_full").alias("n_cover"),
+        )
+    )
+    return (
+        per_node.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min(F.col("n_cover") == 2).cast("boolean").alias("is_bipartite"),
+        )
+        .orderBy("component")
+    )
+
+
+SQL_KG_BIPARTITE = """
+WITH RECURSIVE
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+vx AS (
+  SELECT doc_id::BIGINT AS v, doc_id // 24 AS g, doc_id % 24 AS r,
+         3 + (doc_id // 24 * 5) % 10 AS ell
+  FROM documents
+),
+rawe AS (
+  SELECT v AS s, g*24 + (r+1) % ell AS t FROM vx WHERE r < ell
+  UNION ALL
+  SELECT v AS s, g*24 + r % ell AS t FROM vx WHERE r >= ell
+  UNION ALL
+  SELECT v AS s, g*24 + 2 AS t FROM vx WHERE r = 0 AND g % 3 = 0 AND ell >= 4
+),
+e0 AS (
+  SELECT DISTINCT s, t FROM rawe, nn WHERE s < nn.n AND t < nn.n AND s <> t
+),
+und AS (
+  SELECT s, t FROM e0 UNION SELECT t, s FROM e0
+),
+preach AS (
+  SELECT s, t, 1 AS par FROM und
+  UNION
+  SELECT r.s, u.t, 1 - r.par FROM preach r JOIN und u ON u.s = r.t
+),
+comp AS (
+  SELECT x.v AS v, least(x.v, min(r.t)) AS component
+  FROM vx x LEFT JOIN preach r ON r.s = x.v
+  GROUP BY x.v
+),
+odd AS (
+  SELECT DISTINCT s AS v FROM preach WHERE s = t AND par = 1
+),
+flag AS (
+  SELECT c.v, c.component, (o.v IS NULL) AS bip
+  FROM comp c LEFT JOIN odd o ON o.v = c.v
+)
+SELECT component, count(*)::BIGINT AS n_nodes,
+       bool_and(bip) AS is_bipartite
+FROM flag
+WHERE v IN (SELECT s FROM und)
+GROUP BY component
+ORDER BY component
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -15982,6 +16114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gorilla": q_events_gorilla,
     "doc_winnow": q_doc_winnow,
     "doc_ols": q_doc_ols,
+    "kg_bipartite": q_kg_bipartite,
 }
 
 ORACLES: dict[str, str] = {
@@ -16252,4 +16385,5 @@ ORACLES: dict[str, str] = {
     "events_gorilla": SQL_EVENTS_GORILLA,
     "doc_winnow": SQL_DOC_WINNOW,
     "doc_ols": SQL_DOC_OLS,
+    "kg_bipartite": SQL_KG_BIPARTITE,
 }

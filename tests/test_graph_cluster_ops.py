@@ -253,3 +253,47 @@ def test_node_similarity_hub_cap(spark):
     # capped at 3 (< indeg(h)=4): only (a,b) survives via p, shared=1;
     # degrees are also computed on the capped edge set
     assert capped == {("a", "b"): (1, 1, 1)}
+
+
+def test_bipartite_doubled_cover_known_graphs(spark):
+    """Doubled-cover bipartiteness on hand-built graphs: even cycle
+    (bipartite), odd cycle (not), even cycle + odd chord (not), path
+    with pendant tree (bipartite)."""
+    from pyspark.sql import functions as F
+
+    from pyjelly_spark.operators.components import connected_components
+
+    def census(edges):
+        e = spark.createDataFrame(edges, "s: string, t: string")
+        cover = e.select(
+            F.concat("s", F.lit("#0")).alias("src"),
+            F.concat("t", F.lit("#1")).alias("dst"),
+        ).unionByName(
+            e.select(
+                F.concat("s", F.lit("#1")).alias("src"),
+                F.concat("t", F.lit("#0")).alias("dst"),
+            )
+        )
+        cc = connected_components(cover, checkpoint=False)
+        per = (
+            cc.select(
+                F.substring_index("node", "#", 1).alias("v"),
+                F.col("component").alias("cf"),
+            )
+            .groupBy("v")
+            .agg(F.countDistinct("cf").alias("n_cover"))
+        )
+        return {r["v"]: r["n_cover"] == 2 for r in per.collect()}
+
+    # C4 a-b-c-d-a: bipartite
+    c4 = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    assert all(census(c4).values())
+    # C3: odd
+    c3 = [("x", "y"), ("y", "z"), ("z", "x")]
+    assert not any(census(c3).values())
+    # C4 + chord a-c: triangle -> odd
+    c4c = c4 + [("a", "c")]
+    assert not any(census(c4c).values())
+    # path + pendant: bipartite
+    tree = [("p", "q"), ("q", "r"), ("q", "s")]
+    assert all(census(tree).values())
