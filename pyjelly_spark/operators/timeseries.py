@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -230,4 +230,115 @@ def holt_winters_int(
         compute,
         "key string, rn long, cents long, level long, trend long, "
         "seasonal long, forecast long",
+    )
+
+
+def fifo_allocate(
+    events: DataFrame,
+    supply_type: str = "purchase",
+    demand_type: str = "click",
+) -> DataFrame:
+    """FIFO allocation of demand against supply lots per user — the
+    warehouse/cost-basis matching primitive (FIFO inventory, tax-lot
+    accounting) — WITHOUT the quadratic lot x demand pairing join.
+
+    In cumulative space, supply lot i owns the interval
+    (S_{i-1}, S_i] of its running total and demand j owns
+    (D_{j-1}, D_j]; a FIFO allocation is exactly the overlap of the
+    two partitions of [0, T], T = min(S_total, D_total). The sweep
+    unions the two breakpoint sets, and each gap between consecutive
+    distinct breakpoints is one allocation whose lot/demand ordinals
+    are running counts of breakpoints strictly before it — so the
+    number of allocation rows is <= n_lots + n_demands - 1 (never
+    n_lots * n_demands) and the whole operator is ONE shuffle on
+    user_id shared by every window (cumsums, lag, running ordinal
+    counts). Zero-amount lots collapse naturally: their duplicate
+    breakpoint advances the ordinal without emitting a segment.
+
+    Amounts are floor(value*100) integer cents, so every cumsum,
+    ordinal and checksum is exact on any partitioning/engine.
+
+    Returns per user (only users with both a supply and a demand row):
+    n_lots, n_demands, n_allocs, allocated_c (= T), surplus_c,
+    unfilled_c, alloc_chk — the checksum folds each segment's
+    (length, lot ordinal, demand ordinal) triple, pinning the exact
+    FIFO pairing, not just the totals.
+    """
+    w_order = ["ts", "event_id"]
+
+    def cums(kind: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(*w_order)
+        return (
+            events.where(F.col("event_type") == kind)
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                F.floor(F.col("value") * 100).cast("long").alias("amt"),
+            )
+            .select(
+                "user_id",
+                F.sum("amt").over(w).alias("pos"),
+            )
+        )
+
+    sup = cums(supply_type)
+    dem = cums(demand_type)
+    tot = (
+        sup.groupBy("user_id").agg(F.max("pos").alias("s_tot"), F.count(F.lit(1)).alias("n_lots"))
+        .join(
+            dem.groupBy("user_id").agg(F.max("pos").alias("d_tot"), F.count(F.lit(1)).alias("n_demands")),
+            "user_id",
+        )
+        .select(
+            "user_id", "n_lots", "n_demands", "s_tot", "d_tot",
+            F.least("s_tot", "d_tot").alias("t_alloc"),
+        )
+    )
+    pts = (
+        sup.select("user_id", "pos", F.lit(1).alias("sc"), F.lit(0).alias("dc"))
+        .unionByName(
+            dem.select("user_id", "pos", F.lit(0).alias("sc"), F.lit(1).alias("dc"))
+        )
+        .groupBy("user_id", "pos")
+        .agg(F.sum("sc").alias("sc"), F.sum("dc").alias("dc"))
+    )
+    wp = Window.partitionBy("user_id").orderBy("pos")
+    wprev = wp.rowsBetween(Window.unboundedPreceding, -1)
+    segs = (
+        pts.select(
+            "user_id",
+            "pos",
+            F.coalesce(F.lag("pos").over(wp), F.lit(0)).alias("prev_pos"),
+            (F.coalesce(F.sum("sc").over(wprev), F.lit(0)) + 1).alias("lot_ord"),
+            (F.coalesce(F.sum("dc").over(wprev), F.lit(0)) + 1).alias("dem_ord"),
+        )
+        .join(tot, "user_id")
+        .where((F.col("pos") <= F.col("t_alloc")) & (F.col("pos") > F.col("prev_pos")))
+        .select(
+            "user_id",
+            "n_lots",
+            "n_demands",
+            "s_tot",
+            "d_tot",
+            "t_alloc",
+            (F.col("pos") - F.col("prev_pos")).alias("seg_len"),
+            "lot_ord",
+            "dem_ord",
+        )
+    )
+    return (
+        segs.groupBy("user_id")
+        .agg(
+            F.first("n_lots").cast("long").alias("n_lots"),
+            F.first("n_demands").cast("long").alias("n_demands"),
+            F.count(F.lit(1)).cast("long").alias("n_allocs"),
+            F.first("t_alloc").cast("long").alias("allocated_c"),
+            (F.first("s_tot") - F.first("t_alloc")).cast("long").alias("surplus_c"),
+            (F.first("d_tot") - F.first("t_alloc")).cast("long").alias("unfilled_c"),
+            F.sum(
+                F.col("seg_len")
+                * F.pmod(F.col("lot_ord") * 31 + F.col("dem_ord"), F.lit(1000003))
+            ).cast("long").alias("alloc_chk"),
+        )
     )

@@ -15850,6 +15850,81 @@ ORDER BY component
 """
 
 
+
+
+def q_events_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation of click demand against purchase supply lots
+    per user (operators/timeseries.py::fifo_allocate) — lot/demand
+    matching by cumulative-space boundary sweep: allocation rows are
+    the gaps between merged breakpoints, so the pairing costs
+    n_lots + n_demands - 1 rows per user instead of the quadratic
+    interval join, all on ONE user_id shuffle. Amounts are exact
+    integer cents (floor(value*100)); the checksum folds each
+    segment's (length, lot ordinal, demand ordinal), pinning the
+    exact FIFO pairing — both ordinals advance through zero-amount
+    lots exactly as the textbook semantics require."""
+    from pyjelly_spark.operators.timeseries import fifo_allocate
+
+    return fifo_allocate(_t(spark, sf_dir, "events")).orderBy("user_id")
+
+
+SQL_EVENTS_FIFO = """
+WITH sup AS (
+  SELECT user_id,
+         sum(floor(value*100)::BIGINT)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events WHERE event_type = 'purchase'
+), dem AS (
+  SELECT user_id,
+         sum(floor(value*100)::BIGINT)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events WHERE event_type = 'click'
+), tot AS (
+  SELECT s.user_id, s.n_lots, d.n_demands, s.s_tot, d.d_tot,
+         least(s.s_tot, d.d_tot) AS t_alloc
+  FROM (SELECT user_id, max(pos) AS s_tot, count(*)::BIGINT AS n_lots
+        FROM sup GROUP BY 1) s
+  JOIN (SELECT user_id, max(pos) AS d_tot, count(*)::BIGINT AS n_demands
+        FROM dem GROUP BY 1) d USING (user_id)
+), pts AS (
+  SELECT user_id, pos, sum(sc)::BIGINT AS sc, sum(dc)::BIGINT AS dc FROM (
+    SELECT user_id, pos, 1 AS sc, 0 AS dc FROM sup
+    UNION ALL
+    SELECT user_id, pos, 0 AS sc, 1 AS dc FROM dem
+  ) GROUP BY 1, 2
+), segs AS (
+  SELECT p.user_id, p.pos,
+         coalesce(lag(p.pos) OVER
+           (PARTITION BY p.user_id ORDER BY p.pos), 0) AS prev_pos,
+         coalesce(sum(p.sc) OVER
+           (PARTITION BY p.user_id ORDER BY p.pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+           AS lot_ord,
+         coalesce(sum(p.dc) OVER
+           (PARTITION BY p.user_id ORDER BY p.pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+           AS dem_ord
+  FROM pts p
+), alloc AS (
+  SELECT s.user_id, t.n_lots, t.n_demands, t.s_tot, t.d_tot, t.t_alloc,
+         s.pos - s.prev_pos AS seg_len, s.lot_ord, s.dem_ord
+  FROM segs s JOIN tot t USING (user_id)
+  WHERE s.pos <= t.t_alloc AND s.pos > s.prev_pos
+)
+SELECT user_id,
+       max(n_lots)::BIGINT AS n_lots,
+       max(n_demands)::BIGINT AS n_demands,
+       count(*)::BIGINT AS n_allocs,
+       max(t_alloc)::BIGINT AS allocated_c,
+       (max(s_tot) - max(t_alloc))::BIGINT AS surplus_c,
+       (max(d_tot) - max(t_alloc))::BIGINT AS unfilled_c,
+       sum(seg_len * ((lot_ord * 31 + dem_ord) % 1000003))::BIGINT
+         AS alloc_chk
+FROM alloc GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -16115,6 +16190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_winnow": q_doc_winnow,
     "doc_ols": q_doc_ols,
     "kg_bipartite": q_kg_bipartite,
+    "events_fifo": q_events_fifo,
 }
 
 ORACLES: dict[str, str] = {
@@ -16386,4 +16462,5 @@ ORACLES: dict[str, str] = {
     "doc_winnow": SQL_DOC_WINNOW,
     "doc_ols": SQL_DOC_OLS,
     "kg_bipartite": SQL_KG_BIPARTITE,
+    "events_fifo": SQL_EVENTS_FIFO,
 }

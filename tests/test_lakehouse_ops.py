@@ -410,3 +410,39 @@ def test_gorilla_bytes_by_hand(spark, tmp_path):
     assert row["plain_bytes"] == 40
     assert row["gorilla_bytes"] == 8 + 4 + 3 + 4 + 4
     assert row["savings_ppm"] == (40 - 23) * 1_000_000 // 40
+
+
+def test_fifo_allocation_by_hand(spark, tmp_path):
+    """Boundary-sweep FIFO == the textbook lot-by-lot walk on a
+    hand-built ledger: lots 300,200 cents; demands 100,250,400 ->
+    allocations (l1,d1)=100, (l1,d2)=200, (l2,d2)=50, (l2,d3)=150,
+    T=500, unfilled=250."""
+    import pandas as pd
+
+    from pyjelly_spark.operators.timeseries import fifo_allocate
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i, (et, v) in enumerate(
+        [("purchase", 3.0), ("purchase", 2.0),
+         ("click", 1.0), ("click", 2.5), ("click", 4.0)]
+    ):
+        rows.append((i, base + pd.Timedelta(minutes=i), 7, et, v, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df = spark.createDataFrame(pdf)
+    r = fifo_allocate(df).collect()[0]
+    assert r["n_lots"] == 2 and r["n_demands"] == 3
+    assert r["allocated_c"] == 500
+    assert r["surplus_c"] == 0
+    assert r["unfilled_c"] == 250
+    assert r["n_allocs"] == 4
+    # segments: (100,l1,d1) (200,l1,d2) (50,l2,d2) (150,l2,d3)
+    expected = (
+        100 * ((1 * 31 + 1) % 1000003)
+        + 200 * ((1 * 31 + 2) % 1000003)
+        + 50 * ((2 * 31 + 2) % 1000003)
+        + 150 * ((2 * 31 + 3) % 1000003)
+    )
+    assert r["alloc_chk"] == expected
