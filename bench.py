@@ -202,6 +202,12 @@ BENCH_QUERIES = [
     "orders_skyline",
     "doc_cdc_chunks",
     "events_interval_diff",
+    "events_hll",
+    "events_gorilla",
+    "doc_winnow",
+    "doc_ols",
+    "kg_bipartite",
+    "events_fifo",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

@@ -15925,6 +15925,200 @@ ORDER BY user_id
 """
 
 
+
+
+def q_events_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolic motif census of per-user activity series
+    (Lin/Keogh SAX: piecewise aggregation + alphabet quantization).
+    Each user's 30-day spend series is PAA-reduced to 6 five-day
+    segments; each segment quantizes to a 4-letter alphabet by its
+    share of the user's total (a: <1/12, b: <1/6, c: <1/4, d: rest) —
+    all comparisons integer cross-multiplications on exact cents, so
+    the 6-char SAX word is deterministic on any engine/partitioning.
+    The census counts users per word: the standard motif/anomaly
+    readout at 10^9-series scale.
+
+    Plan shape: one groupBy(user) with 7 conditional sums (map-side
+    partial, no window, no pivot machinery), one tiny word census
+    (<= 4^6 rows) — TWO shuffles total, the second trivially small."""
+    ev = _t(spark, sf_dir, "events")
+    segs = (
+        ev.select(
+            "user_id",
+            F.expr("datediff(ts, timestamp_ntz'2024-01-01 00:00:00') div 5").alias("seg"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("seg") == k, F.col("c"))), F.lit(0)
+                ).alias(f"s{k}")
+                for k in range(6)
+            ],
+            F.sum("c").alias("t"),
+        )
+    )
+    sym = "||".join(
+        f"(CASE WHEN s{k} * 12 < t THEN 'a' WHEN s{k} * 6 < t THEN 'b'"
+        f" WHEN s{k} * 4 < t THEN 'c' ELSE 'd' END)"
+        for k in range(6)
+    )
+    return (
+        segs.select(F.expr(sym).alias("sax_word"))
+        .groupBy("sax_word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("sax_word")
+    )
+
+
+SQL_EVENTS_SAX = """
+WITH segs AS (
+  SELECT user_id,
+         {sums},
+         sum(floor(value*100)::BIGINT) AS t
+  FROM (
+    SELECT user_id,
+           date_diff('day', DATE '2024-01-01', ts) // 5 AS seg,
+           value
+    FROM events
+  ) GROUP BY user_id
+), words AS (
+  SELECT {word} AS sax_word FROM segs
+)
+SELECT sax_word, count(*)::BIGINT AS n_users
+FROM words GROUP BY 1 ORDER BY 1
+""".format(
+    sums=",\n         ".join(
+        f"coalesce(sum(CASE WHEN seg = {k} THEN floor(value*100)::BIGINT END), 0) AS s{k}"
+        for k in range(6)
+    ),
+    word=" || ".join(
+        f"(CASE WHEN s{k} * 12 < t THEN 'a' WHEN s{k} * 6 < t THEN 'b'"
+        f" WHEN s{k} * 4 < t THEN 'c' ELSE 'd' END)"
+        for k in range(6)
+    ),
+)
+
+
+
+
+def q_embedding_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign-matrix projection audit: project the
+    64-d embeddings to k=16 dims with a +-1 matrix derived from the
+    portable sha-60 hash of "j:i" (engine-independent randomness, the
+    embedding_ann hyperplane trick), on exact floor(e*10000) integer
+    coordinates — then measure, for the deterministic pair set
+    (vec_id, vec_id+1), the squared-distance distortion ratio
+    d_proj^2 * 1e6 div (k * d_orig^2) in exact ppm, plus a projection
+    checksum sum_j y_j*(j+1) pinning every projected coordinate.
+
+    Plan shape: posexplode (linear), ONE broadcast join against the
+    k*d=1024-row sign matrix (generated, never shuffled), partial-agg
+    groupBy — the projection of 10^9 vectors is embarrassingly
+    parallel with zero wide dependency; distances are neighbor-pair
+    equi-joins on vec_id. E[d_proj^2] = k*d_orig^2 for +-1 JL, so
+    ratio_ppm concentrates around 1e6 — the audit that tells you
+    whether 16 dims suffice BEFORE re-embedding a corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "e")
+    ).select(
+        "vec_id", "i", F.floor(F.col("e").cast("double") * 10000).cast("long").alias("x")
+    )
+    signs = spark.range(16).select(F.col("id").alias("j")).crossJoin(
+        spark.range(64).select(F.col("id").alias("i"))
+    ).select(
+        "j",
+        "i",
+        F.expr(
+            "IF(pmod(cast(conv(substring(sha2(concat(j, ':', i), 256), 1, 15),"
+            " 16, 10) as bigint), 2) = 0, 1, -1)"
+        ).alias("s"),
+    )
+    proj = (
+        flat.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("x")).alias("y"))
+    )
+    chk = proj.groupBy("vec_id").agg(
+        F.sum(F.col("y") * (F.col("j") + 1)).cast("long").alias("proj_chk")
+    )
+    d2o = (
+        flat.alias("a")
+        .join(
+            flat.selectExpr("vec_id - 1 as vec_id", "i", "x as x2").alias("b"),
+            ["vec_id", "i"],
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("x") - F.col("x2")) * (F.col("x") - F.col("x2")))
+            .cast("long")
+            .alias("dist2")
+        )
+    )
+    d2p = (
+        proj.alias("a")
+        .join(
+            proj.selectExpr("vec_id - 1 as vec_id", "j", "y as y2").alias("b"),
+            ["vec_id", "j"],
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("y") - F.col("y2")) * (F.col("y") - F.col("y2")))
+            .cast("long")
+            .alias("proj2")
+        )
+    )
+    return (
+        d2o.join(d2p, "vec_id")
+        .join(chk, "vec_id")
+        .select(
+            "vec_id",
+            "dist2",
+            "proj2",
+            F.expr("proj2 * 1000000L div (16 * dist2)").alias("ratio_ppm"),
+            "proj_chk",
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_EMBEDDING_JL = """
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         floor(unnest(embedding)::DOUBLE * 10000)::BIGINT AS x
+  FROM embeddings
+), signs AS (
+  SELECT j.range AS j, i.range AS i,
+         CASE WHEN ('0x' || substring(sha256(j.range || ':' || i.range), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM range(16) j, range(64) i
+), proj AS (
+  SELECT f.vec_id, s.j, sum(s.s * f.x)::BIGINT AS y
+  FROM flat f JOIN signs s ON s.i = f.i
+  GROUP BY 1, 2
+), chk AS (
+  SELECT vec_id, sum(y * (j + 1))::BIGINT AS proj_chk FROM proj GROUP BY 1
+), d2o AS (
+  SELECT b.vec_id - 1 AS vec_id,
+         sum((a.x - b.x) * (a.x - b.x))::BIGINT AS dist2
+  FROM flat a JOIN flat b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+  GROUP BY 1
+), d2p AS (
+  SELECT b.vec_id - 1 AS vec_id,
+         sum((a.y - b.y) * (a.y - b.y))::BIGINT AS proj2
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+  GROUP BY 1
+)
+SELECT d2o.vec_id, d2o.dist2, d2p.proj2,
+       (d2p.proj2 * 1000000 // (16 * d2o.dist2))::BIGINT AS ratio_ppm,
+       chk.proj_chk
+FROM d2o JOIN d2p USING (vec_id) JOIN chk USING (vec_id)
+ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -16191,6 +16385,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ols": q_doc_ols,
     "kg_bipartite": q_kg_bipartite,
     "events_fifo": q_events_fifo,
+    "events_sax": q_events_sax,
+    "embedding_jl": q_embedding_jl,
 }
 
 ORACLES: dict[str, str] = {
@@ -16463,4 +16659,6 @@ ORACLES: dict[str, str] = {
     "doc_ols": SQL_DOC_OLS,
     "kg_bipartite": SQL_KG_BIPARTITE,
     "events_fifo": SQL_EVENTS_FIFO,
+    "events_sax": SQL_EVENTS_SAX,
+    "embedding_jl": SQL_EMBEDDING_JL,
 }

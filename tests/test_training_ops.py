@@ -4232,3 +4232,17 @@ def test_ols_exact_cramer(spark):
     for b_np, b_got in zip(beta, [got["beta0_x1e6"], got["beta1_x1e6"],
                                   got["beta2_x1e6"]]):
         assert abs(b_np - b_got / 1e6) < 1e-3
+
+
+def test_jl_distortion_concentrates(spark):
+    """JL audit sanity: on the real embeddings the median pair
+    distortion ratio must sit near 1e6 (E[d_proj^2] = k*d_orig^2 for
+    +-1 projections) and every ratio must be positive."""
+    from pyjelly_spark.queries import QUERIES
+
+    rows = QUERIES["embedding_jl"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 499
+    ratios = sorted(r["ratio_ppm"] for r in rows)
+    med = ratios[len(ratios) // 2]
+    assert 400_000 < med < 2_500_000, med
+    assert all(r > 0 for r in ratios)
