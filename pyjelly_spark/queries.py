@@ -16119,6 +16119,100 @@ ORDER BY vec_id
 """
 
 
+
+
+def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U rank-sum test between the two deterministic
+    experiment variants (portable hash of user_id mod 2, the
+    events_abtest split) on purchase amounts in integer cents.
+    Tied-value average ranks are half-integers, so everything is
+    carried DOUBLED (rank2 = 2*avg_rank = 2*preceding + cnt + 1) and
+    stays in exact integer arithmetic: U1, U2 (x2), the U1+U2 =
+    n1*n2 identity, and the common-language effect size in exact ppm
+    — the nonparametric complement to the chi-square gate, bit-equal
+    on any engine/partitioning.
+
+    Plan shape: rows collapse FIRST to the distinct value domain
+    (groupBy cents: map-side partial, one shuffle); the rank scan is
+    a window over that compressed domain (bounded by the cents
+    codomain, ~5e4 keys — never the 10^12 raw rows), then one global
+    aggregate. The rank-compress trick is what makes exact rank
+    statistics feasible at corpus scale."""
+    from pyjelly_spark.functions.text import hex_hash
+
+    ev = _t(spark, sf_dir, "events")
+    vals = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+            hex_hash(F.col("user_id").cast("string"), 2).alias("variant"),
+        )
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n1v"),
+        )
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "c",
+        "cnt",
+        "n1v",
+        (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1).alias(
+            "rank2"
+        ),
+    )
+    return ranked.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1v")).cast("long").alias("n2"),
+        F.sum(F.col("n1v") * F.col("rank2")).cast("long").alias("r1_x2"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long").alias(
+            "tie_groups"
+        ),
+    ).select(
+        "n1",
+        "n2",
+        F.expr("r1_x2 - n1 * (n1 + 1)").cast("long").alias("u1_x2"),
+        F.expr("2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1))").cast("long").alias(
+            "u2_x2"
+        ),
+        F.expr(
+            "(r1_x2 - n1 * (n1 + 1)) * 1000000L div (2 * n1 * n2)"
+        ).alias("cles_ppm"),
+        "tie_groups",
+    )
+
+
+SQL_EVENTS_MANNWHITNEY = """
+WITH vals AS (
+  SELECT floor(value*100)::BIGINT AS c,
+         count(*)::BIGINT AS cnt,
+         sum(CASE WHEN ('0x' || substring(sha256(user_id::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                  THEN 1 ELSE 0 END)::BIGINT AS n1v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), ranked AS (
+  SELECT c, cnt, n1v,
+         2 * coalesce(sum(cnt) OVER (ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS rank2
+  FROM vals
+), agg AS (
+  SELECT sum(n1v)::BIGINT AS n1,
+         sum(cnt - n1v)::BIGINT AS n2,
+         sum(n1v * rank2)::BIGINT AS r1_x2,
+         sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS tie_groups
+  FROM ranked
+)
+SELECT n1, n2,
+       (r1_x2 - n1 * (n1 + 1))::BIGINT AS u1_x2,
+       (2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)))::BIGINT AS u2_x2,
+       ((r1_x2 - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n2))::BIGINT AS cles_ppm,
+       tie_groups
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -16387,6 +16481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_fifo": q_events_fifo,
     "events_sax": q_events_sax,
     "embedding_jl": q_embedding_jl,
+    "events_mannwhitney": q_events_mannwhitney,
 }
 
 ORACLES: dict[str, str] = {
@@ -16661,4 +16756,5 @@ ORACLES: dict[str, str] = {
     "events_fifo": SQL_EVENTS_FIFO,
     "events_sax": SQL_EVENTS_SAX,
     "embedding_jl": SQL_EMBEDDING_JL,
+    "events_mannwhitney": SQL_EVENTS_MANNWHITNEY,
 }

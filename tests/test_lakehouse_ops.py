@@ -446,3 +446,43 @@ def test_fifo_allocation_by_hand(spark, tmp_path):
         + 150 * ((2 * 31 + 3) % 1000003)
     )
     assert r["alloc_chk"] == expected
+
+
+def test_mannwhitney_matches_scipy_formula(spark, tmp_path):
+    """Doubled-rank U on a hand-built sample with ties == the textbook
+    tie-corrected computation (checked against manually averaged
+    ranks)."""
+    import pandas as pd
+
+    from pyjelly_spark.queries import QUERIES
+
+    # variant = sha60(user_id) % 2; pick user ids with known parity
+    import hashlib
+
+    def par(u):
+        return int(hashlib.sha256(str(u).encode()).hexdigest()[:15], 16) % 2
+
+    g0 = [u for u in range(40) if par(u) == 0][:4]
+    g1 = [u for u in range(40) if par(u) == 1][:3]
+    # cents: g0 -> 100, 200, 200, 300 ; g1 -> 200, 300, 400
+    vals = list(zip(g0, [1.0, 2.0, 2.0, 3.0])) + list(zip(g1, [2.0, 3.0, 4.0]))
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, base + pd.Timedelta(minutes=i), u, "purchase", v, "{}")
+        for i, (u, v) in enumerate(vals)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet", coerce_timestamps="us")
+    r = QUERIES["events_mannwhitney"](spark, str(d)).collect()[0]
+    # pooled sorted cents: 100,200,200,200,300,300,400
+    # avg ranks: 100->1; 200->(2+3+4)/3=3; 300->(5+6)/2=5.5; 400->7
+    # R1 = 1 + 3 + 3 + 5.5 = 12.5 -> R1_x2 = 25; U1 = R1 - n1(n1+1)/2 = 2.5
+    assert r["n1"] == 4 and r["n2"] == 3
+    assert r["u1_x2"] == 5  # 2*U1
+    assert r["u2_x2"] == 2 * 4 * 3 - 5
+    assert r["tie_groups"] == 2
+    assert r["cles_ppm"] == 5 * 1_000_000 // 24
