@@ -16213,6 +16213,122 @@ FROM agg
 """
 
 
+
+
+def q_doc_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free word runs (split on the repo's English
+    stopword set); each word scores degree/frequency where degree
+    sums the lengths of phrases containing it; a phrase scores the sum
+    of its word scores. Scores are computed as per-word integer
+    divisions (degree * 1e6 div freq) BEFORE summing, so the total is
+    order-independent and bit-equal across engines — no float ever.
+    Emits each doc's top phrase (ties: lexicographically smallest).
+
+    Plan shape: every stage is keyed by doc_id (phrase explode ->
+    word-stat partial agg -> phrase-score agg -> per-doc top-1
+    window); nothing global, nothing quadratic — RAKE at 10^12 docs
+    is three doc-local shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    stop = r"\\b(the|and|of|to|a|in|is)\\b"
+    phrases = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"filter(transform(split(lower(trim(regexp_replace("
+                    f"text, '\\\\s+', ' '))), '{stop}'), p -> trim(p)),"
+                    f" p -> p <> '')"
+                )
+            ).alias("pidx", "phrase"),
+        )
+        .select(
+            "doc_id", "pidx", "phrase", F.split("phrase", " ").alias("pwords")
+        )
+        .select(
+            "doc_id", "pidx", "phrase", "pwords", F.size("pwords").alias("plen")
+        )
+    )
+    wstats = (
+        phrases.select("doc_id", F.explode("pwords").alias("word"), "plen")
+        .groupBy("doc_id", "word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+        .select(
+            "doc_id",
+            "word",
+            F.expr("degree * 1000000L div freq").alias("wscore_ppm"),
+        )
+    )
+    pscores = (
+        phrases.select("doc_id", "pidx", "phrase", F.explode("pwords").alias("word"))
+        .join(wstats, ["doc_id", "word"])
+        .groupBy("doc_id", "pidx", "phrase")
+        .agg(F.sum("wscore_ppm").cast("long").alias("score_ppm"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("phrase"), F.col("pidx")
+    )
+    nphr = phrases.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_phrases")
+    )
+    return (
+        pscores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(nphr, "doc_id")
+        .select("doc_id", F.col("phrase").alias("top_phrase"), "score_ppm", "n_phrases")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_RAKE = r"""
+WITH frag AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+               '\b(the|and|of|to|a|in|is)\b'),
+             p -> trim(p)),
+           p -> p <> '') AS phs
+  FROM documents
+), phrases AS (
+  SELECT doc_id,
+         generate_subscripts(phs, 1) - 1 AS pidx,
+         unnest(phs) AS phrase
+  FROM frag
+), pw AS (
+  SELECT doc_id, pidx, phrase, string_split(phrase, ' ') AS pwords,
+         len(string_split(phrase, ' '))::BIGINT AS plen
+  FROM phrases
+), wstats AS (
+  SELECT doc_id, word,
+         (sum(plen) * 1000000 // count(*))::BIGINT AS wscore_ppm
+  FROM (SELECT doc_id, unnest(pwords) AS word, plen FROM pw)
+  GROUP BY 1, 2
+), pscores AS (
+  SELECT x.doc_id, x.pidx, x.phrase,
+         sum(w.wscore_ppm)::BIGINT AS score_ppm
+  FROM (SELECT doc_id, pidx, phrase, unnest(pwords) AS word FROM pw) x
+  JOIN wstats w ON w.doc_id = x.doc_id AND w.word = x.word
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT doc_id, phrase, score_ppm,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY score_ppm DESC, phrase, pidx) AS rn
+  FROM pscores
+), nphr AS (
+  SELECT doc_id, count(*)::BIGINT AS n_phrases FROM pw GROUP BY 1
+)
+SELECT r.doc_id, r.phrase AS top_phrase, r.score_ppm, n.n_phrases
+FROM ranked r JOIN nphr n USING (doc_id)
+WHERE r.rn = 1
+ORDER BY r.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -16482,6 +16598,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sax": q_events_sax,
     "embedding_jl": q_embedding_jl,
     "events_mannwhitney": q_events_mannwhitney,
+    "doc_rake": q_doc_rake,
 }
 
 ORACLES: dict[str, str] = {
@@ -16757,4 +16874,5 @@ ORACLES: dict[str, str] = {
     "events_sax": SQL_EVENTS_SAX,
     "embedding_jl": SQL_EMBEDDING_JL,
     "events_mannwhitney": SQL_EVENTS_MANNWHITNEY,
+    "doc_rake": SQL_DOC_RAKE,
 }

@@ -4246,3 +4246,31 @@ def test_jl_distortion_concentrates(spark):
     med = ratios[len(ratios) // 2]
     assert 400_000 < med < 2_500_000, med
     assert all(r > 0 for r in ratios)
+
+
+def test_rake_textbook_example(spark):
+    """RAKE on a tiny doc with known word stats: phrases
+    'quick brown fox jumps', 'lazy dog' from
+    'the quick brown fox jumps of the lazy dog'; every word has
+    freq 1 so scores are phrase-length sums * 1e6."""
+    from pyjelly_spark.queries import QUERIES
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps of the lazy dog", "en", "s", 41),
+         (2, "alpha beta to alpha beta to alpha", "en", "s", 33)],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r for r in QUERIES["doc_rake"](spark, d).collect()}
+    # doc 1: phrase1 len 4, each word deg 4 freq 1 -> 16e6; phrase2 len 2 -> 4e6
+    assert got[1]["top_phrase"] == "quick brown fox jumps"
+    assert got[1]["score_ppm"] == 16_000_000
+    assert got[1]["n_phrases"] == 2
+    # doc 2: phrases 'alpha beta','alpha beta','alpha';
+    # alpha: freq 3, degree 2+2+1=5 -> 1666666; beta: freq 2, degree 4 -> 2000000
+    # 'alpha beta' = 3666666 (x2, tie -> same phrase), 'alpha' = 1666666
+    assert got[2]["top_phrase"] == "alpha beta"
+    assert got[2]["score_ppm"] == 1_666_666 + 2_000_000
+    assert got[2]["n_phrases"] == 3
