@@ -16329,6 +16329,135 @@ ORDER BY r.doc_id
 """
 
 
+
+
+def q_orders_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE (run-length) encoding audit for the two low-cardinality
+    order columns under three physical layouts — insertion order
+    (64 fixed o_orderkey ranges), clustered by o_orderstatus, and
+    clustered by o_orderpriority (one file per cluster value, rows
+    ordered by o_orderkey inside every file; runs never span files,
+    as Parquet pages don't). Cost model: one dictionary byte + a
+    LEB128 varint of the run length per run vs one plain dictionary
+    byte per row; savings in exact ppm.
+
+    The audit quantifies the lakehouse layout rule of thumb exactly:
+    clustering a column by ITSELF collapses it to one run per file
+    (~100% savings) while leaving the OTHER column's run structure
+    essentially random. All windows are partitioned by file id —
+    metadata math, fully parallel, no global sort: pricing 10^12
+    rows is a per-file lag + two partial aggregations per layout."""
+    orders = _t(spark, sf_dir, "orders")
+    n = orders.count()
+    width = (n + 63) // 64
+    layouts = {
+        "insertion": F.expr(f"cast(o_orderkey div {width} as string)"),
+        "by_status": F.col("o_orderstatus"),
+        "by_priority": F.col("o_orderpriority"),
+    }
+    cols = {"status": "o_orderstatus", "priority": "o_orderpriority"}
+    outs = []
+    for lname, fexpr in layouts.items():
+        base = orders.select(
+            fexpr.alias("f"), "o_orderkey", "o_orderstatus", "o_orderpriority"
+        )
+        w = Window.partitionBy("f").orderBy("o_orderkey")
+        wrun = (
+            Window.partitionBy("f")
+            .orderBy("o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for cname, c in cols.items():
+            runs = (
+                base.select(
+                    "f",
+                    "o_orderkey",
+                    F.when(
+                        F.lag(c).over(w).isNull() | (F.lag(c).over(w) != F.col(c)),
+                        1,
+                    )
+                    .otherwise(0)
+                    .alias("nr"),
+                )
+                .select("f", F.sum("nr").over(wrun).alias("run_id"))
+                .groupBy("f", "run_id")
+                .agg(F.count(F.lit(1)).alias("rl"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_runs"),
+                    F.sum(
+                        F.when(F.col("rl") < 128, 2)
+                        .when(F.col("rl") < 16384, 3)
+                        .otherwise(4)
+                    )
+                    .cast("long")
+                    .alias("rle_bytes"),
+                )
+                .select(
+                    F.lit(cname).alias("column"),
+                    F.lit(lname).alias("layout"),
+                    "n_runs",
+                    "rle_bytes",
+                    F.lit(int(n)).cast("long").alias("plain_bytes"),
+                    F.expr(
+                        f"(cast({n} as bigint) - rle_bytes) * 1000000L"
+                        f" div cast({n} as bigint)"
+                    ).alias("savings_ppm"),
+                )
+            )
+            outs.append(runs)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("column", "layout")
+
+
+SQL_ORDERS_RLE = """
+WITH params AS (
+  SELECT ((count(*) + 63) // 64)::BIGINT AS width, count(*)::BIGINT AS n
+  FROM orders
+), combos AS (
+  SELECT * FROM (VALUES
+    ('status', 'insertion'), ('status', 'by_status'),
+    ('status', 'by_priority'),
+    ('priority', 'insertion'), ('priority', 'by_status'),
+    ('priority', 'by_priority')) t(col_name, layout)
+), assigned AS (
+  SELECT c.col_name, c.layout,
+         CASE c.layout
+           WHEN 'insertion' THEN (o.o_orderkey // p.width)::VARCHAR
+           WHEN 'by_status' THEN o.o_orderstatus
+           ELSE o.o_orderpriority END AS f,
+         o.o_orderkey,
+         CASE c.col_name WHEN 'status' THEN o.o_orderstatus
+              ELSE o.o_orderpriority END AS v
+  FROM orders o CROSS JOIN params p CROSS JOIN combos c
+), flagged AS (
+  SELECT col_name, layout, f, o_orderkey,
+         CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v
+              THEN 1 ELSE 0 END AS nr
+  FROM assigned
+  WINDOW w AS (PARTITION BY col_name, layout, f ORDER BY o_orderkey)
+), runs AS (
+  SELECT col_name, layout, f,
+         sum(nr) OVER (PARTITION BY col_name, layout, f
+           ORDER BY o_orderkey) AS run_id
+  FROM flagged
+), rl AS (
+  SELECT col_name, layout, f, run_id, count(*)::BIGINT AS rl
+  FROM runs GROUP BY 1, 2, 3, 4
+)
+SELECT col_name AS "column", layout,
+       count(*)::BIGINT AS n_runs,
+       sum(CASE WHEN rl < 128 THEN 2 WHEN rl < 16384 THEN 3 ELSE 4 END)::BIGINT
+         AS rle_bytes,
+       (SELECT n FROM params) AS plain_bytes,
+       (((SELECT n FROM params)
+         - sum(CASE WHEN rl < 128 THEN 2 WHEN rl < 16384 THEN 3 ELSE 4 END))
+        * 1000000 // (SELECT n FROM params))::BIGINT AS savings_ppm
+FROM rl GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -16599,6 +16728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_jl": q_embedding_jl,
     "events_mannwhitney": q_events_mannwhitney,
     "doc_rake": q_doc_rake,
+    "orders_rle": q_orders_rle,
 }
 
 ORACLES: dict[str, str] = {
@@ -16875,4 +17005,5 @@ ORACLES: dict[str, str] = {
     "embedding_jl": SQL_EMBEDDING_JL,
     "events_mannwhitney": SQL_EVENTS_MANNWHITNEY,
     "doc_rake": SQL_DOC_RAKE,
+    "orders_rle": SQL_ORDERS_RLE,
 }
