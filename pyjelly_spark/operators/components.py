@@ -1254,3 +1254,126 @@ def _final_truss_support(und: DataFrame, k: int) -> DataFrame:
     return und.join(sup, ["u", "v"], "left").select(
         "u", "v", F.coalesce(F.col("support"), F.lit(0)).alias("support")
     )
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Distributed Borůvka minimum spanning forest over weighted
+    undirected edges (s, t, w — one row per edge, s != t).
+
+    Classic Borůvka: every component selects its minimum outgoing edge
+    under the deterministic total order (w, s, t) (so ties cannot form
+    a cycle), selected edges merge components, repeat — O(log V)
+    rounds. The per-round contraction exploits that the selected
+    component graph is a PSEUDOFOREST (one out-edge per component):
+    the unique 2-cycle of every pseudotree is the cluster's minimum
+    edge (both endpoints pick it), so roots are the mutual pairs and
+    plain pointer-jumping (p <- p∘p on a table bounded by the CURRENT
+    component count, shrinking geometrically) resolves every chain in
+    O(log chain) tiny self-joins — no generic CC machinery inside the
+    loop. The dominant per-round cost is the one partial-aggregated
+    min-edge groupBy over the edge set. Interior labels are arbitrary
+    cluster ids; a single end relabel (min node per final cluster)
+    restores the canonical representative. With distinct weights the
+    MSF is unique, which is what makes the result checkable against a
+    sequential oracle.
+
+    Returns one row per tree edge (s < t canonicalized): (s, t, w,
+    comp) with comp = the component's minimum node id.
+    """
+    und = edges.selectExpr(
+        "least(s, t) as s", "greatest(s, t) as t", "w"
+    ).distinct()
+    comp = (
+        und.select(F.col("s").alias("node"))
+        .unionByName(und.select(F.col("t").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    forest = None
+    for _ in range(max_rounds):
+        lab = (
+            und.join(
+                comp.select(F.col("node").alias("s"), F.col("comp").alias("cs")),
+                "s",
+            )
+            .join(
+                comp.select(F.col("node").alias("t"), F.col("comp").alias("ct")),
+                "t",
+            )
+            .where(F.col("cs") != F.col("ct"))
+        )
+        cand = lab.select(
+            F.col("cs").alias("c"), F.col("ct").alias("d"), "s", "t", "w"
+        ).unionByName(
+            lab.select(F.col("ct").alias("c"), F.col("cs").alias("d"), "s", "t", "w")
+        )
+        sel = (
+            cand.groupBy("c")
+            .agg(F.min(F.struct("w", "s", "t", "d")).alias("m"))
+            .select("c", F.col("m.d").alias("p"), "m.s", "m.t", "m.w")
+            .localCheckpoint(eager=True)
+        )
+        if sel.isEmpty():
+            break
+        newf = sel.select("s", "t", "w").distinct()
+        forest = newf if forest is None else forest.unionByName(newf)
+        # contract the selected pseudoforest: mutual pairs are roots
+        p = sel.select("c", "p")
+        pb = p.selectExpr("c as p", "p as pp")
+        p = (
+            p.join(pb, "p")
+            .select(
+                "c",
+                F.when(F.col("pp") == F.col("c"), F.least("c", "p"))
+                .otherwise(F.col("p"))
+                .alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer-jump: after j doublings p covers chains of length 2^j.
+        # Two jumps per convergence probe keeps the action count low;
+        # lineage stays shallow (a handful of joins), so no per-jump
+        # checkpoint is needed.
+        while True:
+            nxt = p
+            for _j in range(2):
+                nxt = (
+                    nxt.alias("a")
+                    .join(
+                        nxt.selectExpr("c as p", "p as pj").alias("b"),
+                        "p",
+                        "left",
+                    )
+                    .select("c", F.coalesce("pj", "p").alias("p"))
+                )
+            nxt = nxt.localCheckpoint(eager=True)
+            done = (
+                nxt.alias("n")
+                .join(p.alias("o"), "c")
+                .where(F.col("n.p") != F.col("o.p"))
+                .isEmpty()
+            )
+            p = nxt
+            if done:
+                break
+        comp = (
+            comp.join(
+                p.selectExpr("c as comp", "p as newc"), "comp", "left"
+            )
+            .select("node", F.coalesce("newc", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    if forest is None:
+        return und.limit(0).select(
+            "s", "t", "w", F.lit(None).cast("long").alias("comp")
+        )
+    # canonical representative: min node per final cluster
+    rep = comp.groupBy("comp").agg(F.min("node").alias("rep"))
+    relabel = comp.join(rep, "comp").select("node", F.col("rep").alias("comp"))
+    return forest.distinct().join(
+        relabel.selectExpr("node as s", "comp"), "s"
+    ).select("s", "t", "w", "comp")

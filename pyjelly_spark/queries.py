@@ -15720,6 +15720,38 @@ FROM s
 
 
 
+def _synth_cycle_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic undirected test graph over doc_ids (one direction
+    per edge, s != t, distinct): per 24-id group a cycle of length
+    ell = 3 + (g*5) % 10, pendant trees on the remaining ids, and a
+    chord (0,2) on every third group. Mirrored in closed form by the
+    kg_bipartite / kg_msf oracles."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    vx = docs.select(
+        F.col("doc_id").alias("v"),
+        F.expr("doc_id div 24").alias("g"),
+        F.expr("doc_id % 24").alias("r"),
+        F.expr("3 + (doc_id div 24 * 5) % 10").alias("ell"),
+    )
+    cyc = vx.where(F.col("r") < F.col("ell")).select(
+        F.col("v").alias("s"), F.expr("g * 24 + (r + 1) % ell").alias("t")
+    )
+    pend = vx.where(F.col("r") >= F.col("ell")).select(
+        F.col("v").alias("s"), F.expr("g * 24 + r % ell").alias("t")
+    )
+    chord = (
+        vx.where((F.col("r") == 0) & (F.col("g") % 3 == 0) & (F.col("ell") >= 4))
+        .select(F.col("v").alias("s"), F.expr("g * 24 + 2").alias("t"))
+    )
+    return (
+        cyc.unionByName(pend)
+        .unionByName(chord)
+        .where((F.col("s") < n) & (F.col("t") < n) & (F.col("s") != F.col("t")))
+        .distinct()
+    )
+
+
 def q_kg_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartiteness census via the doubled-cover reduction: every
     undirected edge (u,v) becomes (u#0,v#1) and (u#1,v#0), ONE run of
@@ -15744,30 +15776,7 @@ def q_kg_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches itself with parity 1."""
     from pyjelly_spark.operators.components import connected_components
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    vx = docs.select(
-        F.col("doc_id").alias("v"),
-        F.expr("doc_id div 24").alias("g"),
-        F.expr("doc_id % 24").alias("r"),
-        F.expr("3 + (doc_id div 24 * 5) % 10").alias("ell"),
-    )
-    cyc = vx.where(F.col("r") < F.col("ell")).select(
-        F.col("v").alias("s"), F.expr("g * 24 + (r + 1) % ell").alias("t")
-    )
-    pend = vx.where(F.col("r") >= F.col("ell")).select(
-        F.col("v").alias("s"), F.expr("g * 24 + r % ell").alias("t")
-    )
-    chord = (
-        vx.where((F.col("r") == 0) & (F.col("g") % 3 == 0) & (F.col("ell") >= 4))
-        .select(F.col("v").alias("s"), F.expr("g * 24 + 2").alias("t"))
-    )
-    e = (
-        cyc.unionByName(pend)
-        .unionByName(chord)
-        .where((F.col("s") < n) & (F.col("t") < n) & (F.col("s") != F.col("t")))
-        .distinct()
-    )
+    e = _synth_cycle_graph(spark, sf_dir)
     # doubled cover; CC symmetrizes internally, so one direction is enough
     cover = e.select(
         F.format_string("n%08d#0", "s").alias("src"),
@@ -16458,6 +16467,504 @@ FROM rl GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+
+
+def q_kg_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest by distributed Boruvka
+    (operators/components.py::boruvka_msf) over the synthetic
+    cycle/pendant/chord graph with sha-60 edge weights (distinct whp,
+    so the MSF is unique and engine-checkable). Each Boruvka round is
+    one partial-aggregated min-edge groupBy over the edge set plus a
+    component-graph contraction that reuses the large-star/small-star
+    CC operator on an input bounded by the current component count —
+    the textbook O(log V)-round distributed MSF. The oracle is a
+    23-round unrolled parallel Prim (every component grows its tree by
+    its minimum crossing edge per round, deterministic (w, s, t)
+    order) — a SEQUENTIAL formulation; agreement proves the
+    distributed algorithm picked the identical unique tree. Output
+    pins per component: true node count (from the oracle's own
+    component map vs the forest's node set — a dropped node cannot
+    hide), tree edge count (= n_nodes - 1 iff spanning and acyclic),
+    and a modular weight checksum over the selected edges."""
+    from pyjelly_spark.operators.components import boruvka_msf
+
+    e = _synth_cycle_graph(spark, sf_dir)
+    ew = e.select(
+        "s",
+        "t",
+        F.expr(
+            "cast(conv(substring(sha2(concat(cast(least(s, t) as string), ':',"
+            " cast(greatest(s, t) as string)), 256), 1, 15), 16, 10) as bigint)"
+        ).alias("w"),
+    )
+    msf = boruvka_msf(ew)
+    return (
+        msf.select(
+            "comp",
+            "w",
+            F.explode(F.array("s", "t")).alias("node"),
+        )
+        .groupBy("comp")
+        .agg(
+            F.countDistinct("node").cast("long").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_tree_edges"),
+            (F.sum(F.col("w") % 1000000007) / 2).cast("long").alias("weight_chk"),
+        )
+        .select(
+            F.col("comp").alias("component"),
+            "n_nodes",
+            "n_tree_edges",
+            "weight_chk",
+        )
+        .orderBy("component")
+    )
+
+
+SQL_KG_MSF = """
+WITH RECURSIVE
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+vx AS (
+  SELECT doc_id::BIGINT AS v, doc_id // 24 AS g, doc_id % 24 AS r,
+         3 + (doc_id // 24 * 5) % 10 AS ell
+  FROM documents
+),
+rawe AS (
+  SELECT v AS s, g*24 + (r+1) % ell AS t FROM vx WHERE r < ell
+  UNION ALL
+  SELECT v AS s, g*24 + r % ell AS t FROM vx WHERE r >= ell
+  UNION ALL
+  SELECT v AS s, g*24 + 2 AS t FROM vx WHERE r = 0 AND g % 3 = 0 AND ell >= 4
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS s, greatest(s, t) AS t FROM rawe, nn
+  WHERE s < nn.n AND t < nn.n AND s <> t
+),
+ew AS MATERIALIZED (
+  SELECT s, t,
+         ('0x' || substring(sha256(s || ':' || t), 1, 15))::BIGINT AS w
+  FROM e0
+),
+ed AS MATERIALIZED (
+  SELECT s, t, w FROM ew UNION ALL SELECT t AS s, s AS t, w FROM ew
+),
+reach AS (
+  SELECT s, t FROM ed
+  UNION
+  SELECT r.s, e2.t FROM reach r JOIN ed e2 ON e2.s = r.t
+),
+cmap AS MATERIALIZED (
+  SELECT x.node, least(x.node, min(r.t)) AS comp
+  FROM (SELECT DISTINCT s AS node FROM ed) x
+  LEFT JOIN reach r ON r.s = x.node
+  GROUP BY x.node
+),
+t0 AS MATERIALIZED (
+  SELECT comp, comp AS node FROM (SELECT DISTINCT comp FROM cmap)
+),
+ROUNDS_PLACEHOLDER,
+forest AS (
+FOREST_PLACEHOLDER
+),
+sizes AS (SELECT comp, count(*)::BIGINT AS n_nodes FROM cmap GROUP BY 1)
+SELECT f.c AS component,
+       max(z.n_nodes) AS n_nodes,
+       count(*)::BIGINT AS n_tree_edges,
+       sum(f.w % 1000000007)::BIGINT AS weight_chk
+FROM forest f JOIN sizes z ON z.comp = f.c
+GROUP BY 1 ORDER BY 1
+"""
+SQL_KG_MSF = SQL_KG_MSF.replace("ROUNDS_PLACEHOLDER", r"""sel1 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t0 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t0 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t1 AS MATERIALIZED (
+  SELECT comp, node FROM t0
+  UNION
+  SELECT c AS comp, t AS node FROM sel1
+),
+sel2 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t1 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t1 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t2 AS MATERIALIZED (
+  SELECT comp, node FROM t1
+  UNION
+  SELECT c AS comp, t AS node FROM sel2
+),
+sel3 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t2 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t2 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t3 AS MATERIALIZED (
+  SELECT comp, node FROM t2
+  UNION
+  SELECT c AS comp, t AS node FROM sel3
+),
+sel4 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t3 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t3 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t4 AS MATERIALIZED (
+  SELECT comp, node FROM t3
+  UNION
+  SELECT c AS comp, t AS node FROM sel4
+),
+sel5 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t4 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t4 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t5 AS MATERIALIZED (
+  SELECT comp, node FROM t4
+  UNION
+  SELECT c AS comp, t AS node FROM sel5
+),
+sel6 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t5 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t5 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t6 AS MATERIALIZED (
+  SELECT comp, node FROM t5
+  UNION
+  SELECT c AS comp, t AS node FROM sel6
+),
+sel7 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t6 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t6 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t7 AS MATERIALIZED (
+  SELECT comp, node FROM t6
+  UNION
+  SELECT c AS comp, t AS node FROM sel7
+),
+sel8 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t7 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t7 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t8 AS MATERIALIZED (
+  SELECT comp, node FROM t7
+  UNION
+  SELECT c AS comp, t AS node FROM sel8
+),
+sel9 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t8 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t8 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t9 AS MATERIALIZED (
+  SELECT comp, node FROM t8
+  UNION
+  SELECT c AS comp, t AS node FROM sel9
+),
+sel10 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t9 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t9 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t10 AS MATERIALIZED (
+  SELECT comp, node FROM t9
+  UNION
+  SELECT c AS comp, t AS node FROM sel10
+),
+sel11 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t10 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t10 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t11 AS MATERIALIZED (
+  SELECT comp, node FROM t10
+  UNION
+  SELECT c AS comp, t AS node FROM sel11
+),
+sel12 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t11 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t11 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t12 AS MATERIALIZED (
+  SELECT comp, node FROM t11
+  UNION
+  SELECT c AS comp, t AS node FROM sel12
+),
+sel13 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t12 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t12 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t13 AS MATERIALIZED (
+  SELECT comp, node FROM t12
+  UNION
+  SELECT c AS comp, t AS node FROM sel13
+),
+sel14 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t13 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t13 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t14 AS MATERIALIZED (
+  SELECT comp, node FROM t13
+  UNION
+  SELECT c AS comp, t AS node FROM sel14
+),
+sel15 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t14 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t14 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t15 AS MATERIALIZED (
+  SELECT comp, node FROM t14
+  UNION
+  SELECT c AS comp, t AS node FROM sel15
+),
+sel16 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t15 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t15 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t16 AS MATERIALIZED (
+  SELECT comp, node FROM t15
+  UNION
+  SELECT c AS comp, t AS node FROM sel16
+),
+sel17 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t16 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t16 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t17 AS MATERIALIZED (
+  SELECT comp, node FROM t16
+  UNION
+  SELECT c AS comp, t AS node FROM sel17
+),
+sel18 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t17 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t17 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t18 AS MATERIALIZED (
+  SELECT comp, node FROM t17
+  UNION
+  SELECT c AS comp, t AS node FROM sel18
+),
+sel19 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t18 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t18 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t19 AS MATERIALIZED (
+  SELECT comp, node FROM t18
+  UNION
+  SELECT c AS comp, t AS node FROM sel19
+),
+sel20 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t19 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t19 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t20 AS MATERIALIZED (
+  SELECT comp, node FROM t19
+  UNION
+  SELECT c AS comp, t AS node FROM sel20
+),
+sel21 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t20 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t20 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t21 AS MATERIALIZED (
+  SELECT comp, node FROM t20
+  UNION
+  SELECT c AS comp, t AS node FROM sel21
+),
+sel22 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t21 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t21 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t22 AS MATERIALIZED (
+  SELECT comp, node FROM t21
+  UNION
+  SELECT c AS comp, t AS node FROM sel22
+),
+sel23 AS MATERIALIZED (
+  SELECT c, s, t, w FROM (
+    SELECT tr.comp AS c, e.s, e.t, e.w,
+           row_number() OVER (PARTITION BY tr.comp ORDER BY e.w, e.s, e.t) AS rn
+    FROM t22 tr
+    JOIN ed e ON e.s = tr.node
+    LEFT JOIN t22 tx ON tx.comp = tr.comp AND tx.node = e.t
+    WHERE tx.node IS NULL
+  ) WHERE rn = 1
+),
+t23 AS MATERIALIZED (
+  SELECT comp, node FROM t22
+  UNION
+  SELECT c AS comp, t AS node FROM sel23
+)""").replace(
+    "FOREST_PLACEHOLDER", r"""  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel1
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel2
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel3
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel4
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel5
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel6
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel7
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel8
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel9
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel10
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel11
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel12
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel13
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel14
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel15
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel16
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel17
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel18
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel19
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel20
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel21
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel22
+UNION ALL
+  SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel23""")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -16729,6 +17236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_mannwhitney": q_events_mannwhitney,
     "doc_rake": q_doc_rake,
     "orders_rle": q_orders_rle,
+    "kg_msf": q_kg_msf,
 }
 
 ORACLES: dict[str, str] = {
@@ -17006,4 +17514,5 @@ ORACLES: dict[str, str] = {
     "events_mannwhitney": SQL_EVENTS_MANNWHITNEY,
     "doc_rake": SQL_DOC_RAKE,
     "orders_rle": SQL_ORDERS_RLE,
+    "kg_msf": SQL_KG_MSF,
 }

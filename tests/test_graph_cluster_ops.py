@@ -297,3 +297,49 @@ def test_bipartite_doubled_cover_known_graphs(spark):
     # path + pendant: bipartite
     tree = [("p", "q"), ("q", "r"), ("q", "s")]
     assert all(census(tree).values())
+
+
+def test_boruvka_matches_kruskal_on_random_graphs(spark):
+    """boruvka_msf == a sequential Kruskal (union-find) on several
+    small random-ish graphs with distinct deterministic weights,
+    including multi-component forests and chains."""
+    from pyjelly_spark.operators.components import boruvka_msf
+
+    def kruskal(edges):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        tree = []
+        for w, s, t in sorted((w, s, t) for s, t, w in edges):
+            rs, rt = find(s), find(t)
+            if rs != rt:
+                parent[rs] = rt
+                tree.append((min(s, t), max(s, t), w))
+        return set(tree)
+
+    import hashlib
+
+    def wt(a, b):
+        a, b = min(a, b), max(a, b)
+        return int(hashlib.sha256(f"{a}:{b}".encode()).hexdigest()[:15], 16)
+
+    graphs = [
+        # two triangles + bridge-less second component
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (10, 12)],
+        # chain of 9 (tests pointer-jump depth)
+        [(i, i + 1) for i in range(9)],
+        # dense K5
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],
+    ]
+    for g in graphs:
+        edges = [(s, t, wt(s, t)) for s, t in g]
+        df = spark.createDataFrame(edges, "s: long, t: long, w: long")
+        got = {
+            (r["s"], r["t"], r["w"]) for r in boruvka_msf(df).collect()
+        }
+        assert got == kruskal(edges), g
