@@ -1377,3 +1377,58 @@ def boruvka_msf(
     return forest.distinct().join(
         relabel.selectExpr("node as s", "comp"), "s"
     ).select("s", "t", "w", "comp")
+
+
+def densest_subgraph_peel(
+    edges: DataFrame,
+    max_rounds: int = 30,
+) -> list:
+    """Bahmani-et-al parallel peeling for the densest subgraph
+    (2(1+eps)-approx, eps = 1/2): each round computes node degrees,
+    removes EVERY node with deg * V <= 3 * E (an exact integer
+    comparison — no float density ever), and records the round's
+    (V, E, node-id checksum) BEFORE peeling. V provably shrinks by a
+    (1+eps) factor per round, so O(log V) rounds empty the graph and
+    the densest round (exact rational compare, earliest wins) is a
+    2(1+eps) approximation of the optimum — the MapReduce densest-
+    subgraph algorithm, verbatim in DataFrame ops.
+
+    Per-round driver state is three scalars (V, E, checksum): the
+    collect is metadata-sized at any graph scale; edges and degrees
+    stay distributed throughout (one groupBy + one semi-join per
+    round).
+
+    Returns the per-round stats list [(round, v, e, chk), ...].
+    """
+    g = (
+        edges.selectExpr("least(s, t) as s", "greatest(s, t) as t")
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    stats = []
+    for r in range(1, max_rounds + 1):
+        nodes = (
+            g.select(F.col("s").alias("v"))
+            .unionByName(g.select(F.col("t").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        agg = nodes.agg(
+            F.count(F.lit(1)).alias("nv"),
+            F.sum("deg").alias("deg_sum"),
+            F.sum("v").alias("chk"),
+        ).collect()[0]
+        nv = agg["nv"]
+        if not nv:
+            break
+        ne = agg["deg_sum"] // 2
+        stats.append((r, int(nv), int(ne), int(agg["chk"])))
+        keep = nodes.where(F.col("deg") * nv > 3 * ne).select("v")
+        g = (
+            g.join(keep.selectExpr("v as s"), "s", "left_semi")
+            .join(keep.selectExpr("v as t"), "t", "left_semi")
+            .select("s", "t")
+            .localCheckpoint(eager=True)
+        )
+    return stats

@@ -16965,6 +16965,507 @@ UNION ALL
   SELECT c, least(s, t) AS s, greatest(s, t) AS t, w FROM sel23""")
 
 
+
+
+def q_kg_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest-subgraph extraction by parallel peeling (Bahmani et al.,
+    the MapReduce 2(1+eps)-approximation; eps = 1/2) over the synthetic
+    cycle/pendant graph with a PLANTED K12 clique on nodes {0, 24, ...,
+    264}: round r records (V, E, node checksum) then removes every node
+    with deg * V <= 3E — an exact integer comparison, no float density.
+    The background (density ~1) peels away in one round; the planted
+    clique (density 5.5) survives and is exactly what the best round
+    isolates — the algorithm provably recovers it. The best round is
+    chosen by exact rational density compare (e * 1e12 // v is
+    collision-free for v <= 5000 denominators), earliest round wins
+    ties; the oracle unrolls the identical 21 peeling rounds as
+    materialized CTEs. Per-round driver state is three scalars —
+    metadata-sized at any graph scale (operators/components.py::
+    densest_subgraph_peel)."""
+    from pyjelly_spark.operators.components import densest_subgraph_peel
+
+    base = _synth_cycle_graph(spark, sf_dir)
+    n = _t(spark, sf_dir, "documents").count()
+    clique_nodes = [24 * a for a in range(12) if 24 * a < n]
+    clique = spark.createDataFrame(
+        [
+            (a, b)
+            for i, a in enumerate(clique_nodes)
+            for b in clique_nodes[i + 1 :]
+        ],
+        "s: long, t: long",
+    )
+    stats = densest_subgraph_peel(base.unionByName(clique))
+    best = max(stats, key=lambda x: (x[2] * 10**12 // x[1], -x[0]))
+    return spark.createDataFrame(
+        [
+            (
+                best[0],
+                best[1],
+                best[2],
+                best[2] * 1_000_000 // best[1],
+                best[3],
+            )
+        ],
+        "best_round: long, n_nodes: long, n_edges: long,"
+        " density_ppm: long, node_chk: long",
+    )
+
+
+SQL_KG_DENSEST = """
+WITH
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+vx AS (
+  SELECT doc_id::BIGINT AS v, doc_id // 24 AS g, doc_id % 24 AS r,
+         3 + (doc_id // 24 * 5) % 10 AS ell
+  FROM documents
+),
+rawe AS (
+  SELECT v AS s, g*24 + (r+1) % ell AS t FROM vx WHERE r < ell
+  UNION ALL
+  SELECT v AS s, g*24 + r % ell AS t FROM vx WHERE r >= ell
+  UNION ALL
+  SELECT v AS s, g*24 + 2 AS t FROM vx WHERE r = 0 AND g % 3 = 0 AND ell >= 4
+  UNION ALL
+  SELECT a.range * 24 AS s, b.range * 24 AS t
+  FROM range(12) a, range(12) b, nn
+  WHERE a.range < b.range AND b.range * 24 < nn.n
+),
+g0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS s, greatest(s, t) AS t FROM rawe, nn
+  WHERE s < nn.n AND t < nn.n AND s <> t
+),
+ROUNDS_PLACEHOLDER,
+stats AS (
+STATS_PLACEHOLDER
+)
+SELECT r AS best_round, nv AS n_nodes, e AS n_edges,
+       (e * 1000000 // nv)::BIGINT AS density_ppm, chk AS node_chk
+FROM stats
+ORDER BY (e * 1000000000000 // nv) DESC, r ASC
+LIMIT 1
+"""
+SQL_KG_DENSEST = SQL_KG_DENSEST.replace("ROUNDS_PLACEHOLDER", r"""n1 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g0 UNION ALL SELECT t AS v FROM g0
+  ) GROUP BY 1
+),
+a1 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n1
+),
+g1 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g0 g
+  JOIN n1 ns ON ns.v = g.s
+  JOIN n1 nt ON nt.v = g.t
+  CROSS JOIN a1 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n2 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g1 UNION ALL SELECT t AS v FROM g1
+  ) GROUP BY 1
+),
+a2 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n2
+),
+g2 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g1 g
+  JOIN n2 ns ON ns.v = g.s
+  JOIN n2 nt ON nt.v = g.t
+  CROSS JOIN a2 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n3 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g2 UNION ALL SELECT t AS v FROM g2
+  ) GROUP BY 1
+),
+a3 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n3
+),
+g3 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g2 g
+  JOIN n3 ns ON ns.v = g.s
+  JOIN n3 nt ON nt.v = g.t
+  CROSS JOIN a3 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n4 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g3 UNION ALL SELECT t AS v FROM g3
+  ) GROUP BY 1
+),
+a4 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n4
+),
+g4 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g3 g
+  JOIN n4 ns ON ns.v = g.s
+  JOIN n4 nt ON nt.v = g.t
+  CROSS JOIN a4 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n5 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g4 UNION ALL SELECT t AS v FROM g4
+  ) GROUP BY 1
+),
+a5 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n5
+),
+g5 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g4 g
+  JOIN n5 ns ON ns.v = g.s
+  JOIN n5 nt ON nt.v = g.t
+  CROSS JOIN a5 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n6 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g5 UNION ALL SELECT t AS v FROM g5
+  ) GROUP BY 1
+),
+a6 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n6
+),
+g6 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g5 g
+  JOIN n6 ns ON ns.v = g.s
+  JOIN n6 nt ON nt.v = g.t
+  CROSS JOIN a6 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n7 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g6 UNION ALL SELECT t AS v FROM g6
+  ) GROUP BY 1
+),
+a7 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n7
+),
+g7 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g6 g
+  JOIN n7 ns ON ns.v = g.s
+  JOIN n7 nt ON nt.v = g.t
+  CROSS JOIN a7 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n8 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g7 UNION ALL SELECT t AS v FROM g7
+  ) GROUP BY 1
+),
+a8 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n8
+),
+g8 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g7 g
+  JOIN n8 ns ON ns.v = g.s
+  JOIN n8 nt ON nt.v = g.t
+  CROSS JOIN a8 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n9 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g8 UNION ALL SELECT t AS v FROM g8
+  ) GROUP BY 1
+),
+a9 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n9
+),
+g9 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g8 g
+  JOIN n9 ns ON ns.v = g.s
+  JOIN n9 nt ON nt.v = g.t
+  CROSS JOIN a9 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n10 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g9 UNION ALL SELECT t AS v FROM g9
+  ) GROUP BY 1
+),
+a10 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n10
+),
+g10 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g9 g
+  JOIN n10 ns ON ns.v = g.s
+  JOIN n10 nt ON nt.v = g.t
+  CROSS JOIN a10 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n11 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g10 UNION ALL SELECT t AS v FROM g10
+  ) GROUP BY 1
+),
+a11 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n11
+),
+g11 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g10 g
+  JOIN n11 ns ON ns.v = g.s
+  JOIN n11 nt ON nt.v = g.t
+  CROSS JOIN a11 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n12 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g11 UNION ALL SELECT t AS v FROM g11
+  ) GROUP BY 1
+),
+a12 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n12
+),
+g12 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g11 g
+  JOIN n12 ns ON ns.v = g.s
+  JOIN n12 nt ON nt.v = g.t
+  CROSS JOIN a12 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n13 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g12 UNION ALL SELECT t AS v FROM g12
+  ) GROUP BY 1
+),
+a13 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n13
+),
+g13 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g12 g
+  JOIN n13 ns ON ns.v = g.s
+  JOIN n13 nt ON nt.v = g.t
+  CROSS JOIN a13 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n14 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g13 UNION ALL SELECT t AS v FROM g13
+  ) GROUP BY 1
+),
+a14 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n14
+),
+g14 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g13 g
+  JOIN n14 ns ON ns.v = g.s
+  JOIN n14 nt ON nt.v = g.t
+  CROSS JOIN a14 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n15 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g14 UNION ALL SELECT t AS v FROM g14
+  ) GROUP BY 1
+),
+a15 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n15
+),
+g15 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g14 g
+  JOIN n15 ns ON ns.v = g.s
+  JOIN n15 nt ON nt.v = g.t
+  CROSS JOIN a15 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n16 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g15 UNION ALL SELECT t AS v FROM g15
+  ) GROUP BY 1
+),
+a16 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n16
+),
+g16 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g15 g
+  JOIN n16 ns ON ns.v = g.s
+  JOIN n16 nt ON nt.v = g.t
+  CROSS JOIN a16 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n17 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g16 UNION ALL SELECT t AS v FROM g16
+  ) GROUP BY 1
+),
+a17 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n17
+),
+g17 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g16 g
+  JOIN n17 ns ON ns.v = g.s
+  JOIN n17 nt ON nt.v = g.t
+  CROSS JOIN a17 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n18 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g17 UNION ALL SELECT t AS v FROM g17
+  ) GROUP BY 1
+),
+a18 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n18
+),
+g18 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g17 g
+  JOIN n18 ns ON ns.v = g.s
+  JOIN n18 nt ON nt.v = g.t
+  CROSS JOIN a18 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n19 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g18 UNION ALL SELECT t AS v FROM g18
+  ) GROUP BY 1
+),
+a19 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n19
+),
+g19 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g18 g
+  JOIN n19 ns ON ns.v = g.s
+  JOIN n19 nt ON nt.v = g.t
+  CROSS JOIN a19 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n20 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g19 UNION ALL SELECT t AS v FROM g19
+  ) GROUP BY 1
+),
+a20 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n20
+),
+g20 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g19 g
+  JOIN n20 ns ON ns.v = g.s
+  JOIN n20 nt ON nt.v = g.t
+  CROSS JOIN a20 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+),
+n21 AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS deg FROM (
+    SELECT s AS v FROM g20 UNION ALL SELECT t AS v FROM g20
+  ) GROUP BY 1
+),
+a21 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nv, coalesce(sum(deg), 0)::BIGINT AS ds,
+         coalesce(sum(v), 0)::BIGINT AS chk
+  FROM n21
+),
+g21 AS MATERIALIZED (
+  SELECT g.s, g.t FROM g20 g
+  JOIN n21 ns ON ns.v = g.s
+  JOIN n21 nt ON nt.v = g.t
+  CROSS JOIN a21 a
+  WHERE ns.deg * a.nv > 3 * (a.ds // 2)
+    AND nt.deg * a.nv > 3 * (a.ds // 2)
+)""").replace(
+    "STATS_PLACEHOLDER", r"""  SELECT 1 AS r, nv, ds // 2 AS e, chk FROM a1 WHERE nv > 0
+  UNION ALL
+  SELECT 2 AS r, nv, ds // 2 AS e, chk FROM a2 WHERE nv > 0
+  UNION ALL
+  SELECT 3 AS r, nv, ds // 2 AS e, chk FROM a3 WHERE nv > 0
+  UNION ALL
+  SELECT 4 AS r, nv, ds // 2 AS e, chk FROM a4 WHERE nv > 0
+  UNION ALL
+  SELECT 5 AS r, nv, ds // 2 AS e, chk FROM a5 WHERE nv > 0
+  UNION ALL
+  SELECT 6 AS r, nv, ds // 2 AS e, chk FROM a6 WHERE nv > 0
+  UNION ALL
+  SELECT 7 AS r, nv, ds // 2 AS e, chk FROM a7 WHERE nv > 0
+  UNION ALL
+  SELECT 8 AS r, nv, ds // 2 AS e, chk FROM a8 WHERE nv > 0
+  UNION ALL
+  SELECT 9 AS r, nv, ds // 2 AS e, chk FROM a9 WHERE nv > 0
+  UNION ALL
+  SELECT 10 AS r, nv, ds // 2 AS e, chk FROM a10 WHERE nv > 0
+  UNION ALL
+  SELECT 11 AS r, nv, ds // 2 AS e, chk FROM a11 WHERE nv > 0
+  UNION ALL
+  SELECT 12 AS r, nv, ds // 2 AS e, chk FROM a12 WHERE nv > 0
+  UNION ALL
+  SELECT 13 AS r, nv, ds // 2 AS e, chk FROM a13 WHERE nv > 0
+  UNION ALL
+  SELECT 14 AS r, nv, ds // 2 AS e, chk FROM a14 WHERE nv > 0
+  UNION ALL
+  SELECT 15 AS r, nv, ds // 2 AS e, chk FROM a15 WHERE nv > 0
+  UNION ALL
+  SELECT 16 AS r, nv, ds // 2 AS e, chk FROM a16 WHERE nv > 0
+  UNION ALL
+  SELECT 17 AS r, nv, ds // 2 AS e, chk FROM a17 WHERE nv > 0
+  UNION ALL
+  SELECT 18 AS r, nv, ds // 2 AS e, chk FROM a18 WHERE nv > 0
+  UNION ALL
+  SELECT 19 AS r, nv, ds // 2 AS e, chk FROM a19 WHERE nv > 0
+  UNION ALL
+  SELECT 20 AS r, nv, ds // 2 AS e, chk FROM a20 WHERE nv > 0
+  UNION ALL
+  SELECT 21 AS r, nv, ds // 2 AS e, chk FROM a21 WHERE nv > 0""")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -17237,6 +17738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_rake": q_doc_rake,
     "orders_rle": q_orders_rle,
     "kg_msf": q_kg_msf,
+    "kg_densest": q_kg_densest,
 }
 
 ORACLES: dict[str, str] = {
@@ -17515,4 +18017,5 @@ ORACLES: dict[str, str] = {
     "doc_rake": SQL_DOC_RAKE,
     "orders_rle": SQL_ORDERS_RLE,
     "kg_msf": SQL_KG_MSF,
+    "kg_densest": SQL_KG_DENSEST,
 }

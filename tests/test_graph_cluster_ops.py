@@ -343,3 +343,21 @@ def test_boruvka_matches_kruskal_on_random_graphs(spark):
             (r["s"], r["t"], r["w"]) for r in boruvka_msf(df).collect()
         }
         assert got == kruskal(edges), g
+
+
+def test_densest_peel_recovers_planted_clique(spark):
+    """Parallel peeling isolates a planted K6 (density 2.5) from a
+    sparse background path, and the per-round stats shrink
+    monotonically."""
+    from pyjelly_spark.operators.components import densest_subgraph_peel
+
+    path = [(100 + i, 101 + i) for i in range(30)]
+    k6 = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    df = spark.createDataFrame(path + k6, "s: long, t: long")
+    stats = densest_subgraph_peel(df)
+    assert [s[1] for s in stats] == sorted(
+        [s[1] for s in stats], reverse=True
+    )
+    best = max(stats, key=lambda x: (x[2] * 10**12 // x[1], -x[0]))
+    assert best[1] == 6 and best[2] == 15
+    assert best[3] == sum(range(6))
