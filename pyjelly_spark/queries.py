@@ -17466,6 +17466,114 @@ g21 AS MATERIALIZED (
   SELECT 21 AS r, nv, ds // 2 AS e, chk FROM a21 WHERE nv > 0""")
 
 
+
+
+def q_events_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust STL-lite decomposition of the hourly event-count series
+    per event_type: trend = centered 25-hour moving MEDIAN, seasonal =
+    per-hour-of-day median of the detrended series, remainder = what's
+    left. Medians of integers are half-integer-exact, so the whole
+    decomposition is carried at fixed x2/x4 integer scale — bit-equal
+    on any engine/partitioning, unlike loess-based STL. The series is
+    densified onto the full 720-hour grid (absent hours count 0) so
+    window frames line up deterministically on both engines.
+
+    Plan shape: one count aggregation, one dense-grid broadcast join,
+    one windowed median per series (frame bounded at 25 rows), one
+    seasonal median groupBy — everything keyed by event_type; the
+    10^12-row log collapses to type x 720 grid rows before any window
+    runs (the same domain-compression trick as the rank statistics).
+
+    Output per (event_type, hour_of_day): the seasonal component x4
+    and the type's remainder sum of squares x16 — pinning trend,
+    seasonal AND remainder exactly."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+            ).alias("h"),
+        )
+        .where((F.col("h") >= 0) & (F.col("h") < 720))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(720).select(F.col("id").alias("h")))
+    )
+    dense = grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    wt = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    detr = dense.select(
+        "event_type",
+        "h",
+        "c",
+        (2 * F.col("c") - (2 * F.expr("percentile(c, 0.5)").over(wt)).cast("long")).alias(
+            "d_x2"
+        ),
+    )
+    seas = (
+        detr.groupBy("event_type", F.expr("h % 24").alias("hod"))
+        .agg((2 * F.expr("percentile(d_x2, 0.5)")).cast("long").alias("seasonal_x4"))
+    )
+    detr2 = detr.select("event_type", F.expr("h % 24").alias("hod"), "d_x2")
+    rem = (
+        detr2.join(seas, ["event_type", "hod"])
+        .select(
+            "event_type",
+            (2 * F.col("d_x2") - F.col("seasonal_x4")).alias("r_x4"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum(F.col("r_x4") * F.col("r_x4")).cast("long").alias("rem_ss_x16"))
+    )
+    return (
+        seas.join(rem, "event_type")
+        .select("event_type", "hod", "seasonal_x4", "rem_ss_x16")
+        .orderBy("event_type", "hod")
+    )
+
+
+SQL_EVENTS_STL = """
+WITH counts AS (
+  SELECT event_type,
+         date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS h,
+         count(*)::BIGINT AS c
+  FROM events
+  WHERE date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) >= 0
+    AND date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) < 720
+  GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, g.range AS h
+  FROM (SELECT DISTINCT event_type FROM counts) t, range(720) g
+), dense AS (
+  SELECT g.event_type, g.h, coalesce(c.c, 0)::BIGINT AS c
+  FROM grid g LEFT JOIN counts c ON c.event_type = g.event_type AND c.h = g.h
+), detr AS (
+  SELECT event_type, h, c,
+         (2 * c - (2 * median(c) OVER (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))::BIGINT) AS d_x2
+  FROM dense
+), seas AS (
+  SELECT event_type, h % 24 AS hod,
+         (2 * median(d_x2))::BIGINT AS seasonal_x4
+  FROM detr GROUP BY 1, 2
+), rem AS (
+  SELECT d.event_type,
+         sum((2 * d.d_x2 - s.seasonal_x4) * (2 * d.d_x2 - s.seasonal_x4))::BIGINT
+           AS rem_ss_x16
+  FROM detr d JOIN seas s ON s.event_type = d.event_type AND s.hod = d.h % 24
+  GROUP BY 1
+)
+SELECT s.event_type, s.hod, s.seasonal_x4, r.rem_ss_x16
+FROM seas s JOIN rem r ON r.event_type = s.event_type
+ORDER BY s.event_type, s.hod
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -17739,6 +17847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_rle": q_orders_rle,
     "kg_msf": q_kg_msf,
     "kg_densest": q_kg_densest,
+    "events_stl": q_events_stl,
 }
 
 ORACLES: dict[str, str] = {
@@ -18018,4 +18127,5 @@ ORACLES: dict[str, str] = {
     "orders_rle": SQL_ORDERS_RLE,
     "kg_msf": SQL_KG_MSF,
     "kg_densest": SQL_KG_DENSEST,
+    "events_stl": SQL_EVENTS_STL,
 }
