@@ -17574,6 +17574,143 @@ ORDER BY s.event_type, s.hod
 """
 
 
+
+
+def q_events_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel LTTB downsampling (largest-triangle-three-buckets,
+    Steinarsson) of each event_type's (minute, cents) point stream to
+    one representative point per hour bucket: a point's score is the
+    triangle area it forms with the NEIGHBOR BUCKETS' mean points —
+    the bucket-anchor variant that removes sequential dependency, so
+    every bucket selects independently. Means are rationals; the
+    cross product is cleared of denominators (x Cp^2*Cn, sign-safe
+    positive factors) into decimal(38,0)/HUGEINT so the argmax is
+    exact integer arithmetic — the selected point set is engine-
+    deterministic, ties to (earliest minute, smallest event_id).
+    First/last/neighborless buckets keep their earliest point (the
+    LTTB endpoint rule).
+
+    Plan shape: bucket stats are one partial agg; neighbor anchors a
+    lag/lead window over the BUCKET table (<= 720 rows per series,
+    never raw points); per-point scoring is a broadcast-sized join
+    back; selection one row_number per (series, bucket). 10^12 points
+    downsample with no global sort and no sequential pass."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "timestampdiff(MINUTE, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    ).where((F.col("t") >= 0) & (F.col("t") < 43200))
+    pts = pts.withColumn("b", F.expr("t div 60"))
+    bstats = pts.groupBy("event_type", "b").agg(
+        F.sum("t").alias("st"),
+        F.sum("v").alias("sv"),
+        F.count(F.lit(1)).alias("cn"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("b")
+    anchors = bstats.select(
+        "event_type",
+        "b",
+        F.lag("st").over(wb).alias("tp"),
+        F.lag("sv").over(wb).alias("vp"),
+        F.lag("cn").over(wb).alias("cp"),
+        F.lead("st").over(wb).alias("tn"),
+        F.lead("sv").over(wb).alias("vn"),
+        F.lead("cn").over(wb).alias("cnx"),
+    )
+    scored = pts.join(anchors, ["event_type", "b"]).select(
+        "event_type",
+        "b",
+        "t",
+        "v",
+        "event_id",
+        F.when(
+            F.col("cp").isNull() | F.col("cnx").isNull(), F.lit(None)
+        )
+        .otherwise(
+            F.abs(
+                (
+                    F.col("t") * F.col("cp") - F.col("tp")
+                ).cast("decimal(38,0)")
+                * (
+                    F.col("vn") * F.col("cp") - F.col("vp") * F.col("cnx")
+                ).cast("decimal(38,0)")
+                - (
+                    F.col("tn") * F.col("cp") - F.col("tp") * F.col("cnx")
+                ).cast("decimal(38,0)")
+                * (
+                    F.col("v") * F.col("cp") - F.col("vp")
+                ).cast("decimal(38,0)")
+            )
+        )
+        .alias("score"),
+    )
+    wsel = Window.partitionBy("event_type", "b").orderBy(
+        F.col("score").desc_nulls_last(), F.col("t"), F.col("event_id")
+    )
+    wedge = Window.partitionBy("event_type", "b").orderBy("t", "event_id")
+    return (
+        scored.withColumn(
+            "rn",
+            F.when(F.col("score").isNull(), F.row_number().over(wedge))
+            .otherwise(F.row_number().over(wsel)),
+        )
+        .where(F.col("rn") == 1)
+        .select("event_type", "b", "t", "v", "event_id")
+        .orderBy("event_type", "b")
+    )
+
+
+SQL_EVENTS_LTTB = """
+WITH pts AS (
+  SELECT event_type, event_id,
+         date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts) AS t,
+         floor(value*100)::BIGINT AS v
+  FROM events
+  WHERE date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts) >= 0
+    AND date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts) < 43200
+), pb AS (
+  SELECT *, t // 60 AS b FROM pts
+), bstats AS (
+  SELECT event_type, b, sum(t)::BIGINT AS st, sum(v)::BIGINT AS sv,
+         count(*)::BIGINT AS cn
+  FROM pb GROUP BY 1, 2
+), anchors AS (
+  SELECT event_type, b,
+         lag(st) OVER w AS tp, lag(sv) OVER w AS vp, lag(cn) OVER w AS cp,
+         lead(st) OVER w AS tn, lead(sv) OVER w AS vn, lead(cn) OVER w AS cnx
+  FROM bstats
+  WINDOW w AS (PARTITION BY event_type ORDER BY b)
+), scored AS (
+  SELECT p.event_type, p.b, p.t, p.v, p.event_id,
+         CASE WHEN a.cp IS NULL OR a.cnx IS NULL THEN NULL
+              ELSE abs(
+                (p.t * a.cp - a.tp)::HUGEINT
+                  * (a.vn * a.cp - a.vp * a.cnx)::HUGEINT
+                - (a.tn * a.cp - a.tp * a.cnx)::HUGEINT
+                  * (p.v * a.cp - a.vp)::HUGEINT)
+         END AS score
+  FROM pb p JOIN anchors a ON a.event_type = p.event_type AND a.b = p.b
+), ranked AS (
+  SELECT event_type, b, t, v, event_id,
+         CASE WHEN score IS NULL THEN
+           row_number() OVER (PARTITION BY event_type, b
+                              ORDER BY t, event_id)
+         ELSE
+           row_number() OVER (PARTITION BY event_type, b
+                              ORDER BY score DESC NULLS LAST, t, event_id)
+         END AS rn
+  FROM scored
+)
+SELECT event_type, b, t, v, event_id
+FROM ranked WHERE rn = 1
+ORDER BY event_type, b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -17848,6 +17985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_msf": q_kg_msf,
     "kg_densest": q_kg_densest,
     "events_stl": q_events_stl,
+    "events_lttb": q_events_lttb,
 }
 
 ORACLES: dict[str, str] = {
@@ -18128,4 +18266,5 @@ ORACLES: dict[str, str] = {
     "kg_msf": SQL_KG_MSF,
     "kg_densest": SQL_KG_DENSEST,
     "events_stl": SQL_EVENTS_STL,
+    "events_lttb": SQL_EVENTS_LTTB,
 }
