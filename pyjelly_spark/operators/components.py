@@ -1432,3 +1432,65 @@ def densest_subgraph_peel(
             .localCheckpoint(eager=True)
         )
     return stats
+
+
+def local_dominant_matching(
+    edges: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Distributed maximal matching by local dominance (Hoepman /
+    Manne-Bisseling): every node nominates its minimum incident edge
+    under the total order (w, s, t); an edge nominated by BOTH
+    endpoints is locally dominant — no lighter edge touches it — so
+    all dominant edges can be matched simultaneously without
+    conflicts. Matched nodes leave, repeat. Each surviving component's
+    minimum edge is always dominant, so the loop strictly progresses
+    and empties in O(log n) rounds on hash weights; the result is a
+    MAXIMAL matching (no augmenting of single edges possible), the
+    standard distributed building block for coarsening/scheduling.
+
+    Each round is two partial-aggregated groupBys (per-node min, then
+    mutual check) and one semi-join removal — no generic CC, no
+    global structure. Deterministic on any partitioning, so the exact
+    matched edge set is oracle-checkable.
+
+    Returns the matched edges (s < t canonicalized): (s, t, w).
+    """
+    g = (
+        edges.selectExpr("least(s, t) as s", "greatest(s, t) as t", "w")
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    matched = None
+    for _ in range(max_rounds):
+        if g.isEmpty():
+            break
+        inc = g.select(F.col("s").alias("v"), "s", "t", "w").unionByName(
+            g.select(F.col("t").alias("v"), "s", "t", "w")
+        )
+        nom = (
+            inc.groupBy("v")
+            .agg(F.min(F.struct("w", "s", "t")).alias("m"))
+            .select("m.s", "m.t", "m.w")
+        )
+        dom = (
+            nom.groupBy("s", "t", "w")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .where(F.col("k") == 2)
+            .select("s", "t", "w")
+            .localCheckpoint(eager=True)
+        )
+        matched = dom if matched is None else matched.unionByName(dom)
+        gone = dom.select(F.col("s").alias("v")).unionByName(
+            dom.select(F.col("t").alias("v"))
+        ).distinct()
+        g = (
+            g.join(gone.selectExpr("v as s"), "s", "left_anti")
+            .join(gone.selectExpr("v as t"), "t", "left_anti")
+            .select("s", "t", "w")
+            .localCheckpoint(eager=True)
+        )
+    if matched is None:
+        return g.limit(0)
+    return matched

@@ -17711,6 +17711,397 @@ ORDER BY event_type, b
 """
 
 
+
+
+def q_kg_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal matching by local dominance (operators/components.py::
+    local_dominant_matching) over the synthetic cycle/pendant graph
+    with sha-60 edge weights: every node nominates its minimum
+    incident edge; mutual nominations are conflict-free and match
+    simultaneously; matched nodes leave and the rounds repeat — the
+    standard distributed coarsening/matching primitive, O(log n)
+    rounds, two partial-agg groupBys per round. The oracle unrolls
+    the identical rounds as materialized CTEs, so the gate pins the
+    EXACT matched edge set — maximality and determinism, not just a
+    cardinality."""
+    from pyjelly_spark.operators.components import local_dominant_matching
+
+    e = _synth_cycle_graph(spark, sf_dir)
+    ew = e.select(
+        "s",
+        "t",
+        F.expr(
+            "cast(conv(substring(sha2(concat(cast(least(s, t) as string), ':',"
+            " cast(greatest(s, t) as string)), 256), 1, 15), 16, 10) as bigint)"
+        ).alias("w"),
+    )
+    return local_dominant_matching(ew).orderBy("s", "t")
+
+
+SQL_KG_MATCHING = """
+WITH
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+vx AS (
+  SELECT doc_id::BIGINT AS v, doc_id // 24 AS g, doc_id % 24 AS r,
+         3 + (doc_id // 24 * 5) % 10 AS ell
+  FROM documents
+),
+rawe AS (
+  SELECT v AS s, g*24 + (r+1) % ell AS t FROM vx WHERE r < ell
+  UNION ALL
+  SELECT v AS s, g*24 + r % ell AS t FROM vx WHERE r >= ell
+  UNION ALL
+  SELECT v AS s, g*24 + 2 AS t FROM vx WHERE r = 0 AND g % 3 = 0 AND ell >= 4
+),
+g0 AS MATERIALIZED (
+  SELECT s, t, ('0x' || substring(sha256(s || ':' || t), 1, 15))::BIGINT AS w
+  FROM (
+    SELECT DISTINCT least(s, t) AS s, greatest(s, t) AS t FROM rawe, nn
+    WHERE s < nn.n AND t < nn.n AND s <> t
+  )
+),
+ROUNDS_PLACEHOLDER
+SELECT s, t, w FROM (
+MATCHED_PLACEHOLDER
+) ORDER BY s, t
+"""
+SQL_KG_MATCHING = SQL_KG_MATCHING.replace("ROUNDS_PLACEHOLDER", r"""nom1 AS MATERIALIZED (
+  SELECT s, t, w FROM (
+    SELECT v, s, t, w,
+           row_number() OVER (PARTITION BY v ORDER BY w, s, t) AS rn
+    FROM (
+      SELECT s AS v, s, t, w FROM g0
+      UNION ALL
+      SELECT t AS v, s, t, w FROM g0
+    )
+  ) WHERE rn = 1
+),
+dom1 AS MATERIALIZED (
+  SELECT s, t, w FROM nom1 GROUP BY 1, 2, 3 HAVING count(*) = 2
+),
+gone1 AS MATERIALIZED (
+  SELECT s AS v FROM dom1 UNION SELECT t AS v FROM dom1
+),
+g1 AS MATERIALIZED (
+  SELECT g.s, g.t, g.w FROM g0 g
+  WHERE g.s NOT IN (SELECT v FROM gone1)
+    AND g.t NOT IN (SELECT v FROM gone1)
+),
+nom2 AS MATERIALIZED (
+  SELECT s, t, w FROM (
+    SELECT v, s, t, w,
+           row_number() OVER (PARTITION BY v ORDER BY w, s, t) AS rn
+    FROM (
+      SELECT s AS v, s, t, w FROM g1
+      UNION ALL
+      SELECT t AS v, s, t, w FROM g1
+    )
+  ) WHERE rn = 1
+),
+dom2 AS MATERIALIZED (
+  SELECT s, t, w FROM nom2 GROUP BY 1, 2, 3 HAVING count(*) = 2
+),
+gone2 AS MATERIALIZED (
+  SELECT s AS v FROM dom2 UNION SELECT t AS v FROM dom2
+),
+g2 AS MATERIALIZED (
+  SELECT g.s, g.t, g.w FROM g1 g
+  WHERE g.s NOT IN (SELECT v FROM gone2)
+    AND g.t NOT IN (SELECT v FROM gone2)
+),
+nom3 AS MATERIALIZED (
+  SELECT s, t, w FROM (
+    SELECT v, s, t, w,
+           row_number() OVER (PARTITION BY v ORDER BY w, s, t) AS rn
+    FROM (
+      SELECT s AS v, s, t, w FROM g2
+      UNION ALL
+      SELECT t AS v, s, t, w FROM g2
+    )
+  ) WHERE rn = 1
+),
+dom3 AS MATERIALIZED (
+  SELECT s, t, w FROM nom3 GROUP BY 1, 2, 3 HAVING count(*) = 2
+),
+gone3 AS MATERIALIZED (
+  SELECT s AS v FROM dom3 UNION SELECT t AS v FROM dom3
+),
+g3 AS MATERIALIZED (
+  SELECT g.s, g.t, g.w FROM g2 g
+  WHERE g.s NOT IN (SELECT v FROM gone3)
+    AND g.t NOT IN (SELECT v FROM gone3)
+),
+nom4 AS MATERIALIZED (
+  SELECT s, t, w FROM (
+    SELECT v, s, t, w,
+           row_number() OVER (PARTITION BY v ORDER BY w, s, t) AS rn
+    FROM (
+      SELECT s AS v, s, t, w FROM g3
+      UNION ALL
+      SELECT t AS v, s, t, w FROM g3
+    )
+  ) WHERE rn = 1
+),
+dom4 AS MATERIALIZED (
+  SELECT s, t, w FROM nom4 GROUP BY 1, 2, 3 HAVING count(*) = 2
+),
+gone4 AS MATERIALIZED (
+  SELECT s AS v FROM dom4 UNION SELECT t AS v FROM dom4
+),
+g4 AS MATERIALIZED (
+  SELECT g.s, g.t, g.w FROM g3 g
+  WHERE g.s NOT IN (SELECT v FROM gone4)
+    AND g.t NOT IN (SELECT v FROM gone4)
+),
+nom5 AS MATERIALIZED (
+  SELECT s, t, w FROM (
+    SELECT v, s, t, w,
+           row_number() OVER (PARTITION BY v ORDER BY w, s, t) AS rn
+    FROM (
+      SELECT s AS v, s, t, w FROM g4
+      UNION ALL
+      SELECT t AS v, s, t, w FROM g4
+    )
+  ) WHERE rn = 1
+),
+dom5 AS MATERIALIZED (
+  SELECT s, t, w FROM nom5 GROUP BY 1, 2, 3 HAVING count(*) = 2
+),
+gone5 AS MATERIALIZED (
+  SELECT s AS v FROM dom5 UNION SELECT t AS v FROM dom5
+),
+g5 AS MATERIALIZED (
+  SELECT g.s, g.t, g.w FROM g4 g
+  WHERE g.s NOT IN (SELECT v FROM gone5)
+    AND g.t NOT IN (SELECT v FROM gone5)
+),
+nom6 AS MATERIALIZED (
+  SELECT s, t, w FROM (
+    SELECT v, s, t, w,
+           row_number() OVER (PARTITION BY v ORDER BY w, s, t) AS rn
+    FROM (
+      SELECT s AS v, s, t, w FROM g5
+      UNION ALL
+      SELECT t AS v, s, t, w FROM g5
+    )
+  ) WHERE rn = 1
+),
+dom6 AS MATERIALIZED (
+  SELECT s, t, w FROM nom6 GROUP BY 1, 2, 3 HAVING count(*) = 2
+),
+gone6 AS MATERIALIZED (
+  SELECT s AS v FROM dom6 UNION SELECT t AS v FROM dom6
+),
+g6 AS MATERIALIZED (
+  SELECT g.s, g.t, g.w FROM g5 g
+  WHERE g.s NOT IN (SELECT v FROM gone6)
+    AND g.t NOT IN (SELECT v FROM gone6)
+),
+nom7 AS MATERIALIZED (
+  SELECT s, t, w FROM (
+    SELECT v, s, t, w,
+           row_number() OVER (PARTITION BY v ORDER BY w, s, t) AS rn
+    FROM (
+      SELECT s AS v, s, t, w FROM g6
+      UNION ALL
+      SELECT t AS v, s, t, w FROM g6
+    )
+  ) WHERE rn = 1
+),
+dom7 AS MATERIALIZED (
+  SELECT s, t, w FROM nom7 GROUP BY 1, 2, 3 HAVING count(*) = 2
+),
+gone7 AS MATERIALIZED (
+  SELECT s AS v FROM dom7 UNION SELECT t AS v FROM dom7
+),
+g7 AS MATERIALIZED (
+  SELECT g.s, g.t, g.w FROM g6 g
+  WHERE g.s NOT IN (SELECT v FROM gone7)
+    AND g.t NOT IN (SELECT v FROM gone7)
+),
+nom8 AS MATERIALIZED (
+  SELECT s, t, w FROM (
+    SELECT v, s, t, w,
+           row_number() OVER (PARTITION BY v ORDER BY w, s, t) AS rn
+    FROM (
+      SELECT s AS v, s, t, w FROM g7
+      UNION ALL
+      SELECT t AS v, s, t, w FROM g7
+    )
+  ) WHERE rn = 1
+),
+dom8 AS MATERIALIZED (
+  SELECT s, t, w FROM nom8 GROUP BY 1, 2, 3 HAVING count(*) = 2
+),
+gone8 AS MATERIALIZED (
+  SELECT s AS v FROM dom8 UNION SELECT t AS v FROM dom8
+),
+g8 AS MATERIALIZED (
+  SELECT g.s, g.t, g.w FROM g7 g
+  WHERE g.s NOT IN (SELECT v FROM gone8)
+    AND g.t NOT IN (SELECT v FROM gone8)
+),
+nom9 AS MATERIALIZED (
+  SELECT s, t, w FROM (
+    SELECT v, s, t, w,
+           row_number() OVER (PARTITION BY v ORDER BY w, s, t) AS rn
+    FROM (
+      SELECT s AS v, s, t, w FROM g8
+      UNION ALL
+      SELECT t AS v, s, t, w FROM g8
+    )
+  ) WHERE rn = 1
+),
+dom9 AS MATERIALIZED (
+  SELECT s, t, w FROM nom9 GROUP BY 1, 2, 3 HAVING count(*) = 2
+),
+gone9 AS MATERIALIZED (
+  SELECT s AS v FROM dom9 UNION SELECT t AS v FROM dom9
+),
+g9 AS MATERIALIZED (
+  SELECT g.s, g.t, g.w FROM g8 g
+  WHERE g.s NOT IN (SELECT v FROM gone9)
+    AND g.t NOT IN (SELECT v FROM gone9)
+),
+nom10 AS MATERIALIZED (
+  SELECT s, t, w FROM (
+    SELECT v, s, t, w,
+           row_number() OVER (PARTITION BY v ORDER BY w, s, t) AS rn
+    FROM (
+      SELECT s AS v, s, t, w FROM g9
+      UNION ALL
+      SELECT t AS v, s, t, w FROM g9
+    )
+  ) WHERE rn = 1
+),
+dom10 AS MATERIALIZED (
+  SELECT s, t, w FROM nom10 GROUP BY 1, 2, 3 HAVING count(*) = 2
+),
+gone10 AS MATERIALIZED (
+  SELECT s AS v FROM dom10 UNION SELECT t AS v FROM dom10
+),
+g10 AS MATERIALIZED (
+  SELECT g.s, g.t, g.w FROM g9 g
+  WHERE g.s NOT IN (SELECT v FROM gone10)
+    AND g.t NOT IN (SELECT v FROM gone10)
+),
+nom11 AS MATERIALIZED (
+  SELECT s, t, w FROM (
+    SELECT v, s, t, w,
+           row_number() OVER (PARTITION BY v ORDER BY w, s, t) AS rn
+    FROM (
+      SELECT s AS v, s, t, w FROM g10
+      UNION ALL
+      SELECT t AS v, s, t, w FROM g10
+    )
+  ) WHERE rn = 1
+),
+dom11 AS MATERIALIZED (
+  SELECT s, t, w FROM nom11 GROUP BY 1, 2, 3 HAVING count(*) = 2
+),
+gone11 AS MATERIALIZED (
+  SELECT s AS v FROM dom11 UNION SELECT t AS v FROM dom11
+),
+g11 AS MATERIALIZED (
+  SELECT g.s, g.t, g.w FROM g10 g
+  WHERE g.s NOT IN (SELECT v FROM gone11)
+    AND g.t NOT IN (SELECT v FROM gone11)
+),
+nom12 AS MATERIALIZED (
+  SELECT s, t, w FROM (
+    SELECT v, s, t, w,
+           row_number() OVER (PARTITION BY v ORDER BY w, s, t) AS rn
+    FROM (
+      SELECT s AS v, s, t, w FROM g11
+      UNION ALL
+      SELECT t AS v, s, t, w FROM g11
+    )
+  ) WHERE rn = 1
+),
+dom12 AS MATERIALIZED (
+  SELECT s, t, w FROM nom12 GROUP BY 1, 2, 3 HAVING count(*) = 2
+),
+gone12 AS MATERIALIZED (
+  SELECT s AS v FROM dom12 UNION SELECT t AS v FROM dom12
+),
+g12 AS MATERIALIZED (
+  SELECT g.s, g.t, g.w FROM g11 g
+  WHERE g.s NOT IN (SELECT v FROM gone12)
+    AND g.t NOT IN (SELECT v FROM gone12)
+),
+nom13 AS MATERIALIZED (
+  SELECT s, t, w FROM (
+    SELECT v, s, t, w,
+           row_number() OVER (PARTITION BY v ORDER BY w, s, t) AS rn
+    FROM (
+      SELECT s AS v, s, t, w FROM g12
+      UNION ALL
+      SELECT t AS v, s, t, w FROM g12
+    )
+  ) WHERE rn = 1
+),
+dom13 AS MATERIALIZED (
+  SELECT s, t, w FROM nom13 GROUP BY 1, 2, 3 HAVING count(*) = 2
+),
+gone13 AS MATERIALIZED (
+  SELECT s AS v FROM dom13 UNION SELECT t AS v FROM dom13
+),
+g13 AS MATERIALIZED (
+  SELECT g.s, g.t, g.w FROM g12 g
+  WHERE g.s NOT IN (SELECT v FROM gone13)
+    AND g.t NOT IN (SELECT v FROM gone13)
+),
+nom14 AS MATERIALIZED (
+  SELECT s, t, w FROM (
+    SELECT v, s, t, w,
+           row_number() OVER (PARTITION BY v ORDER BY w, s, t) AS rn
+    FROM (
+      SELECT s AS v, s, t, w FROM g13
+      UNION ALL
+      SELECT t AS v, s, t, w FROM g13
+    )
+  ) WHERE rn = 1
+),
+dom14 AS MATERIALIZED (
+  SELECT s, t, w FROM nom14 GROUP BY 1, 2, 3 HAVING count(*) = 2
+),
+gone14 AS MATERIALIZED (
+  SELECT s AS v FROM dom14 UNION SELECT t AS v FROM dom14
+),
+g14 AS MATERIALIZED (
+  SELECT g.s, g.t, g.w FROM g13 g
+  WHERE g.s NOT IN (SELECT v FROM gone14)
+    AND g.t NOT IN (SELECT v FROM gone14)
+)""").replace(
+    "MATCHED_PLACEHOLDER", r"""  SELECT s, t, w FROM dom1
+  UNION ALL
+  SELECT s, t, w FROM dom2
+  UNION ALL
+  SELECT s, t, w FROM dom3
+  UNION ALL
+  SELECT s, t, w FROM dom4
+  UNION ALL
+  SELECT s, t, w FROM dom5
+  UNION ALL
+  SELECT s, t, w FROM dom6
+  UNION ALL
+  SELECT s, t, w FROM dom7
+  UNION ALL
+  SELECT s, t, w FROM dom8
+  UNION ALL
+  SELECT s, t, w FROM dom9
+  UNION ALL
+  SELECT s, t, w FROM dom10
+  UNION ALL
+  SELECT s, t, w FROM dom11
+  UNION ALL
+  SELECT s, t, w FROM dom12
+  UNION ALL
+  SELECT s, t, w FROM dom13
+  UNION ALL
+  SELECT s, t, w FROM dom14""")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -17986,6 +18377,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_densest": q_kg_densest,
     "events_stl": q_events_stl,
     "events_lttb": q_events_lttb,
+    "kg_matching": q_kg_matching,
 }
 
 ORACLES: dict[str, str] = {
@@ -18267,4 +18659,5 @@ ORACLES: dict[str, str] = {
     "kg_densest": SQL_KG_DENSEST,
     "events_stl": SQL_EVENTS_STL,
     "events_lttb": SQL_EVENTS_LTTB,
+    "kg_matching": SQL_KG_MATCHING,
 }

@@ -361,3 +361,31 @@ def test_densest_peel_recovers_planted_clique(spark):
     best = max(stats, key=lambda x: (x[2] * 10**12 // x[1], -x[0]))
     assert best[1] == 6 and best[2] == 15
     assert best[3] == sum(range(6))
+
+
+def test_local_dominant_matching_is_maximal_matching(spark):
+    """Matched set is a valid matching (no shared endpoints) and
+    maximal (every unmatched edge touches a matched node), on a path,
+    a clique, and a star."""
+    from pyjelly_spark.operators.components import local_dominant_matching
+
+    import hashlib
+
+    def wt(a, b):
+        a, b = min(a, b), max(a, b)
+        return int(hashlib.sha256(f"{a}:{b}".encode()).hexdigest()[:15], 16)
+
+    graphs = [
+        [(i, i + 1) for i in range(10)],                      # path
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],  # K6
+        [(0, i) for i in range(1, 8)],                        # star
+    ]
+    for g in graphs:
+        edges = [(s, t, wt(s, t)) for s, t in g]
+        df = spark.createDataFrame(edges, "s: long, t: long, w: long")
+        m = [(r["s"], r["t"]) for r in local_dominant_matching(df).collect()]
+        used = [v for e in m for v in e]
+        assert len(used) == len(set(used)), "not a matching"
+        mset = set(used)
+        for s, t in g:
+            assert s in mset or t in mset, f"edge {(s, t)} unmatched-free"
