@@ -18102,6 +18102,99 @@ g14 AS MATERIALIZED (
   SELECT s, t, w FROM dom14""")
 
 
+
+
+def q_events_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the two
+    deterministic experiment variants' purchase-amount distributions:
+    D = max |F1 - F2| evaluated over the merged support equals
+    max |c1*n2 - c2*n1| / (n1*n2) with integer cumulative counts —
+    so the statistic is an exact integer ratio, not a float sup over
+    interpolated ECDFs. Companion to events_mannwhitney: KS detects
+    any shape difference, U detects stochastic ordering; both run on
+    the COMPRESSED value domain (one groupBy to <= ~5e4 distinct
+    cents, then one bounded window), never the raw 10^12 rows.
+
+    Single row: n1, n2, d_num = max|c1*n2 - c2*n1|, d_ppm, and the
+    cents value where the sup is attained (smallest such value —
+    a deterministic, decision-relevant readout: where the
+    distributions diverge most)."""
+    from pyjelly_spark.functions.text import hex_hash
+
+    ev = _t(spark, sf_dir, "events")
+    vals = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+            hex_hash(F.col("user_id").cast("string"), 2).alias("variant"),
+        )
+        .groupBy("c")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("a1"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("a2"),
+        )
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "c",
+        F.sum("a1").over(w).alias("c1"),
+        F.sum("a2").over(w).alias("c2"),
+    )
+    tot = vals.agg(
+        F.sum("a1").cast("long").alias("n1"), F.sum("a2").cast("long").alias("n2")
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "n1",
+        "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias("gap"),
+    )
+    return (
+        scored.groupBy("n1", "n2")
+        .agg(
+            F.max("gap").cast("long").alias("d_num"),
+            # min_by over (-gap, c): max gap first, smallest c on ties
+            F.expr("min_by(c, struct(-gap, c))").alias("argmax_c"),
+        )
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            F.expr("d_num * 1000000L div (n1 * n2)").alias("d_ppm"),
+            F.col("argmax_c").cast("long").alias("argmax_c"),
+        )
+    )
+
+
+SQL_EVENTS_KS = """
+WITH vals AS (
+  SELECT floor(value*100)::BIGINT AS c,
+         sum(CASE WHEN ('0x' || substring(sha256(user_id::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                  THEN 1 ELSE 0 END)::BIGINT AS a1,
+         sum(CASE WHEN ('0x' || substring(sha256(user_id::VARCHAR), 1, 15))::BIGINT % 2 = 1
+                  THEN 1 ELSE 0 END)::BIGINT AS a2
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), cum AS (
+  SELECT c,
+         sum(a1) OVER (ORDER BY c) AS c1,
+         sum(a2) OVER (ORDER BY c) AS c2
+  FROM vals
+), tot AS (
+  SELECT sum(a1)::BIGINT AS n1, sum(a2)::BIGINT AS n2 FROM vals
+), scored AS (
+  SELECT c, n1, n2, abs(c1 * n2 - c2 * n1)::BIGINT AS gap
+  FROM cum CROSS JOIN tot
+)
+SELECT n1, n2,
+       max(gap)::BIGINT AS d_num,
+       (max(gap) * 1000000 // (n1 * n2))::BIGINT AS d_ppm,
+       min(c) FILTER (WHERE gap = (SELECT max(gap) FROM scored))::BIGINT
+         AS argmax_c
+FROM scored GROUP BY n1, n2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -18378,6 +18471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stl": q_events_stl,
     "events_lttb": q_events_lttb,
     "kg_matching": q_kg_matching,
+    "events_ks": q_events_ks,
 }
 
 ORACLES: dict[str, str] = {
@@ -18660,4 +18754,5 @@ ORACLES: dict[str, str] = {
     "events_stl": SQL_EVENTS_STL,
     "events_lttb": SQL_EVENTS_LTTB,
     "kg_matching": SQL_KG_MATCHING,
+    "events_ks": SQL_EVENTS_KS,
 }

@@ -486,3 +486,49 @@ def test_mannwhitney_matches_scipy_formula(spark, tmp_path):
     assert r["u2_x2"] == 2 * 4 * 3 - 5
     assert r["tie_groups"] == 2
     assert r["cles_ppm"] == 5 * 1_000_000 // 24
+
+
+def test_ks_statistic_matches_scipy(spark, tmp_path):
+    """Exact integer KS == scipy.stats.ks_2samp on a small sample
+    (scipy's D times n1*n2 must equal d_num exactly)."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyjelly_spark.queries import QUERIES
+
+    def par(u):
+        return int(hashlib.sha256(str(u).encode()).hexdigest()[:15], 16) % 2
+
+    g0 = [u for u in range(100) if par(u) == 0][:6]
+    g1 = [u for u in range(100) if par(u) == 1][:5]
+    vals = list(zip(g0, [1.0, 2.0, 2.0, 3.0, 5.0, 8.0])) + list(
+        zip(g1, [2.0, 4.0, 4.0, 6.0, 9.0])
+    )
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, base + pd.Timedelta(minutes=i), u, "purchase", v, "{}")
+        for i, (u, v) in enumerate(vals)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet", coerce_timestamps="us")
+    r = QUERIES["events_ks"](spark, str(d)).collect()[0]
+    assert r["n1"] == 6 and r["n2"] == 5
+    try:
+        from scipy.stats import ks_2samp
+
+        d_ref = ks_2samp([1, 2, 2, 3, 5, 8], [2, 4, 4, 6, 9]).statistic
+        assert r["d_num"] == round(d_ref * 30)
+    except ImportError:
+        # manual: ECDF gaps at c=100..900 -> max |c1*5 - c2*6|
+        import itertools
+        xs = sorted({100, 200, 300, 500, 800, 400, 600, 900})
+        a = [100, 200, 200, 300, 500, 800]
+        b = [200, 400, 400, 600, 900]
+        gaps = [abs(sum(x <= c for x in a) * 5 - sum(x <= c for x in b) * 6)
+                for c in xs]
+        assert r["d_num"] == max(gaps)
