@@ -18195,6 +18195,76 @@ FROM scored GROUP BY n1, n2
 """
 
 
+
+
+def q_doc_codeswitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level language segmentation (code-switch detection):
+    split each document into sentences, vote each sentence's language
+    with the repo's per-language stopword alternations (deterministic
+    argmax: count, then fixed language priority), and report the
+    dominant language, the number of adjacent-sentence language
+    SWITCHES, and the distinct language count per doc — the readout a
+    multilingual curation pipeline uses to route mixed documents to
+    splitting instead of trusting whole-doc labels.
+
+    Entirely in-row (split + transform + filter higher-order
+    functions, regexp votes per sentence) — zero shuffle before the
+    readout; the struct-compare tie-break is the same (n, -priority,
+    lang) trick as predict_language, identical in DuckDB struct
+    ordering."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(transform(split(text, '\\\\.\\\\s+'), x -> trim(x)),"
+            " x -> x <> '')"
+        ).alias("sents"),
+    )
+    d = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sents, s -> greatest(struct(regexp_count(s, '\\\\b(the|and|of|to|a|in|is)\\\\b') AS n, 0 AS p, 'en' AS l), struct(regexp_count(s, '\\\\b(der|die|und|das|ist|nicht)\\\\b') AS n, -1 AS p, 'de' AS l), struct(regexp_count(s, '\\\\b(le|la|et|les|des|est)\\\\b') AS n, -2 AS p, 'fr' AS l), struct(regexp_count(s, '\\\\b(el|los|las|que|es|y)\\\\b') AS n, -3 AS p, 'es' AS l), struct(regexp_count(s, '[\\\\x{4e00}-\\\\x{9fff}]') AS n, -4 AS p, 'zh' AS l)).l)"
+        ).alias("slangs"),
+    )
+    return d.select(
+        "doc_id",
+        F.expr("size(slangs)").cast("long").alias("n_sentences"),
+        F.expr(
+            "greatest(struct(size(filter(slangs, x -> x = 'en')) AS n, 0 AS p, 'en' AS l), struct(size(filter(slangs, x -> x = 'de')) AS n, -1 AS p, 'de' AS l), struct(size(filter(slangs, x -> x = 'fr')) AS n, -2 AS p, 'fr' AS l), struct(size(filter(slangs, x -> x = 'es')) AS n, -3 AS p, 'es' AS l), struct(size(filter(slangs, x -> x = 'zh')) AS n, -4 AS p, 'zh' AS l)).l"
+        ).alias("dominant_lang"),
+        F.expr(
+            "IF(size(slangs) < 2, 0, size(filter(sequence(1, size(slangs) - 1),"
+            " i -> element_at(slangs, i + 1) <> element_at(slangs, i))))"
+        ).cast("long").alias("n_switches"),
+        F.expr("size(array_distinct(slangs))").cast("long").alias("n_langs"),
+    ).orderBy("doc_id")
+
+
+SQL_DOC_CODESWITCH = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split_regex(text, '\.\s+'), x -> trim(x)),
+           x -> x <> '') AS sents
+  FROM documents
+), sl AS (
+  SELECT doc_id,
+         [list_max([{'n': len(regexp_extract_all(s, '\b(the|and|of|to|a|in|is)\b')), 'p': 0, 'l': 'en'}, {'n': len(regexp_extract_all(s, '\b(der|die|und|das|ist|nicht)\b')), 'p': -1, 'l': 'de'}, {'n': len(regexp_extract_all(s, '\b(le|la|et|les|des|est)\b')), 'p': -2, 'l': 'fr'}, {'n': len(regexp_extract_all(s, '\b(el|los|las|que|es|y)\b')), 'p': -3, 'l': 'es'}, {'n': len(regexp_extract_all(s, '[\p{Han}]')), 'p': -4, 'l': 'zh'}]).l for s in sents] AS slangs
+  FROM s
+)
+SELECT doc_id,
+       len(slangs)::BIGINT AS n_sentences,
+       list_max([{'n': len(list_filter(slangs, x -> x = 'en')), 'p': 0, 'l': 'en'}, {'n': len(list_filter(slangs, x -> x = 'de')), 'p': -1, 'l': 'de'}, {'n': len(list_filter(slangs, x -> x = 'fr')), 'p': -2, 'l': 'fr'}, {'n': len(list_filter(slangs, x -> x = 'es')), 'p': -3, 'l': 'es'}, {'n': len(list_filter(slangs, x -> x = 'zh')), 'p': -4, 'l': 'zh'}]).l AS dominant_lang,
+       (CASE WHEN len(slangs) < 2 THEN 0
+             ELSE len(list_filter(generate_series(1, len(slangs) - 1),
+                      i -> slangs[i + 1] <> slangs[i])) END)::BIGINT
+         AS n_switches,
+       len(list_distinct(slangs))::BIGINT AS n_langs
+FROM sl
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -18472,6 +18542,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_lttb": q_events_lttb,
     "kg_matching": q_kg_matching,
     "events_ks": q_events_ks,
+    "doc_codeswitch": q_doc_codeswitch,
 }
 
 ORACLES: dict[str, str] = {
@@ -18755,4 +18826,5 @@ ORACLES: dict[str, str] = {
     "events_lttb": SQL_EVENTS_LTTB,
     "kg_matching": SQL_KG_MATCHING,
     "events_ks": SQL_EVENTS_KS,
+    "doc_codeswitch": SQL_DOC_CODESWITCH,
 }

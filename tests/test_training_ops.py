@@ -4274,3 +4274,38 @@ def test_rake_textbook_example(spark):
     assert got[2]["top_phrase"] == "alpha beta"
     assert got[2]["score_ppm"] == 1_666_666 + 2_000_000
     assert got[2]["n_phrases"] == 3
+
+
+def test_codeswitch_detects_switches(spark):
+    """Hand-built multilingual docs: per-sentence votes, switch count,
+    dominant language, distinct languages."""
+    import os
+    import tempfile
+
+    from pyjelly_spark.queries import QUERIES
+
+    docs = [
+        (1, "the cat is in the hat. der hund ist nicht das. "
+            "the dog is back again. le chat est la.", "en", "s", 90),
+        (2, "el que es y los. las que es y el. el los las que.", "es", "s", 49),
+        (3, "no stopwords here whatsoever", "en", "s", 28),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r for r in
+           QUERIES["doc_codeswitch"](spark, d).collect()}
+    # doc 1: en, de, en, fr -> 3 switches, dominant en, 3 langs
+    assert got[1]["n_sentences"] == 4
+    assert got[1]["n_switches"] == 3
+    assert got[1]["dominant_lang"] == "en"
+    assert got[1]["n_langs"] == 3
+    # doc 2: all es
+    assert got[2]["n_switches"] == 0
+    assert got[2]["dominant_lang"] == "es"
+    assert got[2]["n_langs"] == 1
+    # doc 3: zero votes everywhere -> priority tie-break to en
+    assert got[3]["dominant_lang"] == "en"
