@@ -208,6 +208,16 @@ BENCH_QUERIES = [
     "doc_ols",
     "kg_bipartite",
     "events_fifo",
+    "events_sax",
+    "embedding_jl",
+    "events_mannwhitney",
+    "doc_rake",
+    "orders_rle",
+    "events_stl",
+    "events_lttb",
+    "events_ks",
+    "doc_codeswitch",
+    "kg_matching",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

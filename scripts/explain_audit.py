@@ -45,6 +45,9 @@ AUDITED = [
     "events_new_returning", "events_slo_burn", "events_streak",
     "kg_closeness", "kg_timetravel", "orders_dictenc",
     "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
+    "events_sax", "embedding_jl", "events_mannwhitney", "doc_rake",
+    "orders_rle", "events_stl", "events_lttb", "events_ks",
+    "doc_codeswitch", "events_fifo", "kg_bipartite",
     "sample_stratified", "kg_sparql_star", "tpch_q6", "events_retention",
     "events_funnel", "dedup_incremental",
     "seq_packing", "doc_chunks", "doc_bm25", "embedding_pq",
