@@ -1051,3 +1051,58 @@ def winnow_fingerprints(
             " (acc, j) -> acc + pmod(element_at(grams, j), 1000000007))"
         ).alias("fp_chk"),
     )
+
+
+def winnow_fingerprint_hashes(
+    docs: DataFrame, k: int = 5, w: int = 4
+) -> DataFrame:
+    """The winnowing fingerprint HASH sets, exploded to (doc_id, fp)
+    rows — the join key form used for fingerprint-overlap near-dup
+    detection (same selection as ``winnow_fingerprints``; distinct
+    hash values per doc)."""
+    word_arr = F.expr(
+        "filter(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '),"
+        " x -> x <> '')"
+    )
+    d = docs.select("doc_id", word_arr.alias("words"))
+    d = d.select(
+        "doc_id",
+        F.expr(
+            f"""IF(size(words) < {k}, array(),
+                transform(
+                  sequence(1, size(words) - {k - 1}),
+                  i -> cast(conv(substring(sha2(
+                         concat_ws(' ', slice(words, i, {k})), 256),
+                       1, 15), 16, 10) as bigint)
+                ))"""
+        ).alias("grams"),
+    )
+    d = d.select(
+        "doc_id",
+        "grams",
+        F.expr("size(grams)").alias("n_grams"),
+        F.expr(f"least({w}, size(grams))").alias("ww"),
+    ).select(
+        "doc_id",
+        "grams",
+        F.expr(
+            """IF(n_grams = 0, array(),
+               array_distinct(transform(
+                 sequence(1, n_grams - ww + 1),
+                 p -> p + ww - 1 - cast(pmod(
+                        array_min(transform(sequence(0, ww - 1),
+                          o -> element_at(grams, p + o) * 4 + (ww - 1 - o))),
+                        4) as int)
+               )))"""
+        ).alias("sel"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sel, j -> element_at(grams, j)))"
+                )
+            ).alias("fp"),
+        )
+    )

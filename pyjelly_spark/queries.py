@@ -18265,6 +18265,117 @@ ORDER BY doc_id
 """
 
 
+
+
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS from winnowing fingerprints: docs
+    sharing >= 2 selected fingerprints (functions/text.py::
+    winnow_fingerprint_hashes) become candidate pairs via a
+    fingerprint equi-join — the MOSS pipeline's grouping step.
+    Fingerprints appearing in > 50 docs are dropped first (the same
+    hot-key cap as decontam: boilerplate shingles would otherwise
+    quadratically explode the join at corpus scale). Pairs feed the
+    same distributed large-star/small-star CC the canonicalizer uses;
+    output is one row per cluster (representative = min doc_id) with
+    the member count and a member checksum. Oracle: identical
+    winnowing + join in SQL, clusters by recursive-CTE transitive
+    closure — the iterative distributed algorithm checked against a
+    declarative exact one (the dedup_clusters pattern)."""
+    from pyjelly_spark.functions.text import winnow_fingerprint_hashes
+    from pyjelly_spark.operators.components import connected_components
+
+    fps = winnow_fingerprint_hashes(_t(spark, sf_dir, "documents"))
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= 50)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "fp")
+        .where(F.expr("a.doc_id < b.doc_id"))
+        .groupBy(F.expr("a.doc_id").alias("da"), F.expr("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 2)
+    )
+    cc = connected_components(
+        pairs.select(
+            F.format_string("%012d", "da").alias("src"),
+            F.format_string("%012d", "db").alias("dst"),
+        )
+    )
+    return (
+        cc.select(
+            F.expr("cast(node as bigint)").alias("doc_id"),
+            F.expr("cast(component as bigint)").alias("rep"),
+        )
+        .groupBy("rep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("member_chk"),
+        )
+        .orderBy("rep")
+    )
+
+
+SQL_DEDUP_WINNOW = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+           x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         [ ('0x' || substring(sha256(array_to_string(words[i:i+4], ' ')), 1, 15))::BIGINT
+           for i in generate_series(1, greatest(len(words) - 4, 0)) ] AS grams
+  FROM t
+), s AS (
+  SELECT doc_id, grams, len(grams) AS n_grams,
+         least(4, len(grams)) AS ww
+  FROM g
+), sel AS (
+  SELECT doc_id, grams,
+         list_distinct(
+           [ p + ww - 1 - (list_min(
+               [ grams[p+o] * 4 + (ww - 1 - o)
+                 for o in generate_series(0, ww - 1) ]) % 4)
+             for p in generate_series(1, CASE WHEN n_grams = 0 THEN 0
+                                            ELSE n_grams - ww + 1 END) ]
+         ) AS sel
+  FROM s
+), fps AS (
+  SELECT DISTINCT doc_id, unnest([ grams[j] for j in sel ]) AS fp
+  FROM sel
+), rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+), kept AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON r.fp = f.fp
+), pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), und AS (
+  SELECT da AS s, db AS t FROM pairs
+  UNION
+  SELECT db AS s, da AS t FROM pairs
+), reach AS (
+  SELECT s, t FROM und
+  UNION
+  SELECT r.s, u.t FROM reach r JOIN und u ON u.s = r.t
+), cmap AS (
+  SELECT x.s AS doc_id, least(x.s, min(r.t)) AS rep
+  FROM (SELECT DISTINCT s FROM und) x
+  LEFT JOIN reach r ON r.s = x.s
+  GROUP BY x.s
+)
+SELECT rep, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS member_chk
+FROM cmap GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -18543,6 +18654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_matching": q_kg_matching,
     "events_ks": q_events_ks,
     "doc_codeswitch": q_doc_codeswitch,
+    "dedup_winnow": q_dedup_winnow,
 }
 
 ORACLES: dict[str, str] = {
@@ -18827,4 +18939,5 @@ ORACLES: dict[str, str] = {
     "kg_matching": SQL_KG_MATCHING,
     "events_ks": SQL_EVENTS_KS,
     "doc_codeswitch": SQL_DOC_CODESWITCH,
+    "dedup_winnow": SQL_DEDUP_WINNOW,
 }
