@@ -18376,6 +18376,119 @@ FROM cmap GROUP BY 1 ORDER BY 1
 """
 
 
+
+
+def q_orders_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (Delta/Iceberg upsert) as one full-outer
+    join: a deterministic CDC batch derived from the orders table —
+    UPDATE rows (key % 10 = 3: price + 1 cent-equivalent bump),
+    DELETE rows (key % 10 = 7), INSERT rows (fresh keys above
+    max+1) — applied in a single pass with WHEN MATCHED / NOT
+    MATCHED branches expressed as CASE over the join. Output is the
+    audit row a MERGE commits to the transaction log: per-action
+    counts plus exact integer checksums (sum of keys and of
+    floor(price*100)) of the resulting snapshot — so the gate pins
+    the merged TABLE STATE, not just the action counts.
+
+    Plan shape: ONE shuffle (the full-outer key join; both sides
+    partial-agg afterwards). At 10^12 rows this is exactly how MERGE
+    executes on a sorted/bucketed lakehouse table — no per-row
+    mutation, a new snapshot from one join."""
+    orders = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    mx = t.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    cdc = (
+        t.where(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("op"),
+            (F.col("price_c") + 100).alias("new_price_c"),
+        )
+        .unionByName(
+            t.where(F.col("o_orderkey") % 10 == 7).select(
+                "o_orderkey", F.lit("D").alias("op"),
+                F.lit(None).cast("long").alias("new_price_c"),
+            )
+        )
+        .unionByName(
+            t.where(F.col("o_orderkey") % 100 == 1).select(
+                (F.col("o_orderkey") + F.lit(int(mx)) + 1).alias("o_orderkey"),
+                F.lit("I").alias("op"),
+                (F.col("price_c") * 2).alias("new_price_c"),
+            )
+        )
+    )
+    merged = t.alias("t").join(cdc.alias("c"), "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.col("t.price_c").alias("old_p"),
+        F.col("c.op").alias("op"),
+        F.col("c.new_price_c").alias("new_p"),
+    )
+    result = merged.where(
+        (F.col("op").isNull()) | (F.col("op") != "D")
+    ).select(
+        "o_orderkey",
+        F.when(F.col("op").isNull(), F.col("old_p"))
+        .otherwise(F.col("new_p"))
+        .alias("price_c"),
+    )
+    actions = merged.agg(
+        F.sum((F.col("op") == "U").cast("long")).alias("n_updated"),
+        F.sum((F.col("op") == "D").cast("long")).alias("n_deleted"),
+        F.sum(
+            ((F.col("op") == "I") & F.col("old_p").isNull()).cast("long")
+        ).alias("n_inserted"),
+        F.sum(F.col("op").isNull().cast("long")).alias("n_untouched"),
+    )
+    snap = result.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_chk"),
+        F.sum("price_c").cast("long").alias("price_chk"),
+    )
+    return actions.crossJoin(snap)
+
+
+SQL_ORDERS_MERGE = """
+WITH t AS (
+  SELECT o_orderkey, floor(o_totalprice*100)::BIGINT AS price_c FROM orders
+), mx AS (SELECT max(o_orderkey)::BIGINT AS m FROM t),
+cdc AS (
+  SELECT o_orderkey, 'U' AS op, price_c + 100 AS new_price_c
+  FROM t WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey, 'D' AS op, NULL::BIGINT AS new_price_c
+  FROM t WHERE o_orderkey % 10 = 7
+  UNION ALL
+  SELECT t.o_orderkey + mx.m + 1 AS o_orderkey, 'I' AS op,
+         price_c * 2 AS new_price_c
+  FROM t, mx WHERE t.o_orderkey % 100 = 1
+), merged AS (
+  SELECT coalesce(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+         t.price_c AS old_p, c.op, c.new_price_c AS new_p
+  FROM t FULL OUTER JOIN cdc c ON c.o_orderkey = t.o_orderkey
+), result AS (
+  SELECT o_orderkey,
+         CASE WHEN op IS NULL THEN old_p ELSE new_p END AS price_c
+  FROM merged WHERE op IS NULL OR op <> 'D'
+), actions AS (
+  SELECT sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END)::BIGINT AS n_updated,
+         sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
+         sum(CASE WHEN op = 'I' AND old_p IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_inserted,
+         sum(CASE WHEN op IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_untouched
+  FROM merged
+), snap AS (
+  SELECT count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT AS key_chk,
+         sum(price_c)::BIGINT AS price_chk
+  FROM result
+)
+SELECT * FROM actions CROSS JOIN snap
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -18655,6 +18768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ks": q_events_ks,
     "doc_codeswitch": q_doc_codeswitch,
     "dedup_winnow": q_dedup_winnow,
+    "orders_merge": q_orders_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -18940,4 +19054,5 @@ ORACLES: dict[str, str] = {
     "events_ks": SQL_EVENTS_KS,
     "doc_codeswitch": SQL_DOC_CODESWITCH,
     "dedup_winnow": SQL_DEDUP_WINNOW,
+    "orders_merge": SQL_ORDERS_MERGE,
 }
