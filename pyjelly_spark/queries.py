@@ -18489,6 +18489,154 @@ SELECT * FROM actions CROSS JOIN snap
 """
 
 
+
+
+def q_orders_bloomskip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-filter scan-pruning audit — the point-lookup
+    complement to the zone-map audit (orders_skipping): each of 64
+    fixed o_orderkey-range files keeps a 1024-bit / 3-hash Bloom
+    filter over o_custkey (portable sha-60 bucket hash, so even the
+    false-positive set is engine-reproducible); a point lookup scans a
+    file iff all three probe bits are set. For five deterministic
+    probe customers the audit reports files scanned under Bloom vs
+    under min/max zone maps (which never prune a uniformly scattered
+    key — the exact reason lakehouses add Bloom indexes), plus the
+    I/O-bound rows in scanned files and the true matching rows.
+
+    Plan shape: the filter build is one distinct (file, bit) aggregate
+    bounded by 64*1024 rows TOTAL regardless of table size — manifest
+    metadata, not data; probes are broadcast joins against it."""
+    orders = _t(spark, sf_dir, "orders")
+    n = orders.count()
+    width = (n + 63) // 64
+    probes = [3, 17, 41, 77, 113]
+    base = orders.select(
+        F.expr(f"o_orderkey div {width}").alias("f"), "o_custkey"
+    )
+    bits = (
+        base.select(
+            "f",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+            "o_custkey",
+        )
+        .select(
+            "f",
+            "j",
+            F.expr(
+                "pmod(cast(conv(substring(sha2(concat(cast(j as string), ':',"
+                " cast(o_custkey as string)), 256), 1, 15), 16, 10) as bigint),"
+                " 1024)"
+            ).alias("b"),
+        )
+        .distinct()
+    )
+    frows = base.groupBy("f").agg(F.count(F.lit(1)).alias("rows_in_file"))
+    zm = base.groupBy("f").agg(
+        F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi")
+    )
+    probe_bits = spark.createDataFrame(
+        [(c, j) for c in probes for j in range(3)], "probe: long, j: long"
+    ).select(
+        "probe",
+        "j",
+        F.expr(
+            "pmod(cast(conv(substring(sha2(concat(cast(j as string), ':',"
+            " cast(probe as string)), 256), 1, 15), 16, 10) as bigint), 1024)"
+        ).alias("b"),
+    )
+    scanned = (
+        probe_bits.join(bits, ["j", "b"])
+        .groupBy("probe", "f")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .where(F.col("hits") == 3)
+        .select("probe", "f")
+    )
+    per_probe = (
+        scanned.join(frows, "f")
+        .groupBy("probe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bloom_files"),
+            F.sum("rows_in_file").cast("long").alias("bloom_rows"),
+        )
+    )
+    zm_probe = (
+        spark.createDataFrame([(c,) for c in probes], "probe: long")
+        .crossJoin(zm)
+        .where((F.col("probe") >= F.col("lo")) & (F.col("probe") <= F.col("hi")))
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).cast("long").alias("zm_files"))
+    )
+    matched = (
+        base.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .where(F.col("o_custkey").isin(probes))
+        .select(F.col("o_custkey").alias("probe"), F.col("m").cast("long").alias("rows_matched"))
+    )
+    pr = spark.createDataFrame([(c,) for c in probes], "probe: long")
+    return (
+        pr.join(per_probe, "probe", "left")
+        .join(zm_probe, "probe", "left")
+        .join(matched, "probe", "left")
+        .select(
+            "probe",
+            F.coalesce("bloom_files", F.lit(0)).alias("bloom_files"),
+            F.coalesce("bloom_rows", F.lit(0)).alias("bloom_rows"),
+            F.coalesce("zm_files", F.lit(0)).alias("zm_files"),
+            F.coalesce("rows_matched", F.lit(0)).alias("rows_matched"),
+        )
+        .orderBy("probe")
+    )
+
+
+SQL_ORDERS_BLOOMSKIP = """
+WITH params AS (
+  SELECT ((count(*) + 63) // 64)::BIGINT AS width FROM orders
+), base AS (
+  SELECT (o_orderkey // p.width)::BIGINT AS f, o_custkey
+  FROM orders o CROSS JOIN params p
+), bits AS (
+  SELECT DISTINCT f, j.range AS j,
+         ('0x' || substring(sha256(j.range || ':' || o_custkey), 1, 15))::BIGINT % 1024 AS b
+  FROM base, range(3) j
+), frows AS (
+  SELECT f, count(*)::BIGINT AS rows_in_file FROM base GROUP BY 1
+), zm AS (
+  SELECT f, min(o_custkey) AS lo, max(o_custkey) AS hi FROM base GROUP BY 1
+), probes AS (
+  SELECT unnest([3, 17, 41, 77, 113])::BIGINT AS probe
+), pbits AS (
+  SELECT probe, j.range AS j,
+         ('0x' || substring(sha256(j.range || ':' || probe), 1, 15))::BIGINT % 1024 AS b
+  FROM probes, range(3) j
+), scanned AS (
+  SELECT p.probe, bt.f
+  FROM pbits p JOIN bits bt ON bt.j = p.j AND bt.b = p.b
+  GROUP BY 1, 2 HAVING count(*) = 3
+), per_probe AS (
+  SELECT s.probe, count(*)::BIGINT AS bloom_files,
+         sum(fr.rows_in_file)::BIGINT AS bloom_rows
+  FROM scanned s JOIN frows fr ON fr.f = s.f GROUP BY 1
+), zm_probe AS (
+  SELECT p.probe, count(*)::BIGINT AS zm_files
+  FROM probes p JOIN zm ON p.probe >= zm.lo AND p.probe <= zm.hi
+  GROUP BY 1
+), matched AS (
+  SELECT o_custkey AS probe, count(*)::BIGINT AS rows_matched
+  FROM base WHERE o_custkey IN (3, 17, 41, 77, 113) GROUP BY 1
+)
+SELECT p.probe,
+       coalesce(pp.bloom_files, 0)::BIGINT AS bloom_files,
+       coalesce(pp.bloom_rows, 0)::BIGINT AS bloom_rows,
+       coalesce(z.zm_files, 0)::BIGINT AS zm_files,
+       coalesce(m.rows_matched, 0)::BIGINT AS rows_matched
+FROM probes p
+LEFT JOIN per_probe pp ON pp.probe = p.probe
+LEFT JOIN zm_probe z ON z.probe = p.probe
+LEFT JOIN matched m ON m.probe = p.probe
+ORDER BY p.probe
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -18769,6 +18917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_codeswitch": q_doc_codeswitch,
     "dedup_winnow": q_dedup_winnow,
     "orders_merge": q_orders_merge,
+    "orders_bloomskip": q_orders_bloomskip,
 }
 
 ORACLES: dict[str, str] = {
@@ -19055,4 +19204,5 @@ ORACLES: dict[str, str] = {
     "doc_codeswitch": SQL_DOC_CODESWITCH,
     "dedup_winnow": SQL_DEDUP_WINNOW,
     "orders_merge": SQL_ORDERS_MERGE,
+    "orders_bloomskip": SQL_ORDERS_BLOOMSKIP,
 }
