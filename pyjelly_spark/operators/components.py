@@ -1494,3 +1494,84 @@ def local_dominant_matching(
     if matched is None:
         return g.limit(0)
     return matched
+
+
+def root_distance_doubling(
+    nodes: DataFrame,
+    max_jumps: int = 40,
+) -> DataFrame:
+    """Root distance in a forest by ADDITIVE pointer doubling.
+
+    Input: (node, parent, dur) with parent NULL at roots. Maintains
+    per node (ptr, acc) where acc = sum of durations of the ancestors
+    consumed so far; each jump composes the pointer with itself
+    (ptr <- ptr(ptr), acc <- acc + acc(ptr)), so an O(depth) chain
+    walk becomes O(log depth) self-joins — the same doubling the CC
+    machinery uses, on the (+, 0) semiring instead of (min, inf).
+    Roots self-point with acc 0, which makes composition idempotent at
+    convergence (checked with one tiny inequality probe per round).
+
+    Returns (node, root, root_dist) with root_dist = dur(node) + sum
+    of ancestor durations — the per-span end-to-end latency of a trace
+    tree, computed without recursion.
+    """
+    state = nodes.select(
+        "node",
+        F.coalesce("parent", "node").alias("ptr"),
+        F.when(F.col("parent").isNull(), F.lit(0))
+        .otherwise(F.col("dur"))
+        .alias("self_dur"),
+        F.lit(0).cast("long").alias("acc"),
+    ).localCheckpoint(eager=True)
+    # acc accumulates durations of PROPER ancestors (excluding self)
+    anc_dur = nodes.select(
+        F.col("node").alias("ptr"), F.col("dur").alias("ptr_dur")
+    )
+    state = (
+        state.join(anc_dur, "ptr")
+        .select(
+            "node",
+            "ptr",
+            F.when(F.col("ptr") == F.col("node"), F.lit(0))
+            .otherwise(F.col("ptr_dur"))
+            .cast("long")
+            .alias("acc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    jump_src = nodes.select(
+        F.col("node").alias("ptr"),
+        F.coalesce("parent", "node").alias("pp"),
+    )
+    for _ in range(max_jumps):
+        nxt = (
+            state.alias("a")
+            .join(
+                state.selectExpr(
+                    "node as ptr", "ptr as pptr", "acc as pacc"
+                ).alias("b"),
+                "ptr",
+            )
+            .select(
+                "node",
+                F.col("pptr").alias("ptr"),
+                (F.col("acc") + F.col("pacc")).cast("long").alias("acc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        moved = not (
+            nxt.alias("n")
+            .join(state.alias("o"), "node")
+            .where(F.col("n.ptr") != F.col("o.ptr"))
+            .isEmpty()
+        )
+        state = nxt
+        if not moved:
+            break
+    return state.join(
+        nodes.select("node", "dur"), "node"
+    ).select(
+        "node",
+        F.col("ptr").alias("root"),
+        (F.col("dur") + F.col("acc")).cast("long").alias("root_dist"),
+    )

@@ -18637,6 +18637,68 @@ ORDER BY p.probe
 """
 
 
+
+
+def q_events_critpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-trace critical-path analysis: events become spans
+    in a synthetic quaternary forest (span v's parent is v div 4,
+    roots v < 4; durations = exact cents), and each span's end-to-end
+    root distance is computed by ADDITIVE pointer doubling
+    (operators/components.py::root_distance_doubling) — O(log depth)
+    self-joins instead of an O(depth) sequential walk, the (+, 0)-
+    semiring sibling of the CC machinery. Per trace root: span count,
+    the critical-path latency (max root distance) and its argmax span
+    (smallest id on ties), and the total busy time. Oracle: a
+    recursive CTE accumulating parent-chain durations — the
+    sequential formulation the doubling must reproduce exactly."""
+    from pyjelly_spark.operators.components import root_distance_doubling
+
+    ev = _t(spark, sf_dir, "events")
+    nodes = ev.select(
+        F.col("event_id").alias("node"),
+        F.when(F.col("event_id") < 4, None)
+        .otherwise(F.expr("event_id div 4"))
+        .alias("parent"),
+        F.floor(F.col("value") * 100).cast("long").alias("dur"),
+    )
+    rd = root_distance_doubling(nodes)
+    return (
+        rd.groupBy("root")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.max("root_dist").cast("long").alias("critpath_c"),
+            F.expr("min_by(node, struct(-root_dist, node))").cast("long").alias(
+                "critpath_span"
+            ),
+            F.sum("root_dist").cast("long").alias("total_pathsum_c"),
+        )
+        .orderBy("root")
+    )
+
+
+SQL_EVENTS_CRITPATH = """
+WITH RECURSIVE spans AS (
+  SELECT event_id AS node,
+         CASE WHEN event_id < 4 THEN NULL ELSE event_id // 4 END AS parent,
+         floor(value*100)::BIGINT AS dur
+  FROM events
+), walk AS (
+  SELECT node, node AS root, dur AS root_dist FROM spans WHERE parent IS NULL
+  UNION ALL
+  SELECT s.node, w.root, w.root_dist + s.dur
+  FROM spans s JOIN walk w ON w.node = s.parent
+)
+SELECT root,
+       count(*)::BIGINT AS n_spans,
+       max(root_dist)::BIGINT AS critpath_c,
+       min(node) FILTER (WHERE root_dist =
+         (SELECT max(w2.root_dist) FROM walk w2 WHERE w2.root = walk.root)
+       )::BIGINT AS critpath_span,
+       sum(root_dist)::BIGINT AS total_pathsum_c
+FROM walk GROUP BY root ORDER BY root
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -18918,6 +18980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_winnow": q_dedup_winnow,
     "orders_merge": q_orders_merge,
     "orders_bloomskip": q_orders_bloomskip,
+    "events_critpath": q_events_critpath,
 }
 
 ORACLES: dict[str, str] = {
@@ -19205,4 +19268,5 @@ ORACLES: dict[str, str] = {
     "dedup_winnow": SQL_DEDUP_WINNOW,
     "orders_merge": SQL_ORDERS_MERGE,
     "orders_bloomskip": SQL_ORDERS_BLOOMSKIP,
+    "events_critpath": SQL_EVENTS_CRITPATH,
 }

@@ -521,3 +521,27 @@ def test_ra_scores_closed_form(spark):
         for r in ra_scores(df, min_shared=1, hub_cap=2).collect()
     }
     assert capped == {("a", "b"): s // 2}
+
+
+def test_root_distance_doubling_matches_walk(spark):
+    """Additive pointer doubling == a plain python parent-chain walk
+    on a hand-built two-tree forest incl. a deep chain (depth 9)."""
+    from pyjelly_spark.operators.components import root_distance_doubling
+
+    # tree A: chain 1->2->3->...->9 (parent = node-1), root 1
+    # tree B: star root 100 with leaves 101..104
+    rows = [(1, None, 5)] + [(i, i - 1, i) for i in range(2, 10)]
+    rows += [(100, None, 7)] + [(100 + i, 100, 10 * i) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "node: long, parent: long, dur: long")
+    got = {r["node"]: (r["root"], r["root_dist"])
+           for r in root_distance_doubling(df).collect()}
+
+    durs = {n: d for n, _, d in rows}
+    parents = {n: p for n, p, _ in rows}
+    for n in durs:
+        dist, cur = durs[n], parents[n]
+        while cur is not None:
+            dist += durs[cur]
+            root, cur = cur, parents[cur]
+        root = n if parents[n] is None else root
+        assert got[n] == (root, dist), n
