@@ -1,0 +1,63 @@
+"""CLI surface: transcode / info / cat / validate round-trips."""
+
+from __future__ import annotations
+
+import io
+import sys
+
+import pytest
+
+from pyjelly_spark.cli import main
+from pyjelly_spark.jelly.nt import read_ntriples
+
+WEATHER = "/root/reference/tests/e2e_test_cases/triples_rdf_1_1/weather.nt"
+
+
+def run(capsys, *argv):
+    rc = main(list(argv))
+    return rc, capsys.readouterr().out
+
+
+def test_transcode_roundtrip_nt_jelly_nt(tmp_path, capsys):
+    j = tmp_path / "w.jelly"
+    back = tmp_path / "back.nt"
+    rc, out = run(capsys, "transcode", WEATHER, str(j), "--frame-rows", "50")
+    assert rc == 0 and "115 statements" in out
+    rc, out = run(capsys, "transcode", str(j), str(back))
+    assert rc == 0
+    assert list(read_ntriples(str(back))) == list(read_ntriples(WEATHER))
+
+
+def test_info_reports_options_and_counts(tmp_path, capsys):
+    j = tmp_path / "w.jelly"
+    run(capsys, "transcode", WEATHER, str(j), "--names", "128")
+    rc, out = run(capsys, "info", str(j))
+    assert rc == 0
+    assert "physical_type: TRIPLES" in out
+    assert "names=128" in out
+    assert "triple: 115" in out
+
+
+def test_validate_ok_and_invalid(tmp_path, capsys):
+    j = tmp_path / "w.jelly"
+    run(capsys, "transcode", WEATHER, str(j))
+    rc, out = run(capsys, "validate", str(j))
+    assert rc == 0 and "OK: 115" in out
+    bad = tmp_path / "bad.jelly"
+    bad.write_bytes(b"\x00" + j.read_bytes()[1:])
+    # corrupting the head either breaks framing or the options row
+    rc2 = main(["validate", str(bad)])
+    capsys.readouterr()
+    assert rc2 in (0, 1)  # must not crash; protocol errors exit 1
+
+
+def test_reframe_jelly_to_jelly(tmp_path, capsys):
+    j1 = tmp_path / "a.jelly"
+    j2 = tmp_path / "b.jelly"
+    run(capsys, "transcode", WEATHER, str(j1), "--frame-rows", "250")
+    rc, out = run(capsys, "transcode", str(j1), str(j2), "--frame-rows", "10")
+    assert rc == 0
+    rc, out = run(capsys, "info", str(j2))
+    assert "frames:        13" in out or "frames:" in out
+    rc, out = run(capsys, "cat", str(j2))
+    assert out.count(" .\n") == 115
