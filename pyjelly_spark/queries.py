@@ -18699,6 +18699,149 @@ FROM walk GROUP BY root ORDER BY root
 """
 
 
+
+
+def q_events_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two item rankers (Cormack et al.):
+    ranker A orders items by distinct click users, ranker B by total
+    purchase cents; fused score = sum over rankers of
+    1e6 div (60 + rank) — the classic RRF k=60 formula as exact
+    integer division, so the fused ordering is engine-deterministic
+    (ties to the smaller item id). Emits the fused top-20 with both
+    source ranks.
+
+    Plan shape: two item-level aggregates (partial-agg, one shuffle
+    each over items, not raw events), two item-domain windows (the
+    item catalogue, thousands of keys), one join — fusion never sees
+    the raw 10^12-event log."""
+    ev = _t(spark, sf_dir, "events")
+    items = ev.select(
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).where(F.col("item").isNotNull())
+    ra = (
+        items.where(F.col("event_type") == "click")
+        .groupBy("item")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .select(
+            "item",
+            F.row_number()
+            .over(Window.orderBy(F.col("users").desc(), F.col("item")))
+            .alias("rank_a"),
+        )
+    )
+    rb = (
+        items.where(F.col("event_type") == "purchase")
+        .groupBy("item")
+        .agg(F.sum("cents").alias("rev"))
+        .select(
+            "item",
+            F.row_number()
+            .over(Window.orderBy(F.col("rev").desc(), F.col("item")))
+            .alias("rank_b"),
+        )
+    )
+    fused = (
+        ra.join(rb, "item", "full_outer")
+        .select(
+            "item",
+            "rank_a",
+            "rank_b",
+            (
+                F.coalesce(F.expr("1000000L div (60 + rank_a)"), F.lit(0))
+                + F.coalesce(F.expr("1000000L div (60 + rank_b)"), F.lit(0))
+            ).cast("long").alias("rrf_x1e6"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_x1e6").desc(), F.col("item"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= 20)
+        .select("fused_rank", "item", "rank_a", "rank_b", "rrf_x1e6")
+        .orderBy("fused_rank")
+    )
+
+
+SQL_EVENTS_RRF = """
+WITH items AS (
+  SELECT json_extract(props, '$.k')::BIGINT AS item, event_type, user_id,
+         floor(value*100)::BIGINT AS cents
+  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+), ra AS (
+  SELECT item, row_number() OVER (ORDER BY count(DISTINCT user_id) DESC, item)
+           AS rank_a
+  FROM items WHERE event_type = 'click' GROUP BY item
+), rb AS (
+  SELECT item, row_number() OVER (ORDER BY sum(cents) DESC, item) AS rank_b
+  FROM items WHERE event_type = 'purchase' GROUP BY item
+), fused AS (
+  SELECT coalesce(ra.item, rb.item) AS item, ra.rank_a, rb.rank_b,
+         (coalesce(1000000 // (60 + ra.rank_a), 0)
+          + coalesce(1000000 // (60 + rb.rank_b), 0))::BIGINT AS rrf_x1e6
+  FROM ra FULL OUTER JOIN rb ON rb.item = ra.item
+)
+SELECT row_number() OVER (ORDER BY rrf_x1e6 DESC, item) AS fused_rank,
+       item, rank_a, rank_b, rrf_x1e6
+FROM fused
+QUALIFY fused_rank <= 20
+ORDER BY fused_rank
+"""
+
+
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level in exact milli-units: syllables
+    approximated as vowel-group runs (the standard regex heuristic),
+    sentences as period-delimited segments (min 1), and the FK
+    formula 0.39*W/S + 11.8*Syl/W - 15.59 evaluated as ONE integer
+    expression scaled x1000 with div — no float, so per-doc grades
+    (and the corpus histogram a curation pipeline thresholds on)
+    reproduce bit-exactly. Pure Catalyst regexp_count: zero shuffle,
+    whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "size(filter(split(lower(text), ' '), x -> x <> ''))"
+        ).cast("long").alias("n_words"),
+        F.greatest(
+            F.expr("size(split(text, '\\\\.')) - 1"), F.lit(1)
+        ).cast("long").alias("n_sentences"),
+        F.expr(
+            "regexp_count(lower(text), '[aeiouy]+')"
+        ).cast("long").alias("n_syllables"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "cast((390 * n_words * n_words + 11800 * n_syllables * n_sentences"
+            " - 15590 * n_words * n_sentences)"
+            " div (n_words * n_sentences) as bigint)"
+        ).alias("fk_grade_x1e3"),
+    ).orderBy("doc_id")
+
+
+SQL_DOC_READABILITY = r"""
+WITH f AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::BIGINT
+           AS n_words,
+         greatest(len(string_split(text, '.')) - 1, 1)::BIGINT AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ((390 * n_words * n_words + 11800 * n_syllables * n_sentences
+         - 15590 * n_words * n_sentences)
+        // (n_words * n_sentences))::BIGINT AS fk_grade_x1e3
+FROM f ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -18981,6 +19124,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_merge": q_orders_merge,
     "orders_bloomskip": q_orders_bloomskip,
     "events_critpath": q_events_critpath,
+    "events_rrf": q_events_rrf,
+    "doc_readability": q_doc_readability,
 }
 
 ORACLES: dict[str, str] = {
@@ -19269,4 +19414,6 @@ ORACLES: dict[str, str] = {
     "orders_merge": SQL_ORDERS_MERGE,
     "orders_bloomskip": SQL_ORDERS_BLOOMSKIP,
     "events_critpath": SQL_EVENTS_CRITPATH,
+    "events_rrf": SQL_EVENTS_RRF,
+    "doc_readability": SQL_DOC_READABILITY,
 }
