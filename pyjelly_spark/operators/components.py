@@ -1575,3 +1575,87 @@ def root_distance_doubling(
         F.col("ptr").alias("root"),
         (F.col("dur") + F.col("acc")).cast("long").alias("root_dist"),
     )
+
+
+def luby_mis(
+    edges: DataFrame,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Maximal independent set by Luby's algorithm with DETERMINISTIC
+    priorities: each round, a surviving node enters the MIS iff its
+    (priority, id) pair is a strict local minimum among surviving
+    neighbors; the MIS nodes and their neighbors leave. Hash
+    priorities make every round a pure function of the input — same
+    O(log n) expected rounds as random Luby, but engine-checkable
+    bit-for-bit. Each round is one neighbor-min groupBy + two
+    semi/anti joins; isolated-by-removal nodes self-select in a later
+    round, so the result is maximal.
+
+    Input: (s, t, p_s, p_t ignored) — actually (s, t) edges plus a
+    ``prio`` map is derived internally from sha-60 of the node id.
+    Returns (node, round) for every MIS member.
+    """
+    und = (
+        edges.selectExpr("s", "t")
+        .where(F.col("s") != F.col("t"))
+        .select(
+            F.least("s", "t").alias("s"), F.greatest("s", "t").alias("t")
+        )
+        .distinct()
+    )
+    sym = und.unionByName(und.selectExpr("t as s", "s as t"))
+    prio = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.expr(
+                "cast(conv(substring(sha2(cast(node as string), 256), 1, 15),"
+                " 16, 10) as bigint)"
+            ).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    live_edges = sym.localCheckpoint(eager=True)
+    live_nodes = prio
+    out = []
+    for rnd in range(1, max_rounds + 1):
+        if live_nodes.isEmpty():
+            break
+        nbr_min = (
+            live_edges.join(
+                live_nodes.selectExpr("node as t", "p as pt"), "t"
+            )
+            .groupBy("s")
+            .agg(F.min(F.struct(F.col("pt"), F.col("t"))).alias("m"))
+            .selectExpr("s as node", "m.pt as np", "m.t as nt")
+        )
+        winners = (
+            live_nodes.join(nbr_min, "node", "left")
+            .where(
+                F.col("np").isNull()
+                | (F.col("p") < F.col("np"))
+                | ((F.col("p") == F.col("np")) & (F.col("node") < F.col("nt")))
+            )
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        out.append(winners.select("node", F.lit(rnd).alias("round")))
+        removed = winners.unionByName(
+            live_edges.join(
+                winners.selectExpr("node as s"), "s", "left_semi"
+            ).select(F.col("t").alias("node"))
+        ).distinct()
+        live_nodes = live_nodes.join(removed, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        live_edges = (
+            live_edges.join(removed.selectExpr("node as s"), "s", "left_anti")
+            .join(removed.selectExpr("node as t"), "t", "left_anti")
+            .select("s", "t")
+            .localCheckpoint(eager=True)
+        )
+    result = out[0]
+    for o in out[1:]:
+        result = result.unionByName(o)
+    return result

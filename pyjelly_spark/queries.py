@@ -18842,6 +18842,491 @@ FROM f ORDER BY doc_id
 """
 
 
+
+
+def q_kg_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set by Luby's algorithm with deterministic
+    sha-60 priorities (operators/components.py::luby_mis) over the
+    synthetic cycle/pendant graph: a node joins the MIS when its
+    (priority, id) is a strict local minimum among surviving
+    neighbors; winners and their neighborhoods leave; repeat. The
+    distributed rounds (one neighbor-min groupBy + anti-join removal
+    each) are pinned exactly by a 16-round unrolled oracle — the gate
+    checks the full (node, round) selection, i.e. WHICH round each
+    member won, not just the final set. MIS is the classic symmetry-
+    breaking primitive (scheduling, coloring, matching) and with hash
+    priorities it is fully reproducible at any parallelism."""
+    from pyjelly_spark.operators.components import luby_mis
+
+    e = _synth_cycle_graph(spark, sf_dir)
+    return luby_mis(e).orderBy("node")
+
+
+SQL_KG_MIS = """
+WITH
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+vx AS (
+  SELECT doc_id::BIGINT AS v, doc_id // 24 AS g, doc_id % 24 AS r,
+         3 + (doc_id // 24 * 5) % 10 AS ell
+  FROM documents
+),
+rawe AS (
+  SELECT v AS s, g*24 + (r+1) % ell AS t FROM vx WHERE r < ell
+  UNION ALL
+  SELECT v AS s, g*24 + r % ell AS t FROM vx WHERE r >= ell
+  UNION ALL
+  SELECT v AS s, g*24 + 2 AS t FROM vx WHERE r = 0 AND g % 3 = 0 AND ell >= 4
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS s, greatest(s, t) AS t FROM rawe, nn
+  WHERE s < nn.n AND t < nn.n AND s <> t
+),
+le0 AS MATERIALIZED (
+  SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0
+),
+live0 AS MATERIALIZED (
+  SELECT DISTINCT s AS node,
+         ('0x' || substring(sha256(s::VARCHAR), 1, 15))::BIGINT AS p
+  FROM le0
+),
+ROUNDS_PLACEHOLDER
+SELECT node, round FROM (
+MIS_PLACEHOLDER
+) ORDER BY node
+"""
+SQL_KG_MIS = SQL_KG_MIS.replace("ROUNDS_PLACEHOLDER", r"""nm1 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le0 e JOIN live0 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win1 AS MATERIALIZED (
+  SELECT n.node FROM live0 n LEFT JOIN nm1 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem1 AS MATERIALIZED (
+  SELECT node FROM win1
+  UNION
+  SELECT e.t AS node FROM le0 e JOIN win1 w ON w.node = e.s
+),
+live1 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live0 n
+  WHERE n.node NOT IN (SELECT node FROM rem1)
+),
+le1 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le0 e
+  WHERE e.s NOT IN (SELECT node FROM rem1)
+    AND e.t NOT IN (SELECT node FROM rem1)
+),
+nm2 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le1 e JOIN live1 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win2 AS MATERIALIZED (
+  SELECT n.node FROM live1 n LEFT JOIN nm2 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem2 AS MATERIALIZED (
+  SELECT node FROM win2
+  UNION
+  SELECT e.t AS node FROM le1 e JOIN win2 w ON w.node = e.s
+),
+live2 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live1 n
+  WHERE n.node NOT IN (SELECT node FROM rem2)
+),
+le2 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le1 e
+  WHERE e.s NOT IN (SELECT node FROM rem2)
+    AND e.t NOT IN (SELECT node FROM rem2)
+),
+nm3 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le2 e JOIN live2 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win3 AS MATERIALIZED (
+  SELECT n.node FROM live2 n LEFT JOIN nm3 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem3 AS MATERIALIZED (
+  SELECT node FROM win3
+  UNION
+  SELECT e.t AS node FROM le2 e JOIN win3 w ON w.node = e.s
+),
+live3 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live2 n
+  WHERE n.node NOT IN (SELECT node FROM rem3)
+),
+le3 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le2 e
+  WHERE e.s NOT IN (SELECT node FROM rem3)
+    AND e.t NOT IN (SELECT node FROM rem3)
+),
+nm4 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le3 e JOIN live3 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win4 AS MATERIALIZED (
+  SELECT n.node FROM live3 n LEFT JOIN nm4 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem4 AS MATERIALIZED (
+  SELECT node FROM win4
+  UNION
+  SELECT e.t AS node FROM le3 e JOIN win4 w ON w.node = e.s
+),
+live4 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live3 n
+  WHERE n.node NOT IN (SELECT node FROM rem4)
+),
+le4 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le3 e
+  WHERE e.s NOT IN (SELECT node FROM rem4)
+    AND e.t NOT IN (SELECT node FROM rem4)
+),
+nm5 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le4 e JOIN live4 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win5 AS MATERIALIZED (
+  SELECT n.node FROM live4 n LEFT JOIN nm5 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem5 AS MATERIALIZED (
+  SELECT node FROM win5
+  UNION
+  SELECT e.t AS node FROM le4 e JOIN win5 w ON w.node = e.s
+),
+live5 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live4 n
+  WHERE n.node NOT IN (SELECT node FROM rem5)
+),
+le5 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le4 e
+  WHERE e.s NOT IN (SELECT node FROM rem5)
+    AND e.t NOT IN (SELECT node FROM rem5)
+),
+nm6 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le5 e JOIN live5 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win6 AS MATERIALIZED (
+  SELECT n.node FROM live5 n LEFT JOIN nm6 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem6 AS MATERIALIZED (
+  SELECT node FROM win6
+  UNION
+  SELECT e.t AS node FROM le5 e JOIN win6 w ON w.node = e.s
+),
+live6 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live5 n
+  WHERE n.node NOT IN (SELECT node FROM rem6)
+),
+le6 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le5 e
+  WHERE e.s NOT IN (SELECT node FROM rem6)
+    AND e.t NOT IN (SELECT node FROM rem6)
+),
+nm7 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le6 e JOIN live6 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win7 AS MATERIALIZED (
+  SELECT n.node FROM live6 n LEFT JOIN nm7 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem7 AS MATERIALIZED (
+  SELECT node FROM win7
+  UNION
+  SELECT e.t AS node FROM le6 e JOIN win7 w ON w.node = e.s
+),
+live7 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live6 n
+  WHERE n.node NOT IN (SELECT node FROM rem7)
+),
+le7 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le6 e
+  WHERE e.s NOT IN (SELECT node FROM rem7)
+    AND e.t NOT IN (SELECT node FROM rem7)
+),
+nm8 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le7 e JOIN live7 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win8 AS MATERIALIZED (
+  SELECT n.node FROM live7 n LEFT JOIN nm8 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem8 AS MATERIALIZED (
+  SELECT node FROM win8
+  UNION
+  SELECT e.t AS node FROM le7 e JOIN win8 w ON w.node = e.s
+),
+live8 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live7 n
+  WHERE n.node NOT IN (SELECT node FROM rem8)
+),
+le8 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le7 e
+  WHERE e.s NOT IN (SELECT node FROM rem8)
+    AND e.t NOT IN (SELECT node FROM rem8)
+),
+nm9 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le8 e JOIN live8 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win9 AS MATERIALIZED (
+  SELECT n.node FROM live8 n LEFT JOIN nm9 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem9 AS MATERIALIZED (
+  SELECT node FROM win9
+  UNION
+  SELECT e.t AS node FROM le8 e JOIN win9 w ON w.node = e.s
+),
+live9 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live8 n
+  WHERE n.node NOT IN (SELECT node FROM rem9)
+),
+le9 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le8 e
+  WHERE e.s NOT IN (SELECT node FROM rem9)
+    AND e.t NOT IN (SELECT node FROM rem9)
+),
+nm10 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le9 e JOIN live9 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win10 AS MATERIALIZED (
+  SELECT n.node FROM live9 n LEFT JOIN nm10 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem10 AS MATERIALIZED (
+  SELECT node FROM win10
+  UNION
+  SELECT e.t AS node FROM le9 e JOIN win10 w ON w.node = e.s
+),
+live10 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live9 n
+  WHERE n.node NOT IN (SELECT node FROM rem10)
+),
+le10 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le9 e
+  WHERE e.s NOT IN (SELECT node FROM rem10)
+    AND e.t NOT IN (SELECT node FROM rem10)
+),
+nm11 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le10 e JOIN live10 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win11 AS MATERIALIZED (
+  SELECT n.node FROM live10 n LEFT JOIN nm11 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem11 AS MATERIALIZED (
+  SELECT node FROM win11
+  UNION
+  SELECT e.t AS node FROM le10 e JOIN win11 w ON w.node = e.s
+),
+live11 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live10 n
+  WHERE n.node NOT IN (SELECT node FROM rem11)
+),
+le11 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le10 e
+  WHERE e.s NOT IN (SELECT node FROM rem11)
+    AND e.t NOT IN (SELECT node FROM rem11)
+),
+nm12 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le11 e JOIN live11 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win12 AS MATERIALIZED (
+  SELECT n.node FROM live11 n LEFT JOIN nm12 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem12 AS MATERIALIZED (
+  SELECT node FROM win12
+  UNION
+  SELECT e.t AS node FROM le11 e JOIN win12 w ON w.node = e.s
+),
+live12 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live11 n
+  WHERE n.node NOT IN (SELECT node FROM rem12)
+),
+le12 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le11 e
+  WHERE e.s NOT IN (SELECT node FROM rem12)
+    AND e.t NOT IN (SELECT node FROM rem12)
+),
+nm13 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le12 e JOIN live12 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win13 AS MATERIALIZED (
+  SELECT n.node FROM live12 n LEFT JOIN nm13 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem13 AS MATERIALIZED (
+  SELECT node FROM win13
+  UNION
+  SELECT e.t AS node FROM le12 e JOIN win13 w ON w.node = e.s
+),
+live13 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live12 n
+  WHERE n.node NOT IN (SELECT node FROM rem13)
+),
+le13 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le12 e
+  WHERE e.s NOT IN (SELECT node FROM rem13)
+    AND e.t NOT IN (SELECT node FROM rem13)
+),
+nm14 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le13 e JOIN live13 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win14 AS MATERIALIZED (
+  SELECT n.node FROM live13 n LEFT JOIN nm14 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem14 AS MATERIALIZED (
+  SELECT node FROM win14
+  UNION
+  SELECT e.t AS node FROM le13 e JOIN win14 w ON w.node = e.s
+),
+live14 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live13 n
+  WHERE n.node NOT IN (SELECT node FROM rem14)
+),
+le14 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le13 e
+  WHERE e.s NOT IN (SELECT node FROM rem14)
+    AND e.t NOT IN (SELECT node FROM rem14)
+),
+nm15 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le14 e JOIN live14 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win15 AS MATERIALIZED (
+  SELECT n.node FROM live14 n LEFT JOIN nm15 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem15 AS MATERIALIZED (
+  SELECT node FROM win15
+  UNION
+  SELECT e.t AS node FROM le14 e JOIN win15 w ON w.node = e.s
+),
+live15 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live14 n
+  WHERE n.node NOT IN (SELECT node FROM rem15)
+),
+le15 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le14 e
+  WHERE e.s NOT IN (SELECT node FROM rem15)
+    AND e.t NOT IN (SELECT node FROM rem15)
+),
+nm16 AS MATERIALIZED (
+  SELECT e.s AS node,
+         min({'p': ln.p, 'n': ln.node}).p AS np,
+         min({'p': ln.p, 'n': ln.node}).n AS nt
+  FROM le15 e JOIN live15 ln ON ln.node = e.t
+  GROUP BY 1
+),
+win16 AS MATERIALIZED (
+  SELECT n.node FROM live15 n LEFT JOIN nm16 m ON m.node = n.node
+  WHERE m.node IS NULL OR n.p < m.np OR (n.p = m.np AND n.node < m.nt)
+),
+rem16 AS MATERIALIZED (
+  SELECT node FROM win16
+  UNION
+  SELECT e.t AS node FROM le15 e JOIN win16 w ON w.node = e.s
+),
+live16 AS MATERIALIZED (
+  SELECT n.node, n.p FROM live15 n
+  WHERE n.node NOT IN (SELECT node FROM rem16)
+),
+le16 AS MATERIALIZED (
+  SELECT e.s, e.t FROM le15 e
+  WHERE e.s NOT IN (SELECT node FROM rem16)
+    AND e.t NOT IN (SELECT node FROM rem16)
+)""").replace(
+    "MIS_PLACEHOLDER", r"""  SELECT node, 1 AS round FROM win1
+  UNION ALL
+  SELECT node, 2 AS round FROM win2
+  UNION ALL
+  SELECT node, 3 AS round FROM win3
+  UNION ALL
+  SELECT node, 4 AS round FROM win4
+  UNION ALL
+  SELECT node, 5 AS round FROM win5
+  UNION ALL
+  SELECT node, 6 AS round FROM win6
+  UNION ALL
+  SELECT node, 7 AS round FROM win7
+  UNION ALL
+  SELECT node, 8 AS round FROM win8
+  UNION ALL
+  SELECT node, 9 AS round FROM win9
+  UNION ALL
+  SELECT node, 10 AS round FROM win10
+  UNION ALL
+  SELECT node, 11 AS round FROM win11
+  UNION ALL
+  SELECT node, 12 AS round FROM win12
+  UNION ALL
+  SELECT node, 13 AS round FROM win13
+  UNION ALL
+  SELECT node, 14 AS round FROM win14
+  UNION ALL
+  SELECT node, 15 AS round FROM win15
+  UNION ALL
+  SELECT node, 16 AS round FROM win16""")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -19126,6 +19611,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_critpath": q_events_critpath,
     "events_rrf": q_events_rrf,
     "doc_readability": q_doc_readability,
+    "kg_mis": q_kg_mis,
 }
 
 ORACLES: dict[str, str] = {
@@ -19416,4 +19902,5 @@ ORACLES: dict[str, str] = {
     "events_critpath": SQL_EVENTS_CRITPATH,
     "events_rrf": SQL_EVENTS_RRF,
     "doc_readability": SQL_DOC_READABILITY,
+    "kg_mis": SQL_KG_MIS,
 }

@@ -389,3 +389,27 @@ def test_local_dominant_matching_is_maximal_matching(spark):
         mset = set(used)
         for s, t in g:
             assert s in mset or t in mset, f"edge {(s, t)} unmatched-free"
+
+
+def test_luby_mis_independent_and_maximal(spark):
+    """MIS output is independent (no edge inside) and maximal (every
+    non-member has a member neighbor) on path, cycle, clique, star."""
+    from pyjelly_spark.operators.components import luby_mis
+
+    graphs = [
+        [(i, i + 1) for i in range(12)],                       # path
+        [(i, (i + 1) % 9) for i in range(9)],                  # C9
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],   # K5
+        [(0, i) for i in range(1, 9)],                         # star
+    ]
+    for g in graphs:
+        df = spark.createDataFrame(g, "s: long, t: long")
+        mis = {r["node"] for r in luby_mis(df).collect()}
+        adj = {}
+        for s, t in g:
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+        for s, t in g:
+            assert not (s in mis and t in mis), (g, mis)
+        for v in adj:
+            assert v in mis or adj[v] & mis, (g, v, mis)
