@@ -132,3 +132,42 @@ def buffered_options(inp: IO[bytes]) -> Tuple[c.StreamOptions, bytes]:
     """
     data = inp.read()
     return read_stream_options(data), data
+
+
+def build_frame_index(path: str) -> List[Tuple[int, int, int]]:
+    """Byte-offset index of a delimited .jelly file: one
+    (byte_offset, byte_length, n_rows) triple per frame, in order.
+
+    The Jelly framing is length-prefixed, so the index is built with a
+    single sequential varint walk — no row decoding — and enables
+    random access (``read_frame_at``) into streams too large to decode
+    front-to-back: the seekable-source pattern (HTTP range requests,
+    object-store reads) the delimited format exists to support.
+    """
+    with open(path, "rb") as handle:
+        data = handle.read()
+    if not looks_delimited(data[:3]):
+        raise c.JellyError("frame index requires a delimited stream")
+    from pyjelly_spark.jelly.decoder import split_frame
+
+    index: List[Tuple[int, int, int]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        length, body_start = read_uvarint(data, pos)
+        body_end = body_start + length
+        if body_end > n:
+            raise c.JellyError("truncated frame at end of stream")
+        rows, _meta = split_frame(data[body_start:body_end])
+        index.append((pos, body_end - pos, len(rows)))
+        pos = body_end
+    return index
+
+
+def read_frame_at(path: str, offset: int, length: int) -> bytes:
+    """Read one delimited frame's body given its index entry."""
+    with open(path, "rb") as handle:
+        handle.seek(offset)
+        chunk = handle.read(length)
+    flen, body_start = read_uvarint(chunk, 0)
+    return chunk[body_start : body_start + flen]

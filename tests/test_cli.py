@@ -61,3 +61,30 @@ def test_reframe_jelly_to_jelly(tmp_path, capsys):
     assert "frames:        13" in out or "frames:" in out
     rc, out = run(capsys, "cat", str(j2))
     assert out.count(" .\n") == 115
+
+
+def test_frame_index_random_access(tmp_path, capsys):
+    """build_frame_index + read_frame_at: decoding ONLY the indexed
+    frames reproduces the full stream's statements in order."""
+    from pyjelly_spark.jelly.decoder import StreamDecoder
+    from pyjelly_spark.jelly.ioutils import (
+        build_frame_index,
+        frames_from_bytes,
+        read_frame_at,
+    )
+
+    j = tmp_path / "w.jelly"
+    run(capsys, "transcode", WEATHER, str(j), "--frame-rows", "25")
+    idx = build_frame_index(str(j))
+    assert len(idx) >= 5
+    assert sum(r for _, _, r in idx) > 115  # rows include options/entries
+    # frame-by-frame via the index == frames_from_bytes
+    data = j.read_bytes()
+    direct = list(frames_from_bytes(data))
+    via_idx = [read_frame_at(str(j), off, ln) for off, ln, _ in idx]
+    assert via_idx == direct
+    # offsets are contiguous and cover the file
+    assert idx[0][0] == 0
+    for (o1, l1, _), (o2, _, _) in zip(idx, idx[1:]):
+        assert o1 + l1 == o2
+    assert idx[-1][0] + idx[-1][1] == len(data)
