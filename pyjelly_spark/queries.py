@@ -19327,6 +19327,108 @@ le16 AS MATERIALIZED (
   SELECT node, 16 AS round FROM win16""")
 
 
+
+
+def q_embedding_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit: for 50 query vectors,
+    compare exact top-10 neighbors under the FULL 64-dim integer dot
+    product vs the first-16-dims truncation (the MRL deployment
+    question: how much recall does a 4x cheaper prefix embedding
+    keep?). Both dots come from ONE pass over the exploded
+    coordinates (the 16-dim dot is a conditional sum in the same
+    aggregate), rankings tie-break to the smaller candidate id, and
+    recall@10 is an exact integer ppm per query.
+
+    Plan shape: query set broadcast against the corpus coordinates,
+    one partial-agg groupBy per (query, candidate), two bounded
+    windows over the candidate ranking — the same audit at 10^9
+    vectors just shards the candidate axis."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "e")
+    ).select(
+        "vec_id", "i",
+        F.floor(F.col("e").cast("double") * 10000).cast("long").alias("x"),
+    )
+    qf = flat.where(F.col("vec_id") < 50).selectExpr(
+        "vec_id as q", "i", "x as xq"
+    )
+    dots = (
+        flat.join(F.broadcast(qf), "i")
+        .where(F.col("vec_id") != F.col("q"))
+        .groupBy("q", "vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("xq")).alias("dot64"),
+            F.sum(
+                F.when(F.col("i") < 16, F.col("x") * F.col("xq")).otherwise(0)
+            ).alias("dot16"),
+        )
+    )
+    w64 = Window.partitionBy("q").orderBy(
+        F.col("dot64").desc(), F.col("vec_id")
+    )
+    w16 = Window.partitionBy("q").orderBy(
+        F.col("dot16").desc(), F.col("vec_id")
+    )
+    ranked = dots.select(
+        "q",
+        "vec_id",
+        F.row_number().over(w64).alias("r64"),
+        F.row_number().over(w16).alias("r16"),
+    )
+    hits = (
+        ranked.where((F.col("r64") <= 10) & (F.col("r16") <= 10))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        ranked.where(F.col("r64") <= 10)
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n_full"))
+        .join(hits, "q", "left")
+        .select(
+            "q",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "cast(coalesce(n_hits, 0) * 1000000L div 10 as bigint)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("q")
+    )
+
+
+SQL_EMBEDDING_MRL = """
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         floor(unnest(embedding)::DOUBLE * 10000)::BIGINT AS x
+  FROM embeddings
+), qf AS (
+  SELECT vec_id AS q, i, x AS xq FROM flat WHERE vec_id < 50
+), dots AS (
+  SELECT f.vec_id, qf.q,
+         sum(f.x * qf.xq)::BIGINT AS dot64,
+         sum(CASE WHEN f.i < 16 THEN f.x * qf.xq ELSE 0 END)::BIGINT AS dot16
+  FROM flat f JOIN qf ON qf.i = f.i
+  WHERE f.vec_id <> qf.q
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT q, vec_id,
+         row_number() OVER (PARTITION BY q ORDER BY dot64 DESC, vec_id) AS r64,
+         row_number() OVER (PARTITION BY q ORDER BY dot16 DESC, vec_id) AS r16
+  FROM dots
+), hits AS (
+  SELECT q, count(*)::BIGINT AS n_hits
+  FROM ranked WHERE r64 <= 10 AND r16 <= 10 GROUP BY 1
+)
+SELECT r.q,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) * 1000000 // 10)::BIGINT AS recall_ppm
+FROM (SELECT DISTINCT q FROM ranked) r
+LEFT JOIN hits h ON h.q = r.q
+ORDER BY r.q
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -19612,6 +19714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rrf": q_events_rrf,
     "doc_readability": q_doc_readability,
     "kg_mis": q_kg_mis,
+    "embedding_mrl": q_embedding_mrl,
 }
 
 ORACLES: dict[str, str] = {
@@ -19903,4 +20006,5 @@ ORACLES: dict[str, str] = {
     "events_rrf": SQL_EVENTS_RRF,
     "doc_readability": SQL_DOC_READABILITY,
     "kg_mis": SQL_KG_MIS,
+    "embedding_mrl": SQL_EMBEDDING_MRL,
 }
