@@ -17498,6 +17498,9 @@ def q_events_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("h") >= 0) & (F.col("h") < 720))
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("c"))
+        # one raw scan: everything downstream re-reads this <= types x 720
+        # row frame, not the event log (6 scans -> 1 in the audit)
+        .localCheckpoint(eager=True)
     )
     grid = (
         counts.select("event_type")
