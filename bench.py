@@ -218,6 +218,13 @@ BENCH_QUERIES = [
     "events_ks",
     "doc_codeswitch",
     "kg_matching",
+    "orders_merge",
+    "orders_bloomskip",
+    "events_critpath",
+    "events_rrf",
+    "doc_readability",
+    "dedup_winnow",
+    "embedding_mrl",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

@@ -48,6 +48,8 @@ AUDITED = [
     "events_sax", "embedding_jl", "events_mannwhitney", "doc_rake",
     "orders_rle", "events_stl", "events_lttb", "events_ks",
     "doc_codeswitch", "events_fifo", "kg_bipartite",
+    "orders_merge", "orders_bloomskip", "events_critpath", "events_rrf",
+    "doc_readability", "dedup_winnow", "embedding_mrl",
     "sample_stratified", "kg_sparql_star", "tpch_q6", "events_retention",
     "events_funnel", "dedup_incremental",
     "seq_packing", "doc_chunks", "doc_bm25", "embedding_pq",
