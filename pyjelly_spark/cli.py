@@ -30,6 +30,7 @@ from pyjelly_spark.jelly.decoder import decode_flat
 from pyjelly_spark.jelly.encoder import encode_flat
 from pyjelly_spark.jelly.ioutils import (
     frames_from_bytes,
+    read_file_bytes,
     read_stream_options,
     sniff_file,
     split_frame,
@@ -41,15 +42,12 @@ _PHYS_NAMES = {c.PHYSICAL_TRIPLES: "TRIPLES", c.PHYSICAL_QUADS: "QUADS"}
 
 
 def _events_to_statements(path: str) -> Iterator[Tuple]:
-    with open(path, "rb") as handle:
-        data = handle.read()
-    for event in decode_flat(frames_from_bytes(data)):
+    for event in decode_flat(frames_from_bytes(read_file_bytes(path))):
         yield tuple(event[1:])
 
 
 def cmd_info(args: argparse.Namespace) -> int:
-    with open(args.file, "rb") as handle:
-        data = handle.read()
+    data = read_file_bytes(args.file)
     opts = read_stream_options(data)
     n_frames = 0
     n_rows = 0
@@ -61,7 +59,7 @@ def cmd_info(args: argparse.Namespace) -> int:
         if meta:
             kinds["frames_with_metadata"] += 1
     stmts = Counter(e[0] for e in decode_flat(frames_from_bytes(data)))
-    print(f"delimited:     {sniff_file(args.file)}")
+    print(f"delimited:     {sniff_file(args.file, head_bytes=data[:3])}")
     print(f"physical_type: {_PHYS_NAMES.get(opts.physical_type, opts.physical_type)}")
     print(f"logical_type:  {opts.logical_type}")
     print(f"version:       {opts.version}")
@@ -115,8 +113,8 @@ def _build_options(args: argparse.Namespace, quads: bool) -> StreamOptions:
 
 
 def cmd_transcode(args: argparse.Namespace) -> int:
-    src_jelly = args.input.endswith(".jelly")
-    dst_jelly = args.output.endswith(".jelly")
+    src_jelly = args.input.endswith((".jelly", ".jelly.gz"))
+    dst_jelly = args.output.endswith((".jelly", ".jelly.gz"))
     if src_jelly:
         statements = list(_events_to_statements(args.input))
     else:
@@ -133,10 +131,20 @@ def cmd_transcode(args: argparse.Namespace) -> int:
         else any(len(s) == 4 for s in statements)
     )
     opts = _build_options(args, quads)
-    with open(args.output, "wb") as out:
-        written = write_frames(
-            encode_flat(iter(statements), opts), out, delimited=opts.delimited
-        )
+    if args.output.endswith(".gz"):
+        import gzip
+
+        with gzip.open(args.output, "wb") as out:
+            written = write_frames(
+                encode_flat(iter(statements), opts), out,
+                delimited=opts.delimited,
+            )
+    else:
+        with open(args.output, "wb") as out:
+            written = write_frames(
+                encode_flat(iter(statements), opts), out,
+                delimited=opts.delimited,
+            )
     print(
         f"wrote {len(statements)} statements / {written} bytes to {args.output}"
     )

@@ -70,9 +70,9 @@ def read_stream_options(data: bytes) -> c.StreamOptions:
 
 
 def decode_file(path: str) -> Iterator[tuple]:
-    """Decode a .jelly file into flat statement events."""
-    with open(path, "rb") as handle:
-        data = handle.read()
+    """Decode a (possibly gzipped) .jelly file into flat statement
+    events."""
+    data = read_file_bytes(path)
     from pyjelly_spark.jelly.decoder import decode_flat
 
     yield from decode_flat(frames_from_bytes(data))
@@ -132,6 +132,26 @@ def buffered_options(inp: IO[bytes]) -> Tuple[c.StreamOptions, bytes]:
     """
     data = inp.read()
     return read_stream_options(data), data
+
+
+def read_file_bytes(path: str) -> bytes:
+    """Read a (possibly gzip-compressed) jelly stream's bytes.
+
+    Gzip is detected by magic (1f 8b), not extension, so `.jelly.gz`
+    and mislabeled files both work — the reference has no compressed-
+    stream support; this matches how its rdflib plugin would receive
+    already-decompressed input while letting our CLI/tools take .gz
+    directly.
+    """
+    with open(path, "rb") as handle:
+        head = handle.read(2)
+        handle.seek(0)
+        if head == b"\x1f\x8b":
+            import gzip
+
+            with gzip.open(handle) as gz:
+                return gz.read()
+        return handle.read()
 
 
 def build_frame_index(path: str) -> List[Tuple[int, int, int]]:

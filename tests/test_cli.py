@@ -88,3 +88,19 @@ def test_frame_index_random_access(tmp_path, capsys):
     for (o1, l1, _), (o2, _, _) in zip(idx, idx[1:]):
         assert o1 + l1 == o2
     assert idx[-1][0] + idx[-1][1] == len(data)
+
+
+def test_gzip_transcode_and_read(tmp_path, capsys):
+    """transcode to .jelly.gz, then info/cat/validate read it
+    transparently (magic-sniffed, not extension-trusted)."""
+    gz = tmp_path / "w.jelly.gz"
+    rc, out = run(capsys, "transcode", WEATHER, str(gz))
+    assert rc == 0
+    assert gz.read_bytes()[:2] == b"\x1f\x8b"
+    rc, out = run(capsys, "validate", str(gz))
+    assert rc == 0 and "OK: 115" in out
+    rc, out = run(capsys, "info", str(gz))
+    assert "delimited:     True" in out and "triple: 115" in out
+    back = tmp_path / "b.nt"
+    run(capsys, "transcode", str(gz), str(back))
+    assert list(read_ntriples(str(back))) == list(read_ntriples(WEATHER))
