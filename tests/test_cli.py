@@ -104,3 +104,17 @@ def test_gzip_transcode_and_read(tmp_path, capsys):
     back = tmp_path / "b.nt"
     run(capsys, "transcode", str(gz), str(back))
     assert list(read_ntriples(str(back))) == list(read_ntriples(WEATHER))
+
+
+def test_non_delimited_single_frame_cli(tmp_path, capsys):
+    """--non-delimited writes one bare frame; info/cat/validate sniff
+    and read it."""
+    j = tmp_path / "w1.jelly"
+    rc, out = run(capsys, "transcode", WEATHER, str(j), "--non-delimited",
+                  "--frame-rows", "1000000")
+    assert rc == 0
+    rc, out = run(capsys, "info", str(j))
+    assert "delimited:     False" in out
+    assert "frames:        1" in out
+    rc, out = run(capsys, "validate", str(j))
+    assert rc == 0 and "OK: 115" in out
