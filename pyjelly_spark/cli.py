@@ -130,6 +130,11 @@ def cmd_transcode(args: argparse.Namespace) -> int:
         if args.physical
         else any(len(s) == 4 for s in statements)
     )
+    if quads:
+        # N-Quads lines with 3 terms live in the default graph
+        statements = [
+            s if len(s) == 4 else (*s, ("dg",)) for s in statements
+        ]
     opts = _build_options(args, quads)
     if args.output.endswith(".gz"):
         import gzip

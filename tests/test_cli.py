@@ -118,3 +118,18 @@ def test_non_delimited_single_frame_cli(tmp_path, capsys):
     assert "frames:        1" in out
     rc, out = run(capsys, "validate", str(j))
     assert rc == 0 and "OK: 115" in out
+
+
+def test_quads_nq_roundtrip_cli(tmp_path, capsys):
+    """.nq -> .jelly (QUADS physical inferred from arity) -> .nq
+    round-trips the reference weather-quads fixture exactly."""
+    NQ = "/root/reference/tests/e2e_test_cases/quads_rdf_1_1/weather-quads.nq"
+    j = tmp_path / "q.jelly"
+    back = tmp_path / "back.nq"
+    rc, out = run(capsys, "transcode", NQ, str(j))
+    assert rc == 0
+    rc, out = run(capsys, "info", str(j))
+    assert "physical_type: QUADS" in out
+    rc, out = run(capsys, "transcode", str(j), str(back))
+    assert rc == 0
+    assert list(read_ntriples(str(back))) == list(read_ntriples(NQ))
