@@ -283,3 +283,46 @@ def test_quad_graph_slot_all_offsets_roundtrip():
         out += delimit(tail)
     back = [tuple(e[1:]) for e in decode_flat(frames_from_bytes(bytes(out)))]
     assert back == quads
+
+
+@given(
+    n_stmts=st.integers(min_value=0, max_value=60),
+    frame_rows=st.sampled_from([1, 3, 10, 250]),
+)
+@settings(max_examples=25, deadline=None)
+def test_frame_index_random_access_fuzz(n_stmts, frame_rows):
+    """build_frame_index covers any generated stream contiguously and
+    read_frame_at reproduces each frame byte-for-byte."""
+    import os
+    import tempfile
+
+    from pyjelly_spark.jelly import StreamOptions, encode_flat
+    from pyjelly_spark.jelly.ioutils import (
+        build_frame_index,
+        frames_from_bytes,
+        read_frame_at,
+        write_frames,
+    )
+
+    stmts = [
+        (
+            ("iri", f"http://x.example/s{i % 7}"),
+            ("iri", f"http://x.example/p{i % 3}"),
+            ("lit", f"v{i}", "", ""),
+        )
+        for i in range(n_stmts)
+    ]
+    opts = StreamOptions(frame_rows=frame_rows)
+    fd, path = tempfile.mkstemp(suffix=".jelly")
+    try:
+        with os.fdopen(fd, "wb") as out:
+            write_frames(encode_flat(iter(stmts), opts), out)
+        idx = build_frame_index(path)
+        with open(path, "rb") as f:
+            data = f.read()
+        assert [read_frame_at(path, o, l) for o, l, _ in idx] == list(
+            frames_from_bytes(data)
+        )
+        assert sum(l for _, l, _ in idx) == len(data)
+    finally:
+        os.unlink(path)
