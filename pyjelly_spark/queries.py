@@ -19432,6 +19432,115 @@ ORDER BY r.q
 """
 
 
+
+
+def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization retrieval audit: per-dimension affine
+    codes code = (x - min_d) * 255 div (max_d - min_d) over the exact
+    scaled-integer coordinates, then recall@10 of the int8 dot-product
+    ranking vs the full-precision ranking for 50 query vectors — the
+    deployment question (4x memory cut, SIMD int8 kernels) measured
+    exactly. The dim stats are a 64-row metadata aggregate (broadcast
+    back); everything else is the one-pass dot/rank shape shared with
+    embedding_mrl, so the audit runs at any corpus scale with one
+    partial-agg shuffle plus bounded windows. All arithmetic integer:
+    codes, dots, ranks and recalls reproduce bit-for-bit in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "e")
+    ).select(
+        "vec_id", "i",
+        F.floor(F.col("e").cast("double") * 10000).cast("long").alias("x"),
+    )
+    stats = flat.groupBy("i").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    coded = flat.join(F.broadcast(stats), "i").select(
+        "vec_id",
+        "i",
+        "x",
+        F.expr(
+            "IF(hi = lo, 0L, cast((x - lo) * 255 div (hi - lo) as bigint))"
+        ).alias("c8"),
+    )
+    qf = coded.where(F.col("vec_id") < 50).selectExpr(
+        "vec_id as q", "i", "x as xq", "c8 as cq"
+    )
+    dots = (
+        coded.join(F.broadcast(qf), "i")
+        .where(F.col("vec_id") != F.col("q"))
+        .groupBy("q", "vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("xq")).alias("dfull"),
+            F.sum(F.col("c8") * F.col("cq")).alias("d8"),
+        )
+    )
+    wf = Window.partitionBy("q").orderBy(F.col("dfull").desc(), F.col("vec_id"))
+    w8 = Window.partitionBy("q").orderBy(F.col("d8").desc(), F.col("vec_id"))
+    ranked = dots.select(
+        "q",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(w8).alias("r8"),
+    )
+    hits = (
+        ranked.where((F.col("rf") <= 10) & (F.col("r8") <= 10))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        ranked.select("q").distinct()
+        .join(hits, "q", "left")
+        .select(
+            "q",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "cast(coalesce(n_hits, 0) * 1000000L div 10 as bigint)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("q")
+    )
+
+
+SQL_EMBEDDING_INT8 = """
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         floor(unnest(embedding)::DOUBLE * 10000)::BIGINT AS x
+  FROM embeddings
+), stats AS (
+  SELECT i, min(x) AS lo, max(x) AS hi FROM flat GROUP BY 1
+), coded AS (
+  SELECT f.vec_id, f.i, f.x,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE (f.x - s.lo) * 255 // (s.hi - s.lo) END AS c8
+  FROM flat f JOIN stats s ON s.i = f.i
+), qf AS (
+  SELECT vec_id AS q, i, x AS xq, c8 AS cq FROM coded WHERE vec_id < 50
+), dots AS (
+  SELECT c.vec_id, qf.q,
+         sum(c.x * qf.xq)::BIGINT AS dfull,
+         sum(c.c8 * qf.cq)::BIGINT AS d8
+  FROM coded c JOIN qf ON qf.i = c.i
+  WHERE c.vec_id <> qf.q
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT q, vec_id,
+         row_number() OVER (PARTITION BY q ORDER BY dfull DESC, vec_id) AS rf,
+         row_number() OVER (PARTITION BY q ORDER BY d8 DESC, vec_id) AS r8
+  FROM dots
+), hits AS (
+  SELECT q, count(*)::BIGINT AS n_hits
+  FROM ranked WHERE rf <= 10 AND r8 <= 10 GROUP BY 1
+)
+SELECT r.q,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) * 1000000 // 10)::BIGINT AS recall_ppm
+FROM (SELECT DISTINCT q FROM ranked) r
+LEFT JOIN hits h ON h.q = r.q
+ORDER BY r.q
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -19718,6 +19827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_readability": q_doc_readability,
     "kg_mis": q_kg_mis,
     "embedding_mrl": q_embedding_mrl,
+    "embedding_int8": q_embedding_int8,
 }
 
 ORACLES: dict[str, str] = {
@@ -20010,4 +20120,5 @@ ORACLES: dict[str, str] = {
     "doc_readability": SQL_DOC_READABILITY,
     "kg_mis": SQL_KG_MIS,
     "embedding_mrl": SQL_EMBEDDING_MRL,
+    "embedding_int8": SQL_EMBEDDING_INT8,
 }
