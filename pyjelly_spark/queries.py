@@ -19541,6 +19541,100 @@ ORDER BY r.q
 """
 
 
+
+
+def q_orders_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split a fixed
+    1000-basis-point budget across nations proportionally to order
+    revenue, exactly — floor quotas first, then the leftover points go
+    to the largest remainders (ties: higher revenue, then smaller
+    nation key). The shares sum to exactly 1000 by construction; every
+    step (quota, remainder, ranking) is integer arithmetic on exact
+    cents, so the allocation — including who wins the tie-broken last
+    seat — is engine-deterministic. The classic budget/seat/quota
+    primitive (ad budgets, shard quotas, parliamentary seats) that
+    naive rounding gets wrong.
+
+    Plan shape: one customer->nation broadcast join chain, one
+    25-row aggregate, windows over the 25-row nation domain."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_c"
+            )
+        )
+    )
+    tot = rev.agg(F.sum("rev_c").alias("t"))
+    quotas = rev.crossJoin(F.broadcast(tot)).select(
+        "n_nationkey",
+        "n_name",
+        "rev_c",
+        F.expr("rev_c * 1000 div t").alias("base_bp"),
+        F.expr("(rev_c * 1000) % t").alias("rem"),
+    )
+    leftover = quotas.agg(
+        (F.lit(1000) - F.sum("base_bp")).cast("long").alias("k")
+    )
+    w = Window.orderBy(
+        F.col("rem").desc(), F.col("rev_c").desc(), F.col("n_nationkey")
+    )
+    return (
+        quotas.crossJoin(F.broadcast(leftover))
+        .withColumn("rr", F.row_number().over(w))
+        .select(
+            "n_nationkey",
+            "n_name",
+            "rev_c",
+            (
+                F.col("base_bp")
+                + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+            ).cast("long").alias("share_bp"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+SQL_ORDERS_APPORTION = """
+WITH rev AS (
+  SELECT c.c_nationkey AS n_nationkey, n.n_name,
+         sum(floor(o.o_totalprice*100)::BIGINT)::BIGINT AS rev_c
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), tot AS (SELECT sum(rev_c)::BIGINT AS t FROM rev),
+quotas AS (
+  SELECT r.n_nationkey, r.n_name, r.rev_c,
+         r.rev_c * 1000 // t.t AS base_bp,
+         (r.rev_c * 1000) % t.t AS rem
+  FROM rev r CROSS JOIN tot t
+), leftover AS (
+  SELECT (1000 - sum(base_bp))::BIGINT AS k FROM quotas
+), ranked AS (
+  SELECT q.*, l.k,
+         row_number() OVER (ORDER BY q.rem DESC, q.rev_c DESC,
+                            q.n_nationkey) AS rr
+  FROM quotas q CROSS JOIN leftover l
+)
+SELECT n_nationkey, n_name, rev_c,
+       (base_bp + CASE WHEN rr <= k THEN 1 ELSE 0 END)::BIGINT AS share_bp
+FROM ranked
+ORDER BY n_nationkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -19828,6 +19922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_mis": q_kg_mis,
     "embedding_mrl": q_embedding_mrl,
     "embedding_int8": q_embedding_int8,
+    "orders_apportion": q_orders_apportion,
 }
 
 ORACLES: dict[str, str] = {
@@ -20121,4 +20216,5 @@ ORACLES: dict[str, str] = {
     "kg_mis": SQL_KG_MIS,
     "embedding_mrl": SQL_EMBEDDING_MRL,
     "embedding_int8": SQL_EMBEDDING_INT8,
+    "orders_apportion": SQL_ORDERS_APPORTION,
 }
