@@ -225,6 +225,8 @@ BENCH_QUERIES = [
     "doc_readability",
     "dedup_winnow",
     "embedding_mrl",
+    "embedding_int8",
+    "orders_apportion",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge

@@ -50,6 +50,7 @@ AUDITED = [
     "doc_codeswitch", "events_fifo", "kg_bipartite",
     "orders_merge", "orders_bloomskip", "events_critpath", "events_rrf",
     "doc_readability", "dedup_winnow", "embedding_mrl",
+    "embedding_int8", "orders_apportion",
     "sample_stratified", "kg_sparql_star", "tpch_q6", "events_retention",
     "events_funnel", "dedup_incremental",
     "seq_packing", "doc_chunks", "doc_bm25", "embedding_pq",
