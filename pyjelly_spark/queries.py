@@ -19355,7 +19355,7 @@ def q_embedding_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qf = flat.where(F.col("vec_id") < 50).selectExpr(
         "vec_id as q", "i", "x as xq"
-    )
+    ).localCheckpoint(eager=True)
     dots = (
         flat.join(F.broadcast(qf), "i")
         .where(F.col("vec_id") != F.col("q"))
@@ -19454,7 +19454,7 @@ def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = flat.groupBy("i").agg(
         F.min("x").alias("lo"), F.max("x").alias("hi")
-    )
+    ).localCheckpoint(eager=True)
     coded = flat.join(F.broadcast(stats), "i").select(
         "vec_id",
         "i",
@@ -19465,7 +19465,7 @@ def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qf = coded.where(F.col("vec_id") < 50).selectExpr(
         "vec_id as q", "i", "x as xq", "c8 as cq"
-    )
+    ).localCheckpoint(eager=True)
     dots = (
         coded.join(F.broadcast(qf), "i")
         .where(F.col("vec_id") != F.col("q"))
@@ -19575,6 +19575,8 @@ def q_orders_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rev_c"
             )
         )
+        # 25-row domain reused by quota/leftover/ranking: one source scan
+        .localCheckpoint(eager=True)
     )
     tot = rev.agg(F.sum("rev_c").alias("t"))
     quotas = rev.crossJoin(F.broadcast(tot)).select(
