@@ -19637,6 +19637,99 @@ ORDER BY n_nationkey
 """
 
 
+
+
+def q_events_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope of daily revenue per event_type:
+    the median of all pairwise day-slopes — the estimator that
+    tolerates ~29% outliers where least squares breaks. The pair set
+    lives on the COMPRESSED daily domain (<= 30 points per series →
+    <= 435 pairs), never the raw events, so the quadratic step is
+    metadata-sized at any log scale. Slopes are ordered by the exact
+    integer key (c2-c1) * 1e6 div (d2-d1) with (num, den, d1, d2)
+    tie-breaks — a deterministic total order both engines share, so
+    the selected median PAIR (not just its value) is pinned by the
+    gate; the lower median is taken for even counts."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "datediff(ts, timestamp_ntz'2024-01-01 00:00:00')"
+            ).alias("d"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        daily.alias("a")
+        .join(daily.alias("b"), "event_type")
+        .where(F.expr("a.d < b.d"))
+        .select(
+            "event_type",
+            F.expr("a.d").alias("d1"),
+            F.expr("b.d").alias("d2"),
+            F.expr("b.c - a.c").alias("num"),
+            F.expr("b.d - a.d").alias("den"),
+        )
+        .select(
+            "event_type",
+            "d1",
+            "d2",
+            "num",
+            "den",
+            F.expr("num * 1000000L div den").alias("slope_key"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        "slope_key", "num", "den", "d1", "d2"
+    )
+    n = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .join(n, "event_type")
+        .where(F.expr("rn = (n_pairs + 1) div 2"))
+        .select(
+            "event_type",
+            "n_pairs",
+            F.col("slope_key").alias("sen_slope_x1e6"),
+            "d1",
+            "d2",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_THEILSEN = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', ts) AS d,
+         sum(floor(value*100)::BIGINT)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.d AS d1, b.d AS d2,
+         (b.c - a.c)::BIGINT AS num, (b.d - a.d)::BIGINT AS den,
+         ((b.c - a.c) * 1000000 // (b.d - a.d))::BIGINT AS slope_key
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND a.d < b.d
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY slope_key, num, den, d1, d2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM pairs
+)
+SELECT event_type, n_pairs::BIGINT AS n_pairs,
+       slope_key AS sen_slope_x1e6, d1, d2
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -19925,6 +20018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_mrl": q_embedding_mrl,
     "embedding_int8": q_embedding_int8,
     "orders_apportion": q_orders_apportion,
+    "events_theilsen": q_events_theilsen,
 }
 
 ORACLES: dict[str, str] = {
@@ -20219,4 +20313,5 @@ ORACLES: dict[str, str] = {
     "embedding_mrl": SQL_EMBEDDING_MRL,
     "embedding_int8": SQL_EMBEDDING_INT8,
     "orders_apportion": SQL_ORDERS_APPORTION,
+    "events_theilsen": SQL_EVENTS_THEILSEN,
 }
