@@ -1659,3 +1659,51 @@ def luby_mis(
     for o in out[1:]:
         result = result.unionByName(o)
     return result
+
+
+def apsp_bfs(
+    edges: DataFrame,
+    max_depth: int = 40,
+) -> DataFrame:
+    """All-pairs shortest-path distances within components by
+    MULTI-SOURCE BFS: every node starts its own frontier and all
+    frontiers expand simultaneously — state is (src, node, dist)
+    rows, so a round is ONE join frontier x edges + ONE anti-join
+    against the visited set, whatever the source count. Feasible
+    whenever components are small (state is bounded by sum of
+    component sizes squared), which is exactly the post-canonical-
+    ization regime where per-entity cluster metrics get computed.
+
+    Input: undirected edges (s, t). Returns (src, node, dist) for all
+    connected pairs incl. (v, v, 0).
+    """
+    sym = (
+        edges.selectExpr("s", "t")
+        .where(F.col("s") != F.col("t"))
+        .select(F.least("s", "t").alias("s"), F.greatest("s", "t").alias("t"))
+        .distinct()
+    )
+    sym = sym.unionByName(sym.selectExpr("t as s", "s as t")).localCheckpoint(
+        eager=True
+    )
+    visited = (
+        sym.select(F.col("s").alias("src"))
+        .distinct()
+        .select("src", F.col("src").alias("node"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym.selectExpr("s as node", "t as nxt"), "node")
+            .select("src", F.col("nxt").alias("node"))
+            .distinct()
+            .join(visited.select("src", "node"), ["src", "node"], "left_anti")
+            .select("src", "node", F.lit(depth).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

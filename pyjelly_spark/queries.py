@@ -19730,6 +19730,99 @@ ORDER BY event_type
 """
 
 
+
+
+def q_kg_wiener(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wiener index and eccentricity profile per component of the
+    synthetic cycle/pendant graph, from multi-source BFS all-pairs
+    distances (operators/components.py::apsp_bfs — every node expands
+    its own frontier simultaneously; one join + one anti-join per
+    level regardless of source count). Per component: node count,
+    Wiener index (sum of unordered pair distances — the classic
+    topological compactness metric), diameter, and radius. Oracle: a
+    recursive-CTE BFS computing the identical (src, node, dist)
+    relation. The per-component metrics a canonicalized entity graph
+    reports over its clusters."""
+    from pyjelly_spark.operators.components import apsp_bfs
+
+    e = _synth_cycle_graph(spark, sf_dir)
+    d = apsp_bfs(e)
+    comp = d.groupBy("src").agg(F.min("node").alias("component"))
+    ecc = d.groupBy("src").agg(F.max("dist").alias("ecc"))
+    per_src = comp.join(ecc, "src")
+    pairs = (
+        d.join(comp, "src")
+        .groupBy("component")
+        .agg(
+            (F.sum("dist") / 2).cast("long").alias("wiener"),
+            F.countDistinct("src").cast("long").alias("n_nodes"),
+        )
+    )
+    return (
+        per_src.groupBy("component")
+        .agg(
+            F.max("ecc").cast("long").alias("diameter"),
+            F.min("ecc").cast("long").alias("radius"),
+        )
+        .join(pairs, "component")
+        .select("component", "n_nodes", "wiener", "diameter", "radius")
+        .orderBy("component")
+    )
+
+
+SQL_KG_WIENER = """
+WITH RECURSIVE
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+vx AS (
+  SELECT doc_id::BIGINT AS v, doc_id // 24 AS g, doc_id % 24 AS r,
+         3 + (doc_id // 24 * 5) % 10 AS ell
+  FROM documents
+),
+rawe AS (
+  SELECT v AS s, g*24 + (r+1) % ell AS t FROM vx WHERE r < ell
+  UNION ALL
+  SELECT v AS s, g*24 + r % ell AS t FROM vx WHERE r >= ell
+  UNION ALL
+  SELECT v AS s, g*24 + 2 AS t FROM vx WHERE r = 0 AND g % 3 = 0 AND ell >= 4
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS s, greatest(s, t) AS t FROM rawe, nn
+  WHERE s < nn.n AND t < nn.n AND s <> t
+),
+ed AS MATERIALIZED (
+  SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0
+),
+bfs AS (
+  SELECT s AS src, s AS node, 0 AS dist FROM (SELECT DISTINCT s FROM ed)
+  UNION
+  SELECT b.src, e.t AS node, b.dist + 1
+  FROM bfs b JOIN ed e ON e.s = b.node
+  WHERE b.dist < 30  -- cyclic graph: bound the walk length or the
+                     -- (src, node, dist) state space never closes;
+                     -- 30 > any component diameter here, min() below
+                     -- recovers true distances
+),
+d AS MATERIALIZED (
+  SELECT src, node, min(dist) AS dist FROM bfs GROUP BY 1, 2
+),
+comp AS MATERIALIZED (
+  SELECT src, min(node) AS component FROM d GROUP BY 1
+),
+ecc AS (
+  SELECT src, max(dist) AS ecc FROM d GROUP BY 1
+)
+SELECT c.component,
+       count(DISTINCT c.src)::BIGINT AS n_nodes,
+       (SELECT sum(d2.dist) / 2 FROM d d2 JOIN comp c2 ON c2.src = d2.src
+        WHERE c2.component = c.component)::BIGINT AS wiener,
+       max(e.ecc)::BIGINT AS diameter,
+       min(e.ecc)::BIGINT AS radius
+FROM comp c JOIN ecc e ON e.src = c.src
+GROUP BY c.component
+ORDER BY c.component
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -20019,6 +20112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_int8": q_embedding_int8,
     "orders_apportion": q_orders_apportion,
     "events_theilsen": q_events_theilsen,
+    "kg_wiener": q_kg_wiener,
 }
 
 ORACLES: dict[str, str] = {
@@ -20314,4 +20408,5 @@ ORACLES: dict[str, str] = {
     "embedding_int8": SQL_EMBEDDING_INT8,
     "orders_apportion": SQL_ORDERS_APPORTION,
     "events_theilsen": SQL_EVENTS_THEILSEN,
+    "kg_wiener": SQL_KG_WIENER,
 }

@@ -545,3 +545,28 @@ def test_root_distance_doubling_matches_walk(spark):
             root, cur = cur, parents[cur]
         root = n if parents[n] is None else root
         assert got[n] == (root, dist), n
+
+
+def test_apsp_bfs_matches_floyd(spark):
+    """Multi-source BFS distances == Floyd-Warshall on a two-component
+    graph (cycle + path with pendant)."""
+    from pyjelly_spark.operators.components import apsp_bfs
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0),        # C4
+             (10, 11), (11, 12), (11, 13)]          # path + pendant
+    df = spark.createDataFrame(edges, "s: long, t: long")
+    got = {(r["src"], r["node"]): r["dist"] for r in apsp_bfs(df).collect()}
+
+    nodes = sorted({v for e in edges for v in e})
+    INF = 99
+    dist = {(a, b): 0 if a == b else INF for a in nodes for b in nodes}
+    for s, t in edges:
+        dist[(s, t)] = dist[(t, s)] = 1
+    for k in nodes:
+        for a in nodes:
+            for b in nodes:
+                d = dist[(a, k)] + dist[(k, b)]
+                if d < dist[(a, b)]:
+                    dist[(a, b)] = d
+    expect = {p: d for p, d in dist.items() if d < INF}
+    assert got == expect
