@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "embedding_mrl",
     "embedding_int8",
     "orders_apportion",
+    "events_theilsen",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge
