@@ -57,3 +57,66 @@ def match_sequence(
         )
         acc = matched
     return acc
+
+
+# Viterbi decoding cost model (integer costs ~ negative log-likelihoods):
+# two hidden states over the five event types in alphabetical order
+# [click, error, purchase, signup, view]. Shared verbatim with the
+# DuckDB oracle's unrolled DP.
+VITERBI_INIT = [0, 2]
+VITERBI_TRANS = [[1, 4], [3, 1]]  # TRANS[s_prev][s_next]
+VITERBI_EMIT = [[1, 5, 1, 2, 3], [4, 1, 3, 3, 1]]  # EMIT[state][obs]
+VITERBI_OBS = ["click", "error", "purchase", "signup", "view"]
+VITERBI_MAX_OBS = 40
+
+
+def viterbi_decode(events: DataFrame) -> DataFrame:
+    """Min-cost hidden-state decoding (Viterbi) of each user's first
+    40 events under the fixed integer cost model above — the sequence
+    DP that is genuinely SEQUENTIAL per key, implemented the way a
+    100 TB Spark pipeline should: ``applyInPandas`` over user groups,
+    Arrow-batched, with a numpy DP whose state is 2 costs per user —
+    the per-key work is O(len * states^2) and keys parallelize
+    perfectly. Integer costs mean the result is bit-exact on any
+    engine, so the oracle (a 40-round unrolled min-plus recurrence)
+    gates the distributed run exactly.
+
+    Returns per user: n_obs, cost0, cost1 (final per-state costs),
+    best_cost, best_state (ties to state 0).
+    """
+    import numpy as np
+    import pandas as pd
+
+    obs_idx = {t: i for i, t in enumerate(VITERBI_OBS)}
+    init = np.array(VITERBI_INIT, dtype=np.int64)
+    trans = np.array(VITERBI_TRANS, dtype=np.int64)
+    emit = np.array(VITERBI_EMIT, dtype=np.int64)
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).head(VITERBI_MAX_OBS)
+        seq = pdf["event_type"].map(obs_idx).to_numpy()
+        d = init + emit[:, seq[0]]
+        for o in seq[1:]:
+            # d_next[s] = min_{s'} d[s'] + trans[s'][s] + emit[s][o]
+            d = (d[:, None] + trans).min(axis=0) + emit[:, o]
+        best = int(d.argmin())  # argmin ties to the lower index
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_obs": [len(seq)],
+                "cost0": [int(d[0])],
+                "cost1": [int(d[1])],
+                "best_cost": [int(d.min())],
+                "best_state": [best],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandas(
+            decode,
+            "user_id long, n_obs long, cost0 long, cost1 long,"
+            " best_cost long, best_state long",
+        )
+    )

@@ -19823,6 +19823,493 @@ ORDER BY c.component
 """
 
 
+
+
+def q_events_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of each user's event sequence under a fixed
+    2-state integer cost model (operators/cep.py::viterbi_decode) —
+    the per-key SEQUENTIAL dynamic program run the Spark-idiomatic
+    way: applyInPandas over user groups (Arrow batches, numpy min-plus
+    inner loop, O(len * states^2) per key, keys embarrassingly
+    parallel). Integer costs make the decoded costs bit-exact, and
+    the oracle replays the identical recurrence as a 40-round
+    unrolled min-plus CTE chain — a sequential formulation gating the
+    distributed one. Emits final per-state costs, the optimum, and
+    the argmin state (ties to state 0)."""
+    from pyjelly_spark.operators.cep import viterbi_decode
+
+    return viterbi_decode(_t(spark, sf_dir, "events")).orderBy("user_id")
+
+
+SQL_EVENTS_VITERBI = """
+WITH
+obs AS MATERIALIZED (
+  SELECT user_id, rn, oi FROM (
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                ELSE 4 END AS oi
+    FROM events
+  ) WHERE rn <= 40
+),
+em AS MATERIALIZED (
+  SELECT * FROM (VALUES
+    (0, 0, 1), (0, 1, 5), (0, 2, 1), (0, 3, 2), (0, 4, 3),
+    (1, 0, 4), (1, 1, 1), (1, 2, 3), (1, 3, 3), (1, 4, 1)
+  ) t(s, oi, c)
+),
+nobs AS MATERIALIZED (
+  SELECT user_id, count(*)::BIGINT AS n_obs FROM obs GROUP BY 1
+),
+d1 AS MATERIALIZED (
+  SELECT o.user_id, 0 + e0.c AS c0, 2 + e1.c AS c1
+  FROM obs o
+  JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+  WHERE o.rn = 1
+),
+ROUNDS_PLACEHOLDER
+SELECT d.user_id, n.n_obs,
+       d.c0::BIGINT AS cost0, d.c1::BIGINT AS cost1,
+       least(d.c0, d.c1)::BIGINT AS best_cost,
+       (CASE WHEN d.c0 <= d.c1 THEN 0 ELSE 1 END)::BIGINT AS best_state
+FROM d40 d JOIN nobs n ON n.user_id = d.user_id
+ORDER BY d.user_id
+"""
+SQL_EVENTS_VITERBI = SQL_EVENTS_VITERBI.replace(
+    "ROUNDS_PLACEHOLDER", r"""d2 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d1 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 2
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d3 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d2 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 3
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d4 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d3 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 4
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d5 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d4 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 5
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d6 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d5 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 6
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d7 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d6 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 7
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d8 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d7 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 8
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d9 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d8 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 9
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d10 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d9 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 10
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d11 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d10 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 11
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d12 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d11 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 12
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d13 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d12 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 13
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d14 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d13 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 14
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d15 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d14 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 15
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d16 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d15 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 16
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d17 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d16 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 17
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d18 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d17 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 18
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d19 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d18 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 19
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d20 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d19 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 20
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d21 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d20 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 21
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d22 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d21 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 22
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d23 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d22 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 23
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d24 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d23 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 24
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d25 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d24 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 25
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d26 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d25 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 26
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d27 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d26 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 27
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d28 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d27 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 28
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d29 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d28 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 29
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d30 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d29 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 30
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d31 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d30 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 31
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d32 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d31 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 32
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d33 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d32 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 33
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d34 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d33 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 34
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d35 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d34 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 35
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d36 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d35 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 36
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d37 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d36 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 37
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d38 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d37 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 38
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d39 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d38 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 39
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+),
+d40 AS MATERIALIZED (
+  SELECT p.user_id,
+         CASE WHEN o.user_id IS NULL THEN p.c0
+              ELSE least(p.c0 + 1, p.c1 + 3) + e0.c END AS c0,
+         CASE WHEN o.user_id IS NULL THEN p.c1
+              ELSE least(p.c0 + 4, p.c1 + 1) + e1.c END AS c1
+  FROM d39 p
+  LEFT JOIN obs o ON o.user_id = p.user_id AND o.rn = 40
+  LEFT JOIN em e0 ON e0.s = 0 AND e0.oi = o.oi
+  LEFT JOIN em e1 ON e1.s = 1 AND e1.oi = o.oi
+)""")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -20113,6 +20600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_apportion": q_orders_apportion,
     "events_theilsen": q_events_theilsen,
     "kg_wiener": q_kg_wiener,
+    "events_viterbi": q_events_viterbi,
 }
 
 ORACLES: dict[str, str] = {
@@ -20409,4 +20897,5 @@ ORACLES: dict[str, str] = {
     "orders_apportion": SQL_ORDERS_APPORTION,
     "events_theilsen": SQL_EVENTS_THEILSEN,
     "kg_wiener": SQL_KG_WIENER,
+    "events_viterbi": SQL_EVENTS_VITERBI,
 }

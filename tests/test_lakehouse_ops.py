@@ -532,3 +532,50 @@ def test_ks_statistic_matches_scipy(spark, tmp_path):
         gaps = [abs(sum(x <= c for x in a) * 5 - sum(x <= c for x in b) * 6)
                 for c in xs]
         assert r["d_num"] == max(gaps)
+
+
+def test_viterbi_matches_bruteforce(spark, tmp_path):
+    """applyInPandas Viterbi == exhaustive path enumeration on short
+    hand-built sequences (all 2^n state paths scored)."""
+    import itertools
+
+    import pandas as pd
+
+    from pyjelly_spark.operators.cep import (
+        VITERBI_EMIT,
+        VITERBI_INIT,
+        VITERBI_OBS,
+        VITERBI_TRANS,
+        viterbi_decode,
+    )
+
+    seqs = {
+        1: ["click", "error", "error", "view"],
+        2: ["purchase"],
+        3: ["view", "view", "click", "error", "purchase", "signup"],
+    }
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for u, seq in seqs.items():
+        for k, et in enumerate(seq):
+            rows.append((eid, base + pd.Timedelta(minutes=k), u, et, 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r["user_id"]: r for r in viterbi_decode(df).collect()}
+
+    oi = {t: i for i, t in enumerate(VITERBI_OBS)}
+    for u, seq in seqs.items():
+        obs = [oi[t] for t in seq]
+        best = None
+        for path in itertools.product([0, 1], repeat=len(obs)):
+            c = VITERBI_INIT[path[0]] + VITERBI_EMIT[path[0]][obs[0]]
+            for (s1, s2), o in zip(zip(path, path[1:]), obs[1:]):
+                c += VITERBI_TRANS[s1][s2] + VITERBI_EMIT[s2][o]
+            if best is None or c < best:
+                best = c
+        assert got[u]["best_cost"] == best, (u, seq)
+        assert got[u]["n_obs"] == len(seq)
