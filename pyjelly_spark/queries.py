@@ -20310,6 +20310,199 @@ d40 AS MATERIALIZED (
 )""")
 
 
+
+
+def q_kg_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full coreness (degeneracy) decomposition by h-index iteration
+    (operators/components.py::coreness_hindex) over the synthetic
+    cycle/pendant graph with the planted K12 (so core numbers span
+    1..11): values start at degrees and each round becomes the h-index
+    of the neighbors' values — provably convergent to the exact core
+    number, no sequential k-by-k peel. 12 fixed rounds (tests assert
+    the fixpoint arrives earlier); the oracle unrolls the identical
+    recurrence. Output: the coreness histogram plus a node-weighted
+    checksum pinning every node's core number."""
+    from pyjelly_spark.operators.components import coreness_hindex
+
+    base = _synth_cycle_graph(spark, sf_dir)
+    n = _t(spark, sf_dir, "documents").count()
+    clique_nodes = [24 * a for a in range(12) if 24 * a < n]
+    clique = spark.createDataFrame(
+        [
+            (a, b)
+            for i, a in enumerate(clique_nodes)
+            for b in clique_nodes[i + 1 :]
+        ],
+        "s: long, t: long",
+    )
+    cor = coreness_hindex(base.unionByName(clique))
+    return (
+        cor.groupBy("coreness")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.col("node") % 1000003).cast("long").alias("node_chk"),
+        )
+        .orderBy("coreness")
+    )
+
+
+SQL_KG_CORENESS = """
+WITH
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+vx AS (
+  SELECT doc_id::BIGINT AS v, doc_id // 24 AS g, doc_id % 24 AS r,
+         3 + (doc_id // 24 * 5) % 10 AS ell
+  FROM documents
+),
+rawe AS (
+  SELECT v AS s, g*24 + (r+1) % ell AS t FROM vx WHERE r < ell
+  UNION ALL
+  SELECT v AS s, g*24 + r % ell AS t FROM vx WHERE r >= ell
+  UNION ALL
+  SELECT v AS s, g*24 + 2 AS t FROM vx WHERE r = 0 AND g % 3 = 0 AND ell >= 4
+  UNION ALL
+  SELECT a.range * 24 AS s, b.range * 24 AS t
+  FROM range(12) a, range(12) b, nn
+  WHERE a.range < b.range AND b.range * 24 < nn.n
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS s, greatest(s, t) AS t FROM rawe, nn
+  WHERE s < nn.n AND t < nn.n AND s <> t
+),
+ed AS MATERIALIZED (
+  SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0
+),
+c0 AS MATERIALIZED (
+  SELECT s AS node, count(*)::BIGINT AS c FROM ed GROUP BY 1
+),
+ROUNDS_PLACEHOLDER
+SELECT c AS coreness, count(*)::BIGINT AS n_nodes,
+       sum(node % 1000003)::BIGINT AS node_chk
+FROM c12 GROUP BY 1 ORDER BY 1
+"""
+SQL_KG_CORENESS = SQL_KG_CORENESS.replace(
+    "ROUNDS_PLACEHOLDER", r"""c1 AS MATERIALIZED (
+  SELECT e.s AS node,
+         len(list_filter(generate_series(1, len(vals)), i -> vals[i] >= i))
+           AS c
+  FROM (
+    SELECT e.s, list(p.c ORDER BY p.c DESC, p.node) AS vals
+    FROM ed e JOIN c0 p ON p.node = e.t
+    GROUP BY e.s
+  ) e
+),
+c2 AS MATERIALIZED (
+  SELECT e.s AS node,
+         len(list_filter(generate_series(1, len(vals)), i -> vals[i] >= i))
+           AS c
+  FROM (
+    SELECT e.s, list(p.c ORDER BY p.c DESC, p.node) AS vals
+    FROM ed e JOIN c1 p ON p.node = e.t
+    GROUP BY e.s
+  ) e
+),
+c3 AS MATERIALIZED (
+  SELECT e.s AS node,
+         len(list_filter(generate_series(1, len(vals)), i -> vals[i] >= i))
+           AS c
+  FROM (
+    SELECT e.s, list(p.c ORDER BY p.c DESC, p.node) AS vals
+    FROM ed e JOIN c2 p ON p.node = e.t
+    GROUP BY e.s
+  ) e
+),
+c4 AS MATERIALIZED (
+  SELECT e.s AS node,
+         len(list_filter(generate_series(1, len(vals)), i -> vals[i] >= i))
+           AS c
+  FROM (
+    SELECT e.s, list(p.c ORDER BY p.c DESC, p.node) AS vals
+    FROM ed e JOIN c3 p ON p.node = e.t
+    GROUP BY e.s
+  ) e
+),
+c5 AS MATERIALIZED (
+  SELECT e.s AS node,
+         len(list_filter(generate_series(1, len(vals)), i -> vals[i] >= i))
+           AS c
+  FROM (
+    SELECT e.s, list(p.c ORDER BY p.c DESC, p.node) AS vals
+    FROM ed e JOIN c4 p ON p.node = e.t
+    GROUP BY e.s
+  ) e
+),
+c6 AS MATERIALIZED (
+  SELECT e.s AS node,
+         len(list_filter(generate_series(1, len(vals)), i -> vals[i] >= i))
+           AS c
+  FROM (
+    SELECT e.s, list(p.c ORDER BY p.c DESC, p.node) AS vals
+    FROM ed e JOIN c5 p ON p.node = e.t
+    GROUP BY e.s
+  ) e
+),
+c7 AS MATERIALIZED (
+  SELECT e.s AS node,
+         len(list_filter(generate_series(1, len(vals)), i -> vals[i] >= i))
+           AS c
+  FROM (
+    SELECT e.s, list(p.c ORDER BY p.c DESC, p.node) AS vals
+    FROM ed e JOIN c6 p ON p.node = e.t
+    GROUP BY e.s
+  ) e
+),
+c8 AS MATERIALIZED (
+  SELECT e.s AS node,
+         len(list_filter(generate_series(1, len(vals)), i -> vals[i] >= i))
+           AS c
+  FROM (
+    SELECT e.s, list(p.c ORDER BY p.c DESC, p.node) AS vals
+    FROM ed e JOIN c7 p ON p.node = e.t
+    GROUP BY e.s
+  ) e
+),
+c9 AS MATERIALIZED (
+  SELECT e.s AS node,
+         len(list_filter(generate_series(1, len(vals)), i -> vals[i] >= i))
+           AS c
+  FROM (
+    SELECT e.s, list(p.c ORDER BY p.c DESC, p.node) AS vals
+    FROM ed e JOIN c8 p ON p.node = e.t
+    GROUP BY e.s
+  ) e
+),
+c10 AS MATERIALIZED (
+  SELECT e.s AS node,
+         len(list_filter(generate_series(1, len(vals)), i -> vals[i] >= i))
+           AS c
+  FROM (
+    SELECT e.s, list(p.c ORDER BY p.c DESC, p.node) AS vals
+    FROM ed e JOIN c9 p ON p.node = e.t
+    GROUP BY e.s
+  ) e
+),
+c11 AS MATERIALIZED (
+  SELECT e.s AS node,
+         len(list_filter(generate_series(1, len(vals)), i -> vals[i] >= i))
+           AS c
+  FROM (
+    SELECT e.s, list(p.c ORDER BY p.c DESC, p.node) AS vals
+    FROM ed e JOIN c10 p ON p.node = e.t
+    GROUP BY e.s
+  ) e
+),
+c12 AS MATERIALIZED (
+  SELECT e.s AS node,
+         len(list_filter(generate_series(1, len(vals)), i -> vals[i] >= i))
+           AS c
+  FROM (
+    SELECT e.s, list(p.c ORDER BY p.c DESC, p.node) AS vals
+    FROM ed e JOIN c11 p ON p.node = e.t
+    GROUP BY e.s
+  ) e
+)""")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -20601,6 +20794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_theilsen": q_events_theilsen,
     "kg_wiener": q_kg_wiener,
     "events_viterbi": q_events_viterbi,
+    "kg_coreness": q_kg_coreness,
 }
 
 ORACLES: dict[str, str] = {
@@ -20898,4 +21092,5 @@ ORACLES: dict[str, str] = {
     "events_theilsen": SQL_EVENTS_THEILSEN,
     "kg_wiener": SQL_KG_WIENER,
     "events_viterbi": SQL_EVENTS_VITERBI,
+    "kg_coreness": SQL_KG_CORENESS,
 }

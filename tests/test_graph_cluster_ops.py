@@ -413,3 +413,46 @@ def test_luby_mis_independent_and_maximal(spark):
             assert not (s in mis and t in mis), (g, mis)
         for v in adj:
             assert v in mis or adj[v] & mis, (g, v, mis)
+
+
+def test_coreness_hindex_matches_peeling(spark):
+    """h-index iteration == classic min-degree peeling on K5 + path +
+    a C4-with-chord, and the 12-round cap is past the fixpoint
+    (12 and 15 rounds agree)."""
+    from pyjelly_spark.operators.components import coreness_hindex
+
+    edges = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]   # K5: core 4
+        + [(4, 100), (100, 101), (101, 102)]                  # tail: core 1
+        + [(200, 201), (201, 202), (202, 203), (203, 200), (200, 202)]
+    )                                                         # C4+chord: 2
+    df = spark.createDataFrame(edges, "s: long, t: long")
+    got = {r["node"]: r["coreness"] for r in coreness_hindex(df).collect()}
+    got15 = {r["node"]: r["coreness"]
+             for r in coreness_hindex(df, rounds=15).collect()}
+    assert got == got15  # converged well before the cap
+
+    # python peeling
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core = {}
+    live = dict(deg)
+    k = 0
+    while live:
+        k = max(k, min(live.values()))
+        peel = [v for v, d in live.items() if d <= k]
+        while peel:
+            v = peel.pop()
+            if v not in live:
+                continue
+            core[v] = k
+            del live[v]
+            for u in adj[v]:
+                if u in live:
+                    live[u] -= 1
+                    if live[u] <= k:
+                        peel.append(u)
+    assert got == core
