@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "embedding_int8",
     "orders_apportion",
     "events_theilsen",
+    "events_viterbi",
+    "kg_coreness",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge
