@@ -20503,6 +20503,115 @@ c12 AS MATERIALIZED (
 )""")
 
 
+
+
+def q_events_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test readout per event_type: the daily
+    revenue sequence is dichotomized against its exact lower median
+    (days equal to the median are dropped, the standard treatment),
+    and the number of same-sign RUNS is counted with one lag window —
+    too few runs means trending/clustering, too many means
+    oscillation. Everything stays integer: the observed run count,
+    the above/below counts, and the expected run count under
+    randomness 1 + 2*n1*n2/N emitted as an exact x1e6 ratio — the
+    nonparametric randomness screen next to KS/Mann-Whitney, over the
+    compressed daily domain (30 rows per series, never raw events)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "datediff(ts, timestamp_ntz'2024-01-01 00:00:00')"
+            ).alias("d"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    wmed = Window.partitionBy("event_type").orderBy("c", "d")
+    ncnt = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
+    med = (
+        daily.withColumn("rn", F.row_number().over(wmed))
+        .join(ncnt, "event_type")
+        .where(F.expr("rn = (nd + 1) div 2"))
+        .select("event_type", F.col("c").alias("med"))
+    )
+    signed = (
+        daily.join(med, "event_type")
+        .where(F.col("c") != F.col("med"))
+        .select(
+            "event_type", "d", (F.col("c") > F.col("med")).cast("int").alias("sg")
+        )
+    )
+    wseq = Window.partitionBy("event_type").orderBy("d")
+    runs = signed.select(
+        "event_type",
+        "sg",
+        F.when(
+            F.lag("sg").over(wseq).isNull()
+            | (F.lag("sg").over(wseq) != F.col("sg")),
+            1,
+        )
+        .otherwise(0)
+        .alias("nr"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("sg").cast("long").alias("n_above"),
+        F.sum(1 - F.col("sg")).cast("long").alias("n_below"),
+        F.sum("nr").cast("long").alias("n_runs"),
+    )
+    return runs.select(
+        "event_type",
+        "n_days",
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.expr(
+            "cast(1000000 + 2000000 * n_above * n_below div n_days as bigint)"
+        ).alias("exp_runs_x1e6"),
+    ).orderBy("event_type")
+
+
+SQL_EVENTS_RUNS = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', ts) AS d,
+         sum(floor(value*100)::BIGINT)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, c AS med FROM (
+    SELECT event_type, c,
+           row_number() OVER (PARTITION BY event_type ORDER BY c, d) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS nd
+    FROM daily
+  ) WHERE rn = (nd + 1) // 2
+), signed AS (
+  SELECT daily.event_type, d,
+         (CASE WHEN c > med THEN 1 ELSE 0 END) AS sg
+  FROM daily JOIN med ON med.event_type = daily.event_type
+  WHERE c <> med
+), flagged AS (
+  SELECT event_type, sg,
+         CASE WHEN lag(sg) OVER w IS NULL OR lag(sg) OVER w <> sg
+              THEN 1 ELSE 0 END AS nr
+  FROM signed
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+), agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_days,
+         sum(sg)::BIGINT AS n_above,
+         sum(1 - sg)::BIGINT AS n_below,
+         sum(nr)::BIGINT AS n_runs
+  FROM flagged GROUP BY 1
+)
+SELECT event_type, n_days, n_above, n_below, n_runs,
+       (1000000 + 2000000 * n_above * n_below // n_days)::BIGINT
+         AS exp_runs_x1e6
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -20795,6 +20904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_wiener": q_kg_wiener,
     "events_viterbi": q_events_viterbi,
     "kg_coreness": q_kg_coreness,
+    "events_runs": q_events_runs,
 }
 
 ORACLES: dict[str, str] = {
@@ -21093,4 +21203,5 @@ ORACLES: dict[str, str] = {
     "kg_wiener": SQL_KG_WIENER,
     "events_viterbi": SQL_EVENTS_VITERBI,
     "kg_coreness": SQL_KG_CORENESS,
+    "events_runs": SQL_EVENTS_RUNS,
 }
