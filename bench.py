@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "events_theilsen",
     "events_viterbi",
     "kg_coreness",
+    "events_runs",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge
