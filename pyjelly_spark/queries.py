@@ -20612,6 +20612,69 @@ FROM agg ORDER BY event_type
 """
 
 
+
+
+def q_orders_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of order revenue across
+    nations, exactly: HHI = sum(share_i^2) computed as
+    sum(rev_i^2) * 1e6 div (sum(rev))^2 in decimal(38,0)/HUGEINT —
+    one integer ratio, no per-share float rounding to accumulate.
+    Also emits the equivalent-competitor count floor(1e12/HHI_ppm/1e3
+    ... as 1e6 div HHI in milli-units) and the top share in ppm —
+    the standard market/skew concentration readout, here doubling as
+    a partition-skew metric for the shuffle planner. One broadcast
+    join chain + one 25-row aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_c"
+            )
+        )
+    )
+    return rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.expr(
+            "cast(sum(cast(rev_c as decimal(38,0)) * rev_c) * 1000000"
+            " div (cast(sum(rev_c) as decimal(38,0)) * sum(rev_c))"
+            " as bigint)"
+        ).alias("hhi_ppm"),
+        F.expr(
+            "cast(max(rev_c) * 1000000L div sum(rev_c) as bigint)"
+        ).alias("top_share_ppm"),
+    ).select(
+        "n_nations",
+        "hhi_ppm",
+        F.expr("cast(1000000000L div hhi_ppm as bigint)").alias(
+            "eff_competitors_x1e3"
+        ),
+        "top_share_ppm",
+    )
+
+
+SQL_ORDERS_HHI = """
+WITH rev AS (
+  SELECT c.c_nationkey, sum(floor(o.o_totalprice*100)::BIGINT)::BIGINT AS rev_c
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_nations,
+       (sum(rev_c::HUGEINT * rev_c) * 1000000
+        // (sum(rev_c)::HUGEINT * sum(rev_c)))::BIGINT AS hhi_ppm,
+       (1000000000 // ((sum(rev_c::HUGEINT * rev_c) * 1000000)
+        // (sum(rev_c)::HUGEINT * sum(rev_c))))::BIGINT
+         AS eff_competitors_x1e3,
+       (max(rev_c) * 1000000 // sum(rev_c))::BIGINT AS top_share_ppm
+FROM rev
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -20905,6 +20968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_viterbi": q_events_viterbi,
     "kg_coreness": q_kg_coreness,
     "events_runs": q_events_runs,
+    "orders_hhi": q_orders_hhi,
 }
 
 ORACLES: dict[str, str] = {
@@ -21204,4 +21268,5 @@ ORACLES: dict[str, str] = {
     "events_viterbi": SQL_EVENTS_VITERBI,
     "kg_coreness": SQL_KG_CORENESS,
     "events_runs": SQL_EVENTS_RUNS,
+    "orders_hhi": SQL_ORDERS_HHI,
 }
