@@ -2792,7 +2792,7 @@ WITH base AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
 )
-SELECT user_id, event_id, cents, s8, q8
+SELECT user_id, event_id, cents, s8::BIGINT AS s8, q8::BIGINT AS q8
 FROM base
 WHERE n_prev = 8
   AND (8 * cents - s8) * (8 * cents - s8) > 4 * (8 * q8 - s8 * s8)
@@ -3147,9 +3147,9 @@ cum AS (
   FROM sh WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)
 )
 SELECT doc_id, shard, pos::BIGINT AS pos, n_tokens,
-  cum_before // 512 AS seq_first,
-  (cum_before + n_tokens - 1) // 512 AS seq_last,
-  cum_before % 512 AS seq_offset
+  (cum_before // 512)::BIGINT AS seq_first,
+  ((cum_before + n_tokens - 1) // 512)::BIGINT AS seq_last,
+  (cum_before % 512)::BIGINT AS seq_offset
 FROM cum
 """
 
@@ -4708,7 +4708,7 @@ d AS (
 SELECT doc_id,
   count(*)::BIGINT AS n_grams,
   sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
-  (sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 10000) // count(*)
+  ((sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 10000) // count(*))::BIGINT
     AS dup_pct_x10000
 FROM d GROUP BY doc_id
 """
@@ -10183,7 +10183,7 @@ def _fdiv(x: str, k: int) -> str:
 SQL_EVENTS_HOLTWINTERS = f"""
 WITH RECURSIVE daily AS (
   SELECT event_type AS key, ts::DATE AS d,
-         sum(floor(value * 100)::BIGINT) AS cents
+         sum(floor(value * 100)::BIGINT)::BIGINT AS cents
   FROM events GROUP BY 1, 2
 ),
 seq AS (
@@ -10222,7 +10222,9 @@ h AS (
     SELECT ({_fdiv("1 * (s.cents - nl.v) + 3 * h.seas[1]", 4)})::BIGINT AS v
   ) ns
 )
-SELECT key AS event_type, rn, cents, level, trend, seasonal, forecast
+SELECT key AS event_type, rn::BIGINT AS rn, cents::BIGINT AS cents,
+       level::BIGINT AS level, trend::BIGINT AS trend,
+       seasonal::BIGINT AS seasonal, forecast::BIGINT AS forecast
 FROM h WHERE rn >= 8
 """
 
@@ -12658,7 +12660,7 @@ classed AS (
 )
 SELECT abc_class, count(*)::BIGINT AS n_parts,
        sum(rev)::BIGINT AS revenue_cents,
-       (sum(rev) * 1000000) // max(total) AS revenue_share_ppm
+       ((sum(rev) * 1000000) // max(total))::BIGINT AS revenue_share_ppm
 FROM classed GROUP BY 1 ORDER BY abc_class
 """
 
@@ -20683,22 +20685,54 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_linked": q_kg_linked,
     "kg_canonical": q_kg_canonical,
     "kg_imports_resolved": q_kg_imports_resolved,
-    "kg_triangles": q_kg_triangles,
-    "kg_communities": q_kg_communities,
     "kg_roundtrip": q_kg_roundtrip,
     "kg_grouped_roundtrip": q_kg_grouped_roundtrip,
     "kg_datasource_roundtrip": q_kg_datasource_roundtrip,
     "kg_stream_ingest": q_kg_stream_ingest,
+    "kg_pagerank": q_kg_pagerank,
+    "kg_triangles": q_kg_triangles,
+    "kg_communities": q_kg_communities,
+    "kg_sparql": q_kg_sparql,
+    "kg_sparql_agg": q_kg_sparql_agg,
+    "kg_linking_pr": q_kg_linking_pr,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_pipeline": q_dedup_pipeline,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_incremental": q_dedup_incremental,
+    "embedding_topk": q_embedding_topk,
+    "embedding_ann": q_embedding_ann,
+    "embedding_ivf": q_embedding_ivf,
+    "embedding_pq": q_embedding_pq,
+    "embedding_kmeans": q_embedding_kmeans,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
+    "stream_hourly": q_stream_hourly,
+    "stream_sessions": q_stream_sessions,
+    "stream_dedup": q_stream_dedup,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_filter": q_doc_filter,
+    "decontam": q_decontam,
+    "vocab_bpe": q_vocab_bpe,
+    "seq_packing": q_seq_packing,
+    "doc_dup_spans": q_doc_dup_spans,
     "events_hourly": q_events_hourly,
+    "events_anomaly": q_events_anomaly,
     "events_sessions": q_events_sessions,
     "events_topn": q_events_topn,
     "events_cube": q_events_cube,
     "events_sliding": q_events_sliding,
     "events_moving_avg": q_events_moving_avg,
-    "events_anomaly": q_events_anomaly,
     "events_median": q_events_median,
     "events_json": q_events_json,
     "events_pivot": q_events_pivot,
@@ -20707,10 +20741,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join": q_events_range_join,
     "cust_no_orders": q_cust_no_orders,
     "part_setops": q_part_setops,
-    "lang_id": q_lang_id,
-    "text_quality": q_text_quality,
-    "token_count": q_token_count,
-    "vocab_bpe": q_vocab_bpe,
     "doc_familiarity": q_doc_familiarity,
     "train_val_split": q_train_val_split,
     "term_stats": q_term_stats,
@@ -20719,57 +20749,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_mixing": q_data_mixing,
     "pii_scrub": q_pii_scrub,
     "doc_repetition": q_doc_repetition,
-    "doc_filter": q_doc_filter,
-    "decontam": q_decontam,
-    "dedup_clusters": q_dedup_clusters,
-    "kg_pagerank": q_kg_pagerank,
     "kg_bgp": q_kg_bgp,
     "kg_bgp_selective": q_kg_bgp_selective,
     "kg_bgp_optional": q_kg_bgp_optional,
     "kg_reachable": q_kg_reachable,
     "kg_closeness": q_kg_closeness,
     "kg_incremental": q_kg_incremental,
-    "kg_sparql": q_kg_sparql,
-    "kg_sparql_agg": q_kg_sparql_agg,
     "kg_sparql_path": q_kg_sparql_path,
     "kg_sparql_construct": q_kg_sparql_construct,
     "kg_sparql_graph": q_kg_sparql_graph,
     "kg_sparql_update": q_kg_sparql_update,
-    "doc_fingerprint": q_doc_fingerprint,
-    "dedup_exact": q_dedup_exact,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_cross_source": q_dedup_cross_source,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,
-    "dedup_pipeline": q_dedup_pipeline,
-    "embedding_topk": q_embedding_topk,
-    "embedding_ann": q_embedding_ann,
-    "embedding_ivf": q_embedding_ivf,
-    "multimodal_meta": q_multimodal_meta,
-    "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
-    "stream_hourly": q_stream_hourly,
     "kg_kcore": q_kg_kcore,
-    "embedding_kmeans": q_embedding_kmeans,
-    "doc_dup_spans": q_doc_dup_spans,
     "sample_stratified": q_sample_stratified,
     "kg_sssp": q_kg_sssp,
     "kg_sparql_star": q_kg_sparql_star,
     "tpch_q6": q_tpch_q6,
     "events_retention": q_events_retention,
-    "stream_dedup": q_stream_dedup,
-    "stream_sessions": q_stream_sessions,
     "stream_anomaly": q_stream_anomaly,
     "events_funnel": q_events_funnel,
-    "dedup_incremental": q_dedup_incremental,
-    "seq_packing": q_seq_packing,
     "doc_chunks": q_doc_chunks,
     "doc_bm25": q_doc_bm25,
     "stream_join": q_stream_join,
-    "embedding_pq": q_embedding_pq,
     "kg_sparql_typed": q_kg_sparql_typed,
     "kg_sparql_exists": q_kg_sparql_exists,
     "kg_sparql_alt": q_kg_sparql_alt,
@@ -20789,7 +20792,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_fuzzy_link": q_kg_fuzzy_link,
     "kg_summary": q_kg_summary,
     "kg_negatives": q_kg_negatives,
-    "kg_linking_pr": q_kg_linking_pr,
     "kg_timetravel": q_kg_timetravel,
     "kg_ivm": q_kg_ivm,
     "sample_exact": q_sample_exact,

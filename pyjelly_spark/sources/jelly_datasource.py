@@ -139,13 +139,20 @@ class JellyFilePartition(InputPartition):
 
 
 class JellyReader(DataSourceReader):
+    """Base reader: no ``pushFilters`` override, so it initializes even
+    when ``spark.sql.python.filterPushdown.enabled`` is false (PySpark
+    refuses to construct a reader that overrides ``pushFilters`` under
+    that conf — the round-2 driver gate hit exactly this). The
+    partition-pruning fast path lives in :class:`JellyReaderPushdown`;
+    ``register_jelly`` picks per-session."""
+
     def __init__(self, options) -> None:
         self._path = options.get("path")
         if not self._path:
             raise ValueError("jelly datasource requires a path: .load(<path>)")
         self._file_predicates: List[object] = []
 
-    def pushFilters(self, filters):
+    def _push_filters(self, filters):
         """Partition pruning: ``source_file`` predicates skip whole files.
 
         Every statement a partition yields has source_file == that
@@ -168,6 +175,9 @@ class JellyReader(DataSourceReader):
             ) and tuple(f.attribute) == ("source_file",):
                 self._file_predicates.append(f)
         return filters
+
+    def pushdown_enabled(self) -> bool:
+        return False
 
     def _keep(self, path: str) -> bool:
         from pyspark.sql.datasource import (
@@ -212,6 +222,20 @@ class JellyReader(DataSourceReader):
         filesystem, fs_path = _fs_for(partition.path)
         data = _fs_read(filesystem, fs_path)
         yield from _decode_bytes_batches(partition.path, data)
+
+
+class JellyReaderPushdown(JellyReader):
+    """The pruning reader: overrides ``pushFilters``, which PySpark only
+    allows when ``spark.sql.python.filterPushdown.enabled`` is true.
+    ``register_jelly`` enables the conf and selects this class; sessions
+    where the conf cannot be enabled get the base reader instead (same
+    results, Spark applies the file predicates post-scan)."""
+
+    def pushFilters(self, filters):
+        return self._push_filters(filters)
+
+    def pushdown_enabled(self) -> bool:
+        return True
 
 
 class JellyStreamReader(DataSourceStreamReader):
@@ -486,6 +510,19 @@ class JellyDataSource(DataSource):
         return JellyStreamWriter(self.options)
 
 
+class JellyDataSourcePushdown(JellyDataSource):
+    """Variant whose reader prunes partitions via ``pushFilters``.
+
+    Registered by :func:`register_jelly` only after it has successfully
+    enabled ``spark.sql.python.filterPushdown.enabled`` on the session —
+    PySpark refuses to initialize a pushFilters-overriding reader while
+    that conf is false (the exact failure the round-2 driver session
+    hit, since the driver does not use this repo's session builder)."""
+
+    def reader(self, schema: StructType) -> JellyReader:
+        return JellyReaderPushdown(self.options)
+
+
 def register_jelly(spark) -> None:
     """Register the format (and ship the package to python workers).
 
@@ -510,4 +547,22 @@ def register_jelly(spark) -> None:
         cloudpickle.register_pickle_by_value(sys.modules[__name__])
     except Exception:
         pass  # older cloudpickle: --py-files / PYTHONPATH paths still work
-    spark.dataSource.register(JellyDataSource)
+    # The pruning reader needs python filterPushdown enabled; the conf is
+    # runtime-settable, so enable it here rather than assuming the session
+    # came from this repo's builder. If it cannot be enabled (locked conf,
+    # future default change), register the no-pushdown reader — identical
+    # results, Spark applies source_file predicates after the scan.
+    pushdown = False
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        pushdown = (
+            str(
+                spark.conf.get("spark.sql.python.filterPushdown.enabled")
+            ).lower()
+            == "true"
+        )
+    except Exception:
+        pushdown = False
+    spark.dataSource.register(
+        JellyDataSourcePushdown if pushdown else JellyDataSource
+    )

@@ -32,6 +32,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def widen(s: pd.Series) -> pd.Series:
+    """Width-only normalization: the driver hashes the STRING RENDER of
+    each value, so int32(5) and int64(5) both hash "5" — integer width
+    (and datetime unit) never affects the gate. Anything else (int vs
+    float, float32 vs float64, decimal vs int) renders differently
+    ("5" vs "5.0") and MUST be flagged: the round-2 lenient float64
+    coercion here is exactly how six HUGEINT-typed oracles reached the
+    driver red."""
+    kind = getattr(s.dtype, "kind", None)
+    if kind in "iu":
+        return s.astype("int64")
+    if kind == "M":
+        return s.astype("datetime64[ns]")
+    return s
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -80,14 +96,22 @@ def main() -> int:
             ok = False
         else:
             g, w = canon(got), canon(want)
-            # normalize numeric dtypes before comparing
             for c in g.columns:
-                if g[c].dtype != w[c].dtype:
-                    try:
-                        g[c] = g[c].astype("float64")
-                        w[c] = w[c].astype("float64")
-                    except (TypeError, ValueError):
-                        pass
+                g[c], w[c] = widen(g[c]), widen(w[c])
+            dtype_bad = [
+                c for c in g.columns if g[c].dtype != w[c].dtype
+            ]
+            if dtype_bad:
+                print(
+                    f"FAIL  {name}: dtype mismatch (driver hash would "
+                    f"differ): "
+                    + ", ".join(
+                        f"{c}: spark {g[c].dtype} vs oracle {w[c].dtype}"
+                        for c in dtype_bad
+                    )
+                )
+                failures.append(name)
+                continue
             eq = g.equals(w)
             if not eq:
                 diff = (g != w)
