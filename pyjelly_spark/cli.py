@@ -120,7 +120,15 @@ def cmd_transcode(args: argparse.Namespace) -> int:
     else:
         statements = list(read_ntriples(args.input))
     if not dst_jelly:
-        with open(args.output, "w", encoding="utf-8") as out:
+        # honor .gz on the text branch too — out.nt.gz must actually be
+        # gzip, not an uncompressed file with a misleading suffix
+        if args.output.endswith(".gz"):
+            import gzip
+
+            opener = gzip.open(args.output, "wt", encoding="utf-8")
+        else:
+            opener = open(args.output, "w", encoding="utf-8")
+        with opener as out:
             for stmt in statements:
                 out.write(statement_to_nt(stmt) + "\n")
         print(f"wrote {len(statements)} statements to {args.output}")

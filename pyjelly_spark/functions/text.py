@@ -980,12 +980,14 @@ def winnow_fingerprints(
     sha-60 gram hash): ZERO shuffle, no explode — at 100 TB the
     shingle stream never leaves its input partition, the classic
     reason winnowing beats full-shingle MinHash pipelines for
-    plagiarism-style matching. The rightmost-min tie-break is encoded
-    arithmetically: minimizing h*4 + (w-1-offset) over the window
-    picks the smallest hash and, among equal hashes, the largest
-    position — one array_min, no nested argmin, and the identical
-    integer expression runs in DuckDB, so the exact fingerprint set
-    (positions AND a modular hash checksum) is oracle-gateable.
+    plagiarism-style matching. The rightmost-min tie-break is one
+    array_min over (hash, -offset) structs: smallest hash wins, and
+    among equal hashes the most negative -offset = the largest
+    position — collision-free for ANY window size (the earlier
+    h*4+(w-1-o) arithmetic encoding was exact only for w <= 4), and
+    the same lexicographic min runs in DuckDB, so the exact
+    fingerprint set (positions AND a modular hash checksum) is
+    oracle-gateable.
 
     Short documents: the window narrows to min(w, n_grams) so any doc
     with >= k words yields >= 1 fingerprint; docs with < k words yield
@@ -1030,10 +1032,9 @@ def winnow_fingerprints(
             """IF(n_grams = 0, array(),
                array_distinct(transform(
                  sequence(1, n_grams - ww + 1),
-                 p -> p + ww - 1 - cast(pmod(
-                        array_min(transform(sequence(0, ww - 1),
-                          o -> element_at(grams, p + o) * 4 + (ww - 1 - o))),
-                        4) as int)
+                 p -> p - array_min(transform(sequence(0, ww - 1),
+                        o -> named_struct(
+                          'h', element_at(grams, p + o), 'no', -o))).no
                )))"""
         ).alias("sel"),
     )
@@ -1089,10 +1090,9 @@ def winnow_fingerprint_hashes(
             """IF(n_grams = 0, array(),
                array_distinct(transform(
                  sequence(1, n_grams - ww + 1),
-                 p -> p + ww - 1 - cast(pmod(
-                        array_min(transform(sequence(0, ww - 1),
-                          o -> element_at(grams, p + o) * 4 + (ww - 1 - o))),
-                        4) as int)
+                 p -> p - array_min(transform(sequence(0, ww - 1),
+                        o -> named_struct(
+                          'h', element_at(grams, p + o), 'no', -o))).no
                )))"""
         ).alias("sel"),
     )

@@ -113,6 +113,10 @@ def viterbi_decode(events: DataFrame) -> DataFrame:
 
     return (
         events.select("user_id", "ts", "event_id", "event_type")
+        # the cost model defines exactly these observations; an unseen
+        # type would otherwise map to NaN and crash the numpy DP with an
+        # opaque executor error deep inside the pandas UDF
+        .where(F.col("event_type").isin(VITERBI_OBS))
         .groupBy("user_id")
         .applyInPandas(
             decode,

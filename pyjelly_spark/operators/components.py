@@ -1655,6 +1655,11 @@ def luby_mis(
             .select("s", "t")
             .localCheckpoint(eager=True)
         )
+    if not out:
+        # empty edge input: no nodes, no rounds — empty frame, same schema
+        return prio.select(
+            "node", F.lit(0).alias("round")
+        ).where(F.lit(False))
     result = out[0]
     for o in out[1:]:
         result = result.unionByName(o)

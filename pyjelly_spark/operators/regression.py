@@ -26,12 +26,17 @@ def ols_fit_2feature(
 ) -> DataFrame:
     """Exact OLS fit of ``y ~ 1 + x1 + x2`` over integer columns.
 
-    Returns one row (n, beta0_x1e6, beta1_x1e6, beta2_x1e6): the
-    intercept and slopes as Cramer-determinant ratios scaled by 1e6
+    Returns one row (n, beta0_x1e6, beta1_x1e6, beta2_x1e6, singular):
+    the intercept and slopes as Cramer-determinant ratios scaled by 1e6
     and truncated (``div``), computed entirely in decimal(38,0) —
     integer-exact at any partitioning. Sums fit decimal(38,0) for
     n * max(|x|)^2 * max(|y|) well past 10^30; inputs beyond that need
     a rescale (documented contract, asserted nowhere hot).
+
+    ``singular`` is true when the normal-equation determinant is zero
+    (collinear or constant features); the betas are then NULL (guarded
+    explicitly, so ANSI mode cannot raise DIVIDE_BY_ZERO) and the flag
+    makes that outcome explicit instead of silent.
     """
     s = rows.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
@@ -61,9 +66,17 @@ def ols_fit_2feature(
         "(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)"
         " + sy*(s1*s12 - s11*s2))"
     )
+    def beta(num: str, name: str):
+        # IF short-circuits, so a singular design matrix yields NULL in
+        # both ANSI (where div 0 would raise) and non-ANSI mode
+        return F.expr(
+            f"IF({det} = 0, NULL, cast({num} * {scale} div {det} as bigint))"
+        ).alias(name)
+
     return s.select(
         F.col("n").cast("long").alias("n"),
-        F.expr(f"cast({det0} * {scale} div {det} as bigint)").alias("beta0_x1e6"),
-        F.expr(f"cast({det1} * {scale} div {det} as bigint)").alias("beta1_x1e6"),
-        F.expr(f"cast({det2} * {scale} div {det} as bigint)").alias("beta2_x1e6"),
+        beta(det0, "beta0_x1e6"),
+        beta(det1, "beta1_x1e6"),
+        beta(det2, "beta2_x1e6"),
+        F.expr(f"{det} = 0").alias("singular"),
     )

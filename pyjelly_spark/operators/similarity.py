@@ -81,15 +81,23 @@ MAX_BROADCAST_VECTORS = 2_000_000
 
 def _guarded_corpus(emb: DataFrame, id_col: str, vec_col: str, caller: str):
     """Collect the corpus for broadcast, refusing beyond the broadcast
-    regime instead of silently OOMing the driver."""
-    n = emb.count()
-    if n > MAX_BROADCAST_VECTORS:
+    regime instead of silently OOMing the driver.
+
+    One job, not two: collecting LIMIT max+1 both fetches the corpus and
+    proves it fits — the separate ``count()`` action this replaced was a
+    full extra scan per call (the round-2 embedding_topk regression)."""
+    pdf = (
+        emb.select(id_col, vec_col)
+        .limit(MAX_BROADCAST_VECTORS + 1)
+        .toPandas()
+    )
+    if len(pdf) > MAX_BROADCAST_VECTORS:
         raise ValueError(
-            f"{caller}: corpus has {n} vectors, beyond the broadcast regime "
-            f"(max {MAX_BROADCAST_VECTORS}); use the bucketed LSH path "
-            "(ann_topk / lsh_dup_pairs) instead"
+            f"{caller}: corpus exceeds the broadcast regime "
+            f"(max {MAX_BROADCAST_VECTORS} vectors); use the bucketed LSH "
+            "path (ann_topk / lsh_dup_pairs) instead"
         )
-    return emb.select(id_col, vec_col).toPandas()
+    return pdf
 
 
 def cosine_topk(
@@ -687,13 +695,7 @@ def pq_topk(
         iv = iv.localCheckpoint(eager=True)  # iterations rescan the corpus
         books = _pq_learn(iv, books, m, ks, sub, learn_iters)
 
-    n_vecs = iv.count()
-    if n_vecs * m > MAX_BROADCAST_CODES:
-        raise ValueError(
-            f"pq_topk: {n_vecs} vectors x {m} codes exceeds the code-table "
-            f"broadcast regime ({MAX_BROADCAST_CODES}); shard by IVF cell "
-            "(ivf_topk) and run per-cell PQ instead"
-        )
+    max_code_rows = MAX_BROADCAST_CODES // m
 
     enc_schema = StructType(
         [StructField("vid", LongType(), False)]
@@ -715,11 +717,28 @@ def pq_topk(
                 cols[f"c{mm}"] = d2.argmin(axis=1).astype(np.int32)
             yield pd.DataFrame(cols)
 
-    codes_pdf = iv.mapInPandas(encode, schema=enc_schema).toPandas()
+    # LIMIT max+1 guards the code-table broadcast regime within the same
+    # job that collects it (no separate count scan): exceeding the cap
+    # raises instead of OOMing the driver.
+    codes_pdf = (
+        iv.mapInPandas(encode, schema=enc_schema)
+        .limit(max_code_rows + 1)
+        .toPandas()
+    )
+    if len(codes_pdf) > max_code_rows:
+        raise ValueError(
+            f"pq_topk: corpus x {m} codes exceeds the code-table broadcast "
+            f"regime ({MAX_BROADCAST_CODES}); shard by IVF cell (ivf_topk) "
+            "and run per-cell PQ instead"
+        )
     code_ids = codes_pdf["vid"].to_numpy(dtype="int64")
     code_mat = np.stack(
         [codes_pdf[f"c{i}"].to_numpy(dtype="int64") for i in range(m)], axis=1
     )  # n x m
+    # sort by id once: a stable argsort over ADC rows then breaks distance
+    # ties by ascending neighbor_id with no per-row lexsort needed
+    srt = np.argsort(code_ids, kind="stable")
+    code_ids, code_mat = code_ids[srt], code_mat[srt]
     bc = emb.sparkSession.sparkContext.broadcast((code_ids, code_mat, books))
 
     out_schema = StructType(
@@ -758,24 +777,25 @@ def pq_topk(
             adc = lut[:, 0, codes[:, 0]]
             for mm in range(1, m):
                 adc = adc + lut[:, mm, codes[:, mm]]
-            o_vec, o_nbr, o_d, o_r = [], [], [], []
-            for r in range(len(qids)):
-                row = adc[r].copy()
-                row[ids == qids[r]] = np.iinfo(np.int64).max  # mask self
-                order = np.lexsort((ids, row))[:kk]
-                keep = row[order] < np.iinfo(np.int64).max
-                order = order[keep]
-                o_vec.append(np.full(len(order), qids[r], dtype=np.int64))
-                o_nbr.append(ids[order])
-                o_d.append(row[order])
-                o_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
-            if o_vec:
+            # whole-batch selection: mask self, stable row argsort (ids
+            # are pre-sorted, so ties break by ascending neighbor_id)
+            sentinel = np.iinfo(np.int64).max
+            np.putmask(adc, ids[None, :] == qids[:, None], sentinel)
+            order = np.argsort(adc, axis=1, kind="stable")[:, :kk]
+            dists = np.take_along_axis(adc, order, axis=1)
+            keep = dists < sentinel
+            counts = keep.sum(axis=1)
+            if counts.any():
+                ranks = np.broadcast_to(
+                    np.arange(1, order.shape[1] + 1, dtype=np.int64),
+                    keep.shape,
+                )
                 yield pd.DataFrame(
                     {
-                        "vec_id": np.concatenate(o_vec),
-                        "neighbor_id": np.concatenate(o_nbr),
-                        "adc_dist": np.concatenate(o_d),
-                        "rank": np.concatenate(o_r),
+                        "vec_id": np.repeat(qids, counts),
+                        "neighbor_id": ids[order][keep],
+                        "adc_dist": dists[keep],
+                        "rank": ranks[keep],
                     }
                 )
 

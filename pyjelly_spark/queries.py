@@ -15715,7 +15715,9 @@ SELECT n::BIGINT AS n,
        ((n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
          + sy*(s1*s12 - s11*s2)) * 1000000
         // (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
-            + s2*(s1*s12 - s11*s2)))::BIGINT AS beta2_x1e6
+            + s2*(s1*s12 - s11*s2)))::BIGINT AS beta2_x1e6,
+       ((n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+         + s2*(s1*s12 - s11*s2)) = 0) AS singular
 FROM s
 """
 

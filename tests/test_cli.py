@@ -28,6 +28,23 @@ def test_transcode_roundtrip_nt_jelly_nt(tmp_path, capsys):
     assert list(read_ntriples(str(back))) == list(read_ntriples(WEATHER))
 
 
+def test_transcode_gz_text_output_is_gzip(tmp_path, capsys):
+    """A .nt.gz output must actually be gzip-compressed (the suffix was
+    previously honored only on the jelly branch)."""
+    import gzip
+
+    j = tmp_path / "w.jelly"
+    gz = tmp_path / "back.nt.gz"
+    run(capsys, "transcode", WEATHER, str(j))
+    rc, out = run(capsys, "transcode", str(j), str(gz))
+    assert rc == 0
+    with open(gz, "rb") as f:
+        assert f.read(2) == b"\x1f\x8b"  # gzip magic
+    with gzip.open(gz, "rt", encoding="utf-8") as f:
+        lines = [ln for ln in f if ln.strip()]
+    assert len(lines) == 115
+
+
 def test_info_reports_options_and_counts(tmp_path, capsys):
     j = tmp_path / "w.jelly"
     run(capsys, "transcode", WEATHER, str(j), "--names", "128")

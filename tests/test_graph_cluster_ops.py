@@ -415,6 +415,17 @@ def test_luby_mis_independent_and_maximal(spark):
             assert v in mis or adj[v] & mis, (g, v, mis)
 
 
+def test_luby_mis_empty_edges(spark):
+    """Empty edge input returns an empty (node, round) frame, not an
+    IndexError on a never-filled round list."""
+    from pyjelly_spark.operators.components import luby_mis
+
+    df = spark.createDataFrame([], "s: long, t: long")
+    out = luby_mis(df)
+    assert out.columns == ["node", "round"]
+    assert out.count() == 0
+
+
 def test_coreness_hindex_matches_peeling(spark):
     """h-index iteration == classic min-degree peeling on K5 + path +
     a C4-with-chord, and the 12-round cap is past the fixpoint

@@ -4118,10 +4118,13 @@ def test_hll_merge_invariance(spark):
     assert a == b
 
 
-def test_winnow_matches_python_reference(spark):
+@pytest.mark.parametrize("w", [4, 5, 7])
+def test_winnow_matches_python_reference(spark, w):
     """winnow_fingerprints == a direct pure-Python winnowing (explicit
     rightmost-min scan) incl. a doc with repeated shingles (hash ties
-    inside one window) and a short doc narrower than the window."""
+    inside one window) and a short doc narrower than the window.
+    w > 4 locks the struct-min tie-break (the retired h*4+(w-1-o)
+    arithmetic encoding silently corrupted selections for w >= 5)."""
     from pyjelly_spark.functions.text import winnow_fingerprints
 
     texts = {
@@ -4130,11 +4133,12 @@ def test_winnow_matches_python_reference(spark):
         2: "a b c d e a b c d e a b c d e",
         3: "tiny doc here",          # < 5 words -> no grams
         4: "one two three four five six",  # 2 grams, window narrows
+        5: "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16",
     }
     df = spark.createDataFrame(
         [(i, t) for i, t in texts.items()], "doc_id: long, text: string"
     )
-    got = {r["doc_id"]: r for r in winnow_fingerprints(df, k=5, w=4).collect()}
+    got = {r["doc_id"]: r for r in winnow_fingerprints(df, k=5, w=w).collect()}
 
     for doc_id, text in texts.items():
         words = [x for x in text.lower().split() if x]
@@ -4142,7 +4146,7 @@ def test_winnow_matches_python_reference(spark):
             _sha60(" ".join(words[i : i + 5]))
             for i in range(max(len(words) - 4, 0))
         ]
-        ww = min(4, len(grams))
+        ww = min(w, len(grams))
         sel = set()
         for p in range(len(grams) - ww + 1 if grams else 0):
             window = grams[p : p + ww]
@@ -4226,12 +4230,29 @@ def test_ols_exact_cramer(spark):
     assert got["beta1_x1e6"] == tdiv(det1, det)
     assert got["beta2_x1e6"] == tdiv(det2, det)
 
+    assert got["singular"] is False
+
     X = np.array([[1, r[0], r[1]] for r in rows], dtype=float)
     Y = np.array([r[2] for r in rows], dtype=float)
     beta = np.linalg.lstsq(X, Y, rcond=None)[0]
     for b_np, b_got in zip(beta, [got["beta0_x1e6"], got["beta1_x1e6"],
                                   got["beta2_x1e6"]]):
         assert abs(b_np - b_got / 1e6) < 1e-3
+
+
+def test_ols_singular_flagged(spark):
+    """Collinear features (x2 = 2*x1) zero the normal-equation
+    determinant: the betas come back NULL (Spark's non-ANSI decimal
+    division) and the singular flag says so explicitly."""
+    from pyjelly_spark.operators.regression import ols_fit_2feature
+
+    rows = [(i, 2 * i, 3 * i + 1) for i in range(1, 50)]
+    df = spark.createDataFrame(rows, "x1: long, x2: long, y: long")
+    got = ols_fit_2feature(df, "x1", "x2", "y").collect()[0]
+    assert got["singular"] is True
+    assert got["beta0_x1e6"] is None
+    assert got["beta1_x1e6"] is None
+    assert got["beta2_x1e6"] is None
 
 
 def test_jl_distortion_concentrates(spark):
