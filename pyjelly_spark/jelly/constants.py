@@ -102,6 +102,55 @@ class JellyError(Exception):
     """Any Jelly protocol violation detected by this engine."""
 
 
+#: logical types that are FLAT (one statement stream, bounded framing)
+LOGICAL_FLAT = frozenset({LOGICAL_FLAT_TRIPLES, LOGICAL_FLAT_QUADS})
+
+_LOGICAL_NAMES = {
+    LOGICAL_UNSPECIFIED: "UNSPECIFIED",
+    LOGICAL_FLAT_TRIPLES: "FLAT_TRIPLES",
+    LOGICAL_FLAT_QUADS: "FLAT_QUADS",
+    LOGICAL_GRAPHS: "GRAPHS",
+    LOGICAL_DATASETS: "DATASETS",
+    LOGICAL_SUBJECT_GRAPHS: "SUBJECT_GRAPHS",
+    LOGICAL_NAMED_GRAPHS: "NAMED_GRAPHS",
+    LOGICAL_TIMESTAMPED_NAMED_GRAPHS: "TIMESTAMPED_NAMED_GRAPHS",
+}
+
+
+def logical_type_name(logical_type: int) -> str:
+    return _LOGICAL_NAMES.get(logical_type, str(logical_type))
+
+
+def check_logical_type_strict(options, expect: str) -> None:
+    """The reference's ``logical_type_strict`` gate
+    (/root/reference/pyjelly/integrations/generic/parse.py:234-263,
+    357-395): a grouped parse must see a GROUPED logical type and a
+    flat parse a FLAT one — base-physical compatibility alone is not
+    enough when the caller asks for strictness.
+
+    ``expect`` is "flat" or "grouped"; ``options`` may be None (stream
+    carried no options row), which strict mode rejects outright.
+    """
+    if options is None:
+        raise JellyError(
+            "strict logical type check requires stream options"
+        )
+    lt = options.logical_type
+    if expect == "flat":
+        if lt not in LOGICAL_FLAT:
+            raise JellyError(
+                "expected FLAT logical type (TRIPLES/QUADS), got "
+                + logical_type_name(lt)
+            )
+    elif expect == "grouped":
+        if lt == LOGICAL_UNSPECIFIED or lt in LOGICAL_FLAT:
+            raise JellyError(
+                "expected GROUPED logical type, got " + logical_type_name(lt)
+            )
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"expect must be 'flat' or 'grouped', not {expect!r}")
+
+
 @dataclass(frozen=True)
 class TablePreset:
     """Lookup table capacities (reference LookupPreset, options.py:52-66)."""

@@ -75,6 +75,13 @@ def parse_options_row(body: bytes, delimited: bool) -> c.StreamOptions:
     for field, _wt, value in iter_fields(body):
         values[field] = value
     version = int(values.get(c.OPT_VERSION, 0))
+    if version > c.PROTO_VERSION_WITH_NAMESPACES:
+        # Jelly spec: a consumer MUST reject a stream declaring a
+        # version above what it supports (we speak 1 and 2)
+        raise c.JellyError(
+            f"unsupported protocol version {version} "
+            f"(max {c.PROTO_VERSION_WITH_NAMESPACES})"
+        )
     return c.StreamOptions(
         physical_type=int(values.get(c.OPT_PHYSICAL_TYPE, 0)),
         logical_type=int(values.get(c.OPT_LOGICAL_TYPE, 0)),
@@ -284,6 +291,9 @@ class StreamDecoder:
 
     # ---------------------------------------------------------------- rows
     def _decode_statement(self, body: bytes, is_quad: bool) -> Term:
+        if self.options is None:
+            # Jelly spec: the options row MUST precede any statement
+            raise c.JellyError("statement row before options row")
         s = p = o = None
         graph_term: Optional[Term] = None
         saw_graph = False
@@ -487,14 +497,25 @@ def _entry(payload: bytes) -> Tuple[int, str]:
     return entry_id, text
 
 
-def decode_flat(frames: Iterable[bytes]) -> Iterator[Term]:
+def decode_flat(
+    frames: Iterable[bytes], *, logical_type_strict: bool = False
+) -> Iterator[Term]:
     """All frames -> flat statement events; GRAPHS brackets are resolved
     into quads with the current graph term
-    (/root/reference/pyjelly/integrations/generic/parse.py:150-160)."""
+    (/root/reference/pyjelly/integrations/generic/parse.py:150-160).
+
+    ``logical_type_strict`` ports the reference's strict gate
+    (parse.py:357-395): the stream's declared logical type must be FLAT
+    (TRIPLES/QUADS), not merely base-compatible — checked as soon as
+    the options row has been decoded (first frame)."""
     decoder = StreamDecoder()
     current_graph: Optional[Term] = None
+    checked = not logical_type_strict
     for frame in frames:
         for event in decoder.decode_frame(frame):
+            if not checked and decoder.options is not None:
+                c.check_logical_type_strict(decoder.options, "flat")
+                checked = True
             kind = event[0]
             if kind == "graph_start":
                 current_graph = event[1]
@@ -504,3 +525,8 @@ def decode_flat(frames: Iterable[bytes]) -> Iterator[Term]:
                 yield ("quad", event[1], event[2], event[3], current_graph)
             else:
                 yield event
+        if not checked:
+            c.check_logical_type_strict(decoder.options, "flat")
+            checked = True
+    if not checked:
+        c.check_logical_type_strict(decoder.options, "flat")

@@ -102,6 +102,8 @@ def encode_grouped(
 
 def decode_grouped(
     frames: Iterable[bytes],
+    *,
+    logical_type_strict: bool = False,
 ) -> Iterator[Tuple[List[tuple], Dict[str, bytes]]]:
     """Decode a grouped stream: one (events, metadata) pair per frame.
 
@@ -109,14 +111,24 @@ def decode_grouped(
     quads with the bracketing graph term. Graph state carries across
     frames (the protocol allows a graph to span frames even though our
     writer never produces that).
+
+    ``logical_type_strict`` ports the reference gate
+    (/root/reference/pyjelly/integrations/generic/parse.py:234-263):
+    the declared logical type must be GROUPED — a FLAT or UNSPECIFIED
+    stream parsed as groups raises JellyError even though its physical
+    type would route fine.
     """
     decoder = StreamDecoder()
     current_graph: Optional[Term] = None
+    checked = not logical_type_strict
     for frame in frames:
         rows, metadata = split_frame(frame)
         events: List[tuple] = []
         for row in rows:
             event = decoder.decode_row(row)
+            if not checked and decoder.options is not None:
+                c.check_logical_type_strict(decoder.options, "grouped")
+                checked = True
             if event is None:
                 continue
             kind = event[0]

@@ -589,18 +589,25 @@ def _arrow_read_schema():
     )
 
 
-def _decode_bytes_batches(source: str, data: bytes):
+def _decode_bytes_batches(
+    source: str, data: bytes, logical_type_strict: Optional[str] = None
+):
     """Decode one self-contained Jelly stream into bounded Arrow
     RecordBatches of flat statement rows (with frame_id / stmt_idx).
 
     Columnar construction: 19 python lists -> pa.array (C conversion),
     never a row-tuple list — the statement decode itself is the only
     per-row Python left on the read path.
+
+    ``logical_type_strict``: None (accept any), "flat", or "grouped" —
+    the reference's strict logical-type gate, applied per file as soon
+    as its options row decodes.
     """
     import pyarrow as pa
 
     schema = _arrow_read_schema()
     decoder = StreamDecoder()
+    lt_checked = logical_type_strict is None
     current_graph: Optional[tuple] = None
     frame_ids: List[int] = []
     cols: List[List] = [[] for _ in range(16)]
@@ -625,6 +632,11 @@ def _decode_bytes_batches(source: str, data: bytes):
         frame_rows, _meta = split_frame(frame)
         for row in frame_rows:
             event = decoder.decode_row(row)
+            if not lt_checked and decoder.options is not None:
+                jc.check_logical_type_strict(
+                    decoder.options, logical_type_strict
+                )
+                lt_checked = True
             if event is None:
                 continue
             kind = event[0]
@@ -658,7 +670,11 @@ def _decode_bytes_chunked(source: str, data: bytes) -> Iterator[pd.DataFrame]:
         yield batch.to_pandas()
 
 
-def read_jelly(spark: SparkSession, path: str) -> DataFrame:
+def read_jelly(
+    spark: SparkSession,
+    path: str,
+    logical_type_strict: Optional[str] = None,
+) -> DataFrame:
     """Read .jelly file(s) into a flat statements DataFrame.
 
     Parallelism = one task per file; each Jelly stream is self-contained
@@ -667,7 +683,19 @@ def read_jelly(spark: SparkSession, path: str) -> DataFrame:
     ``groupBy(source_file, frame_id)`` recovers the groups — the
     distributed ``parse_jelly_grouped``. GRAPHS brackets are resolved to
     quads with the bracketing graph term.
+
+    ``logical_type_strict``: None (default, route by physical type
+    only), "flat", or "grouped" — the reference's strict gate
+    (/root/reference/pyjelly/integrations/generic/parse.py:234-263):
+    each file's DECLARED logical type must match or the decoding task
+    raises JellyError. Use "grouped" when downstream consumes
+    ``(source_file, frame_id)`` groups, "flat" when it treats the rows
+    as one statement stream.
     """
+    if logical_type_strict not in (None, "flat", "grouped"):
+        raise ValueError(
+            "logical_type_strict must be None, 'flat' or 'grouped'"
+        )
     from pyjelly_spark.session import ship_package
 
     ship_package(spark)
@@ -678,7 +706,9 @@ def read_jelly(spark: SparkSession, path: str) -> DataFrame:
             for source in batch.column("source_file").to_pylist():
                 filesystem, fs_path = _fs_for(source)
                 yield from _decode_bytes_batches(
-                    source, _fs_read(filesystem, fs_path)
+                    source,
+                    _fs_read(filesystem, fs_path),
+                    logical_type_strict,
                 )
 
     # mapInArrow: RecordBatches flow straight from the decoder's columnar
