@@ -1055,29 +1055,40 @@ def winnow_fingerprints(
 
 
 def winnow_fingerprint_hashes(
-    docs: DataFrame, k: int = 5, w: int = 4
+    docs: DataFrame, k: int = 5, w: int = 4, hash_fn: str = "md5"
 ) -> DataFrame:
     """The winnowing fingerprint HASH sets, exploded to (doc_id, fp)
     rows — the join key form used for fingerprint-overlap near-dup
     detection (same selection as ``winnow_fingerprints``; distinct
-    hash values per doc)."""
+    hash values per doc).
+
+    ``hash_fn``:
+
+    - ``"md5"`` (default) — 60-bit gram hash from the first 15 hex
+      digits of md5. Half the digest cost of sha256 (the single
+      dominant term in this operator's runtime — the hash is a JVM
+      intrinsic either way, so swapping the digest is the whole win),
+      same collision regime for fingerprinting purposes, and DuckDB
+      replays ``md5()`` bit-exactly.
+    - ``"sha256"`` — the original sha-derived gram hash; doc_winnow's
+      gate pins these exact hash checksums, so it stays on sha.
+    """
+    if hash_fn not in ("md5", "sha256"):
+        raise ValueError("hash_fn must be 'md5' or 'sha256'")
     word_arr = F.expr(
         "filter(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '),"
         " x -> x <> '')"
     )
     d = docs.select("doc_id", word_arr.alias("words"))
-    d = d.select(
-        "doc_id",
-        F.expr(
-            f"""IF(size(words) < {k}, array(),
-                transform(
-                  sequence(1, size(words) - {k - 1}),
-                  i -> cast(conv(substring(sha2(
-                         concat_ws(' ', slice(words, i, {k})), 256),
-                       1, 15), 16, 10) as bigint)
-                ))"""
-        ).alias("grams"),
-    )
+    digest = "sha2(concat_ws(' ', slice(words, i, {k})), 256)" \
+        if hash_fn == "sha256" else "md5(concat_ws(' ', slice(words, i, {k})))"
+    grams_expr = f"""IF(size(words) < {k}, array(),
+            transform(
+              sequence(1, size(words) - {k - 1}),
+              i -> cast(conv(substring({digest.format(k=k)},
+                   1, 15), 16, 10) as bigint)
+            ))"""
+    d = d.select("doc_id", F.expr(grams_expr).alias("grams"))
     d = d.select(
         "doc_id",
         "grams",

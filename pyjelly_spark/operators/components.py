@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def _symmetrize(edges: DataFrame, dedup: bool = False) -> DataFrame:
@@ -167,6 +168,50 @@ def _converged(edges: DataFrame) -> bool:
 #: 9.1 s), hashed wins at 1.2M symmetrized-deduped edges on BOTH cluster
 #: sizes (4 cores: 22.2 s vs 26.5 s; 16 cores: 12.9 s vs 17.2 s steady).
 HASH_ID_MIN_EDGES = 1_000_000
+
+#: at or below this symmetrized-edge count CC skips the distributed
+#: rounds entirely: a driver union-find on the collected edges is exact,
+#: bounded (~20 MB worst case), and replaces 4-10 fixed-latency jobs
+DRIVER_CC_MAX_EDGES = 100_000
+
+
+def _driver_cc(sym: DataFrame) -> DataFrame:
+    """Union-find over a collected (already symmetrized) edge list.
+
+    Representative = smallest node id in the component, matching the
+    distributed rounds' contract exactly.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym.collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by representative order keeps the min as root
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(node, find(node)) for node in parent]
+    node_type = sym.schema[0].dataType
+    out_schema = StructType(
+        [
+            StructField("node", node_type, False),
+            StructField("component", node_type, False),
+        ]
+    )
+    return sym.sparkSession.createDataFrame(rows, out_schema)
 
 
 def _run_rounds(
@@ -407,6 +452,19 @@ def connected_components(
     if checkpoint:
         sym = sym.localCheckpoint(eager=True)
     n_edges = sym.count()
+
+    if n_edges <= DRIVER_CC_MAX_EDGES and hash_ids is None:
+        # Tiny-graph escape: below this size the rounds are pure
+        # fixed-latency (each large-star/small-star round is 2-3 Spark
+        # jobs regardless of data), so a driver union-find over the
+        # collected edge list (bounded: <= ~20 MB) replaces 4-10 jobs
+        # with one collect + one createDataFrame. Same contract:
+        # component = min reachable node, isolated nodes absent. At
+        # scale the threshold never triggers; it exists precisely for
+        # the many small candidate graphs (dedup clusters, per-key
+        # linking) where round latency dominated end-to-end wall time.
+        return _driver_cc(sym)
+
     use_hash = hash_ids if hash_ids is not None else n_edges >= HASH_ID_MIN_EDGES
 
     if use_hash:
@@ -511,6 +569,34 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
                 .localCheckpoint(eager=False)
             )
     return labels
+
+
+def cap_key_fanout(
+    items: DataFrame,
+    key_col: str,
+    hub_cap: int = 10_000,
+) -> DataFrame:
+    """Drop keys whose distinct-node fan-out exceeds ``hub_cap`` before
+    a co-occurrence self-join.
+
+    The (node, key) self-join on ``key`` emits C(fanout, 2) pairs per
+    key, so ONE hot key — a symbol defined in 10^4 files at 100 TB —
+    contributes 5*10^7 pairs and dominates (or sinks) the whole stage.
+    This is the same hub-cut contract as ``node_similarity`` /
+    ``ra_scores``' ``hub_cap``: hot keys carry almost no pairwise
+    signal (everything co-occurs with everything) and are excluded
+    wholesale, a documented recall trade. Cost is one aggregation on
+    the key plus a broadcast anti-join; multiplicities of the
+    surviving rows are untouched, so callers that count shared keys
+    per pair keep exact semantics for every surviving key.
+    """
+    counts = (
+        items.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_fanout"))
+        .where(F.col("_fanout") > hub_cap)
+        .select(key_col)
+    )
+    return items.join(F.broadcast(counts), key_col, "left_anti")
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:

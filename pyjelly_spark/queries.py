@@ -1007,11 +1007,14 @@ def q_kg_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree because extra unrolled rounds are no-ops once stable."""
     from pyjelly_spark.operators.components import truss_edges
 
+    from pyjelly_spark.operators.components import cap_key_fanout
+
     calls = _spo(X.extract_calls(derived_source_files(spark, sf_dir)))
     sym = calls.select(
         F.col("s").alias("file"),
         F.regexp_extract("o", r"symbol/(.*)$", 1).alias("symbol"),
     ).where(F.col("symbol").startswith("f_"))
+    sym = cap_key_fanout(sym, "symbol")  # hot-symbol C(f,2) guard
     pairs = (
         sym.alias("x")
         .join(
@@ -1075,7 +1078,10 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm that survives hub nodes at web scale; the oracle closes
     triangles declaratively with a 3-way self-join over the closed-form
     co-definition pairs."""
-    from pyjelly_spark.operators.components import triangle_count
+    from pyjelly_spark.operators.components import (
+        cap_key_fanout,
+        triangle_count,
+    )
 
     files = derived_source_files(spark, sf_dir)
     sdefs = files.select(
@@ -1084,6 +1090,7 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all("content", F.lit(X.DEF_RE), F.lit(1))
         ).alias("symbol"),
     ).where(F.col("symbol").startswith("shared_"))
+    sdefs = cap_key_fanout(sdefs, "symbol")  # hot-symbol C(f,2) guard
     pairs = (
         sdefs.alias("x")
         .join(
@@ -1102,7 +1109,10 @@ def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering_coefficient): triangles via the degree-oriented wedge
     join, degrees via one aggregation, coeff floor-scaled x10000 —
     integer-exact vs the declarative 3-way self-join oracle."""
-    from pyjelly_spark.operators.components import clustering_coefficient
+    from pyjelly_spark.operators.components import (
+        cap_key_fanout,
+        clustering_coefficient,
+    )
 
     files = derived_source_files(spark, sf_dir)
     sdefs = files.select(
@@ -1111,6 +1121,7 @@ def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all("content", F.lit(X.DEF_RE), F.lit(1))
         ).alias("symbol"),
     ).where(F.col("symbol").startswith("shared_"))
+    sdefs = cap_key_fanout(sdefs, "symbol")  # hot-symbol C(f,2) guard
     pairs = (
         sdefs.alias("x")
         .join(
@@ -7405,6 +7416,9 @@ def q_kg_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from pyjelly_spark.operators.components import cap_key_fanout
+
+    scalls = cap_key_fanout(scalls, "symbol")  # hot-symbol C(f,2) guard
     pc = (
         scalls.alias("x")
         .join(
@@ -18291,7 +18305,12 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyjelly_spark.functions.text import winnow_fingerprint_hashes
     from pyjelly_spark.operators.components import connected_components
 
-    fps = winnow_fingerprint_hashes(_t(spark, sf_dir, "documents"))
+    # the table arrives as one file -> one partition; spread the
+    # hash-dominated fingerprint scan across cores before it runs
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fps = winnow_fingerprint_hashes(docs)
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -18336,7 +18355,7 @@ WITH RECURSIVE t AS (
   FROM documents
 ), g AS (
   SELECT doc_id,
-         [ ('0x' || substring(sha256(array_to_string(words[i:i+4], ' ')), 1, 15))::BIGINT
+         [ ('0x' || substring(md5(array_to_string(words[i:i+4], ' ')), 1, 15))::BIGINT
            for i in generate_series(1, greatest(len(words) - 4, 0)) ] AS grams
   FROM t
 ), s AS (

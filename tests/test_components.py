@@ -570,3 +570,55 @@ def test_apsp_bfs_matches_floyd(spark):
                     dist[(a, b)] = d
     expect = {p: d for p, d in dist.items() if d < INF}
     assert got == expect
+
+
+def test_cap_key_fanout_hot_symbol_completes(spark):
+    """A planted hot symbol shared by 10^4 nodes would emit ~5*10^7
+    pairs from the co-occurrence self-join; cap_key_fanout cuts the key
+    wholesale so the join completes and the cool keys' pairs are
+    exact (multiplicities untouched)."""
+    import time
+
+    from pyjelly_spark.operators.components import cap_key_fanout
+
+    hot = [(f"n{i}", "hot_symbol") for i in range(10_000)]
+    cool = [(f"n{i}", f"cool_{i % 5}") for i in range(20)]
+    df = spark.createDataFrame(hot + cool, "node: string, symbol: string")
+
+    t0 = time.time()
+    capped = cap_key_fanout(df, "symbol", hub_cap=1000)
+    pairs = (
+        capped.alias("x")
+        .join(
+            capped.alias("y"),
+            (F.col("x.symbol") == F.col("y.symbol"))
+            & (F.col("x.node") < F.col("y.node")),
+        )
+        .select(F.col("x.node").alias("src"), F.col("y.node").alias("dst"))
+    )
+    got = {(r["src"], r["dst"]) for r in pairs.collect()}
+    elapsed = time.time() - t0
+
+    want = set()
+    by_sym = {}
+    for n, s in cool:
+        by_sym.setdefault(s, []).append(n)
+    for ns in by_sym.values():
+        for a in ns:
+            for b in ns:
+                if a < b:
+                    want.add((a, b))
+    assert got == want
+    assert elapsed < 60, f"hot-symbol join took {elapsed:.1f}s"
+
+
+def test_cap_key_fanout_keeps_at_cap_boundary(spark):
+    """fan-out == hub_cap survives; only strictly-above is cut."""
+    from pyjelly_spark.operators.components import cap_key_fanout
+
+    rows = [(f"n{i}", "at_cap") for i in range(5)] + [
+        (f"m{i}", "over_cap") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "node: string, symbol: string")
+    out = {r["symbol"] for r in cap_key_fanout(df, "symbol", hub_cap=5).collect()}
+    assert out == {"at_cap"}
