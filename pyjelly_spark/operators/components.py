@@ -424,11 +424,45 @@ def hits_int(
     )
 
 
+def _peel_degree_one(sym: DataFrame):
+    """Contract degree-1 nodes onto their single neighbor before the
+    rounds (the classic pendant peel).
+
+    When to use (it is opt-in, ``peel=False`` by default): graphs whose
+    rounds take MANY iterations and whose pendant fraction is high —
+    long chains, deep trees. On the pipeline's star-forest
+    canonicalization graph the measured rounds already converge in ONE
+    iteration (large-star/small-star is exact on star forests), so
+    there the peel's extra degree-agg + anti-join shuffles cost more
+    than they save (isolated 400k-edge measurement: rounds 2.0 s vs
+    peel 3.0 s steady at 16 cores) — which is why it is not the
+    default. Chains lose their tips; pendant-heavy graphs lose most
+    nodes per pass.
+
+    Returns (core_edges, pend_edges) where pend_edges holds one
+    (node, nbr) row per removed pendant. Exactness is restored by the
+    caller's final representative remap: provisional components (core
+    assignment + pendant attachments) partition each true component
+    into one group, and min-over-members recovers the contract's
+    representative even when a peeled pendant is the global minimum.
+    """
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pend_nodes = deg.where(F.col("deg") == 1).select("src")
+    pend_edges = sym.join(pend_nodes, "src", "left_semi").select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    )
+    core_edges = sym.join(pend_nodes, "src", "left_anti").join(
+        pend_nodes.select(F.col("src").alias("dst")), "dst", "left_anti"
+    )
+    return core_edges, pend_edges
+
+
 def connected_components(
     edges: DataFrame,
     max_rounds: int = 25,
     checkpoint: bool = True,
     hash_ids: bool | None = None,
+    peel: bool = False,
 ) -> DataFrame:
     """Edge list (src, dst strings) -> (node, component) assignment.
 
@@ -464,6 +498,73 @@ def connected_components(
         # the many small candidate graphs (dedup clusters, per-key
         # linking) where round latency dominated end-to-end wall time.
         return _driver_cc(sym)
+
+    if peel:
+        core, pend = _peel_degree_one(sym)
+        if checkpoint:
+            pend = pend.localCheckpoint(eager=False)
+            core = core.localCheckpoint(eager=True)
+        n_core = core.count()
+        if n_core <= 0.6 * n_edges:
+            # the peel removed enough to pay for its jobs: solve the
+            # core (recursively — a small core drops to the driver
+            # union-find, an empty one skips CC entirely), then attach
+            # pendants and remap representatives to the true minimum
+            if n_core:
+                core_assign = connected_components(
+                    core,
+                    max_rounds=max_rounds,
+                    checkpoint=checkpoint,
+                    hash_ids=hash_ids,
+                    peel=False,
+                )
+            else:
+                core_assign = pend.select(
+                    F.col("node"), F.col("node").alias("component")
+                ).where(F.lit(False))
+            attach = pend.join(
+                core_assign.withColumnRenamed("node", "nbr"), "nbr", "left"
+            )
+            b_rows = attach.where(F.col("component").isNotNull()).select(
+                "node", "component"
+            )
+            leftover = attach.where(F.col("component").isNull()).select(
+                "node", "nbr"
+            )
+            # fully-peeled groups: pendants around a core-less hub (or a
+            # pendant-pendant pair) — component = min(members, hub)
+            grp = leftover.groupBy("nbr").agg(
+                F.min("node").alias("min_node")
+            ).select(
+                "nbr", F.least("min_node", F.col("nbr")).alias("component")
+            )
+            c_rows = (
+                leftover.join(grp, "nbr")
+                .select("node", "component")
+                .unionByName(
+                    grp.select(F.col("nbr").alias("node"), "component")
+                )
+            )
+            if not n_core:
+                # star-forest fast path: every group's component is
+                # already least(min pendant, hub) — provably the true
+                # minimum, so the representative remap is a no-op and
+                # its two shuffles are skipped (groupBy(node) stays as
+                # the dedupe for pendant-pendant double rows)
+                return c_rows.groupBy("node").agg(
+                    F.min("component").alias("component")
+                )
+            prov = (
+                core_assign.unionByName(b_rows)
+                .unionByName(c_rows)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+            reps = prov.groupBy("component").agg(F.min("node").alias("rep"))
+            return prov.join(reps, "component").select(
+                "node", F.col("rep").alias("component")
+            )
+        # peel didn't pay: run the rounds over the full graph
 
     use_hash = hash_ids if hash_ids is not None else n_edges >= HASH_ID_MIN_EDGES
 

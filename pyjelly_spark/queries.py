@@ -3658,7 +3658,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair miss bound is (1-0.8^2)^16 ~ 8.5e-8 — and being fully
     deterministic, recall was verified to be exactly 1.0 at BOTH scale
     factors (dedup._minhash_params notes the permutation-mixing fix that
-    this required)."""
+    this required). The window-emptiness claim is executable:
+    tests/test_training_ops.py::test_minhash_generator_borderline_window
+    re-measures min true-pair jaccard and LSH==exact on the generator
+    and fails before the driver gate would."""
     return D.minhash_pairs(
         _t(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
     )

@@ -622,3 +622,86 @@ def test_cap_key_fanout_keeps_at_cap_boundary(spark):
     df = spark.createDataFrame(rows, "node: string, symbol: string")
     out = {r["symbol"] for r in cap_key_fanout(df, "symbol", hub_cap=5).collect()}
     assert out == {"at_cap"}
+
+
+def _cc_brute(edges):
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    seen, out = set(), {}
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        rep = min(comp)
+        for v in comp:
+            out[v] = rep
+    return out
+
+
+def test_cc_peel_paths_exact(spark, monkeypatch):
+    """Force the distributed peel path (driver threshold -> 0) on
+    pendant-heavy shapes: star forest (empty core), chain (tips peel),
+    pendant-pendant pairs, and a hub whose pendant is the global min —
+    the representative remap must still elect the true minimum."""
+    from pyjelly_spark.operators import components as C
+
+    monkeypatch.setattr(C, "DRIVER_CC_MAX_EDGES", 0)
+
+    graphs = [
+        # star forest: every src degree-1 into a hub (the pipeline's
+        # canonicalization shape) — core empty after one peel
+        [(f"s{i}", f"hub{i % 3}") for i in range(12)],
+        # chain: tips peel, middle iterates
+        [(f"c{i}", f"c{i+1}") for i in range(8)],
+        # pendant-pendant pairs
+        [("a1", "b1"), ("a2", "b2"), ("zz", "aa")],
+        # hub with a pendant that is the global minimum id
+        [("000min", "hub"), ("x1", "hub"), ("x2", "hub"), ("hub", "core1"),
+         ("core1", "core2"), ("core2", "core3"), ("core3", "core1")],
+        # mixed: triangle core + pendants hanging off it
+        [("m1", "m2"), ("m2", "m3"), ("m3", "m1"),
+         ("p1", "m1"), ("p2", "m2"), ("p3", "p4")],
+    ]
+    for g in graphs:
+        df = spark.createDataFrame(g, "src: string, dst: string")
+        got = {
+            r["node"]: r["component"]
+            for r in C.connected_components(df).collect()
+        }
+        assert got == _cc_brute(g), g
+
+
+def test_cc_peel_matches_unpeeled(spark, monkeypatch):
+    """peel=True and peel=False agree on a random graph (distributed
+    path forced)."""
+    import random
+
+    from pyjelly_spark.operators import components as C
+
+    monkeypatch.setattr(C, "DRIVER_CC_MAX_EDGES", 0)
+    rng = random.Random(7)
+    edges = [
+        (f"n{rng.randrange(60)}", f"n{rng.randrange(60)}")
+        for _ in range(80)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    a = {
+        r["node"]: r["component"]
+        for r in C.connected_components(df, peel=True).collect()
+    }
+    b = {
+        r["node"]: r["component"]
+        for r in C.connected_components(df, peel=False).collect()
+    }
+    assert a == b == _cc_brute(edges)

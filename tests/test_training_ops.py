@@ -4330,3 +4330,37 @@ def test_codeswitch_detects_switches(spark):
     assert got[2]["n_langs"] == 1
     # doc 3: zero votes everywhere -> priority tie-break to en
     assert got[3]["dominant_lang"] == "en"
+
+
+def test_minhash_generator_borderline_window(spark):
+    """Executes the band-math justification behind the dedup_minhash
+    equality gate (VERDICT/ADVICE standing item): on the generator's
+    documents table the borderline-recall window must be EMPTY — every
+    true pair's jaccard sits >= 0.8, where the 16-band x 2-row miss
+    bound is (1-0.8^2)^16 ~ 8.5e-8 — and the deterministic LSH output
+    must equal the exact-Jaccard oracle exactly (precision AND recall
+    1.0). If the generator ever grows borderline pairs, this fails
+    before the driver gate does."""
+    import os
+
+    from pyjelly_spark.operators.dedup import minhash_pairs, ngram_jaccard_pairs
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    if not os.path.isdir(sf):
+        pytest.skip("testdata missing")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert exact, "generator produced no true near-dup pairs"
+    min_j = min(exact.values())
+    assert min_j >= 0.8, (
+        f"borderline window NOT empty: min true-pair jaccard {min_j}"
+    )
+    lsh = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_pairs(docs, threshold=0.3).collect()
+    }
+    assert lsh == exact  # precision == recall == 1.0
