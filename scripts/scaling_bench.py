@@ -56,6 +56,10 @@ cpus = int(sys.argv[1])
 n_files = int(sys.argv[2])
 mode = sys.argv[3]
 cluster = sys.argv[4]
+# best-of-N steady state: the hi level's first reps pay page-cache/JIT
+# ramp on a shared host; N defaults to 3, raise via env for runs whose
+# reps are still descending at rep 3 (methodology: BENCH.md 2.2)
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 # Stage/output dirs on tmpfs: the sandbox's /tmp is one virtual block
 # device whose write bandwidth is FIXED, so putting job output there
@@ -77,9 +81,13 @@ from pyjelly_spark.sources.jelly_io import flatten_terms, write_jelly
 from pyjelly_spark.sources.source_repos import generate_source_files
 
 if cluster == "executors":
-    n_exec = max(cpus // 4, 1)
+    # executor SHAPE is held constant across the pair (the north rule
+    # scales executor COUNT N -> 4N, not executor size); cores per
+    # executor defaults to 4, settable for pairs like 1x2 -> 4x2
+    exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
+    n_exec = max(cpus // exec_cores, 1)
     spark = build_session(
-        master=f"local-cluster[{n_exec},4,13312]",
+        master=f"local-cluster[{n_exec},{exec_cores},13312]",
         shuffle_partitions=max(cpus * 2, 16),
         executor_memory="12g",
     )
@@ -112,7 +120,7 @@ result = {"cpus": cpus, "n_files": n_files}
 if mode in ("pipeline", "both"):
     walls = []
     n = 0
-    for rep in range(3):
+    for rep in range(REPS):
         out_dir = bench_dir(f"scaling_{cpus}_")
         try:
             t0 = time.time()
@@ -143,7 +151,7 @@ if mode in ("encode", "both"):
     flat = spark.read.parquet(stage_dir)
     walls = []
     n = 0
-    for rep in range(3):
+    for rep in range(REPS):
         out_dir = bench_dir(f"encode_{cpus}_")
         try:
             t0 = time.time()
