@@ -289,3 +289,38 @@ def test_stream_reader_tails_directory(registered, tmp_path):
     got = spark.read.parquet(sink)
     assert _stmts(got) == _stmts(read_jelly(spark, src))
     assert got.select("source_file").distinct().count() == 2
+
+
+@requires_corpora
+def test_no_pushdown_datasource_same_results(registered, tmp_path):
+    """The fallback JellyDataSource (base reader, no pushFilters
+    override) returns identical rows with source_file predicates —
+    Spark applies them post-scan. This is the variant register_jelly
+    registers when the filterPushdown conf cannot be enabled."""
+    from pyspark.sql import functions as F
+
+    from pyjelly_spark.sources.jelly_datasource import JellyDataSource
+    from pyjelly_spark.sources.nt_source import read_nt
+
+    spark = registered
+    nt = read_nt(spark, WEATHER_NT)
+    out = str(tmp_path / "ds_nopush")
+    nt.repartition(3).write.format("jelly").mode("append").save(out)
+    with_push = spark.read.format("jelly").load(out)
+    files = sorted(
+        r[0] for r in with_push.select("source_file").distinct().collect()
+    )
+    expected = sorted(
+        map(tuple, with_push.filter(F.col("source_file") == files[0]).collect())
+    )
+
+    spark.dataSource.register(JellyDataSource)  # base: no pushFilters
+    try:
+        base = (
+            spark.read.format("jelly")
+            .load(out)
+            .filter(F.col("source_file") == files[0])
+        )
+        assert sorted(map(tuple, base.collect())) == expected
+    finally:
+        register_jelly(spark)  # restore the pushdown variant
