@@ -525,7 +525,7 @@ PQ_SCALE = 10**6
 MAX_BROADCAST_CODES = 50_000_000
 
 
-def _pq_codebooks(iv: DataFrame, m: int, ks: int, sub_dim: int) -> np.ndarray:
+def _pq_codebooks(iv: DataFrame, m: int, ks: int):
     """Deterministic sampled-anchor PQ codebooks: the ``ks`` corpus
     vectors with the smallest portable hash of their id (sha256 of
     ``pqanchor:<vid>`` — a content-independent pseudo-random draw)
@@ -550,12 +550,14 @@ def _pq_codebooks(iv: DataFrame, m: int, ks: int, sub_dim: int) -> np.ndarray:
     )
     if len(anchors) < ks:
         raise ValueError(f"pq needs >= {ks} vectors, got {len(anchors)}")
+    dim = len(anchors[0]["v"])
+    sub_dim = dim // m
     out = np.empty((m, ks, sub_dim), dtype=np.int64)
     for j, row in enumerate(anchors):
         vec = np.asarray(row["v"], dtype=np.int64)
         for mm in range(m):
             out[mm, j] = vec[mm * sub_dim:(mm + 1) * sub_dim]
-    return out
+    return out, dim
 
 
 def _pq_learn(
@@ -678,11 +680,6 @@ def pq_topk(
     neighbor_id; the DuckDB oracle replays encode + ADC + re-rank
     bit-exactly.
     """
-    dim = len(emb.select(vec_col).first()[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-
     iv = emb.select(
         F.col(id_col).alias("vid"),
         F.transform(
@@ -690,7 +687,12 @@ def pq_topk(
             lambda x: F.round(x.cast("double") * F.lit(scale)).cast("long"),
         ).alias("v"),
     )
-    books = _pq_codebooks(iv, m, ks, sub)  # m x ks x sub
+    # dim comes from the anchor rows the codebook build collects anyway
+    # (one fewer Spark job than a separate first() probe)
+    books, dim = _pq_codebooks(iv, m, ks)  # m x ks x sub
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
     if learn_iters:
         iv = iv.localCheckpoint(eager=True)  # iterations rescan the corpus
         books = _pq_learn(iv, books, m, ks, sub, learn_iters)

@@ -941,7 +941,8 @@ def test_pq_topk_recall_and_exactness(spark):
             lambda x: F.round(x.cast("double") * F.lit(10**6)).cast("long"),
         ).alias("v"),
     )
-    books = _pq_codebooks(iv, 8, 32, 8)
+    books, dim = _pq_codebooks(iv, 8, 32)
+    assert dim == 64
     assert books.shape == (8, 32, 8)
     flat = books.transpose(1, 0, 2).reshape(32, 64)
     assert all((imat == row).all(axis=1).any() for row in flat)
