@@ -716,7 +716,11 @@ def read_jelly(
     return paths_df.mapInArrow(decode_files, schema=READ_SCHEMA)
 
 
-def read_jelly_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_jelly_stream(
+    spark: SparkSession,
+    path: str,
+    logical_type_strict: Optional[str] = None,
+) -> DataFrame:
     """Structured Streaming source over a directory of .jelly files.
 
     Files arriving in ``path`` are discovered by the ``binaryFile``
@@ -726,7 +730,15 @@ def read_jelly_stream(spark: SparkSession, path: str) -> DataFrame:
     drain with ``trigger(availableNow=True)`` for batch parity. This is
     the engine's native analogue of the reference's "streaming" framing:
     frames arrive incrementally, decode state lives inside one file.
+
+    ``logical_type_strict``: None / "flat" / "grouped" — the same
+    reference strict gate as :func:`read_jelly`, applied per arriving
+    file (a mismatched file fails its micro-batch).
     """
+    if logical_type_strict not in (None, "flat", "grouped"):
+        raise ValueError(
+            "logical_type_strict must be None, 'flat' or 'grouped'"
+        )
     from pyjelly_spark.session import ship_package
 
     ship_package(spark)
@@ -747,7 +759,9 @@ def read_jelly_stream(spark: SparkSession, path: str) -> DataFrame:
             sources = batch.column("path").to_pylist()
             contents = batch.column("content").to_pylist()
             for source, data in zip(sources, contents):
-                yield from _decode_bytes_batches(source, bytes(data))
+                yield from _decode_bytes_batches(
+                    source, bytes(data), logical_type_strict
+                )
 
     return stream.mapInArrow(decode_files, schema=READ_SCHEMA)
 

@@ -177,3 +177,43 @@ def test_read_jelly_strict_distributed(spark, tmp_path):
         read_jelly(spark, str(grouped), logical_type_strict="flat").count()
     with pytest.raises(ValueError, match="logical_type_strict"):
         read_jelly(spark, str(flat), logical_type_strict="bogus")
+
+
+def test_read_jelly_stream_strict(spark, tmp_path):
+    """The strict gate rides the streaming source too: a flat landing
+    file read with logical_type_strict='grouped' fails its micro-batch;
+    the matching mode drains fine under availableNow."""
+    from pyjelly_spark.jelly.encoder import delimit
+    from pyjelly_spark.sources.jelly_io import read_jelly_stream
+
+    land = tmp_path / "land"
+    land.mkdir()
+    with open(land / "a.jelly", "wb") as f:
+        for frame in _flat_triples_frames():
+            f.write(delimit(frame))
+
+    out_ok = str(tmp_path / "ok")
+    q = (
+        read_jelly_stream(spark, str(land), logical_type_strict="flat")
+        .writeStream.format("parquet")
+        .option("path", out_ok)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_ok).count() == 2
+
+    q2 = (
+        read_jelly_stream(spark, str(land), logical_type_strict="grouped")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "bad"))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="expected GROUPED"):
+        q2.awaitTermination(120)
+
+    with pytest.raises(ValueError, match="logical_type_strict"):
+        read_jelly_stream(spark, str(land), logical_type_strict="nope")
