@@ -20701,6 +20701,181 @@ FROM rev
 """
 
 
+
+
+def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (words with frequency >= 2% of all
+    tokens) by the two-pass distributed scheme: pass 1 streams each
+    Arrow batch once and emits only words whose LOCAL count clears the
+    threshold within that batch — by pigeonhole, any word with global
+    count >= theta*N must clear theta*N_b in at least one batch, so the
+    candidate union provably contains every true heavy hitter while
+    staying bounded by batches/theta rows; pass 2 exact-counts ONLY the
+    candidates (broadcast semi-join BEFORE the shuffle). The point at
+    100 TB: the full-vocabulary shuffle never happens — the shuffle
+    carries candidate tokens only, and the result is still EXACT (the
+    pass-2 filter re-applies the global threshold), unlike a lossy
+    sketch. Returns (word, cnt, freq_ppm)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr(
+                "filter(split(lower(trim(regexp_replace(text,"
+                " '\\\\s+', ' '))), ' '), x -> x <> '')"
+            )
+        ).alias("word")
+    )
+
+    import pandas as pd
+
+    def candidates(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf["word"].value_counts()
+            n = int(vc.sum())
+            hot = vc[vc * 50 >= n]
+            if len(hot):
+                yield pd.DataFrame({"word": hot.index})
+
+    cand = words.mapInPandas(candidates, "word string").distinct()
+    exact = (
+        words.join(F.broadcast(cand), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # total tokens from a narrow per-doc size() agg — no third pass
+    # over the exploded word stream
+    total = docs.agg(
+        F.sum(
+            F.expr(
+                "size(filter(split(lower(trim(regexp_replace(text,"
+                " '\\\\s+', ' '))), ' '), x -> x <> ''))"
+            )
+        )
+        .cast("long")
+        .alias("total")
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * 50 >= F.col("total"))
+        .select(
+            "word",
+            "cnt",
+            F.expr("cnt * 1000000 div total").alias("freq_ppm"),
+        )
+    )
+
+
+SQL_VOCAB_HEAVY_HITTERS = rf"""
+WITH w AS (
+  SELECT unnest(string_split({NORM_SQL}, ' ')) AS word FROM documents
+),
+nz AS (SELECT word FROM w WHERE word <> ''),
+f AS (SELECT word, count(*) AS cnt FROM nz GROUP BY 1),
+t AS (SELECT count(*) AS total FROM nz)
+SELECT word, cnt::BIGINT AS cnt,
+       (cnt * 1000000 // total)::BIGINT AS freq_ppm
+FROM f, t WHERE cnt * 50 >= total
+"""
+
+
+def q_doc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level exact dedup census: the corpus is cut into
+    NON-OVERLAPPING 20-word blocks (C4/CCNet-style unit hashing — at
+    100 TB you hash n/20 blocks per document, ~100x cheaper than the
+    overlapping-shingle pass, and only block-hash collisions graduate
+    to the expensive near-dup machinery). Per document with >= 1 full
+    block: block count, blocks whose hash occurs more than once
+    corpus-wide, the duplicated fraction in ppm, and how many of its
+    duplicated blocks this doc CANONICALLY owns (it is the minimum
+    (doc_id, block_idx) occurrence) — the keep-side of a drop-duplicate
+    pass. One explode + one hash-keyed aggregation; md5 via the JVM
+    intrinsic."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(trim(regexp_replace(text,"
+            " '\\\\s+', ' '))), ' '), x -> x <> '')"
+        ).alias("words"),
+    ).select(
+        "doc_id",
+        F.expr(
+            """IF(size(words) < 20, array(),
+               transform(sequence(0, size(words) div 20 - 1),
+                 b -> md5(concat_ws(' ', slice(words, b * 20 + 1, 20)))))"""
+        ).alias("bh"),
+    ).where(F.size("bh") >= 1)
+    ex = d.select(
+        "doc_id", F.posexplode("bh").alias("block_idx", "h")
+    )
+    stats = ex.groupBy("h").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.min(F.expr("doc_id * 1000000 + block_idx")).alias("first_key"),
+    )
+    j = ex.join(stats, "h")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_blocks"),
+            F.sum(
+                F.when(
+                    (F.col("occ") >= 2)
+                    & (
+                        F.col("first_key")
+                        == F.expr("doc_id * 1000000 + block_idx")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_canonical_dups"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_dup_blocks",
+            F.expr("n_dup_blocks * 1000000 div n_blocks").alias("dup_ppm"),
+            "n_canonical_dups",
+        )
+    )
+
+
+SQL_DOC_BLOCK_DEDUP = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split({NORM_SQL}, ' '), x -> x <> '') AS words
+  FROM documents
+),
+b AS (
+  SELECT doc_id, b AS block_idx,
+         md5(array_to_string(words[b*20+1:b*20+20], ' ')) AS h
+  FROM t, LATERAL (
+    SELECT unnest(range(0, greatest(len(words) // 20, 0))) AS b
+  ) g
+),
+s AS (
+  SELECT h, count(*) AS occ,
+         min(doc_id * 1000000 + block_idx) AS first_key
+  FROM b GROUP BY 1
+)
+SELECT b.doc_id,
+       count(*)::BIGINT AS n_blocks,
+       sum(CASE WHEN s.occ >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_blocks,
+       ((sum(CASE WHEN s.occ >= 2 THEN 1 ELSE 0 END) * 1000000)
+         // count(*))::BIGINT AS dup_ppm,
+       sum(CASE WHEN s.occ >= 2
+                AND s.first_key = b.doc_id * 1000000 + b.block_idx
+                THEN 1 ELSE 0 END)::BIGINT AS n_canonical_dups
+FROM b JOIN s USING (h)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -20995,6 +21170,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_coreness": q_kg_coreness,
     "events_runs": q_events_runs,
     "orders_hhi": q_orders_hhi,
+    "vocab_heavy_hitters": q_vocab_heavy_hitters,
+    "doc_block_dedup": q_doc_block_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -21295,4 +21472,6 @@ ORACLES: dict[str, str] = {
     "kg_coreness": SQL_KG_CORENESS,
     "events_runs": SQL_EVENTS_RUNS,
     "orders_hhi": SQL_ORDERS_HHI,
+    "vocab_heavy_hitters": SQL_VOCAB_HEAVY_HITTERS,
+    "doc_block_dedup": SQL_DOC_BLOCK_DEDUP,
 }
