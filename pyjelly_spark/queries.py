@@ -20716,7 +20716,9 @@ def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries candidate tokens only, and the result is still EXACT (the
     pass-2 filter re-applies the global threshold), unlike a lossy
     sketch. Returns (word, cnt, freq_ppm)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # single-file table -> spread the explode across cores
     words = docs.select(
         F.explode(
             F.expr(
@@ -20873,6 +20875,83 @@ SELECT b.doc_id,
                 THEN 1 ELSE 0 END)::BIGINT AS n_canonical_dups
 FROM b JOIN s USING (h)
 GROUP BY 1
+"""
+
+
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (exact
+    Jaccard pairs -> distributed CC, identical to dedup_clusters) where
+    the kept representative is the LONGEST member (ties -> smallest
+    doc_id), not the smallest id — the policy real corpus builds use
+    (keep the most complete copy, drop truncated mirrors). One row per
+    multi-doc cluster: the kept doc, its length, the cluster size, and
+    the total characters dropped. The argmax travels as ONE
+    max(struct(n_chars, -doc_id)) aggregate — no per-cluster sort, no
+    window over the full corpus."""
+    from pyjelly_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    assign = connected_components(
+        pairs.select(pad("a").alias("src"), pad("b").alias("dst"))
+    ).select(
+        F.expr("cast(node as bigint)").alias("doc_id"),
+        F.expr("cast(component as bigint)").alias("rep"),
+    )
+    m = assign.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        m.groupBy("rep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("nc"),
+                    F.expr("-doc_id").alias("nid"),
+                )
+            ).alias("best"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "rep",
+            F.expr("-best.nid").cast("long").alias("keep_doc_id"),
+            F.col("best.nc").cast("long").alias("keep_n_chars"),
+            "cluster_size",
+            F.expr("total_chars - best.nc").cast("long").alias("dropped_chars"),
+        )
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {{shingles}},
+p AS (
+  SELECT lpad(a::VARCHAR, 12, '0') AS a, lpad(b::VARCHAR, 12, '0') AS b
+  FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+n AS (SELECT DISTINCT src AS node FROM e),
+r(node, m) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT r.node, e.dst FROM r JOIN e ON r.m = e.src
+),
+comp AS (SELECT node::BIGINT AS doc_id, min(m)::BIGINT AS rep
+         FROM r GROUP BY node),
+mem AS (
+  SELECT comp.rep, comp.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY comp.rep
+                            ORDER BY d.n_chars DESC, comp.doc_id ASC) AS rn
+  FROM comp JOIN documents d USING (doc_id)
+)
+SELECT rep,
+       max(CASE WHEN rn = 1 THEN doc_id END)::BIGINT AS keep_doc_id,
+       max(CASE WHEN rn = 1 THEN n_chars END)::BIGINT AS keep_n_chars,
+       count(*)::BIGINT AS cluster_size,
+       (sum(n_chars) - max(CASE WHEN rn = 1 THEN n_chars END))::BIGINT
+         AS dropped_chars
+FROM mem GROUP BY rep
 """
 
 
@@ -21172,6 +21251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_hhi": q_orders_hhi,
     "vocab_heavy_hitters": q_vocab_heavy_hitters,
     "doc_block_dedup": q_doc_block_dedup,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 ORACLES: dict[str, str] = {
@@ -21474,4 +21554,7 @@ ORACLES: dict[str, str] = {
     "orders_hhi": SQL_ORDERS_HHI,
     "vocab_heavy_hitters": SQL_VOCAB_HEAVY_HITTERS,
     "doc_block_dedup": SQL_DOC_BLOCK_DEDUP,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST.format(
+        shingles=SHINGLES_SQL.strip()
+    ),
 }
