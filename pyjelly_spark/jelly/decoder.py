@@ -525,8 +525,10 @@ def decode_flat(
                 yield ("quad", event[1], event[2], event[3], current_graph)
             else:
                 yield event
-        if not checked:
-            c.check_logical_type_strict(decoder.options, "flat")
-            checked = True
     if not checked:
+        # End-of-stream fallback only: a stream whose first frame is
+        # empty but whose options row arrives in a later frame is
+        # legal, so the per-frame check (which would reject it) is
+        # deliberately absent. Statement-before-options ordering is
+        # enforced by the decoder itself.
         c.check_logical_type_strict(decoder.options, "flat")

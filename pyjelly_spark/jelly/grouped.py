@@ -143,3 +143,8 @@ def decode_grouped(
             else:
                 events.append(event)
         yield events, metadata
+    if not checked:
+        # Stream ended without an options row (e.g. empty stream):
+        # strict mode rejects it, same as decode_flat and the
+        # reference parse_jelly_grouped (parse.py:263).
+        c.check_logical_type_strict(decoder.options, "grouped")

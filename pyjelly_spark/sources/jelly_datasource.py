@@ -523,8 +523,31 @@ class JellyDataSourcePushdown(JellyDataSource):
         return JellyReaderPushdown(self.options)
 
 
-def register_jelly(spark) -> None:
+def register_jelly(spark, pushdown: "bool | None" = None) -> None:
     """Register the format (and ship the package to python workers).
+
+    ``pushdown``:
+
+    * ``None`` (default) — enable ``spark.sql.python.filterPushdown.
+      enabled`` on the session and register the partition-pruning
+      reader; fall back to the plain reader if the conf cannot be set.
+    * ``False`` — register the plain (no-pushFilters) reader and leave
+      the session conf untouched. Use this when other code on the
+      session needs that conf to stay false.
+    * ``True`` — require the pruning reader; raises if the conf cannot
+      be enabled.
+
+    NOTE the conf dependency is *per read*, not per registration:
+    PySpark re-checks ``spark.sql.python.filterPushdown.enabled`` every
+    time it plans a scan of a pushFilters-overriding reader, so if user
+    code flips the conf off *after* ``register_jelly(spark)``, later
+    ``spark.read.format("jelly")`` calls fail with PySpark's
+    DATA_SOURCE_PUSHDOWN_DISABLED error (there is no reader-side hook
+    to fall back — the gate lives in PySpark's plan worker). Remedy:
+    re-enable the conf, or call ``register_jelly(spark,
+    pushdown=False)`` to re-register the plain variant. Results are
+    identical either way; without pushdown Spark applies source_file
+    predicates after the scan instead of pruning files inside it.
 
     Besides ``addPyFile`` shipping (task workers), this module is
     registered for cloudpickle BY-VALUE pickling: PySpark's driver-side
@@ -552,17 +575,25 @@ def register_jelly(spark) -> None:
     # came from this repo's builder. If it cannot be enabled (locked conf,
     # future default change), register the no-pushdown reader — identical
     # results, Spark applies source_file predicates after the scan.
-    pushdown = False
+    if pushdown is False:
+        spark.dataSource.register(JellyDataSource)
+        return
+    enabled = False
     try:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-        pushdown = (
+        enabled = (
             str(
                 spark.conf.get("spark.sql.python.filterPushdown.enabled")
             ).lower()
             == "true"
         )
     except Exception:
-        pushdown = False
+        enabled = False
+    if pushdown is True and not enabled:
+        raise RuntimeError(
+            "register_jelly(pushdown=True): could not enable "
+            "spark.sql.python.filterPushdown.enabled on this session"
+        )
     spark.dataSource.register(
-        JellyDataSourcePushdown if pushdown else JellyDataSource
+        JellyDataSourcePushdown if enabled else JellyDataSource
     )

@@ -660,6 +660,11 @@ def _decode_bytes_batches(
             _push_term(graph, gk, gv, gl, gd)
             if len(frame_ids) >= _DECODE_CHUNK_ROWS:
                 yield flush()
+    if not lt_checked:
+        # Stream ended without an options row (e.g. empty/options-less
+        # file): strict mode rejects it, matching decode_flat /
+        # decode_grouped end-of-stream behavior.
+        jc.check_logical_type_strict(decoder.options, logical_type_strict)
     if frame_ids:
         yield flush()
 

@@ -324,3 +324,35 @@ def test_no_pushdown_datasource_same_results(registered, tmp_path):
         assert sorted(map(tuple, base.collect())) == expected
     finally:
         register_jelly(spark)  # restore the pushdown variant
+
+
+def test_register_jelly_pushdown_flag(registered, tmp_path):
+    """register_jelly(pushdown=False) registers the plain reader and
+    leaves the filterPushdown conf untouched — the escape hatch for
+    sessions that must keep that conf false (r3 advisory). Reads still
+    work with the conf off. pushdown=None restores the pruning
+    variant."""
+    spark = registered
+    from pyjelly_spark.jelly.encoder import StreamEncoder, delimit
+    from pyjelly_spark.jelly import constants as c
+
+    enc = StreamEncoder(
+        c.StreamOptions(
+            physical_type=c.PHYSICAL_TRIPLES,
+            logical_type=c.LOGICAL_FLAT_TRIPLES,
+        )
+    )
+    enc.add_triple(("iri", "http://e/s"), ("iri", "http://e/p"), ("iri", "http://e/o"))
+    frame = enc.take_frame()
+    src = tmp_path / "one.jelly"
+    src.write_bytes(delimit(frame))
+
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        spark.conf.set(conf_key, "false")
+        register_jelly(spark, pushdown=False)
+        assert spark.conf.get(conf_key) == "false"  # untouched
+        assert spark.read.format("jelly").load(str(src)).count() == 1
+    finally:
+        register_jelly(spark)  # restore default (re-enables conf)
+        assert spark.conf.get(conf_key) == "true"

@@ -150,6 +150,51 @@ def test_strict_requires_options():
     assert list(decode_flat([b""], logical_type_strict=False)) == []
 
 
+def test_strict_requires_options_grouped_and_empty_stream():
+    """decode_grouped must reject options-less streams under strict
+    mode exactly like decode_flat (reference parse_jelly_grouped,
+    parse.py:263) — including the fully-empty stream, where the frame
+    loop never runs."""
+    with pytest.raises(JellyError, match="requires stream options"):
+        list(decode_grouped([b""], logical_type_strict=True))
+    with pytest.raises(JellyError, match="requires stream options"):
+        list(decode_grouped([], logical_type_strict=True))
+    with pytest.raises(JellyError, match="requires stream options"):
+        list(decode_flat([], logical_type_strict=True))
+    # Lenient mode accepts all of these as empty.
+    assert list(decode_grouped([], logical_type_strict=False)) == []
+    assert list(decode_flat([], logical_type_strict=False)) == []
+
+
+def test_strict_empty_first_frame_late_options_accepted():
+    """A stream whose FIRST frame is empty and whose options row arrives
+    in a later frame never violates statement-before-options ordering,
+    so strict mode must accept it (the per-frame fallback that rejected
+    this was removed per r3 advisory)."""
+    frames = _flat_triples_frames()
+    padded = [b""] + frames
+    out = list(decode_flat(padded, logical_type_strict=True))
+    assert len(out) == 2
+    g_frames = [b""] + _grouped_graphs_frames()
+    groups = list(decode_grouped(g_frames, logical_type_strict=True))
+    assert sum(len(ev) for ev, _m in groups) == 2
+
+
+def test_read_jelly_strict_rejects_optionsless_file(spark, tmp_path):
+    """_decode_bytes_batches end-of-stream fallback: an options-less
+    (single empty frame) file fails strict read, passes lenient."""
+    from pyjelly_spark.jelly.encoder import delimit
+    from pyjelly_spark.sources.jelly_io import read_jelly
+
+    bad = tmp_path / "optless.jelly"
+    # Three empty delimited frames (1-byte files are below the 3-byte
+    # sniff minimum of the reference's delimitedness truth table).
+    bad.write_bytes(delimit(b"") * 3)
+    assert read_jelly(spark, str(bad)).count() == 0
+    with pytest.raises(Exception, match="requires stream options"):
+        read_jelly(spark, str(bad), logical_type_strict="flat").count()
+
+
 def test_read_jelly_strict_distributed(spark, tmp_path):
     """The strict gate rides the distributed read: a flat file read
     with logical_type_strict='grouped' fails the decode task; the
