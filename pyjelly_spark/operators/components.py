@@ -676,28 +676,82 @@ def cap_key_fanout(
     items: DataFrame,
     key_col: str,
     hub_cap: int = 10_000,
+    *,
+    node_col: "str | None" = None,
+    on_exceed: str = "drop",
 ) -> DataFrame:
-    """Drop keys whose distinct-node fan-out exceeds ``hub_cap`` before
-    a co-occurrence self-join.
+    """Guard a co-occurrence self-join against hot keys whose fan-out
+    exceeds ``hub_cap``.
 
     The (node, key) self-join on ``key`` emits C(fanout, 2) pairs per
     key, so ONE hot key — a symbol defined in 10^4 files at 100 TB —
     contributes 5*10^7 pairs and dominates (or sinks) the whole stage.
-    This is the same hub-cut contract as ``node_similarity`` /
-    ``ra_scores``' ``hub_cap``: hot keys carry almost no pairwise
-    signal (everything co-occurs with everything) and are excluded
-    wholesale, a documented recall trade. Cost is one aggregation on
-    the key plus a broadcast anti-join; multiplicities of the
-    surviving rows are untouched, so callers that count shared keys
-    per pair keep exact semantics for every surviving key.
+
+    Fan-out is the ROW count per key by default; pass ``node_col`` to
+    count DISTINCT nodes instead (the right measure when duplicate
+    (node, key) rows are possible upstream — row counts would inflate
+    the estimate and can over-trigger the guard).
+
+    ``on_exceed`` picks the defense:
+
+    * ``"drop"`` — exclude hot keys wholesale (the ``node_similarity``
+      / ``ra_scores`` hub-cut contract: hot keys carry almost no
+      pairwise signal since everything co-occurs with everything; a
+      documented recall trade). Multiplicities of surviving rows are
+      untouched, so callers counting shared keys per pair keep exact
+      semantics for every surviving key.
+    * ``"error"`` — MAX_*-style regime refusal: inject a runtime
+      assertion (1-row broadcast cross join, same scalar-guard shape
+      as the exact-cosine guard) that fails the job loudly if any key
+      exceeds the cap. Use this in operators whose contract is
+      EXACTNESS (oracle-gated queries): results never silently diverge
+      from the closed-form oracle, and the C(fanout, 2) blow-up is
+      refused before the join rather than suffered, with an error that
+      routes callers to the capped/bucketed variants.
+
+    Cost either way is one aggregation on the key plus a broadcast
+    anti-join (drop) or a 1-row scalar guard (error).
     """
-    counts = (
+    fanout = (
+        F.countDistinct(node_col) if node_col else F.count(F.lit(1))
+    ).alias("_fanout")
+    hot = (
         items.groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("_fanout"))
+        .agg(fanout)
         .where(F.col("_fanout") > hub_cap)
         .select(key_col)
     )
-    return items.join(F.broadcast(counts), key_col, "left_anti")
+    if on_exceed == "error":
+        # The assertion lives in a FILTER on the 1-row guard side (not
+        # a projected-then-dropped column, which Catalyst would prune
+        # away): assert_true returns NULL when the condition holds, so
+        # isNull keeps the row and the cross join is an identity; a hot
+        # key raises before the probe side streams (broadcast sides
+        # materialize first).
+        guard = (
+            hot.agg(F.count(F.lit(1)).alias("_n_hot"))
+            .where(
+                F.assert_true(
+                    F.col("_n_hot") == 0,
+                    F.concat(
+                        F.lit(
+                            f"cap_key_fanout: key(s) in '{key_col}' "
+                            f"exceed fan-out {hub_cap}; this exact-tier "
+                            "self-join would blow up as C(fanout, 2). "
+                            "Use the capped (on_exceed='drop') or "
+                            "bucketed (MinHash/LSH) variant for "
+                            "hot-key inputs. n_hot="
+                        ),
+                        F.col("_n_hot").cast("string"),
+                    ),
+                ).isNull()
+            )
+            .select(F.lit(1).alias("_hub_ok"))
+        )
+        return items.crossJoin(F.broadcast(guard)).drop("_hub_ok")
+    if on_exceed != "drop":
+        raise ValueError(f"on_exceed must be 'drop' or 'error', got {on_exceed!r}")
+    return items.join(F.broadcast(hot), key_col, "left_anti")
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:

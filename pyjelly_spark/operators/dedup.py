@@ -92,14 +92,38 @@ def _pair_jaccard(shingles: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    *,
+    hub_cap: int = 10_000,
+    on_hot_shingle: str = "error",
 ) -> DataFrame:
     """Exact near-duplicate pairs by word-n-gram Jaccard >= threshold.
 
     (a, b, jaccard) with a < b, jaccard rounded to 4 decimals. This is the
     exact/oracle path; use :func:`minhash_pairs` at scale.
+
+    Hot-shingle guard: the shingle equi-join emits C(fanout, 2) pairs
+    per shingle, so one boilerplate 3-gram occurring in 10^5 docs would
+    emit ~5*10^9 pairs from a single key. ``on_hot_shingle="error"``
+    (default) refuses the job loudly if any shingle's fan-out exceeds
+    ``hub_cap`` — exactness is this operator's contract, so it never
+    silently diverges; route hot corpora through :func:`minhash_pairs`.
+    ``"drop"`` excludes hot shingles instead (the recall trade of the
+    graph hub-cut: a shingle shared by >hub_cap docs carries no
+    near-dup signal), accepting that reported Jaccard then undercounts
+    intersections through dropped shingles.
     """
-    pairs = _pair_jaccard(doc_shingles(docs, n=n))
+    from pyjelly_spark.operators.components import cap_key_fanout
+
+    sh = cap_key_fanout(
+        doc_shingles(docs, n=n),
+        "shingle",
+        hub_cap,
+        on_exceed=on_hot_shingle,
+    )
+    pairs = _pair_jaccard(sh)
     # floor-scaling, not round(): rounding-mode-proof across engines
     # (DuckDB HALF_EVEN vs Spark HALF_UP differ at x.xxxx5 boundaries)
     return pairs.where(F.col("jaccard") >= threshold).select(

@@ -1014,7 +1014,9 @@ def q_kg_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("file"),
         F.regexp_extract("o", r"symbol/(.*)$", 1).alias("symbol"),
     ).where(F.col("symbol").startswith("f_"))
-    sym = cap_key_fanout(sym, "symbol")  # hot-symbol C(f,2) guard
+    sym = cap_key_fanout(
+        sym, "symbol", node_col="file", on_exceed="error"
+    )  # exact-tier hub guard: refuse (not silently drop) hot symbols
     pairs = (
         sym.alias("x")
         .join(
@@ -1090,7 +1092,9 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all("content", F.lit(X.DEF_RE), F.lit(1))
         ).alias("symbol"),
     ).where(F.col("symbol").startswith("shared_"))
-    sdefs = cap_key_fanout(sdefs, "symbol")  # hot-symbol C(f,2) guard
+    sdefs = cap_key_fanout(
+        sdefs, "symbol", node_col="file", on_exceed="error"
+    )  # exact-tier hub guard: refuse (not silently drop) hot symbols
     pairs = (
         sdefs.alias("x")
         .join(
@@ -1121,7 +1125,9 @@ def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all("content", F.lit(X.DEF_RE), F.lit(1))
         ).alias("symbol"),
     ).where(F.col("symbol").startswith("shared_"))
-    sdefs = cap_key_fanout(sdefs, "symbol")  # hot-symbol C(f,2) guard
+    sdefs = cap_key_fanout(
+        sdefs, "symbol", node_col="file", on_exceed="error"
+    )  # exact-tier hub guard: refuse (not silently drop) hot symbols
     pairs = (
         sdefs.alias("x")
         .join(
@@ -7421,7 +7427,9 @@ def q_kg_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyjelly_spark.operators.components import cap_key_fanout
 
-    scalls = cap_key_fanout(scalls, "symbol")  # hot-symbol C(f,2) guard
+    scalls = cap_key_fanout(
+        scalls, "symbol", node_col="file", on_exceed="error"
+    )  # exact-tier hub guard: refuse (not silently drop) hot symbols
     pc = (
         scalls.alias("x")
         .join(
@@ -10116,9 +10124,16 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: like dedup_jaccard this is the exact/oracle path — on
     corpora where the candidate set itself explodes, run it behind the
     MinHash prefilter."""
+    from pyjelly_spark.operators.components import cap_key_fanout
     from pyjelly_spark.operators.dedup import doc_shingles
 
-    sh = doc_shingles(_t(spark, sf_dir, "documents"), n=3)
+    # Exact-tier hub guard: refuse (not silently drop) hot shingles —
+    # one 10^5-doc boilerplate 3-gram would emit ~10^10 pairs alone.
+    sh = cap_key_fanout(
+        doc_shingles(_t(spark, sf_dir, "documents"), n=3),
+        "shingle",
+        on_exceed="error",
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     left = sh.select(F.col("doc_id").alias("a"), "shingle")
     right = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -12430,9 +12445,15 @@ def q_dedup_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs, same as dedup_jaccard); the argmax is a row_number
     window PARTITIONED BY doc over the pair stream — no global sort,
     no driver state."""
+    from pyjelly_spark.operators.components import cap_key_fanout
     from pyjelly_spark.operators.dedup import doc_shingles
 
-    sh = doc_shingles(_t(spark, sf_dir, "documents"), n=3)
+    # Exact-tier hub guard: refuse (not silently drop) hot shingles.
+    sh = cap_key_fanout(
+        doc_shingles(_t(spark, sf_dir, "documents"), n=3),
+        "shingle",
+        on_exceed="error",
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     left = sh.select(F.col("doc_id").alias("a"), "shingle")
     right = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -20812,9 +20833,12 @@ def q_doc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = d.select(
         "doc_id", F.posexplode("bh").alias("block_idx", "h")
     )
+    # Canonical owner = lexicographic min (doc_id, block_idx) STRUCT —
+    # not doc_id * 1e6 + block_idx, which would alias across documents
+    # once a single doc reaches 10^6 blocks (20M+ words).
     stats = ex.groupBy("h").agg(
         F.count(F.lit(1)).alias("occ"),
-        F.min(F.expr("doc_id * 1000000 + block_idx")).alias("first_key"),
+        F.min(F.struct("doc_id", "block_idx")).alias("first_key"),
     )
     j = ex.join(stats, "h")
     return (
@@ -20829,7 +20853,7 @@ def q_doc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("occ") >= 2)
                     & (
                         F.col("first_key")
-                        == F.expr("doc_id * 1000000 + block_idx")
+                        == F.struct("doc_id", "block_idx")
                     ),
                     1,
                 ).otherwise(0)
@@ -20862,7 +20886,7 @@ b AS (
 ),
 s AS (
   SELECT h, count(*) AS occ,
-         min(doc_id * 1000000 + block_idx) AS first_key
+         min({{'doc_id': doc_id, 'block_idx': block_idx}}) AS first_key
   FROM b GROUP BY 1
 )
 SELECT b.doc_id,
@@ -20871,7 +20895,7 @@ SELECT b.doc_id,
        ((sum(CASE WHEN s.occ >= 2 THEN 1 ELSE 0 END) * 1000000)
          // count(*))::BIGINT AS dup_ppm,
        sum(CASE WHEN s.occ >= 2
-                AND s.first_key = b.doc_id * 1000000 + b.block_idx
+                AND s.first_key = {{'doc_id': b.doc_id, 'block_idx': b.block_idx}}
                 THEN 1 ELSE 0 END)::BIGINT AS n_canonical_dups
 FROM b JOIN s USING (h)
 GROUP BY 1

@@ -624,6 +624,87 @@ def test_cap_key_fanout_keeps_at_cap_boundary(spark):
     assert out == {"at_cap"}
 
 
+def test_cap_key_fanout_distinct_node_counting(spark):
+    """node_col counts DISTINCT nodes: duplicate (node, key) rows no
+    longer inflate the fan-out estimate (r3 advisory)."""
+    from pyjelly_spark.operators.components import cap_key_fanout
+
+    # 3 distinct nodes x 4 duplicate rows each = 12 rows, 3 nodes.
+    rows = [(f"n{i}", "dupkey") for i in range(3)] * 4
+    df = spark.createDataFrame(rows, "node: string, symbol: string")
+    # Row counting (12 > 5) cuts the key; distinct-node counting
+    # (3 <= 5) keeps it.
+    assert cap_key_fanout(df, "symbol", hub_cap=5).count() == 0
+    assert (
+        cap_key_fanout(df, "symbol", hub_cap=5, node_col="node").count() == 12
+    )
+
+
+def test_cap_key_fanout_error_mode(spark):
+    """on_exceed='error' is the exact-tier regime refusal: hot keys
+    fail the job loudly instead of silently diverging from a no-cap
+    oracle; cool inputs pass through rows unchanged."""
+    import pytest
+
+    from pyjelly_spark.operators.components import cap_key_fanout
+
+    cool = spark.createDataFrame(
+        [(f"n{i}", f"k{i % 3}") for i in range(9)],
+        "node: string, symbol: string",
+    )
+    out = cap_key_fanout(cool, "symbol", hub_cap=5, on_exceed="error")
+    assert out.count() == 9
+    assert sorted(out.columns) == ["node", "symbol"]
+
+    hot = spark.createDataFrame(
+        [(f"n{i}", "hot") for i in range(7)], "node: string, symbol: string"
+    )
+    with pytest.raises(Exception, match="cap_key_fanout"):
+        cap_key_fanout(hot, "symbol", hub_cap=5, on_exceed="error").count()
+    with pytest.raises(ValueError, match="on_exceed"):
+        cap_key_fanout(hot, "symbol", on_exceed="bogus")
+
+
+def test_hot_shingle_guard_bounded_time(spark):
+    """A planted boilerplate shingle occurring in 10^4 docs would emit
+    ~5*10^7 pairs from the exact-Jaccard shingle self-join. The default
+    on_hot_shingle='error' refuses the job in bounded time (the guard
+    is a pre-join aggregation — the blow-up is never materialized);
+    'drop' mode completes and still finds the cool near-dup pair."""
+    import time
+
+    import pytest
+
+    from pyjelly_spark.operators.dedup import ngram_jaccard_pairs
+
+    # Every doc shares one identical 3-word boilerplate header; two
+    # docs are genuine near-duplicates beyond it.
+    boiler = "copyright acme corp"
+    rows = [(i, f"{boiler} unique{i} text{i} filler{i}") for i in range(10_000)]
+    rows.append((20_001, "alpha beta gamma delta epsilon zeta eta"))
+    rows.append((20_002, "alpha beta gamma delta epsilon zeta theta"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    t0 = time.time()
+    with pytest.raises(Exception, match="cap_key_fanout"):
+        ngram_jaccard_pairs(docs, threshold=0.5, hub_cap=1000).count()
+    refused = time.time() - t0
+    assert refused < 120, f"hot-shingle refusal took {refused:.1f}s"
+
+    t0 = time.time()
+    got = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, hub_cap=1000, on_hot_shingle="drop"
+        ).collect()
+    }
+    elapsed = time.time() - t0
+    assert (20_001, 20_002) in got
+    # No pair may arise via the dropped hot shingle alone.
+    assert all(a >= 20_000 for a, _ in got)
+    assert elapsed < 120, f"capped hot-shingle join took {elapsed:.1f}s"
+
+
 def _cc_brute(edges):
     adj = {}
     for s, t in edges:
