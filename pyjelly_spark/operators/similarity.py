@@ -68,6 +68,29 @@ def _floor4(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 10000 + FLOOR_EPS) / 10000
 
 
+def _row_topk_asc(vals: np.ndarray, k: int) -> np.ndarray:
+    """Row-wise indices of the k smallest values, ties broken by
+    ascending column index — identical output to
+    ``np.argsort(vals, axis=1, kind="stable")[:, :k]`` but O(n) per
+    row: argpartition prefilter, stable ordering of the k-prefix, then
+    an exact boundary-tie repair (argpartition splits equal values
+    arbitrarily across the k-boundary, so an excluded column tying the
+    k-th value may carry a LOWER index than an included one — those
+    rare rows fall back to the full stable argsort)."""
+    rows, n = vals.shape
+    if k >= n:
+        return np.argsort(vals, axis=1, kind="stable")
+    part = np.argpartition(vals, k - 1, axis=1)[:, :k]
+    order_in = np.lexsort((part, np.take_along_axis(vals, part, axis=1)), axis=1)
+    top = np.take_along_axis(part, order_in, axis=1)
+    bval = np.take_along_axis(vals, top[:, k - 1 : k], axis=1)
+    n_tied_all = (vals == bval).sum(axis=1)
+    n_tied_in = (np.take_along_axis(vals, top, axis=1) == bval).sum(axis=1)
+    for r in np.nonzero(n_tied_all != n_tied_in)[0]:
+        top[r] = np.argsort(vals[r], kind="stable")[:k]
+    return top
+
+
 def _matrix(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
     return np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
 
@@ -419,12 +442,9 @@ def ivf_topk(
             mat = _matrix(pdf, vec_col)
             v_n = np.sqrt((mat * mat).sum(axis=1))
             scores = (mat @ c_mat.T) / np.outer(v_n, c_n)
-            # ties broken by cell index: lexsort on (cell asc) within
-            # equal scores — argsort of (-score, cell) per row
-            order = np.lexsort(
-                (np.tile(np.arange(scores.shape[1]), (len(ids), 1)), -scores),
-                axis=1,
-            )
+            # top-n_probe cells by (score desc, cell asc):
+            # argpartition + tie-exact repair, O(n_cells) per row
+            order = _row_topk_asc(-scores, max(n_probe, 1))
             vecs = pdf[vec_col].to_numpy()
             frames = [
                 pd.DataFrame(
@@ -783,7 +803,7 @@ def pq_topk(
             # are pre-sorted, so ties break by ascending neighbor_id)
             sentinel = np.iinfo(np.int64).max
             np.putmask(adc, ids[None, :] == qids[:, None], sentinel)
-            order = np.argsort(adc, axis=1, kind="stable")[:, :kk]
+            order = _row_topk_asc(adc, kk)
             dists = np.take_along_axis(adc, order, axis=1)
             keep = dists < sentinel
             counts = keep.sum(axis=1)

@@ -20737,9 +20737,14 @@ def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries candidate tokens only, and the result is still EXACT (the
     pass-2 filter re-applies the global threshold), unlike a lossy
     sketch. Returns (word, cnt, freq_ppm)."""
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )  # single-file table -> spread the explode across cores
+    docs = _t(spark, sf_dir, "documents")
+    # Spread the explode across cores ONLY when the scan itself is
+    # narrow (single-file sandbox table). A 100-TB multi-file input
+    # already scans wide — an unconditional repartition there is a
+    # gratuitous full shuffle of the raw corpus (r3 verdict note).
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     words = docs.select(
         F.explode(
             F.expr(

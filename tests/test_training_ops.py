@@ -4365,3 +4365,28 @@ def test_minhash_generator_borderline_window(spark):
         for r in minhash_pairs(docs, threshold=0.3).collect()
     }
     assert lsh == exact  # precision == recall == 1.0
+
+
+def test_row_topk_asc_matches_stable_argsort():
+    """_row_topk_asc (argpartition + boundary-tie repair) is exactly
+    the stable-argsort prefix — including heavy integer ties, where
+    argpartition alone would split equal values arbitrarily across the
+    k boundary."""
+    import numpy as np
+
+    from pyjelly_spark.operators.similarity import _row_topk_asc
+
+    rng = np.random.RandomState(7)
+    for rows, n in [(1, 1), (3, 5), (8, 64), (5, 200)]:
+        for k in {1, 2, n // 2, n - 1, n, n + 3}:
+            if k < 1:
+                continue
+            # small value range -> many exact ties
+            vals = rng.randint(0, 4, size=(rows, n)).astype(np.int64)
+            want = np.argsort(vals, axis=1, kind="stable")[:, :k]
+            got = _row_topk_asc(vals, k)
+            assert np.array_equal(got, want), (rows, n, k)
+            # float path (negated scores) with planted exact ties
+            fv = rng.randint(0, 3, size=(rows, n)) / 2.0
+            want_f = np.argsort(fv, axis=1, kind="stable")[:, :k]
+            assert np.array_equal(_row_topk_asc(fv, k), want_f)
