@@ -617,6 +617,39 @@ def connected_components(
     )
 
 
+def star_components(edges: DataFrame) -> DataFrame:
+    """Closed-form connected components for a DISJOINT-STAR edge list:
+    every ``src`` is adjacent to exactly one ``dst`` hub (src appears
+    with a single dst value), so each component is one hub plus its
+    spokes and the O(log n) large-star/small-star rounds collapse to a
+    single hub-keyed aggregation.
+
+    Output contract is identical to :func:`connected_components`
+    restricted to such graphs — (node, component) for every node,
+    component = lexicographic minimum of the component — verified
+    equal against the iterative operator under test. Two shuffles
+    total (hub min-aggregation + the node dedupe), no rounds, no
+    checkpoint, no convergence probe; this is the scale path when the
+    candidate generator PROVES the star shape by construction (the KG
+    pipeline's def-collision graph: def-site IRIs embed their symbol,
+    so no def site can bridge two symbol hubs). For general graphs use
+    :func:`connected_components`; this operator silently returns wrong
+    components if a src bridges two hubs — callers own the invariant.
+    """
+    comp = (
+        edges.groupBy("dst")
+        .agg(F.min("src").alias("mn"))
+        .select("dst", F.least("mn", F.col("dst")).alias("component"))
+    )
+    return (
+        edges.join(comp, "dst")
+        .select(F.col("src").alias("node"), "component")
+        .unionByName(comp.select(F.col("dst").alias("node"), "component"))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
 def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """Synchronous label-propagation communities over an undirected edge
     frame — fixed iteration count, fully deterministic tie-breaks.

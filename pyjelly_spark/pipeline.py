@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 
 from pyjelly_spark.jelly import constants as jc
 from pyjelly_spark.operators import extract as X
-from pyjelly_spark.operators.components import connected_components
+from pyjelly_spark.operators.components import (
+    connected_components,
+    star_components,
+)
 from pyjelly_spark.operators.extract import SYMBOL_BASE
 from pyjelly_spark.operators.linking import (
     def_site_iri,
@@ -56,6 +59,15 @@ class PipelineConfig:
     broadcast_dictionary: bool = False
     resume: bool = True
     min_parts: int = 1
+    # True = canonicalization uses the closed-form star CC: the
+    # def-collision graph is a disjoint union of stars BY CONSTRUCTION
+    # (def_site_iri embeds its symbol, so no def-site node can bridge
+    # two symbol hubs), for which connected components is one hub-keyed
+    # aggregation instead of O(log n) latency-bound rounds — the rounds
+    # were ~8 s of core-count-invariant wall per job at every level
+    # (BENCH.md §2.3). False falls back to the general iterative
+    # operator (identical assignment, verified under test).
+    structural_cc: bool = True
 
 
 def build_triples(
@@ -104,7 +116,11 @@ def build_triples(
             ),
             F.concat(F.lit(SYMBOL_BASE), F.col("symbol")).alias("dst"),
         )
-        assignment = connected_components(edges)
+        if config.structural_cc:
+            # Star-forest closed form (see PipelineConfig.structural_cc).
+            assignment = star_components(edges)
+        else:
+            assignment = connected_components(edges)
         canonical = (
             colliding.withColumn(
                 "node",

@@ -689,6 +689,24 @@ def read_jelly(
     distributed ``parse_jelly_grouped``. GRAPHS brackets are resolved to
     quads with the bracketing graph term.
 
+    STRAGGLER CONTRACT (one task per file): intra-file parallelism is
+    impossible for a single Jelly stream because the prefix/name/
+    datatype lookup tables accumulate SEQUENTIALLY across frames — a
+    frame in the middle of a foreign file can reference table entries
+    declared gigabytes earlier, so a split task would need the full
+    prefix replayed anyway (the frame seek index in
+    ``ioutils.build_frame_index`` gives random access to frame BYTES,
+    not to decoder STATE). Files written by this repo are immune: the writers
+    bound each output stream at ``rows_per_stream`` (default 200k)
+    statements, so task skew is capped by construction. For FOREIGN
+    multi-GB single-stream files, the decode wall is the one file's
+    sequential decode (~165k stmts/s/core pure-Python) regardless of
+    cluster size — mitigate by re-sharding once through
+    ``read_jelly -> write_jelly`` (bounded streams out), after which
+    every later read scales with file count. This matches the
+    reference's own contract: its parsers are single-stream sequential
+    too (parse.py); no Jelly implementation can split lookup state.
+
     ``logical_type_strict``: None (default, route by physical type
     only), "flat", or "grouped" — the reference's strict gate
     (/root/reference/pyjelly/integrations/generic/parse.py:234-263):

@@ -786,3 +786,60 @@ def test_cc_peel_matches_unpeeled(spark, monkeypatch):
         for r in C.connected_components(df, peel=False).collect()
     }
     assert a == b == _cc_brute(edges)
+
+
+def test_star_components_matches_iterative(spark):
+    """star_components (closed-form CC for disjoint-star graphs) is
+    assignment-identical to the iterative operator: hubs with many
+    spokes, hub-lexicographically-smallest and spoke-smallest
+    components, multi-edge duplicates, and a 2-node star."""
+    from pyjelly_spark.operators.components import (
+        connected_components,
+        star_components,
+    )
+
+    edges = []
+    # hub smallest: component = hub
+    edges += [(f"z_spoke_{i}", "a_hub") for i in range(5)]
+    # spoke smallest: component = min spoke
+    edges += [(f"b_spoke_{i}", "m_hub") for i in range(4)]
+    # duplicate edges
+    edges += [("b_spoke_0", "m_hub"), ("dup", "q_hub"), ("dup", "q_hub")]
+    # 2-node star
+    edges += [("x_only", "y_hub")]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    got = {
+        (r["node"], r["component"])
+        for r in star_components(df).collect()
+    }
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    assert got == want
+    # sanity on semantics: min-of-component representative
+    comp = dict(got)
+    assert comp["z_spoke_0"] == "a_hub"
+    assert comp["m_hub"] == "b_spoke_0"
+
+
+def test_pipeline_structural_cc_matches_iterative(spark, source_files_500):
+    """build_triples(structural_cc=True) — the pipeline default — emits
+    the exact same triple multiset as the iterative-CC fallback: the
+    def-collision graph is a disjoint star forest by construction."""
+    from pyjelly_spark.pipeline import PipelineConfig, build_triples
+
+    a = build_triples(
+        spark,
+        source_files_500,
+        PipelineConfig(out_dir="unused", structural_cc=True),
+    )
+    b = build_triples(
+        spark,
+        source_files_500,
+        PipelineConfig(out_dir="unused", structural_cc=False),
+    )
+    cols = ["repo", "path", "kind_rank", "s", "p", "o"]
+    fa = sorted(map(tuple, a.select(*[F.col(c).cast("string") for c in cols]).collect()))
+    fb = sorted(map(tuple, b.select(*[F.col(c).cast("string") for c in cols]).collect()))
+    assert fa == fb and len(fa) > 0
