@@ -21587,3 +21587,45 @@ ORACLES: dict[str, str] = {
         shingles=SHINGLES_SQL.strip()
     ),
 }
+
+
+# --- Driver-gate window rotation (r4) ---------------------------------
+# The driver's correctness gate runs the FIRST 50 entries of QUERIES in
+# dict order; the remaining 246 rely on the local strict sweep
+# (scripts/check_oracles.py, all 296). Per the r3 verdict, ~30 flagship
+# queries stay pinned every round (one per first-class family: KG
+# pipeline + roundtrips, graph, SPARQL, TPC-H, dedup, embedding/ANN,
+# multimodal, streaming, text, vocab) and the remaining ~20 slots
+# ROTATE through the long tail so every family re-earns driver-green
+# rows over time. The r4 rotation deliberately pulls in the queries
+# this round's code touched (hub-guard call sites, block dedup,
+# heavy hitters, PQ/ANN selection) plus families with no prior
+# driver row (inference, lakehouse MERGE, SCC).
+_GATE_FLAGSHIPS = [
+    "kg_structural", "kg_linked", "kg_canonical", "kg_roundtrip",
+    "kg_grouped_roundtrip", "kg_datasource_roundtrip", "kg_stream_ingest",
+    "kg_linking_pr", "kg_pagerank", "kg_triangles", "kg_sparql",
+    "kg_sparql_agg", "tpch_q1", "tpch_q3", "dedup_exact", "dedup_jaccard",
+    "dedup_minhash", "dedup_simhash", "dedup_pipeline", "embedding_topk",
+    "embedding_ann", "embedding_pq", "embedding_kmeans", "multimodal_meta",
+    "multimodal_features", "stream_hourly", "stream_sessions",
+    "stream_dedup", "lang_id", "text_quality", "vocab_bpe",
+]
+_GATE_ROTATION_R4 = [
+    "dedup_containment", "dedup_ppjoin", "dedup_winnow", "dedup_keep_best",
+    "doc_block_dedup", "vocab_heavy_hitters", "vocab_kn", "embedding_jl",
+    "embedding_int8", "kg_truss", "kg_butterflies", "kg_clustering",
+    "kg_scc", "kg_rdfs", "kg_shacl", "stream_cdc", "stream_topk",
+    "events_viterbi", "orders_merge",
+]
+_window = _GATE_FLAGSHIPS + _GATE_ROTATION_R4
+assert len(_window) == 50 and len(set(_window)) == 50
+assert all(name in QUERIES for name in _window), [
+    n for n in _window if n not in QUERIES
+]
+# Reorder: window first (gated), everything else keeps its relative
+# order. Values are identical; only dict insertion order changes.
+QUERIES = {
+    **{name: QUERIES[name] for name in _window},
+    **QUERIES,
+}
