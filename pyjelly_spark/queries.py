@@ -20984,6 +20984,97 @@ FROM mem GROUP BY rep
 """
 
 
+def q_kg_canonical_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization through the closed-form star CC (r4,
+    operators/components.py::star_components) — the pipeline's default
+    path: the def-collision graph is a disjoint union of stars by
+    construction (def-site IRIs embed their symbol), so components fall
+    out of ONE hub-keyed aggregation instead of iterative rounds. Same
+    output contract — and the same oracle — as kg_canonical, which
+    gates the general iterative operator on the identical graph; this
+    query gates the shortcut."""
+    from pyjelly_spark.operators.components import star_components
+
+    _, defs = _mention_frames(spark, sf_dir)
+    multi = defs.groupBy("symbol").agg(F.count(F.lit(1)).alias("n_sites"))
+    colliding = defs.join(
+        F.broadcast(multi.where(F.col("n_sites") > 1).select("symbol")), "symbol"
+    )
+    edges = colliding.select(
+        def_site_iri(F.col("def_repo"), F.col("def_path"), F.col("symbol")).alias(
+            "src"
+        ),
+        F.concat(F.lit(X.SYMBOL_BASE), F.col("symbol")).alias("dst"),
+    )
+    assignment = star_components(edges)
+    return (
+        colliding.withColumn(
+            "node",
+            def_site_iri(F.col("def_repo"), F.col("def_path"), F.col("symbol")),
+        )
+        .join(assignment, "node")
+        .select(
+            F.col("node").alias("s"),
+            F.lit(X.P_CANONICAL).alias("p"),
+            F.col("component").alias("o"),
+        )
+    )
+
+
+def q_doc_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens emitted per
+    whitespace word (floor ppm) — the standard tokenizer-quality
+    diagnostic for multilingual corpus prep (a lang whose fertility is
+    2-3x the corpus median is being shredded by the vocabulary and
+    will eat a matching multiple of the training budget). Pure
+    Catalyst: two regexp counts per doc, one lang-keyed aggregation;
+    zero joins, one shuffle of |langs| groups."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(
+            F.split(
+                F.trim(F.regexp_replace("text", r"\s+", " ")), " "
+            )
+        ).cast("long").alias("ws"),
+        F.regexp_count("text", F.lit(T.BPE_TOKEN_RE)).cast("long").alias("bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("n_ws_tokens"),
+            F.sum("bpe").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            F.expr("n_bpe_tokens * 1000000 div n_ws_tokens").alias(
+                "fertility_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DOC_FERTILITY = rf"""
+WITH t AS (
+  SELECT lang,
+    len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))::BIGINT AS ws,
+    len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}'))::BIGINT AS bpe
+  FROM documents
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(ws)::BIGINT AS n_ws_tokens,
+       sum(bpe)::BIGINT AS n_bpe_tokens,
+       ((sum(bpe) * 1000000) // sum(ws))::BIGINT AS fertility_ppm
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_structural": q_kg_structural,
     "kg_imports": q_kg_imports,
@@ -21281,6 +21372,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_heavy_hitters": q_vocab_heavy_hitters,
     "doc_block_dedup": q_doc_block_dedup,
     "dedup_keep_best": q_dedup_keep_best,
+    "kg_canonical_star": q_kg_canonical_star,
+    "doc_fertility": q_doc_fertility,
 }
 
 ORACLES: dict[str, str] = {
@@ -21586,6 +21679,8 @@ ORACLES: dict[str, str] = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST.format(
         shingles=SHINGLES_SQL.strip()
     ),
+    "kg_canonical_star": SQL_KG_CANONICAL,
+    "doc_fertility": SQL_DOC_FERTILITY,
 }
 
 
