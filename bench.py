@@ -231,6 +231,14 @@ BENCH_QUERIES = [
     "events_viterbi",
     "kg_coreness",
     "events_runs",
+    # added after the r3 bench-list freeze (r3 late + r4 queries); the
+    # r4 total therefore covers 199 queries vs r3's 194 — compare
+    # per-query times across rounds, not raw totals
+    "vocab_heavy_hitters",
+    "doc_block_dedup",
+    "dedup_keep_best",
+    "kg_canonical_star",
+    "doc_fertility",
 ]
 # dedup_ppjoin is excluded from the headline set for the same reason as
 # dedup_jaccard: on THIS corpus the qualifying-pair set itself is huge
