@@ -178,6 +178,16 @@ AUDITED = [
     "orders_skyline",
     "doc_cdc_chunks",
     "events_interval_diff",
+    # r3-late + r4 additions (lazy plans only; iterative/eager and
+    # streaming queries stay excluded as before)
+    "events_theilsen",
+    "events_viterbi",
+    "events_runs",
+    "orders_hhi",
+    "vocab_heavy_hitters",
+    "doc_block_dedup",
+    "kg_canonical_star",
+    "doc_fertility",
 ]
 # events_kth is excluded from the audit: histogram-bisection rounds are
 # driver-coordinated actions inside the callable (its per-round plan is a
