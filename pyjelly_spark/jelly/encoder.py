@@ -26,7 +26,13 @@ from __future__ import annotations
 from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 
 from pyjelly_spark.jelly import constants as c
-from pyjelly_spark.jelly.wire import len_field, str_field, uvarint, varint_field
+from pyjelly_spark.jelly.wire import (
+    _UV_CACHE,
+    len_field,
+    str_field,
+    uvarint,
+    varint_field,
+)
 
 Term = tuple
 _ROW_TAG_CACHE: Dict[int, bytes] = {}
@@ -183,6 +189,13 @@ class TableState:
 def _row(row_field: int, payload: bytes) -> bytes:
     """Wrap a sub-message as one RdfStreamRow."""
     return len_field(row_field, payload)
+
+
+# Constant RdfStreamRow field heads for the two statement row kinds —
+# add_triple/add_quad wrap one row per statement, so the head lookup is
+# hoisted out of the loop entirely.
+_TRIPLE_ROW_HEAD = _UV_CACHE[(c.ROW_TRIPLE << 3) | 2]
+_QUAD_ROW_HEAD = _UV_CACHE[(c.ROW_QUAD << 3) | 2]
 
 
 def _evicted(state: "TableState", key: str) -> c.JellyError:
@@ -354,12 +367,16 @@ class StreamEncoder:
             raise _evicted(nt, local)
         name_id = 0 if cur_n == nt.last_used + 1 else cur_n
         nt.last_used = cur_n
+        # inline varint_field(1, ...) / varint_field(2, ...): the field
+        # heads are the constant bytes 0x08 / 0x10 and the ids are table
+        # indices (uvarint handles any width) — saves two calls per
+        # changed-IRI occurrence on the innermost encode path
         if prefix_id:
             if name_id:
-                return varint_field(1, prefix_id) + varint_field(2, name_id)
-            return varint_field(1, prefix_id)
+                return b"\x08" + uvarint(prefix_id) + b"\x10" + uvarint(name_id)
+            return b"\x08" + uvarint(prefix_id)
         if name_id:
-            return varint_field(2, name_id)
+            return b"\x10" + uvarint(name_id)
         return b""
 
     def _literal_body(self, lex: str, lang: str, datatype: str) -> bytes:
@@ -390,7 +407,11 @@ class StreamEncoder:
         """Encode one s/p/o term as its oneof field (iri/bnode/lit/qt)."""
         kind = term[0]
         if kind == "iri":
-            return len_field(base, self._iri_body(term[1]))
+            # inline len_field: IRI bodies are two small varint fields
+            # (<= ~22 bytes), so both the tag and the length come from
+            # the varint cache unconditionally
+            body = self._iri_body(term[1])
+            return _UV_CACHE[(base << 3) | 2] + _UV_CACHE[len(body)] + body
         if kind == "bnode":
             return str_field(base + 1, term[1])
         if kind == "lit":
@@ -443,7 +464,12 @@ class StreamEncoder:
             body += self._term_field(o, c.SLOT_OBJECT_BASE)
             last[2] = o
         rows = self._rows
-        rows.append(len_field(c.ROW_TRIPLE, body))
+        n = len(body)
+        rows.append(
+            _TRIPLE_ROW_HEAD + _UV_CACHE[n] + body
+            if n < 1 << 14
+            else len_field(c.ROW_TRIPLE, body)
+        )
         if self._bounded and len(rows) >= self.options.frame_rows:
             return self.take_frame()
         return None
@@ -481,7 +507,12 @@ class StreamEncoder:
             )
             last[3] = g
         rows = self._rows
-        rows.append(len_field(c.ROW_QUAD, body))
+        n = len(body)
+        rows.append(
+            _QUAD_ROW_HEAD + _UV_CACHE[n] + body
+            if n < 1 << 14
+            else len_field(c.ROW_QUAD, body)
+        )
         if self._bounded and len(rows) >= self.options.frame_rows:
             return self.take_frame()
         return None
