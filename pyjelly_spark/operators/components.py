@@ -617,7 +617,7 @@ def connected_components(
     )
 
 
-def star_components(edges: DataFrame) -> DataFrame:
+def star_components(edges: DataFrame, *, check_invariant: bool = False) -> DataFrame:
     """Closed-form connected components for a DISJOINT-STAR edge list:
     every ``src`` is adjacent to exactly one ``dst`` hub (src appears
     with a single dst value), so each component is one hub plus its
@@ -635,7 +635,57 @@ def star_components(edges: DataFrame) -> DataFrame:
     so no def site can bridge two symbol hubs). For general graphs use
     :func:`connected_components`; this operator silently returns wrong
     components if a src bridges two hubs — callers own the invariant.
+
+    ``check_invariant=True`` injects a runtime guard (same 1-row
+    broadcast scalar-guard shape as :func:`cap_key_fanout`'s error
+    mode) that fails the job loudly if the edge list is NOT a disjoint
+    star forest — i.e. if any src carries more than one distinct dst,
+    or any node appears on both sides (a chain like a->b, b->c, where
+    the closed form would assign c the wrong component). Cost is one
+    extra shuffle over 2|E| role rows; enable it wherever the star
+    shape is an upstream-construction promise rather than a local
+    algebraic fact (the KG pipeline does).
     """
+    if check_invariant:
+        roles = edges.select(
+            F.col("src").alias("_nd"), F.col("dst"), F.lit(1).alias("_is_src")
+        ).unionByName(
+            edges.select(
+                F.col("dst").alias("_nd"),
+                F.lit(None).cast(dict(edges.dtypes)["dst"]).alias("dst"),
+                F.lit(0).alias("_is_src"),
+            )
+        )
+        viol = (
+            roles.groupBy("_nd")
+            .agg(
+                F.countDistinct("dst").alias("_n_dst"),
+                F.max("_is_src").alias("_src"),
+                F.min("_is_src").alias("_pure_src"),
+            )
+            .where((F.col("_n_dst") > 1) | ((F.col("_src") == 1) & (F.col("_pure_src") == 0)))
+        )
+        guard = (
+            viol.agg(F.count(F.lit(1)).alias("_n_bad"))
+            .where(
+                F.assert_true(
+                    F.col("_n_bad") == 0,
+                    F.concat(
+                        F.lit(
+                            "star_components: edge list is not a disjoint "
+                            "star forest (a src carries >1 distinct dst, or "
+                            "a node appears as both src and dst); the "
+                            "closed form would return wrong components. "
+                            "Use connected_components for general graphs. "
+                            "n_bad="
+                        ),
+                        F.col("_n_bad").cast("string"),
+                    ),
+                ).isNull()
+            )
+            .select(F.lit(1).alias("_star_ok"))
+        )
+        edges = edges.crossJoin(F.broadcast(guard)).drop("_star_ok")
     comp = (
         edges.groupBy("dst")
         .agg(F.min("src").alias("mn"))

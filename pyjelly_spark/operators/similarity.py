@@ -76,7 +76,11 @@ def _row_topk_asc(vals: np.ndarray, k: int) -> np.ndarray:
     an exact boundary-tie repair (argpartition splits equal values
     arbitrarily across the k-boundary, so an excluded column tying the
     k-th value may carry a LOWER index than an included one — those
-    rare rows fall back to the full stable argsort)."""
+    rare rows fall back to the full stable argsort). Rows containing
+    NaN (e.g. 0/0 cosine from a zero-norm vector) also take the full
+    fallback: NaN != NaN zeroes both tie counts, so the boundary
+    repair can never trigger on them and the fast path would return an
+    arbitrary NaN subset/order."""
     rows, n = vals.shape
     if k >= n:
         return np.argsort(vals, axis=1, kind="stable")
@@ -86,7 +90,8 @@ def _row_topk_asc(vals: np.ndarray, k: int) -> np.ndarray:
     bval = np.take_along_axis(vals, top[:, k - 1 : k], axis=1)
     n_tied_all = (vals == bval).sum(axis=1)
     n_tied_in = (np.take_along_axis(vals, top, axis=1) == bval).sum(axis=1)
-    for r in np.nonzero(n_tied_all != n_tied_in)[0]:
+    bad = (n_tied_all != n_tied_in) | np.isnan(vals).any(axis=1)
+    for r in np.nonzero(bad)[0]:
         top[r] = np.argsort(vals[r], kind="stable")[:k]
     return top
 

@@ -110,6 +110,14 @@ def build_triples(
             F.broadcast(multi.where(F.col("n_sites") > 1).select("symbol")),
             "symbol",
         )
+        # STAR-FOREST INVARIANT (star_components depends on this
+        # construction): src = def_site_iri(...) EMBEDS its symbol, so a
+        # def-site node can never attach to two symbol hubs, and src/dst
+        # live in disjoint IRI namespaces (def-site vs SYMBOL_BASE), so
+        # no node appears on both sides. If you change either line,
+        # star_components silently returns wrong components — which is
+        # why the call below runs with check_invariant=True (a 1-row
+        # scalar guard that fails the job loudly instead).
         edges = colliding.select(
             def_site_iri(F.col("def_repo"), F.col("def_path"), F.col("symbol")).alias(
                 "src"
@@ -118,7 +126,7 @@ def build_triples(
         )
         if config.structural_cc:
             # Star-forest closed form (see PipelineConfig.structural_cc).
-            assignment = star_components(edges)
+            assignment = star_components(edges, check_invariant=True)
         else:
             assignment = connected_components(edges)
         canonical = (

@@ -10129,8 +10129,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Exact-tier hub guard: refuse (not silently drop) hot shingles —
     # one 10^5-doc boilerplate 3-gram would emit ~10^10 pairs alone.
+    # One checkpointed materialization feeds guard + sizes + both join
+    # sides (otherwise 4 tokenize+explode traversals of the corpus).
     sh = cap_key_fanout(
-        doc_shingles(_t(spark, sf_dir, "documents"), n=3),
+        doc_shingles(_t(spark, sf_dir, "documents"), n=3).localCheckpoint(
+            eager=False
+        ),
         "shingle",
         on_exceed="error",
     )

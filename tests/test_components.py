@@ -821,6 +821,37 @@ def test_star_components_matches_iterative(spark):
     comp = dict(got)
     assert comp["z_spoke_0"] == "a_hub"
     assert comp["m_hub"] == "b_spoke_0"
+    # the runtime invariant guard passes on a genuine star forest
+    got_checked = {
+        (r["node"], r["component"])
+        for r in star_components(df, check_invariant=True).collect()
+    }
+    assert got_checked == want
+
+
+def test_star_components_invariant_guard_refuses_non_star(spark):
+    """check_invariant=True fails loudly on both star-forest
+    violations: a src bridging two hubs, and a chain node appearing as
+    src and dst (where the closed form silently mis-assigns)."""
+    import pytest
+
+    from pyjelly_spark.operators.components import star_components
+
+    bridge = spark.createDataFrame(
+        [("s", "hub1"), ("s", "hub2"), ("t", "hub1")],
+        "src: string, dst: string",
+    )
+    with pytest.raises(Exception, match="star_components"):
+        star_components(bridge, check_invariant=True).collect()
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src: string, dst: string"
+    )
+    # the unchecked closed form is WRONG here (c -> b, true component a)
+    wrong = {r["node"]: r["component"] for r in star_components(chain).collect()}
+    assert wrong["c"] == "b"
+    with pytest.raises(Exception, match="star_components"):
+        star_components(chain, check_invariant=True).collect()
 
 
 def test_pipeline_structural_cc_matches_iterative(spark, source_files_500):

@@ -4390,3 +4390,26 @@ def test_row_topk_asc_matches_stable_argsort():
             fv = rng.randint(0, 3, size=(rows, n)) / 2.0
             want_f = np.argsort(fv, axis=1, kind="stable")[:, :k]
             assert np.array_equal(_row_topk_asc(fv, k), want_f)
+
+
+def test_row_topk_asc_nan_rows_match_stable_argsort():
+    """Rows containing NaN (0/0 cosine from zero-norm vectors) take the
+    full stable-argsort fallback: NaN != NaN zeroes both boundary-tie
+    counts, so without the explicit isnan trigger the fast path could
+    return an arbitrary subset/order of the NaN columns."""
+    import numpy as np
+
+    from pyjelly_spark.operators.similarity import _row_topk_asc
+
+    rng = np.random.RandomState(11)
+    for rows, n in [(4, 8), (6, 40)]:
+        for k in (1, 3, n - 1):
+            vals = rng.randint(0, 4, size=(rows, n)) / 2.0
+            # plant NaN in half the rows, several per row (incl. a row
+            # where the k-boundary itself is NaN: all-NaN row)
+            for r in range(0, rows, 2):
+                vals[r, rng.choice(n, size=max(2, n - k), replace=False)] = np.nan
+            vals[0, :] = np.nan
+            want = np.argsort(vals, axis=1, kind="stable")[:, :k]
+            got = _row_topk_asc(vals, k)
+            assert np.array_equal(got, want), (rows, n, k)
