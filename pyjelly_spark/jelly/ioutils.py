@@ -184,6 +184,79 @@ def build_frame_index(path: str) -> List[Tuple[int, int, int]]:
     return index
 
 
+def _frame_head_is_options(frame) -> bool:
+    """True iff the frame's FIRST row is an options row.
+
+    Pure varint-header walk: parses field headers until the first rows
+    field, then only the first row's first tag — no term decoding, no
+    lookup state. Used by :func:`scan_stream_segments` as the
+    concatenation-boundary probe: every self-contained stream OPENS
+    with an options row (the reference's decoder enforces
+    options-first, parse/decode.py; our StreamDecoder raises on any
+    other shape), so in a byte-concatenation of streams each member
+    starts at an options-headed frame.
+    """
+    for num, _wt, val in iter_fields(frame):
+        if num != c.FRAME_ROWS:
+            continue
+        for rnum, _rwt, _rval in iter_fields(bytes(val)):
+            return rnum == c.ROW_OPTIONS
+        return False
+    return False
+
+
+def scan_stream_segments(data: bytes) -> List[Tuple[int, int, int]]:
+    """Split points of a (possibly concatenated) delimited Jelly buffer:
+    one ``(byte_start, byte_end, first_frame_idx)`` per independent
+    stream segment.
+
+    A segment starts at byte 0 and at every frame whose first row is an
+    options row (see :func:`_frame_head_is_options`). CONTRACT — this
+    is concatenation semantics, and it is opt-in for a reason: the
+    Jelly protocol also permits a single continuing stream to RE-EMIT
+    its options row mid-stream (the reference validates repeated
+    options against stream state and keeps its lookup tables,
+    /root/reference/pyjelly/parse/decode.py:259-267). The two shapes
+    are byte-indistinguishable, so the caller declares which one the
+    file is. For genuine concatenations (``cat a.jelly b.jelly`` — the
+    append-to-one-object pattern) segment decoding with a FRESH decoder
+    per segment is the ONLY correct read: a single sequential decoder
+    carries stream A's lookup tables and auto-increment counters into
+    stream B and silently resolves B's references against them (every
+    Jelly implementation, the reference included, mis-decodes that
+    shape). For re-emitting single streams, segment decoding would be
+    wrong the opposite way — leave the default whole-file path on.
+
+    A single-encoder file (one options row, at the head) yields one
+    segment, so the scan is shape-safe for the common case either way.
+    Cost: one varint length-walk over the frame framing plus a 2-tag
+    peek per frame — no row/term decode, bandwidth-bound.
+    Non-delimited buffers are one segment by definition.
+    """
+    if not looks_delimited(bytes(data[:3])):
+        return [(0, len(data), 0)]
+    mv = memoryview(data)
+    n = len(data)
+    starts: List[Tuple[int, int]] = []
+    pos = 0
+    fidx = 0
+    while pos < n:
+        length, body_start = read_uvarint(data, pos)
+        body_end = body_start + length
+        if body_end > n:
+            raise c.JellyError("truncated frame at end of stream")
+        if fidx == 0 or _frame_head_is_options(mv[body_start:body_end]):
+            starts.append((pos, fidx))
+        pos = body_end
+        fidx += 1
+    if not starts:
+        return [(0, n, 0)]
+    return [
+        (start, starts[i + 1][0] if i + 1 < len(starts) else n, first_frame)
+        for i, (start, first_frame) in enumerate(starts)
+    ]
+
+
 def read_frame_at(path: str, offset: int, length: int) -> bytes:
     """Read one delimited frame's body given its index entry."""
     with open(path, "rb") as handle:

@@ -464,11 +464,15 @@ def connected_components(
     hash_ids: bool | None = None,
     peel: bool = False,
 ) -> DataFrame:
-    """Edge list (src, dst strings) -> (node, component) assignment.
+    """Edge list (src, dst) -> (node, component) assignment.
 
-    ``component`` is the lexicographically smallest node id reachable.
-    Isolated nodes don't appear (they are their own components trivially);
-    callers union them in if needed.
+    ``component`` is the smallest reachable node id under the node
+    column type's ordering (lexicographic for strings, numeric for
+    ints — the operator is type-agnostic: the rounds, the driver
+    union-find, and the xxhash64 key compaction all work on any
+    orderable, hashable column type, so numeric-id graphs skip the
+    pad-to-string round-trip). Isolated nodes don't appear (they are
+    their own components trivially); callers union them in if needed.
 
     Size-adaptive key representation: beyond HASH_ID_MIN_EDGES the rounds
     run on ``xxhash64`` node ids — every round shuffles the edge set

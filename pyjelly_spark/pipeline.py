@@ -71,10 +71,32 @@ class PipelineConfig:
 
 
 def build_triples(
-    spark: SparkSession, files: DataFrame, config: PipelineConfig
+    spark: SparkSession,
+    files: DataFrame,
+    config: PipelineConfig,
+    *,
+    pin_joins: bool = False,
+    pins: "list | None" = None,
 ) -> DataFrame:
     """All pipeline triples in the uniform (repo, path, kind_rank, s, p, o)
-    frame."""
+    frame.
+
+    ``pin_joins=True`` persists the two join-derived branches
+    (resolved-call triples and canonical triples) in addition to the
+    checkpointed compact frame — the fused (``resume=False``) pipeline
+    runs TWO actions over this plan (the partition histogram, then the
+    encode job), and without pins each action would re-run the link
+    equi-join and the CC aggregation. persist() rather than
+    localCheckpoint: the branches feed a union, and lazily-checkpointed
+    union children regress into a Catalyst constraint-rewrite failure
+    (Union.rewriteConstraints key-not-found) once the salt-map join is
+    layered on top; persisted branches keep their logical plans so
+    constraint propagation stays consistent. Pinned frames are appended
+    to ``pins`` so the caller can unpersist after its last action. The
+    staged (``resume=True``) path leaves them unpinned: there the whole
+    plan executes exactly once inside the stage-write job and the
+    parquet stage is the reuse point.
+    """
     compact = X.extract_compact(files)
     if config.link_calls or config.canonicalize:
         # The compact frame feeds the triples build, the link dictionary,
@@ -83,7 +105,19 @@ def build_triples(
         # It is narrow (sha + mention arrays, no content), so pinning it
         # is cheap — unlike the wide struct triples frame, which is
         # deliberately staged to parquet instead (see run_pipeline).
+        # localCheckpoint, NOT persist: the checkpoint stores raw
+        # UnsafeRow blocks, while persist builds a compressed columnar
+        # cache whose build+decode cost ~+18 s per job at the
+        # 4-executor level (measured: histogram 19.1→29.7 s, encode
+        # 30.3→38.8 s). Under pin_joins the frame joins the caller's
+        # release list — un-freed checkpoint blocks accumulated ~GBs
+        # per run in executor storage across repeated fused runs in one
+        # long-lived session (monotonically degrading rep walls,
+        # 50→114 s over five reps); _release_pin frees them through the
+        # materialized LogicalRDD once the caller's last action is done.
         compact = compact.localCheckpoint(eager=False)
+        if pin_joins and pins is not None:
+            pins.append(compact)
     triples = X.triples_from_compact(compact)
 
     defs = compact.select(
@@ -99,7 +133,12 @@ def build_triples(
         linked = link_mentions(
             calls, defs, broadcast_dictionary=config.broadcast_dictionary
         )
-        triples = triples.unionByName(resolved_call_triples(linked))
+        resolved = resolved_call_triples(linked)
+        if pin_joins:
+            resolved = resolved.persist()
+            if pins is not None:
+                pins.append(resolved)
+        triples = triples.unionByName(resolved)
 
     if config.canonicalize:
         # Symbols defined at multiple sites form equivalence classes: every
@@ -144,6 +183,10 @@ def build_triples(
                 X.iri(F.col("component")).alias("o"),
             )
         )
+        if pin_joins:
+            canonical = canonical.persist()
+            if pins is not None:
+                pins.append(canonical)
         triples = triples.unionByName(canonical)
 
     return triples
@@ -206,6 +249,42 @@ def plan_partitions(
     )
 
 
+def _release_pin(df: DataFrame) -> None:
+    """Free the executor-storage blocks behind a pinned DataFrame.
+
+    Handles BOTH pin kinds build_triples uses: persist() pins release
+    through the public unpersist; localCheckpoint pins have no public
+    release (their blocks normally live until the JVM garbage-collects
+    the RDD), so the materialized RDD is reached through the analyzed
+    LogicalRDD and unpersisted directly. After release the frame is
+    dead — callers only invoke this after their last action.
+    """
+    try:
+        df.unpersist(blocking=True)
+    except Exception:
+        pass
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+    except Exception:
+        pass  # not a LogicalRDD (persist pin) — public unpersist did it
+
+
+def _wipe_jelly_outputs(out_dir: str) -> None:
+    """Remove stream files + manifest: stale streams' manifest shas still
+    match their stale bytes, so they must go whenever their inputs or
+    knobs changed."""
+    import os
+    import shutil
+
+    from pyjelly_spark.sources.jelly_io import manifest_path
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(manifest_path(out_dir), ignore_errors=True)
+        for name in os.listdir(out_dir):
+            if name.endswith(".jelly"):
+                os.remove(os.path.join(out_dir, name))
+
+
 def run_pipeline(
     spark: SparkSession,
     files: DataFrame,
@@ -213,17 +292,57 @@ def run_pipeline(
 ) -> pd.DataFrame:
     """Execute all stages; returns the partition manifest (pandas).
 
-    The extract/link/canonicalize DAG executes exactly ONCE: the flat
-    triples are materialized to a parquet stage directory (an explicit
-    stage boundary under out_dir), and the histogram + encode passes run
-    as cheap scans over that leaf. This beats both recomputation (double
-    planning + compute) and .persist() (columnar cache build for millions
-    of term structs costs more than the parquet round-trip), and doubles
-    as a resumable checkpoint of the relational half of the job.
+    Two execution shapes, picked by ``config.resume``:
+
+    - ``resume=True`` (durable checkpoint): the flat triples are
+      materialized to a parquet stage directory (an explicit stage
+      boundary under out_dir, zstd-compressed — long-common-prefix IRI
+      columns compress ~2x better than snappy, and the stage write is
+      the job's bandwidth-bound step), and the histogram + encode
+      passes run as cheap scans over that leaf. The stage doubles as a
+      resumable checkpoint of the relational half of the job — on a
+      cluster it lives in the object store and survives executor loss.
+    - ``resume=False`` (fused, fire-and-forget throughput): NO staged
+      parquet at all. The extract DAG is pinned at its narrow waists
+      (the compact frame + the two join branches, local checkpoints on
+      executor storage), the partition histogram materializes them,
+      and the encode job consumes them directly — extract fuses into
+      encode with zero flat-triples bytes written or re-read. This
+      removes the pipeline's one bandwidth-bound stage (BENCH.md §2.u:
+      stage write scaled 0.72 vs the 0.88 host ceiling) at the price
+      of restart-from-scratch on failure, which is exactly the
+      resume=False contract.
     """
     import json
     import os
     import shutil
+
+    if not config.resume:
+        # Fused path. Clear stale outputs AND any stale staged-run
+        # artifacts (a previous resume=True run's stage/meta would
+        # otherwise sit next to streams they no longer describe).
+        stage_dir = os.path.join(config.out_dir, "_stage_triples")
+        if os.path.isdir(config.out_dir):
+            _wipe_jelly_outputs(config.out_dir)
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            for name in ("_stage_meta.json", "_out_meta.json"):
+                try:
+                    os.remove(os.path.join(config.out_dir, name))
+                except FileNotFoundError:
+                    pass
+        pins: list = []
+        triples = build_triples(spark, files, config, pin_joins=True, pins=pins)
+        try:
+            planned = plan_partitions(triples, config)
+            options = jc.StreamOptions(
+                frame_rows=config.frame_rows, preset=config.preset
+            )
+            return write_jelly(planned, config.out_dir, options, resume=False)
+        finally:
+            # the next job in this session must not find the executors'
+            # storage still holding this run's dead blocks
+            for pinned in pins:
+                _release_pin(pinned)
 
     triples = build_triples(spark, files, config)
     stage_dir = os.path.join(config.out_dir, "_stage_triples")
@@ -272,41 +391,27 @@ def run_pipeline(
         with open(path) as handle:
             return json.load(handle) == expected
 
-    def _wipe_outputs() -> None:
-        # stale streams' manifest shas still match their stale bytes, so
-        # they must go whenever their inputs or knobs changed
-        from pyjelly_spark.sources.jelly_io import manifest_path
-
-        if os.path.isdir(config.out_dir):
-            shutil.rmtree(manifest_path(config.out_dir), ignore_errors=True)
-            for name in os.listdir(config.out_dir):
-                if name.endswith(".jelly"):
-                    os.remove(os.path.join(config.out_dir, name))
-
-    stage_ok = (
-        config.resume
-        and os.path.exists(marker)
-        and _meta_matches(stage_meta_path, stage_meta)
+    stage_ok = os.path.exists(marker) and _meta_matches(
+        stage_meta_path, stage_meta
     )
     if not stage_ok:
-        _wipe_outputs()
-        flatten_terms(triples).write.mode("overwrite").parquet(stage_dir)
+        _wipe_jelly_outputs(config.out_dir)
+        flatten_terms(triples).write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(stage_dir)
         os.makedirs(config.out_dir, exist_ok=True)
         with open(stage_meta_path, "w") as handle:
             json.dump(stage_meta, handle)
         with open(out_meta_path, "w") as handle:
             json.dump(out_meta, handle)
     elif not _meta_matches(out_meta_path, out_meta):
-        _wipe_outputs()
+        _wipe_jelly_outputs(config.out_dir)
         with open(out_meta_path, "w") as handle:
             json.dump(out_meta, handle)
     flat = spark.read.parquet(stage_dir)
     planned = plan_partitions(flat, config, pre_flattened=True)
     options = jc.StreamOptions(frame_rows=config.frame_rows, preset=config.preset)
-    manifest = write_jelly(planned, config.out_dir, options, resume=config.resume)
-    if not config.resume:
-        shutil.rmtree(stage_dir, ignore_errors=True)
-    return manifest
+    return write_jelly(planned, config.out_dir, options, resume=True)
 
 
 def verify_lineage(

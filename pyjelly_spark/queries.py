@@ -2223,6 +2223,56 @@ SELECT p, n_triples FROM counts WHERE n_triples > 0
 """
 
 
+def q_kg_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenated-object decode gate: pipeline -> N bounded Jelly
+    streams -> byte-concatenate ALL of them into ONE .jelly object
+    (the object-store append shape) -> segment-parallel decode
+    (``read_jelly(split_foreign_files=True)``,
+    jelly/ioutils.py::scan_stream_segments) -> per-predicate counts.
+
+    Same closed-form oracle as kg_roundtrip: splitting the single
+    object at its options-headed frames and decoding each segment with
+    FRESH lookup state must recover exactly the union of the member
+    streams' triples. (A sequential decode of the concatenation would
+    NOT — stream A's lookup tables would leak into stream B; that
+    mis-decode is pinned by tests/test_split_decode.py.)
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyjelly_spark.pipeline import PipelineConfig, run_pipeline
+    from pyjelly_spark.sources.jelly_io import read_jelly
+
+    files = derived_source_files(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="kg_split_parts_")
+    cat_dir = tempfile.mkdtemp(prefix="kg_split_cat_")
+    try:
+        run_pipeline(
+            spark,
+            files,
+            PipelineConfig(out_dir=out_dir, rows_per_stream=2000, resume=False),
+        )
+        cat_path = os.path.join(cat_dir, "concat.jelly")
+        with open(cat_path, "wb") as out:
+            for name in sorted(os.listdir(out_dir)):
+                if name.endswith(".jelly"):
+                    with open(os.path.join(out_dir, name), "rb") as part:
+                        shutil.copyfileobj(part, out)
+        decoded = read_jelly(spark, cat_path, split_foreign_files=True)
+        return (
+            decoded.groupBy(F.col("p_value").alias("p"))
+            .agg(F.count(F.lit(1)).alias("n_triples"))
+            # materialized on purpose: the finally below deletes the
+            # .jelly file this plan reads
+            .toPandas()
+            .pipe(spark.createDataFrame)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(cat_dir, ignore_errors=True)
+
+
 def q_kg_grouped_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped (frame-per-graph) materialization round-trip: structural
     triples get graph = repo IRI, are written as a GRAPHS physical stream
@@ -4178,23 +4228,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalization stage (operators/components.py) on a general pair
     graph — oracle-gated by a recursive-CTE transitive closure in
     DuckDB, so the iterative distributed algorithm is checked against a
-    declarative exact one. Doc ids travel as zero-padded strings so CC's
-    lexicographic min equals numeric min.
+    declarative exact one. Doc ids travel as native bigints — CC is
+    type-agnostic (representative = min under the column type's
+    ordering), so no pad/cast round-trip (the oracle's zero-padded
+    string min equals numeric min for these ids).
     """
     from pyjelly_spark.operators.components import connected_components
 
     pairs = D.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
     )
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
-    edges = pairs.select(pad("a").alias("src"), pad("b").alias("dst"))
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     assign = connected_components(edges)
     sizes = assign.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
     return assign.join(sizes, "component").select(
-        F.col("node").cast("long").alias("doc_id"),
-        F.col("component").cast("long").alias("rep"),
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("rep"),
         "cluster_size",
     )
 
@@ -20927,12 +20978,14 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    # native bigint nodes: CC is type-agnostic (min under the column
+    # type's ordering), so the lpad/cast round-trip the string-keyed
+    # call needed is gone — two casts and a projection less in the plan
     assign = connected_components(
-        pairs.select(pad("a").alias("src"), pad("b").alias("dst"))
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     ).select(
-        F.expr("cast(node as bigint)").alias("doc_id"),
-        F.expr("cast(component as bigint)").alias("rep"),
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("rep"),
     )
     m = assign.join(docs.select("doc_id", "n_chars"), "doc_id")
     return (
@@ -21377,6 +21430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_block_dedup": q_doc_block_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "kg_canonical_star": q_kg_canonical_star,
+    "kg_split_decode": q_kg_split_decode,
     "doc_fertility": q_doc_fertility,
 }
 
@@ -21391,6 +21445,7 @@ ORACLES: dict[str, str] = {
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_communities": SQL_KG_COMMUNITIES,
     "kg_roundtrip": SQL_KG_ROUNDTRIP,
+    "kg_split_decode": SQL_KG_ROUNDTRIP,
     "kg_grouped_roundtrip": SQL_KG_GROUPED_ROUNDTRIP,
     "kg_datasource_roundtrip": SQL_KG_DATASOURCE_ROUNDTRIP,
     "kg_stream_ingest": SQL_KG_STREAM_INGEST,
@@ -21688,18 +21743,19 @@ ORACLES: dict[str, str] = {
 }
 
 
-# --- Driver-gate window rotation (r4) ---------------------------------
+# --- Driver-gate window rotation (r5) ---------------------------------
 # The driver's correctness gate runs the FIRST 50 entries of QUERIES in
-# dict order; the remaining 246 rely on the local strict sweep
-# (scripts/check_oracles.py, all 296). Per the r3 verdict, ~30 flagship
+# dict order; the remaining queries rely on the local strict sweep
+# (scripts/check_oracles.py, all 298). Per the r3 verdict, ~30 flagship
 # queries stay pinned every round (one per first-class family: KG
 # pipeline + roundtrips, graph, SPARQL, TPC-H, dedup, embedding/ANN,
 # multimodal, streaming, text, vocab) and the remaining ~20 slots
 # ROTATE through the long tail so every family re-earns driver-green
-# rows over time. The r4 rotation deliberately pulls in the queries
-# this round's code touched (hub-guard call sites, block dedup,
-# heavy hitters, PQ/ANN selection) plus families with no prior
-# driver row (inference, lakehouse MERGE, SCC).
+# rows over time. The r5 rotation (per the r4 verdict) pulls in 19
+# NEVER-driver-gated queries: the whole kg_sparql_* long tail, graph
+# walks/skipgrams, streaming anomaly/enrichment, multimodal
+# frame-sampling/resize, events retention, plus reachability,
+# cross-source dedup and stratified sampling.
 _GATE_FLAGSHIPS = [
     "kg_structural", "kg_linked", "kg_canonical", "kg_roundtrip",
     "kg_grouped_roundtrip", "kg_datasource_roundtrip", "kg_stream_ingest",
@@ -21710,14 +21766,15 @@ _GATE_FLAGSHIPS = [
     "multimodal_features", "stream_hourly", "stream_sessions",
     "stream_dedup", "lang_id", "text_quality", "vocab_bpe",
 ]
-_GATE_ROTATION_R4 = [
-    "dedup_containment", "dedup_ppjoin", "dedup_winnow", "dedup_keep_best",
-    "doc_block_dedup", "vocab_heavy_hitters", "vocab_kn", "embedding_jl",
-    "embedding_int8", "kg_truss", "kg_butterflies", "kg_clustering",
-    "kg_scc", "kg_rdfs", "kg_shacl", "stream_cdc", "stream_topk",
-    "events_viterbi", "orders_merge",
+_GATE_ROTATION_R5 = [
+    "kg_sparql_path", "kg_sparql_construct", "kg_sparql_graph",
+    "kg_sparql_update", "kg_sparql_star", "kg_sparql_typed",
+    "kg_sparql_exists", "kg_sparql_alt", "kg_sparql_subselect",
+    "kg_walks", "kg_skipgrams", "kg_reachable", "stream_anomaly",
+    "stream_enrich", "multimodal_frames", "multimodal_resize",
+    "events_retention", "dedup_cross_source", "sample_stratified",
 ]
-_window = _GATE_FLAGSHIPS + _GATE_ROTATION_R4
+_window = _GATE_FLAGSHIPS + _GATE_ROTATION_R5
 assert len(_window) == 50 and len(set(_window)) == 50
 assert all(name in QUERIES for name in _window), [
     n for n in _window if n not in QUERIES

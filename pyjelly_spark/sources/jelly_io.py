@@ -590,7 +590,10 @@ def _arrow_read_schema():
 
 
 def _decode_bytes_batches(
-    source: str, data: bytes, logical_type_strict: Optional[str] = None
+    source: str,
+    data: bytes,
+    logical_type_strict: Optional[str] = None,
+    frame_id_offset: int = 0,
 ):
     """Decode one self-contained Jelly stream into bounded Arrow
     RecordBatches of flat statement rows (with frame_id / stmt_idx).
@@ -602,6 +605,10 @@ def _decode_bytes_batches(
     ``logical_type_strict``: None (accept any), "flat", or "grouped" —
     the reference's strict logical-type gate, applied per file as soon
     as its options row decodes.
+
+    ``frame_id_offset`` shifts emitted frame_ids: segment decoding
+    (read_jelly's split_foreign_files) passes the segment's first
+    frame index so frame_ids stay file-global across segments.
     """
     import pyarrow as pa
 
@@ -628,7 +635,7 @@ def _decode_bytes_batches(
             col.clear()
         return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
-    for frame_id, frame in enumerate(frames_from_bytes(data)):
+    for frame_id, frame in enumerate(frames_from_bytes(data), start=frame_id_offset):
         frame_rows, _meta = split_frame(frame)
         for row in frame_rows:
             event = decoder.decode_row(row)
@@ -679,6 +686,7 @@ def read_jelly(
     spark: SparkSession,
     path: str,
     logical_type_strict: Optional[str] = None,
+    split_foreign_files: bool = False,
 ) -> DataFrame:
     """Read .jelly file(s) into a flat statements DataFrame.
 
@@ -707,6 +715,30 @@ def read_jelly(
     reference's own contract: its parsers are single-stream sequential
     too (parse.py); no Jelly implementation can split lookup state.
 
+    ``split_foreign_files=True`` declares CONCATENATION SEMANTICS and
+    recovers intra-file parallelism from it: each options-headed frame
+    is treated as the start of an independent stream
+    (``ioutils.scan_stream_segments``), so a concatenated object
+    (``cat a.jelly b.jelly`` — the object-store append pattern)
+    decodes as byte-range segments, one task each, with FRESH decoder
+    state per segment. For that shape this is also the only CORRECT
+    read: a sequential decoder carries stream A's lookup tables and
+    auto-increment counters into stream B and silently resolves B's
+    references against them — every Jelly implementation including the
+    reference mis-decodes concatenations (the reference
+    validates-and-continues on repeated options rows,
+    parse/decode.py:259-267, which serves the OTHER shape: one
+    continuing stream re-emitting its options mid-stream; for such
+    streams keep this flag off, the two shapes are
+    byte-indistinguishable and the caller must declare). Mechanics: a
+    cheap distributed pre-pass walks only the varint framing (no term
+    decode), then segments shuffle across the cluster and decode in
+    parallel; frame_id stays file-global (segment frame offsets are
+    carried through), stmt_idx restarts per segment — order by
+    (source_file, frame_id, stmt_idx), total either way.
+    Single-encoder files collapse to one segment and decode exactly as
+    the default path, at the cost of one extra framing walk per file.
+
     ``logical_type_strict``: None (default, route by physical type
     only), "flat", or "grouped" — the reference's strict gate
     (/root/reference/pyjelly/integrations/generic/parse.py:234-263):
@@ -724,6 +756,9 @@ def read_jelly(
     ship_package(spark)
     paths_df = _paths_df(spark, _jelly_files(path))
 
+    if split_foreign_files:
+        return _read_jelly_split(spark, paths_df, logical_type_strict)
+
     def decode_files(batches):
         for batch in batches:
             for source in batch.column("source_file").to_pylist():
@@ -737,6 +772,86 @@ def read_jelly(
     # mapInArrow: RecordBatches flow straight from the decoder's columnar
     # builders to the JVM; no pandas materialization on the read path
     return paths_df.mapInArrow(decode_files, schema=READ_SCHEMA)
+
+
+def _read_jelly_split(
+    spark: SparkSession,
+    paths_df: DataFrame,
+    logical_type_strict: Optional[str],
+) -> DataFrame:
+    """Two-stage segment-parallel decode (read_jelly split_foreign_files).
+
+    Stage 1 (one task per file): walk the varint framing and emit one
+    row per cold-state segment. Stage 2 (one task per SEGMENT, after a
+    repartition that spreads a single file's segments over the
+    cluster): range-read the segment's bytes and decode with a fresh
+    decoder, frame_ids offset to stay file-global.
+    """
+
+    def scan_files(batches):
+        import pyarrow as pa
+
+        from pyjelly_spark.jelly.ioutils import scan_stream_segments
+
+        for batch in batches:
+            srcs: List[str] = []
+            seg_starts: List[int] = []
+            seg_ends: List[int] = []
+            frame_offsets: List[int] = []
+            for source in batch.column("source_file").to_pylist():
+                filesystem, fs_path = _fs_for(source)
+                for start, end, first_frame in scan_stream_segments(
+                    _fs_read(filesystem, fs_path)
+                ):
+                    srcs.append(source)
+                    seg_starts.append(start)
+                    seg_ends.append(end)
+                    frame_offsets.append(first_frame)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(srcs, pa.string()),
+                    pa.array(seg_starts, pa.int64()),
+                    pa.array(seg_ends, pa.int64()),
+                    pa.array(frame_offsets, pa.int64()),
+                ],
+                names=["source_file", "seg_start", "seg_end", "frame_offset"],
+            )
+
+    segments = paths_df.mapInArrow(
+        scan_files,
+        schema=(
+            "source_file string, seg_start long, seg_end long, "
+            "frame_offset long"
+        ),
+    )
+
+    def decode_segments(batches):
+        for batch in batches:
+            rows = zip(
+                batch.column("source_file").to_pylist(),
+                batch.column("seg_start").to_pylist(),
+                batch.column("seg_end").to_pylist(),
+                batch.column("frame_offset").to_pylist(),
+            )
+            for source, start, end, frame_offset in rows:
+                filesystem, fs_path = _fs_for(source)
+                with filesystem.open_input_file(fs_path) as handle:
+                    handle.seek(start)
+                    data = handle.read(end - start)
+                yield from _decode_bytes_batches(
+                    source,
+                    data,
+                    logical_type_strict,
+                    frame_id_offset=frame_offset,
+                )
+
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "8")),
+        spark.sparkContext.defaultParallelism,
+    )
+    return segments.repartition(n_parts, "source_file", "seg_start").mapInArrow(
+        decode_segments, schema=READ_SCHEMA
+    )
 
 
 def read_jelly_stream(

@@ -188,27 +188,62 @@ AUDITED = [
     "doc_block_dedup",
     "kg_canonical_star",
     "doc_fertility",
+    # r5: action-driven batch queries (r4 verdict item 5). These
+    # callables run bounded driver-coordinated actions while BUILDING
+    # their DataFrame (CC rounds / BFS frontiers / peeling cascades /
+    # convergence probes), so generating their entry executes those
+    # rounds at the audit sf — seconds at sf0.01 — and the dumped plan
+    # is the FINAL DataFrame's (the converged assignment join / last
+    # frontier / post-peel aggregate), which is exactly the per-round
+    # stage shape repeated at scale.
+    "dedup_keep_best",
+    "kg_coreness",
+    "kg_truss",
+    "kg_reachable",
+    "kg_scc",
+    "kg_wiener",
+    "kg_sameas",
+    "kg_owl",
+    "kg_msf",
+    "kg_densest",
+    "kg_matching",
+    "kg_mis",
+    "kg_pathcount",
+    "kg_condensation",
+    "kg_sparql_path",
+    "kg_store_bgp",
+    "kg_canonical_incremental",
 ]
-# events_kth is excluded from the audit: histogram-bisection rounds are
-# driver-coordinated actions inside the callable (its per-round plan is a
-# plain bounded aggregation).
-# kg_truss is excluded like kg_reachable: support peeling runs
-# data-dependent cascade rounds (actions) inside the callable; its
-# constituent wedge-join stage shape is audited via kg_triangles.
-# kg_sameas and kg_owl are additionally excluded from the audit for the
-# same reason as kg_reachable: connected components / path-doubling
-# closure run bounded actions inside the callable, so "explain" would
-# execute the iterative rounds; their constituent stages (CC, template
-# dispatch) are covered by kg_canonical / kg_rdfs above.
-# Not audited (by design): kg_reachable / kg_closeness and kg_sparql_path (BFS/closure
-# rounds run actions inside the callable) and kg_roundtrip / kg_grouped_roundtrip /
-# kg_datasource_roundtrip / kg_stream_ingest / stream_hourly / stream_dedup /
-# stream_join / stream_enrich / stream_sessions / stream_anomaly /
-# stream_cdc / stream_kmv / stream_session_window / kg_timetravel execute a
-# full materialize (or a streaming job) inside the query callable, so
-# "explain" would run minutes of side effects; their plans are covered
-# by the constituent stages audited above (kg_* extraction + linking +
-# canonical) and the read path is a plain parquet/arrow scan.
+# events_kth keeps only its note: histogram-bisection rounds are
+# driver-coordinated actions whose per-round plan is a plain bounded
+# aggregation (and events_kth IS in AUDITED above).
+
+#: Documented exemptions, written into PLANS.md: these queries execute
+#: a full materialize-to-disk or a Structured Streaming job inside the
+#: callable, so "explain" would run minutes of side effects and the
+#: resulting plan would be a trivial scan over the just-written files.
+#: Their data-path plans are covered by the audited constituent stages
+#: (kg_* extraction + linking + canonical feed the roundtrips; each
+#: stream_* job's batch-equivalent twin is audited above) and the read
+#: side is a plain parquet/arrow scan.
+EXEMPT = {
+    "kg_roundtrip": "materializes .jelly streams to disk inside the callable",
+    "kg_split_decode": "materializes + byte-concatenates streams inside the callable",
+    "kg_grouped_roundtrip": "materializes grouped streams inside the callable",
+    "kg_datasource_roundtrip": "DSv2 write+read job inside the callable",
+    "kg_stream_ingest": "runs a Structured Streaming ingest job",
+    "kg_stream_egress": "runs a Structured Streaming egress job",
+    "stream_hourly": "Structured Streaming job (batch twin: events_hourly)",
+    "stream_sessions": "Structured Streaming job (batch twin: events_sessions)",
+    "stream_dedup": "Structured Streaming job (batch twin: dedup_exact)",
+    "stream_join": "Structured Streaming job (batch twin: events_itemcf join shape)",
+    "stream_anomaly": "Structured Streaming job (batch twin: events_anomaly)",
+    "stream_enrich": "Structured Streaming job (broadcast-dim enrich)",
+    "stream_cdc": "Structured Streaming job (batch twin: events_cdc)",
+    "stream_topk": "Structured Streaming job (batch twin: events_topn)",
+    "stream_kmv": "Structured Streaming job (batch twin: events_kmv)",
+    "stream_session_window": "Structured Streaming session-window job",
+}
 
 
 def plan_text(df) -> str:
@@ -260,6 +295,17 @@ def main() -> None:
         "query: automated plan-quality notes, then the formatted physical",
         "plan (`df.explain('formatted')`). AQE is enabled, so final plans",
         "may further coalesce partitions / switch joins at runtime.",
+        "",
+        "## Exemptions",
+        "",
+        "The following queries are exempt from plan dumps — each runs a",
+        "full materialize or a Structured Streaming job inside its",
+        "callable, so `explain` would execute minutes of side effects and",
+        "show only a trivial scan of the files it just wrote. Their",
+        "data-path plans are covered by the audited constituent/batch-twin",
+        "stages named per entry:",
+        "",
+        *[f"- `{name}` — {why}" for name, why in sorted(EXEMPT.items())],
         "",
     ]
     for name in AUDITED:

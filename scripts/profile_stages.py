@@ -1,11 +1,21 @@
 """Per-stage wall profile of the KG pipeline at one parallelism level.
 
-Splits run_pipeline's phases and times each: input digest, extract/link/
-canonicalize + parquet stage write, partition planning (driver
-histogram), and the Jelly encode. Used to attribute N-vs-4N scaling
-efficiency losses to a stage (BENCH.md §2.3).
+Splits run_pipeline's phases and times each. Two modes matching
+run_pipeline's two execution shapes:
 
-Usage: python scripts/profile_stages.py <cpus> <n_files> [cluster]
+  fused (default, = resume=False since r5): lazy plan build, partition
+      histogram (materializes the pinned compact/link/canonical
+      frames), then the encode job (triple-string build + salt +
+      shuffle + sort + Jelly encode fused in one pass — no staged
+      parquet at all).
+  staged (= resume=True): input digest, extract/link/canonicalize +
+      zstd parquet stage write, partition planning (driver histogram
+      over the stage), then the Jelly encode over the stage.
+
+Used to attribute N-vs-4N scaling efficiency losses to a stage
+(BENCH.md §2.3 / §2.u).
+
+Usage: python scripts/profile_stages.py <cpus> <n_files> [cluster] [mode]
 """
 
 from __future__ import annotations
@@ -25,6 +35,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 CPUS = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 N_FILES = int(sys.argv[2]) if len(sys.argv) > 2 else 2_400_000
 CLUSTER = sys.argv[3] if len(sys.argv) > 3 else "executors"
+MODE = sys.argv[4] if len(sys.argv) > 4 else "fused"
 
 BENCH_TMP = os.environ.get("SPARK_GRAFT_TMP") or (
     "/dev/shm/spark_graft_bench" if os.path.isdir("/dev/shm") else None
@@ -82,7 +93,8 @@ def main() -> None:
     files = generate_source_files(spark, N_FILES).cache()
     files.count()
 
-    for rep in range(2):  # rep 0 pays first-full-size ramp; rep 1 is steady
+    n_reps = int(os.environ.get("SPARK_GRAFT_PROFILE_REPS", "2"))
+    for rep in range(n_reps):  # rep 0 pays first-full-size ramp; rest steady
         _run_once(spark, files, out_dir, rep)
     shutil.rmtree(out_dir, ignore_errors=True)
     spark.stop()
@@ -95,41 +107,62 @@ def _run_once(spark, files, out_dir, rep: int) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     stamps: dict[str, float] = {}
-
-    t0 = time.time()
-    files.select(
-        F.xxhash64("repo", "path", "commit", "lang").alias("h")
-    ).agg(
-        F.count(F.lit(1)).alias("n"), F.min("h"), F.max("h"),
-        F.expr("bit_xor(h)"),
-    ).collect()
-    stamps["digest"] = time.time() - t0
-
-    t0 = time.time()
-    triples = build_triples(spark, files, config)
-    stamps["plan_build"] = time.time() - t0  # lazy: Catalyst work only
-
-    stage_dir = os.path.join(out_dir, "_stage_triples")
-    t0 = time.time()
-    flatten_terms(triples).write.mode("overwrite").parquet(stage_dir)
-    stamps["extract_link_cc_stage"] = time.time() - t0
-
-    t0 = time.time()
-    flat = spark.read.parquet(stage_dir)
-    planned = plan_partitions(flat, config, pre_flattened=True)
-    stamps["plan_partitions"] = time.time() - t0
-
     options = jc.StreamOptions(
         frame_rows=config.frame_rows, preset=config.preset
     )
-    t0 = time.time()
-    manifest = write_jelly(planned, out_dir, options, resume=False)
-    stamps["encode_write"] = time.time() - t0
+
+    if MODE == "fused":
+        pins: list = []
+        t0 = time.time()
+        triples = build_triples(spark, files, config, pin_joins=True, pins=pins)
+        stamps["plan_build"] = time.time() - t0  # lazy: Catalyst work only
+
+        t0 = time.time()
+        planned = plan_partitions(triples, config)
+        # the histogram action materializes the pinned compact frame and
+        # the two join branches — i.e. the whole extract/link/CC compute
+        stamps["histogram_extract_link_cc"] = time.time() - t0
+
+        t0 = time.time()
+        manifest = write_jelly(planned, out_dir, options, resume=False)
+        stamps["triplebuild_encode_write"] = time.time() - t0
+        from pyjelly_spark.pipeline import _release_pin
+        for pinned in pins:
+            _release_pin(pinned)
+    else:
+        t0 = time.time()
+        files.select(
+            F.xxhash64("repo", "path", "commit", "lang").alias("h")
+        ).agg(
+            F.count(F.lit(1)).alias("n"), F.min("h"), F.max("h"),
+            F.expr("bit_xor(h)"),
+        ).collect()
+        stamps["digest"] = time.time() - t0
+
+        t0 = time.time()
+        triples = build_triples(spark, files, config)
+        stamps["plan_build"] = time.time() - t0  # lazy: Catalyst work only
+
+        stage_dir = os.path.join(out_dir, "_stage_triples")
+        t0 = time.time()
+        flatten_terms(triples).write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(stage_dir)
+        stamps["extract_link_cc_stage"] = time.time() - t0
+
+        t0 = time.time()
+        flat = spark.read.parquet(stage_dir)
+        planned = plan_partitions(flat, config, pre_flattened=True)
+        stamps["plan_partitions"] = time.time() - t0
+
+        t0 = time.time()
+        manifest = write_jelly(planned, out_dir, options, resume=False)
+        stamps["encode_write"] = time.time() - t0
 
     n = int(manifest["n_statements"].sum())
     total = sum(stamps.values())
     print(
-        f"\nrep={rep} cpus={CPUS} cluster={CLUSTER} "
+        f"\nrep={rep} cpus={CPUS} cluster={CLUSTER} mode={MODE} "
         f"n_files={N_FILES} triples={n}"
     )
     for k, v in stamps.items():

@@ -133,6 +133,12 @@ if mode in ("pipeline", "both"):
             n = int(manifest["n_statements"].sum())
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
+            # between-reps hygiene: a real cluster job is one JVM per
+            # spark-submit, so nothing carries over; in this one-session
+            # rep loop, driver System.gc() lets ContextCleaner drop the
+            # previous rep's dead shuffle files from /dev/shm before the
+            # next timed window starts
+            spark._jvm.System.gc()
     wall = min(walls)
     result["pipeline"] = {
         "triples": n, "wall_sec": round(wall, 2),

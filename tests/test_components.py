@@ -829,6 +829,35 @@ def test_star_components_matches_iterative(spark):
     assert got_checked == want
 
 
+def test_connected_components_numeric_nodes(spark):
+    """CC is type-agnostic: bigint-node graphs produce the same
+    components (numeric-min representative) as the equivalent padded
+    strings, on all three internal paths — driver union-find, string
+    rounds (hash_ids=False), and hashed rounds (hash_ids=True)."""
+    from pyjelly_spark.operators.components import connected_components
+
+    edges = [(2, 1), (3, 2), (10, 11), (7, 8), (100, 3)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            df.selectExpr(
+                "lpad(cast(src as string), 4, '0') as src",
+                "lpad(cast(dst as string), 4, '0') as dst",
+            )
+        ).collect()
+    }
+    want = {(int(n), int(c)) for n, c in want}
+    for hash_ids in (None, False, True):
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(df, hash_ids=hash_ids).collect()
+        }
+        assert got == want, hash_ids
+    comp = dict(want)
+    assert comp[100] == 1 and comp[11] == 10 and comp[8] == 7
+
+
 def test_star_components_invariant_guard_refuses_non_star(spark):
     """check_invariant=True fails loudly on both star-forest
     violations: a src bridging two hubs, and a chain node appearing as
