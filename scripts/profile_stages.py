@@ -63,6 +63,8 @@ def main() -> None:
             master=f"local[{CPUS}]", shuffle_partitions=max(CPUS * 2, 16)
         )
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("SPARK_GRAFT_AQE", "").lower() in ("off", "false", "0"):
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     def _noop(batches):
         for b in batches:

@@ -1,11 +1,18 @@
 """Straggler bench for read_jelly(split_foreign_files=True).
 
-Builds ONE concatenated .jelly object from K equal member streams
-(the object-store append shape), then times the whole-file sequential-
-shape decode wall (one task) against the segment-parallel decode
-(K tasks). The decode is the pure-Python hot loop, so with K segments
-on >=K cores the wall should approach 1/K of the single-task wall —
-the "straggler halved" evidence the r4 verdict asked for at K=2.
+Builds a single N-triple stream (decodes as ONE task — the straggler)
+and a concatenation of K equal member streams totalling N triples
+(decodes as K tasks under split_foreign_files). Same statement count,
+same per-statement decode work; with K segments on >=K cores the wall
+should approach 1/K of the single-task wall — the "straggler halved"
+evidence the r4 verdict asked for at K=2.
+
+(The sequential reader is NOT a valid baseline on the concatenated
+object itself: stream B's auto-increment lookup indices overrun
+stream A's leftover tables and the decode hard-errors — or, when
+table sizes happen to align, silently returns wrong terms; both modes
+pinned in tests/test_split_decode.py. Split mode is the only correct
+reader for that shape.)
 
 Usage: python scripts/split_decode_bench.py [n_triples_total] [k] [cpus]
 Prints one JSON line.
@@ -53,7 +60,14 @@ def main() -> None:
 
     d = tempfile.mkdtemp(prefix="split_bench_")
     per = N_TOTAL // K
-    path = os.path.join(d, "concat.jelly")
+    single_dir = os.path.join(d, "single")
+    concat_dir = os.path.join(d, "concat")
+    os.makedirs(single_dir)
+    os.makedirs(concat_dir)
+    single_path = os.path.join(single_dir, "one.jelly")
+    with open(single_path, "wb") as out:
+        out.write(_stream_bytes(per * K, "solo"))
+    path = os.path.join(concat_dir, "concat.jelly")
     with open(path, "wb") as out:
         for seg in range(K):
             out.write(_stream_bytes(per, f"seg{seg}"))
@@ -63,16 +77,19 @@ def main() -> None:
     result = {"n_triples": per * K, "k_segments": K, "cpus": CPUS,
               "file_mb": round(os.path.getsize(path) / 1e6, 1)}
     try:
-        for label, split in (("sequential", False), ("split", True)):
+        for label, target, split in (
+            ("single_task", single_path, False),
+            ("split", path, True),
+        ):
             walls = []
             for _ in range(3):
                 t0 = time.time()
-                n = read_jelly(spark, path, split_foreign_files=split).count()
+                n = read_jelly(spark, target, split_foreign_files=split).count()
                 walls.append(round(time.time() - t0, 2))
             assert n == per * K, (label, n)
             result[label] = {"walls": walls, "best": min(walls)}
         result["speedup"] = round(
-            result["sequential"]["best"] / result["split"]["best"], 2
+            result["single_task"]["best"] / result["split"]["best"], 2
         )
         print(json.dumps(result))
     finally:
